@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.similarity.Knn
+import graft.streaming.StreamOps
+
+/** Driver contract — every operator in SURVEY.md §2, one entry each,
+  * plus the DuckDB oracle SQL that must produce identical results on
+  * the same parquet tables.
+  *
+  * Conventions shared by `queries` and `oracleSql` (the driver hash-
+  * compares after sorting columns by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - sums/averages over raw fact rows go through DECIMAL(30,6)
+  *    (graft.functions.Exact) so results are bit-identical regardless
+  *    of partitioning/summation order;
+  *  - timestamps are surfaced as epoch millis (unix_millis ⇔ epoch_ms)
+  *    or DATE — never raw timestamps (ns/µs precision differs);
+  *  - LIMIT queries carry a total order with a unique tiebreak key.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Olap.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dashboard (reference: src/collector/dashboard/, src/service/dashboard/)
+    "q_txvol_daily" -> (Dashboard.txVolDaily _),
+    "q_txvol_cumulative" -> (Dashboard.txVolCumulative _),
+    "q_active_accounts_daily" -> (Dashboard.activeAccountsDaily _),
+    "q_account_growth" -> (Dashboard.accountGrowth _),
+    "q_rewards_by_date_denom" -> (Dashboard.rewardsByDateDenom _),
+    "q_block_rewards" -> (Dashboard.blockRewards _),
+    "q_staking_return" -> (Dashboard.stakingReturn _),
+    "q_staking_return_ma" -> (Dashboard.stakingReturnMa _),
+    "q_staking_ratio" -> (Dashboard.stakingRatio _),
+    "q_seigniorage" -> (Dashboard.seigniorage _),
+    "q_last_hour_ops" -> (Dashboard.lastHourOps _),
+    "q_airdrop_avg_return" -> (Dashboard.airdropAvgReturn _),
+    // market (reference: src/service/market/)
+    "q_price_hourly" -> (Market.priceHourly _),
+    "q_price_15m" -> (Market.price15m _),
+    "q_price_variation" -> (Market.priceVariation _),
+    "q_swap_rate" -> (Market.swapRate _),
+    "q_market_cap" -> (Market.marketCap _),
+    // transactions (reference: src/service/transaction/)
+    "q_txs_by_account_page" -> (Transactions.txsByAccountPage _),
+    "q_txs_by_block" -> (Transactions.txsByBlock _),
+    "q_tx_point_lookup" -> (Transactions.txPointLookup _),
+    // staking / treasury (reference: src/service/staking/, src/collector/richlist.ts)
+    "q_validators_by_power" -> (Staking.validatorsByPower _),
+    "q_validator_return" -> (Staking.validatorReturn _),
+    "q_delegations_page" -> (Staking.delegationsPage _),
+    "q_delegators_top" -> (Staking.delegatorsTop _),
+    "q_richlist" -> (Staking.richlist _),
+    "q_total_supply" -> (Staking.totalSupply _),
+    "q_balance_lookup" -> (Staking.balanceLookup _),
+    // governance (reference: src/service/governance/)
+    "q_vote_tally" -> (Governance.voteTally _),
+    "q_proposals_summary" -> (Governance.proposalsSummary _),
+    // OLAP core
+    "q1_pricing_summary" -> (Olap.q1PricingSummary _),
+    "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
+    "q5_local_supplier" -> (Olap.q5LocalSupplier _),
+    "q_asof_join" -> (Olap.asofJoin _),
+    "q_sessionize" -> (Olap.sessionize _),
+    // LLM-data-pipeline
+    "d_dedup_exact" -> (Dedup.exact _),
+    "d_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "d_dedup_minhash" -> (Dedup.minhashLsh _),
+    "d_dedup_simhash" -> (Dedup.simhash _),
+    "d_neardup_cosine" -> (Dedup.cosinePairs _),
+    "s_knn_brute" -> (Knn.bruteForce _),
+    "s_knn_lsh" -> (Knn.lshAnn _),
+    "t_langid" -> (TextAnalysis.langId _),
+    "t_quality" -> (TextAnalysis.quality _),
+    "t_tokens" -> (TextAnalysis.tokens _),
+    "t_fingerprint" -> (TextAnalysis.fingerprint _),
+    "m_multimodal" -> (Multimodal.features _),
+    // streaming (batch-equivalent plan; streaming path spec-tested)
+    "q_stream_window" -> (StreamOps.streamWindow _),
+  )
+
+  // DuckDB mirrors.  SUMX/AVGX == graft.functions.Exact.
+  private def SUMX(e: String) = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+  private def AVGX(e: String) = s"${SUMX(e)}/count(*)"
+  private val DAILY =
+    s"SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${SUMX("value")} AS vol, " +
+      s"count(*) AS n, ${AVGX("value")} AS avg_value FROM events GROUP BY 1, 2"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_txvol_daily" ->
+      s"""WITH d AS ($DAILY)
+         |SELECT date, denom, round(vol, 4) AS tx_volume FROM d""".stripMargin,
+    "q_txvol_cumulative" ->
+      s"""WITH d AS ($DAILY)
+         |SELECT date, denom, round(sum(vol) OVER (PARTITION BY denom ORDER BY date), 4) AS cum_volume FROM d""".stripMargin,
+    "q_active_accounts_daily" ->
+      "SELECT CAST(ts AS DATE) AS date, count(DISTINCT user_id) AS active_accounts FROM events GROUP BY 1",
+    "q_account_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS date FROM events GROUP BY 1),
+        |g AS (SELECT date, count(*) AS new_accounts FROM f GROUP BY 1)
+        |SELECT date, new_accounts, CAST(sum(new_accounts) OVER (ORDER BY date) AS BIGINT) AS total_accounts FROM g""".stripMargin,
+    "q_rewards_by_date_denom" ->
+      s"""WITH d AS ($DAILY)
+         |SELECT date, denom, round(vol, 4) AS reward_sum, n AS reward_count, round(avg_value, 4) AS reward_avg FROM d""".stripMargin,
+    "q_block_rewards" ->
+      s"""WITH d AS ($DAILY),
+         |r AS (SELECT date, vol AS reward FROM d WHERE denom = 'purchase'),
+         |p AS (SELECT date, avg_value AS price FROM d WHERE denom = 'click')
+         |SELECT r.date AS date, round(r.reward, 4) AS reward, round(p.price, 4) AS price,
+         |round(r.reward * p.price, 4) AS reward_converted FROM r JOIN p USING (date)""".stripMargin,
+    "q_staking_return" ->
+      s"""WITH d AS ($DAILY),
+         |r AS (SELECT date, vol AS reward FROM d WHERE denom = 'purchase'),
+         |s AS (SELECT date, avg_value AS avg_staking FROM d WHERE denom = 'view')
+         |SELECT r.date AS date, round(reward, 4) AS reward, round(avg_staking, 4) AS avg_staking,
+         |round(reward / avg_staking, 8) AS daily_return FROM r JOIN s USING (date)""".stripMargin,
+    "q_staking_return_ma" ->
+      s"""WITH d AS ($DAILY),
+         |r AS (SELECT date, vol AS reward FROM d WHERE denom = 'purchase'),
+         |s AS (SELECT date, avg_value AS avg_staking FROM d WHERE denom = 'view'),
+         |j AS (SELECT r.date AS date, reward / avg_staking AS dr FROM r JOIN s USING (date))
+         |SELECT date, round(avg(dr) OVER w, 8) AS ma7_return, round(avg(dr) OVER w * 365, 8) AS annualized_return
+         |FROM j WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_staking_ratio" ->
+      """WITH x AS (SELECT CAST(ts AS DATE) AS date, value,
+        |row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+        |FROM events WHERE event_type = 'view')
+        |SELECT date, round(value, 4) AS staking_ratio FROM x WHERE rn = 1""".stripMargin,
+    "q_seigniorage" ->
+      """WITH x AS (SELECT CAST(ts AS DATE) AS date, value,
+        |row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+        |FROM events WHERE event_type = 'error')
+        |SELECT date, round(value, 4) AS seigniorage FROM x WHERE rn = 1""".stripMargin,
+    "q_last_hour_ops" ->
+      s"""SELECT count(*) AS ops_count, round(${SUMX("value")}, 4) AS ops_value
+         |FROM events WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
+    "q_airdrop_avg_return" ->
+      s"""WITH d AS ($DAILY),
+         |r AS (SELECT date, vol AS reward FROM d WHERE denom = 'purchase'),
+         |s AS (SELECT date, avg_value AS avg_staking FROM d WHERE denom = 'view'),
+         |j AS (SELECT reward / avg_staking AS dr FROM r JOIN s USING (date))
+         |SELECT round(sum(dr) * 365 / count(*), 8) AS annual_avg_return FROM j""".stripMargin,
+    "q_price_hourly" ->
+      s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms, round(${AVGX("value")}, 4) AS avg_price
+         |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY hour_ms DESC LIMIT 50""".stripMargin,
+    "q_price_15m" ->
+      s"""SELECT (epoch_ms(ts) // 900000) * 900000 AS bucket_ms, round(${AVGX("value")}, 4) AS avg_price,
+         |count(*) AS n_ticks FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "q_price_variation" ->
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${AVGX("value")} AS p
+         |FROM events GROUP BY 1, 2)
+         |SELECT date, denom, round(p, 4) AS avg_price, round(p - lag(p) OVER w, 4) AS diff,
+         |round((p - lag(p) OVER w) / lag(p) OVER w, 6) AS rate
+         |FROM d WINDOW w AS (PARTITION BY denom ORDER BY date)""".stripMargin,
+    "q_swap_rate" ->
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${AVGX("value")} AS p
+         |FROM events GROUP BY 1, 2),
+         |b AS (SELECT date, p AS bp FROM d WHERE denom = 'click')
+         |SELECT d.date AS date, d.denom AS denom, round(d.p / b.bp, 6) AS swap_rate
+         |FROM d JOIN b USING (date) WHERE d.denom <> 'click'""".stripMargin,
+    "q_market_cap" ->
+      s"""WITH s AS (SELECT CAST(ts AS DATE) AS date, ${SUMX("value")} AS supply
+         |FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |p AS (SELECT CAST(ts AS DATE) AS date, ${AVGX("value")} AS price
+         |FROM events WHERE event_type = 'click' GROUP BY 1)
+         |SELECT s.date AS date, round(supply, 4) AS supply, round(price, 4) AS price,
+         |round(supply * price, 4) AS market_cap FROM s JOIN p USING (date)""".stripMargin,
+    "q_txs_by_account_page" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, round(value, 4) AS amount
+        |FROM events WHERE user_id = 7 AND event_id < 800 ORDER BY event_id DESC LIMIT 20""".stripMargin,
+    "q_txs_by_block" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
+    "q_tx_point_lookup" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+        |c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey = 1""".stripMargin,
+    "q_validators_by_power" ->
+      s"""WITH rev AS (SELECT l_suppkey, ${SUMX("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem GROUP BY 1)
+         |SELECT s_suppkey, s_name, round(revenue, 2) AS revenue,
+         |round(revenue / sum(revenue) OVER (), 8) AS voting_power_weight,
+         |CAST(rank() OVER (ORDER BY revenue DESC, l_suppkey) AS INTEGER) AS power_rank
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q_validator_return" ->
+      s"""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS date,
+         |round(${SUMX("l_extendedprice * l_discount")}, 4) AS reward,
+         |round(${AVGX("l_extendedprice")}, 4) AS avg_power,
+         |round(${SUMX("l_extendedprice * l_discount")} / (${AVGX("l_extendedprice")}), 8) AS daily_return
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_delegations_page" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, round(value, 4) AS amount
+        |FROM events WHERE event_type IN ('signup', 'purchase') ORDER BY event_id DESC LIMIT 25""".stripMargin,
+    "q_delegators_top" ->
+      s"""WITH pp AS (SELECT l_suppkey, o_custkey, ${SUMX("l_extendedprice * (1 - l_discount)")} AS delegated
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         |r AS (SELECT l_suppkey, o_custkey, delegated,
+         |CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY delegated DESC, o_custkey) AS INTEGER) AS delegator_rank FROM pp)
+         |SELECT l_suppkey, o_custkey, round(delegated, 2) AS delegated, delegator_rank
+         |FROM r WHERE delegator_rank <= 5""".stripMargin,
+    "q_richlist" ->
+      s"""WITH t AS (SELECT ${SUMX("c_acctbal")} AS total_bal FROM customer),
+         |top AS (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
+         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance,
+         |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
+    "q_total_supply" ->
+      s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q_balance_lookup" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance, n_name AS denom
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 42""".stripMargin,
+    "q_vote_tally" ->
+      s"""SELECT o_orderpriority AS proposal, o_orderstatus AS "option", count(*) AS votes,
+         |round(${SUMX("o_totalprice")}, 2) AS voting_power FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_proposals_summary" ->
+      s"""SELECT o_orderstatus AS status, count(*) AS n_proposals,
+         |round(${SUMX("o_totalprice")}, 2) AS total_deposit, round(${AVGX("o_totalprice")}, 4) AS avg_deposit,
+         |min(CAST(o_orderdate AS DATE)) AS first_date, max(CAST(o_orderdate AS DATE)) AS last_date
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |round(${SUMX("l_quantity")}, 2) AS sum_qty,
+         |round(${SUMX("l_extendedprice")}, 2) AS sum_base_price,
+         |round(${SUMX("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
+         |round(${SUMX("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 2) AS sum_charge,
+         |round(${AVGX("l_quantity")}, 4) AS avg_qty,
+         |round(${AVGX("l_extendedprice")}, 4) AS avg_price,
+         |round(${AVGX("l_discount")}, 4) AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, round(${SUMX("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+         |CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, round(${SUMX("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+         |GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT ts AS p_ts, value AS p_value, lead(ts) OVER (ORDER BY ts, event_id) AS p_next_ts
+        |FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, round(e.value, 4) AS amount, round(p.p_value, 4) AS price_at_ts
+        |FROM events e LEFT JOIN p ON e.ts >= p.p_ts AND (p.p_next_ts IS NULL OR e.ts < p.p_next_ts)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms FROM events),
+        |l AS (SELECT user_id, event_id, ts, ts_ms,
+        |CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts_ms, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq FROM l)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS session_start_ms,
+        |max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY 1, 2""".stripMargin,
+    "d_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "d_dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // d_dedup_minhash / d_dedup_simhash / s_knn_lsh: hash-sketch internals are
+    // not portably SQL-expressible -> rows-only check + ScalaTest specs.
+    "d_neardup_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "s_knn_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "t_langid" ->
+      """WITH h AS (SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS BIGINT) AS es_hits,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','ist','ein'))) AS BIGINT) AS de_hits,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','un','est'))) AS BIGINT) AS fr_hits
+        |FROM documents)
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        |CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h""".stripMargin,
+    "t_quality" ->
+      """WITH x AS (SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+        |CAST(length(text) AS DOUBLE) AS nc,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+        |  - CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS np,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
+        |FROM documents)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(nc / nw, 4) AS avg_word_len,
+        |np AS n_punct, round(sw / nw, 4) AS stopword_ratio,
+        |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS quality_score FROM x""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(text, ' '), w -> ('0x' || substring(md5(w), 1, 15))::BIGINT)),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp,
+        |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+        |FROM documents""".stripMargin,
+    "m_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+        |CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height,
+        |CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+        |CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte FROM documents""".stripMargin,
+    "q_stream_window" ->
+      s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms, event_type, count(*) AS n_events,
+         |round(${SUMX("value")}, 4) AS total_value FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

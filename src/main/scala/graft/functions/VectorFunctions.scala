@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` columns.
+  *
+  * All math is done through higher-order functions in double precision
+  * (cast once, then zip_with/aggregate) — codegen-friendly, no UDF, and
+  * bit-identical to a sequential left-fold so the DuckDB oracle (which
+  * also folds sequentially over DOUBLE[]) matches to full precision.
+  */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftBridge
+
+  /** array<float> → array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Native codegen'd dot product (see graft.functions.DotProduct) —
+    * the only per-PAIR math in similarity joins, so it must stay inside
+    * whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays.  Prefer precomputing
+    * norms per row before a pairwise join (norm is per-ROW math). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1), derived
+    * from md5 of "plane<p>:<dim>".  Computed once driver-side (they are
+    * constants) and shipped as array literals — zero per-row hashing. */
+  def planeWeights(plane: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val hex = md.digest(s"plane$plane:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 20001L - 10000L).toDouble / 10000.0
+    }
+  }
+
+  /** nPlanes-bit random-hyperplane signature of an embedding (the
+    * classic cosine-LSH sketch): bit p = [dot(v, plane_p) > 0]. */
+  def hyperplaneSignature(v: Column, nPlanes: Int, dims: Int = 64): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val w = typedLit(planeWeights(p, dims)).cast("array<double>")
+      when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** One raw media record: opaque binary payload + typed metadata.
+  * At 100 TB the payload column is images/audio/video bytes; here the
+  * payload is the document's UTF-8 bytes standing in for an encoded
+  * asset — the schema, encoders, partitioning and batch shape are the
+  * real thing, only the codec is stubbed.
+  */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+
+/** Extracted features — what a real decode→feature stage would emit. */
+final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Long,
+    height: Long, channels: Long, first_byte: Long)
+
+/** Multimodal-column plumbing: binary payloads processed per-partition
+  * in batches through a (stubbed) decoder.
+  *
+  * Scale notes: the pipeline is `Dataset[MediaRecord].mapPartitions` —
+  * the decoder is invoked once per partition over an iterator (the
+  * Scala analogue of `mapInPandas` batch shape), so a real codec would
+  * amortize model/codec init per partition, not per row.  Payload bytes
+  * never hit the driver; feature extraction is narrow (no shuffle).
+  */
+object Multimodal {
+
+  /** STUB DECODER.  A real implementation would parse the codec header
+    * and decode frames; this container has no image/audio libs, so the
+    * stub derives deterministic pseudo-features from the bytes.  The
+    * arithmetic is intentionally SQL-expressible so the DuckDB oracle
+    * can check the full pipeline end to end.
+    */
+  private def stubDecode(r: MediaRecord): MediaFeatures = {
+    val len = r.payload.length.toLong
+    MediaFeatures(
+      doc_id = r.doc_id,
+      byte_len = len,
+      width = len % 64 + 1,
+      height = (len / 64) % 64 + 1,
+      channels = r.doc_id % 3 + 1,
+      first_byte = if (len > 0) (r.payload(0) & 0xff).toLong else -1L)
+  }
+
+  /** documents → binary media records (encode step). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("media_type"))
+      .as[MediaRecord]
+  }
+
+  /** Full pipeline: encode → per-partition batched stub-decode →
+    * features, back to a DataFrame for downstream relational ops. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(batch => batch.map(stubDecode))
+      .toDF()
+  }
+}

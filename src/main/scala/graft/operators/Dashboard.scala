@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{sumx, avgx, roundx}
+import graft.sources.Tables
+
+/** Dashboard rollups — the Spark re-expression of fcd's collector
+  * dashboard materializations and their read-side services
+  * (reference: src/collector/dashboard/, src/service/dashboard/).
+  *
+  * Data mapping (SURVEY §3): `events.event_type` ⇔ denom,
+  * `events.user_id` ⇔ account, `events.value` ⇔ amount.
+  *
+  * Scale notes: every query here first collapses the fact table to the
+  * (date[, denom]) grain with a partial-aggregating groupBy — the
+  * shuffle carries per-day rollups, not raw events.  Window functions
+  * run *after* that collapse, over calendar-bounded frames (≤ a few
+  * thousand rows per denom partition even at 100 TB of raw events), so
+  * the unpartitioned windows here are cheap by construction.  fcd's
+  * driver-side reduce loops (cumulative sums, N+1 per-day queries)
+  * become distributed window/agg plans.
+  */
+object Dashboard {
+
+  /** Per-day, per-denom aggregate of the raw event stream — the shared
+    * first stage; map-side combine makes this the only pass over facts.
+    */
+  private def daily(t: Tables): DataFrame =
+    t.events
+      .groupBy(to_date(col("ts")).as("date"), col("event_type").as("denom"))
+      .agg(sumx(col("value")).as("vol"), count(lit(1)).as("n"), avgx(col("value")).as("avg_value"))
+
+  /** Daily tx volume per denom
+    * (reference: src/collector/dashboard/txVolume.ts:21 getTxVolumeByDay). */
+  def txVolDaily(spark: SparkSession, dir: String): DataFrame =
+    daily(Tables(spark, dir))
+      .select(col("date"), col("denom"), roundx(col("vol"), 4).as("tx_volume"))
+
+  /** Cumulative tx volume per denom — fcd sums periodic rows in JS
+    * (reference: src/service/dashboard/getTransactionVol.ts:26); here a
+    * running-sum window over the per-day rollup. */
+  def txVolCumulative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("denom")).orderBy(col("date"))
+    daily(Tables(spark, dir))
+      .select(col("date"), col("denom"),
+        roundx(sum(col("vol")).over(w), 4).as("cum_volume"))
+  }
+
+  /** Daily active accounts
+    * (reference: src/collector/dashboard/accountGrowth.ts:33 getDailyActiveAccount). */
+  def activeAccountsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(countDistinct(col("user_id")).as("active_accounts"))
+
+  /** Account growth: daily new accounts + cumulative total.  fcd runs
+    * one COUNT query per day in a loop (reference:
+    * src/collector/dashboard/accountGrowth.ts:14 getTotalAccount); here
+    * first-seen-date per user then one running sum. */
+  def accountGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val firstSeen = t.events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("date"))
+    val perDay = firstSeen.groupBy(col("date")).agg(count(lit(1)).as("new_accounts"))
+    val w = Window.orderBy(col("date"))
+    perDay.select(col("date"), col("new_accounts"),
+      sum(col("new_accounts")).over(w).as("total_accounts"))
+  }
+
+  /** Rewards rollup by (date, denom) — multi-aggregate
+    * (reference: src/collector/dashboard/rewardsInfo.ts:30 getRewardsSumByDateDenom). */
+  def rewardsByDateDenom(spark: SparkSession, dir: String): DataFrame =
+    daily(Tables(spark, dir))
+      .select(col("date"), col("denom"), roundx(col("vol"), 4).as("reward_sum"),
+        col("n").as("reward_count"), roundx(col("avg_value"), 4).as("reward_avg"))
+
+  /** Block rewards converted at the daily price: rewards ⋈ price on date
+    * (reference: src/collector/dashboard/blockReward.ts:19).  Both sides
+    * are per-day rollups — broadcast the price side. */
+  def blockRewards(spark: SparkSession, dir: String): DataFrame = {
+    val d = daily(Tables(spark, dir))
+    val rewards = d.filter(col("denom") === "purchase")
+      .select(col("date"), col("vol").as("reward"))
+    val price = d.filter(col("denom") === "click")
+      .select(col("date"), col("avg_value").as("price"))
+    rewards.join(broadcast(price), Seq("date"))
+      .select(col("date"), roundx(col("reward"), 4).as("reward"),
+        roundx(col("price"), 4).as("price"),
+        roundx(col("reward") * col("price"), 4).as("reward_converted"))
+  }
+
+  /** Daily staking return = reward / average staked amount — two daily
+    * aggs joined on date
+    * (reference: src/collector/dashboard/stakingReturn.ts:27 getStakingReturnByDay). */
+  def stakingReturn(spark: SparkSession, dir: String): DataFrame =
+    stakingReturnRaw(Tables(spark, dir))
+      .select(col("date"), roundx(col("reward"), 4).as("reward"),
+        roundx(col("avg_staking"), 4).as("avg_staking"),
+        roundx(col("daily_return"), 8).as("daily_return"))
+
+  private def stakingReturnRaw(t: Tables): DataFrame = {
+    val d = daily(t)
+    val reward = d.filter(col("denom") === "purchase").select(col("date"), col("vol").as("reward"))
+    val staking = d.filter(col("denom") === "view").select(col("date"), col("avg_value").as("avg_staking"))
+    reward.join(broadcast(staking), Seq("date"))
+      .withColumn("daily_return", col("reward") / col("avg_staking"))
+  }
+
+  /** 7-day moving average of daily return, annualized ×365
+    * (reference: src/service/dashboard/getStakingReturn.ts:19). */
+  def stakingReturnMa(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+    stakingReturnRaw(Tables(spark, dir))
+      .select(col("date"),
+        roundx(avg(col("daily_return")).over(w), 8).as("ma7_return"),
+        roundx(avg(col("daily_return")).over(w) * 365, 8).as("annualized_return"))
+  }
+
+  /** First staking-ratio observation per day — fcd's `DISTINCT ON (date)`
+    * (reference: src/service/dashboard/getStakingRatio.ts:13); here
+    * row_number over (date) ordered by ts. */
+  def stakingRatio(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("date")).orderBy(col("ts"), col("event_id"))
+    t.events.filter(col("event_type") === "view")
+      .withColumn("date", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("date"), roundx(col("value"), 4).as("staking_ratio"))
+  }
+
+  /** First seigniorage value per day, ordered by date
+    * (reference: src/service/dashboard/getSeigniorageProceeds.ts:12). */
+  def seigniorage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("date")).orderBy(col("ts"), col("event_id"))
+    t.events.filter(col("event_type") === "error")
+      .withColumn("date", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("date"), roundx(col("value"), 4).as("seigniorage"))
+  }
+
+  /** Ops/txs in the trailing hour ending at the stream's max timestamp
+    * (reference: src/service/dashboard/lastHourOpsAndTxs.ts:16).  The
+    * scalar max is a broadcast single-row join, not a collect. */
+  def lastHourOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val maxTs = t.events.agg(max(col("ts")).as("max_ts"))
+    t.events.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .agg(count(lit(1)).as("ops_count"), roundx(sumx(col("value")), 4).as("ops_value"))
+  }
+
+  /** Annualized average return over the whole observed range:
+    * sum(daily_return)×365 / n_days
+    * (reference: src/service/dashboard/getStakingReturn.ts:31 getAirdropAnnualAvgReturn). */
+  def airdropAvgReturn(spark: SparkSession, dir: String): DataFrame =
+    stakingReturnRaw(Tables(spark, dir))
+      .agg(roundx(sum(col("daily_return")) * 365 / count(lit(1)), 8).as("annual_avg_return"))
+}

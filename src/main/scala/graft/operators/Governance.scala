@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{sumx, avgx, roundx}
+import graft.sources.Tables
+
+/** Governance queries (reference: src/service/governance/).
+  * Mapping: orders ⇔ proposals; o_orderpriority ⇔ proposal,
+  * o_orderstatus ⇔ vote option / proposal status.
+  *
+  * Scale notes: straight partial-aggregating groupBys; the shuffle
+  * carries only (proposal, option) groups.
+  */
+object Governance {
+
+  /** Vote tally per (proposal, option)
+    * (reference: src/service/governance/getVotes.ts:60 + helper/voteSummary.ts:12). */
+  def voteTally(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority").as("proposal"),
+        col("o_orderstatus").as("option"))
+      .agg(count(lit(1)).as("votes"),
+        roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
+
+  /** Proposal summary per status: counts, sums, date range
+    * (reference: src/service/governance/getProposals.ts:15). */
+  def proposalsSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_proposals"),
+        roundx(sumx(col("o_totalprice")), 2).as("total_deposit"),
+        roundx(avgx(col("o_totalprice")), 4).as("avg_deposit"),
+        min(to_date(col("o_orderdate"))).as("first_date"),
+        max(to_date(col("o_orderdate"))).as("last_date"))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{sumx, avgx, roundx}
+import graft.sources.Tables
+
+/** Staking / validator / treasury queries
+  * (reference: src/service/staking/, src/collector/staking/,
+  * src/collector/richlist.ts, src/service/treasury/).
+  *
+  * Mapping (SURVEY §3): supplier ⇔ validator, customer ⇔ delegator/
+  * account, lineitem ⇔ reward+delegation ledger, nation ⇔ denom.
+  *
+  * Scale notes: every fact-side aggregation collapses lineitem to the
+  * (suppkey[,date]) grain before any window runs; `sum() over ()` for
+  * the voting-power share runs over the collapsed per-validator rollup
+  * (bounded by validator count, thousands at most), never over facts.
+  * Top-k-per-group uses rank over a partitioned window on the collapsed
+  * grain.  fcd's per-validator N+1 loops become one shuffled agg.
+  */
+object Staking {
+
+  /** Validators ranked by revenue with voting-power share
+    * (reference: src/service/staking/getValidators.ts:13 — votingPower
+    * weight = share of total, computed in JS; here `sum over ()`). */
+  def validatorsByPower(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sumx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val all = Window.partitionBy()
+    val byRev = Window.orderBy(col("revenue").desc, col("l_suppkey"))
+    rev.join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("total_rev", sum(col("revenue").cast("decimal(30,6)")).over(all).cast("double"))
+      .select(col("s_suppkey"), col("s_name"),
+        roundx(col("revenue"), 2).as("revenue"),
+        roundx(col("revenue") / col("total_rev"), 8).as("voting_power_weight"),
+        rank().over(byRev).as("power_rank"))
+  }
+
+  /** Per-validator daily return: (reward+commission)/avg voting power
+    * (reference: src/collector/staking/collectValidatorReturn.ts:31). */
+  def validatorReturn(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("date"))
+      .agg(
+        sumx(col("l_extendedprice") * col("l_discount")).as("reward"),
+        avgx(col("l_extendedprice")).as("avg_power"))
+      .select(col("l_suppkey"), col("date"),
+        roundx(col("reward"), 4).as("reward"),
+        roundx(col("avg_power"), 4).as("avg_power"),
+        roundx(col("reward") / col("avg_power"), 8).as("daily_return"))
+
+  /** Delegation tx page: filter by msg type, recent-first
+    * (reference: src/service/staking/getDelegationTxs.ts:26). */
+  def delegationsPage(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .orderBy(col("event_id").desc)
+      .limit(25)
+      .select(col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("user_id"), col("event_type"), roundx(col("value"), 4).as("amount"))
+
+  /** Top-5 delegators per validator by delegated revenue
+    * (reference: src/service/staking/getDelegators.ts:18). */
+  def delegatorsTop(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perPair = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), col("o_custkey"))
+      .agg(sumx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("delegated"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("delegated").desc, col("o_custkey"))
+    perPair
+      .withColumn("delegator_rank", row_number().over(w))
+      .filter(col("delegator_rank") <= 5)
+      .select(col("l_suppkey"), col("o_custkey"),
+        roundx(col("delegated"), 2).as("delegated"), col("delegator_rank"))
+  }
+
+  /** Richlist: top accounts by balance with share of total supply
+    * (reference: src/collector/richlist.ts:20 — fcd divides by total in
+    * JS; here a window over the top-k only plus a broadcast total). */
+  def richlist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val total = t.customer.agg(sumx(col("c_acctbal")).as("total_bal"))
+    t.customer
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(20)
+      .crossJoin(broadcast(total))
+      .select(col("c_custkey"), col("c_name"),
+        roundx(col("c_acctbal"), 2).as("balance"),
+        roundx(col("c_acctbal") / col("total_bal"), 8).as("share"))
+  }
+
+  /** Total supply per denom (nation)
+    * (reference: src/service/treasury/getTotalSupply.ts:8). */
+  def totalSupply(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("denom"))
+      .agg(roundx(sumx(col("c_acctbal")), 2).as("total_supply"),
+        count(lit(1)).as("n_accounts"))
+  }
+
+  /** Single-account balance lookup
+    * (reference: src/service/bank/getBalance.ts:29). */
+  def balanceLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_custkey") === 42)
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        roundx(col("c_acctbal"), 2).as("balance"), col("n_name").as("denom"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the dedup family + knn + text ops (sf0.001).  These cover
+  * the sketch operators that have no SQL oracle: MinHash/LSH and
+  * SimHash are checked against the exact n-gram Jaccard ground truth,
+  * LSH-ANN against brute-force KNN. */
+class DedupSpec extends GraftSpec {
+
+  test("exact dedup partitions the corpus") {
+    val d = dedup.Dedup.exact(spark, Dir)
+    val total = d.agg(sum("n_dups")).head().getLong(0)
+    assert(total == sources.Tables(spark, Dir).documents.count())
+  }
+
+  test("minhash LSH finds the high-jaccard pairs the exact method finds") {
+    // ground truth: exact 3-shingle Jaccard >= 0.8
+    val exactPairs = dedup.Dedup.ngramJaccard(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lshPairs = dedup.Dedup.minhashLsh(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // MinHash(128) with 32 bands at est>=0.7 should recall nearly all
+    // true >=0.8 pairs; allow a small miss margin
+    val missed = exactPairs -- lshPairs
+    assert(missed.size <= math.max(1, exactPairs.size / 10),
+      s"LSH missed ${missed.size} of ${exactPairs.size}: $missed")
+  }
+
+  test("minhash estimates are close to exact jaccard") {
+    val exact = dedup.Dedup.ngramJaccard(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("jaccard")).toMap
+    val est = dedup.Dedup.minhashLsh(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("est_jaccard")).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.2, s"$k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("simhash finds the shingle near-dups; tight hamming pairs are true dups") {
+    // SimHash approximates cosine over term-frequency vectors, so
+    // hamming 2-3 may legitimately pair docs that differ by shingle
+    // Jaccard.  The invariants that must hold:
+    //  - hamming <= 1 pairs are true >=0.8-Jaccard near-dups
+    //  - recall over the exact near-dup set is high
+    val exact = dedup.Dedup.ngramJaccard(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val sim = dedup.Dedup.simhash(spark, Dir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Long]("hamming")))
+    sim.foreach { case (_, h) => assert(h <= 3) }
+    val tight = sim.filter(_._2 <= 1).map(_._1).toSet
+    assert((tight -- exact).isEmpty, s"tight-hamming false positives: ${tight -- exact}")
+    val recall = sim.map(_._1).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall too low: $recall")
+  }
+
+  test("cosine pairs are symmetric-free and above threshold") {
+    val rows = dedup.Dedup.cosinePairs(spark, Dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
+  test("knn brute force returns 10 ordered neighbors") {
+    val rows = similarity.Knn.bruteForce(spark, Dir).collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
+
+  test("lsh ann neighbors are a subset of the same bucket, ranked like brute force") {
+    val brute = similarity.Knn.bruteForce(spark, Dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val ann = similarity.Knn.lshAnn(spark, Dir).collect()
+    assert(ann.nonEmpty, "query bucket empty")
+    // ANN cosines must match brute-force cosines where both rank the vec
+    ann.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(b => assert(math.abs(b - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("fingerprints: identical text => identical fingerprints") {
+    val docs = sources.Tables(spark, Dir).documents
+    val fps = operators.TextAnalysis.fingerprint(spark, Dir)
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(fps, "doc_id").collect()
+      .groupBy(_.getAs[String]("text"))
+    joined.values.filter(_.length > 1).foreach { group =>
+      assert(group.map(_.getAs[Long]("rolling_fp")).distinct.length == 1)
+      assert(group.map(_.getAs[String]("bag_fp")).distinct.length == 1)
+    }
+  }
+}
