@@ -52,6 +52,8 @@ object SparkEntry {
     "q_txs_by_account_page" -> (Transactions.txsByAccountPage _),
     "q_txs_by_block" -> (Transactions.txsByBlock _),
     "q_tx_point_lookup" -> (Transactions.txPointLookup _),
+    "q_block_lookup" -> (Transactions.blockLookup _),
+    "q_gas_prices" -> (Transactions.gasPrices _),
     // staking / treasury (reference: src/service/staking/, src/collector/richlist.ts)
     "q_validators_by_power" -> (Staking.validatorsByPower _),
     "q_validator_return" -> (Staking.validatorReturn _),
@@ -60,9 +62,15 @@ object SparkEntry {
     "q_richlist" -> (Staking.richlist _),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
+    "q_claims_page" -> (Staking.claimsPage _),
+    "q_validator_detail" -> (Staking.validatorDetail _),
     // governance (reference: src/service/governance/)
     "q_vote_tally" -> (Governance.voteTally _),
     "q_proposals_summary" -> (Governance.proposalsSummary _),
+    "q_proposal_deposits" -> (Governance.proposalDeposits _),
+    // treasury (reference: src/service/treasury/)
+    "q_circulating_supply" -> (Treasury.circulatingSupply _),
+    "q_tax_proceeds" -> (Treasury.taxProceeds _),
     // OLAP core
     "q1_pricing_summary" -> (Olap.q1PricingSummary _),
     "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
@@ -325,6 +333,36 @@ object SparkEntry {
         |CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height,
         |CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
         |CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte FROM documents""".stripMargin,
+    "q_block_lookup" ->
+      s"""WITH it AS (SELECT l_orderkey, count(*) AS n_txs, round(${SUMX("l_extendedprice")}, 2) AS block_volume
+         |FROM lineitem WHERE l_orderkey = 1 GROUP BY 1)
+         |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus, n_txs, block_volume
+         |FROM orders JOIN it ON o_orderkey = l_orderkey WHERE o_orderkey = 1""".stripMargin,
+    "q_gas_prices" ->
+      s"""SELECT event_type AS denom, round(min(value), 4) AS min_price,
+         |round(quantile_cont(value, 0.5), 4) AS median_price,
+         |round(${AVGX("value")}, 4) AS avg_price, round(max(value), 4) AS max_price
+         |FROM events GROUP BY 1""".stripMargin,
+    "q_circulating_supply" ->
+      s"""SELECT round(${SUMX("CASE WHEN event_type = 'signup' THEN value ELSE 0 END")}, 4) AS issued,
+         |round(${SUMX("CASE WHEN event_type = 'error' THEN value ELSE 0 END")}, 4) AS locked,
+         |round(${SUMX("CASE WHEN event_type = 'signup' THEN value ELSE 0 END")} - ${SUMX("CASE WHEN event_type = 'error' THEN value ELSE 0 END")}, 4) AS circulating
+         |FROM events""".stripMargin,
+    "q_tax_proceeds" ->
+      s"""SELECT CAST(l_shipdate AS DATE) AS date, round(${SUMX("l_extendedprice * l_tax")}, 4) AS tax_proceeds,
+         |count(*) AS n_items FROM lineitem GROUP BY 1""".stripMargin,
+    "q_proposal_deposits" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
+        |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey DESC LIMIT 20""".stripMargin,
+    "q_claims_page" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS date,
+        |round(l_extendedprice * l_discount, 4) AS claim_amount
+        |FROM lineitem WHERE l_suppkey = 3 ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 15""".stripMargin,
+    "q_validator_detail" ->
+      s"""WITH rev AS (SELECT l_suppkey, round(${SUMX("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+         |count(*) AS n_rewards FROM lineitem WHERE l_suppkey = 3 GROUP BY 1)
+         |SELECT s_suppkey, s_name, n_name AS denom, round(s_acctbal, 2) AS self_delegation, revenue, n_rewards
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "q_stream_window" ->
       s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms, event_type, count(*) AS n_events,
          |round(${SUMX("value")}, 4) AS total_value FROM events GROUP BY 1, 2""".stripMargin,

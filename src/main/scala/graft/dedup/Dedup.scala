@@ -77,17 +77,17 @@ object Dedup {
           xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
             x => x.cast("string")), ",")).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    // est_jaccard is computed BEFORE dropDuplicates so the dedup
+    // shuffle carries only (long, long, double) — carrying the 128-wide
+    // sig arrays would force SortAggregate and ship 2 KB per candidate
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+          .cast("double") / MinhashK).as("est_jaccard"))
       .dropDuplicates("a_id", "b_id")
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-          .cast("double") / MinhashK)
       .filter(col("est_jaccard") >= 0.7)
       .select(col("a_id"), col("b_id"), roundx(col("est_jaccard"), 4).as("est_jaccard"))
   }

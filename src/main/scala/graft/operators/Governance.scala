@@ -23,6 +23,18 @@ object Governance {
       .agg(count(lit(1)).as("votes"),
         roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
 
+  /** Deposits of one proposal, recent-first
+    * (reference: src/service/governance/getDeposits.ts:14 — deposit
+    * list for a proposal id, paginated newest-first). */
+  def proposalDeposits(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("date"),
+        roundx(col("o_totalprice"), 2).as("deposit"))
+      .orderBy(col("o_orderkey").desc)
+      .limit(20)
+
   /** Proposal summary per status: counts, sums, date range
     * (reference: src/service/governance/getProposals.ts:15). */
   def proposalsSummary(spark: SparkSession, dir: String): DataFrame =

@@ -106,6 +106,32 @@ object Staking {
         count(lit(1)).as("n_accounts"))
   }
 
+  /** Claims page for one validator: recent-first rewards ledger
+    * (reference: src/service/staking/getClaims.ts:13 — claims by
+    * operator, keyset-paginated).  Pushed-down equality + top-k. */
+  def claimsPage(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_suppkey") === 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("date"),
+        roundx(col("l_extendedprice") * col("l_discount"), 4).as("claim_amount"))
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(15)
+
+  /** Validator detail: one supplier with its denom and lifetime revenue
+    * (reference: src/service/staking/getValidatorDetail.ts:21). */
+  def validatorDetail(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem.filter(col("l_suppkey") === 3)
+      .groupBy(col("l_suppkey"))
+      .agg(roundx(sumx(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_rewards"))
+    rev.join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("denom"),
+        roundx(col("s_acctbal"), 2).as("self_delegation"), col("revenue"), col("n_rewards"))
+  }
+
   /** Single-account balance lookup
     * (reference: src/service/bank/getBalance.ts:29). */
   def balanceLookup(spark: SparkSession, dir: String): DataFrame = {

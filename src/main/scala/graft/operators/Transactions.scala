@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Exact.roundx
+import graft.functions.Exact.{sumx, avgx, roundx}
 import graft.sources.Tables
 
 /** Transaction list / lookup queries (reference: src/service/transaction/).
@@ -37,6 +37,36 @@ object Transactions {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), roundx(col("l_extendedprice"), 2).as("price"))
       .orderBy(col("l_linenumber"))
+
+  /** Block-at-height lookup: header plus a rollup of its txs
+    * (reference: src/service/transaction/getBlock.ts:12 — block row +
+    * its tx list; here the order row + its lineitem rollup, broadcast
+    * single-row build side). */
+  def blockLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hdr = t.orders.filter(col("o_orderkey") === 1)
+    val items = t.lineitem.filter(col("l_orderkey") === 1)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_txs"),
+        roundx(sumx(col("l_extendedprice")), 2).as("block_volume"))
+    broadcast(hdr).join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderstatus"), col("n_txs"), col("block_volume"))
+  }
+
+  /** Per-denom gas price stats with an exact median
+    * (reference: src/service/transaction/getTxList.ts + /txs/gas_prices
+    * route — fcd serves per-denom min gas prices; widened to
+    * min/median/avg/max).  percentile() is Spark's exact interpolated
+    * percentile — identical formula to DuckDB's quantile_cont. */
+  def gasPrices(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type").as("denom"))
+      .agg(
+        roundx(min(col("value")), 4).as("min_price"),
+        roundx(expr("percentile(value, 0.5)"), 4).as("median_price"),
+        roundx(avgx(col("value")), 4).as("avg_price"),
+        roundx(max(col("value")), 4).as("max_price"))
 
   /** Point lookup of one tx joined to its account
     * (reference: src/service/transaction/getTx.ts:8).  The single-row

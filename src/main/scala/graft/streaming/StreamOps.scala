@@ -36,6 +36,67 @@ object StreamOps {
   def streamWindow(spark: SparkSession, dir: String): DataFrame =
     tumblingAgg(Tables(spark, dir).events)
 
+  /** Session state carried between micro-batches per user. */
+  final case class SessionState(sessionSeq: Long, lastMs: Long, startMs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      session_start_ms: Long, duration_ms: Long)
+
+  /** Stateful streaming sessionization: >30-min gap starts a new
+    * session, via KeyValueGroupedDataset.flatMapGroupsWithState — the
+    * Structured Streaming custom-state path (fcd's watcher keeps this
+    * state in Postgres rows; here it lives in the state store,
+    * partitioned by user_id so state ops scale with the shuffle).
+    *
+    * Emits one row per CLOSED session (sessions still open stay in
+    * state; processing-time timeout closes them on inactivity).
+    * Input rows within a batch are sorted by (ts, event_id) before the
+    * fold — Spark does not order rows within a group.
+    */
+  def streamingSessionize(events: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      inactivityTimeout: Boolean = true)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val GapMs = 1800000L
+    // ProcessingTimeTimeout closes idle sessions in production; specs
+    // pass inactivityTimeout=false because timeout wake-ups re-trigger
+    // micro-batches continuously (unbounded inside a finite test)
+    val timeoutConf =
+      if (inactivityTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(
+              user, s.sessionSeq, s.n, s.startMs, s.lastMs - s.startMs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, ms, _) =>
+              cur match {
+                case Some(s) if ms - s.lastMs <= GapMs =>
+                  cur = Some(s.copy(lastMs = ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.sessionSeq, s.n, s.startMs, s.lastMs - s.startMs)
+                  cur = Some(SessionState(s.sessionSeq + 1, ms, ms, 1))
+                case None =>
+                  cur = Some(SessionState(1, ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (inactivityTimeout) state.setTimeoutDuration(GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events
