@@ -82,6 +82,7 @@ object SparkEntry {
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_simhash" -> (Dedup.simhash _),
+    "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_lsh" -> (Knn.lshAnn _),
@@ -284,6 +285,25 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     // d_dedup_minhash / d_dedup_simhash / s_knn_lsh: hash-sketch internals are
     // not portably SQL-expressible -> rows-only check + ScalaTest specs.
+    "d_dedup_groups" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |np AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |ngram_pairs AS (SELECT a_id, b_id FROM np JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM documents x
+        |JOIN documents y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+        |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1)
+        |SELECT doc_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM comp""".stripMargin,
     "d_neardup_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.Exact.roundx
 import graft.sources.Tables
@@ -126,6 +127,58 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Dedup groups: connected components over the near-dup graph
+    * (exact-dup ∪ ngram-Jaccard≥0.8 edges), labels = min doc_id per
+    * component — the step that turns pairwise dedup into "keep one
+    * canonical doc per cluster".
+    *
+    * Spark-first: iterative min-label propagation over DataFrames —
+    * the standard distributed connected-components loop (cf. the
+    * large-star/small-star algorithm, Kiveris et al. 2014).  Each
+    * round is one shuffled join+agg on the (tiny relative to corpus)
+    * label table; `localCheckpoint` truncates lineage so plans don't
+    * grow with iterations.  Converges in O(component diameter) rounds
+    * — near-dup clusters are shallow, so a capped loop with a
+    * convergence check is the right shape at 100 TB too.
+    */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"))
+    val hashed = t.documents.select(md5(col("text")).as("h"), col("doc_id"))
+    val exactPairs = hashed.as("x")
+      .join(hashed.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val pairs = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+      .union(exactPairs).distinct()
+    val undirected = pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val neighborMin = undirected
+        .join(labels.withColumnRenamed("doc_id", "nid"), col("v") === col("nid"))
+        .groupBy(col("u")).agg(min(col("group_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("u"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.group_id") =!= col("o.group_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = Window.partitionBy(col("group_id"))
+    labels.select(col("doc_id"), col("group_id"),
+      count(lit(1)).over(sizes).as("group_size"))
   }
 
   /** Embedding cosine ≥ 0.4 near-dup pairs (exact, oracle-checked).
