@@ -29,20 +29,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // 3 runs per query, min taken: single-run numbers on a shared host
-    // include multi-second stalls unrelated to the plan under test
-    val results = Headliners.map { name =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // 3 INTERLEAVED rounds over the whole set, min per query: this host
+    // stalls for tens of seconds at random, and back-to-back repeats of
+    // one query can all land inside a single stall — full-set rounds
+    // spread each query's runs ~a minute apart
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; name <- Headliners) {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times.min
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
     }
+    val results = Headliners.map(n => n -> times(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -86,6 +86,7 @@ object SparkEntry {
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_lsh" -> (Knn.lshAnn _),
+    "s_knn_ivf" -> (Knn.ivfAnn _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
     "t_tokens" -> (TextAnalysis.tokens _),

@@ -58,37 +58,38 @@ object Dedup {
   private val Prime = 2147483647L // 2^31 - 1
 
   /** Per-doc MinHash(128) signature — native expression (see
-    * graft.functions.MinHashSig): one flat primitive loop per row.
-    * The HOF formulation paid an interpreted lambda per (shingle × k)
-    * — 123 s at sf0.1; the native loop is ~1000× cheaper. */
-  private def minhashSignature(shCol: org.apache.spark.sql.Column) =
-    graft.functions.MinHashSig(shCol, MinhashK)
+    * graft.functions.MinHashSig): one flat primitive loop per row over
+    * the WORD array (shingling fused in).  The HOF formulation paid an
+    * interpreted lambda per (shingle × k) — 123 s at sf0.1. */
+  private def minhashSignature(wordsCol: org.apache.spark.sql.Column) =
+    graft.functions.MinHashSig(wordsCol, 3, MinhashK)
 
   /** MinHash+LSH near-dup candidates: band signatures, bucket-join,
     * then estimated Jaccard = matching signature fraction ≥ 0.7.
     * (No SQL oracle — checked by spec + rows-only.) */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val rows = MinhashK / Bands
-    val sig = t.documents
-      .select(col("doc_id"), minhashSignature(shingles(col("text"), 3)).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            x => x.cast("string")), ",")).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // est_jaccard is computed BEFORE dropDuplicates so the dedup
-    // shuffle carries only (long, long, double) — carrying the 128-wide
-    // sig arrays would force SortAggregate and ship 2 KB per candidate
-    banded.as("a")
+    // banding carries ONLY (doc_id, band, bucket) — 16 bytes per row —
+    // the k-wide signatures are joined back for the (rare) candidates.
+    // Band hashes come from the same native per-row loop as the sig.
+    val banded = t.documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands))
+          .as(Seq("band", "bucket")))
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
-          .cast("double") / MinhashK).as("est_jaccard"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val sig = t.documents
+      .select(col("doc_id"), minhashSignature(words(col("text"))).as("sig"))
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+          .cast("double") / MinhashK)
       .filter(col("est_jaccard") >= 0.7)
       .select(col("a_id"), col("b_id"), roundx(col("est_jaccard"), 4).as("est_jaccard"))
   }

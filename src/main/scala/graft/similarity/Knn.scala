@@ -43,6 +43,59 @@ object Knn {
       .select(col("vec_id"), col("cos").as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: k-means-style coarse quantizer → posting
+    * lists → probe the nprobe nearest lists exactly.  The standard
+    * billion-scale ANN layout (Jégou et al., IVF in FAISS): at 100 TB
+    * the corpus is written bucketed by centroid id, so a query reads
+    * only nprobe/K of the data; here the same plan computes inline.
+    *
+    * Spark shapes: centroids are tiny → broadcast; assignment is
+    * argmin via min(struct(dist, cid)) — one codegen'd dot per
+    * centroid per row; centroid refinement is an element-wise mean via
+    * posexplode + groupBy(cid, dim) — shuffle bounded by K×dims groups.
+    * Deterministic: seeds are vec_id < K, one Lloyd iteration.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val NProbe = 4
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+    val seeds = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    def nearestCid(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+
+    // one Lloyd refinement: element-wise mean of each centroid's members
+    val refined = nearestCid(seeds)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cv"))
+
+    val lists = nearestCid(refined) // final posting lists
+    val q = lists.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+    val probeCids = refined.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (-dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qnrm"))).as("dist"))
+      .orderBy(col("dist"), col("cid")).limit(NProbe)
+      .select(col("cid"))
+
+    lists.join(broadcast(probeCids), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cos").as("cosine"), col("cid"))
+  }
+
   /** LSH-bucketed ANN: probe the query's 4-bit hyperplane bucket,
     * sized so buckets hold ~n/16 candidates on the synthetic corpus
     * (at 100 TB: more planes + multi-probe; the plan shape is the same),

@@ -82,6 +82,23 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("ivf ann returns ranked in-list neighbors with exact cosines") {
+    val brute = similarity.Knn.bruteForce(spark, Dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val ivf = similarity.Knn.ivfAnn(spark, Dir).collect()
+    assert(ivf.length == 10)
+    val cos = ivf.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted.reverse))
+    // where IVF and brute agree on a vec, the cosine must be identical
+    ivf.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(b => assert(math.abs(b - r.getAs[Double]("cosine")) < 1e-9))
+    }
+    // probing 4 of 16 lists should still recover some true neighbors
+    val recall = ivf.count(r => brute.contains(r.getAs[Long]("vec_id")))
+    assert(recall >= 2, s"IVF recall too low: $recall of 10")
+  }
+
   test("fingerprints: identical text => identical fingerprints") {
     val docs = sources.Tables(spark, Dir).documents
     val fps = operators.TextAnalysis.fingerprint(spark, Dir)
