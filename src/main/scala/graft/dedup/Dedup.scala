@@ -33,22 +33,54 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** 3-word-shingle Jaccard ≥ 0.8 near-dup pairs via shingle-bucket
-    * self-join (exact, oracle-checked). */
+  /** 3-word-shingle Jaccard ≥ 0.8 near-dup pairs — EXACT, via prefix
+    * filtering (the AllPairs/PPJoin bound, Bayardo et al. 2007):
+    * order each doc's shingles by global frequency (rarest first) and
+    * index only the first |A| − ⌈0.8·|A|⌉ + 1 of them; any pair with
+    * Jaccard ≥ 0.8 must collide inside those prefixes, so the
+    * candidate join runs over the RARE shingles only.  A naive
+    * self-join on all shingles was O(Σ bucket²) over hot shingles —
+    * 289 s at sf0.1 on this small-vocab corpus; prefixes cut it ~100×.
+    * Candidates are verified exactly with array_intersect over the
+    * full shingle sets, so results are identical to the naive join
+    * (the DuckDB oracle computes the naive form). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sh = t.documents
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    // prefix length |A| − ⌈0.8|A|⌉ + 1, in integer math (0.8·n in FP
+    // rounds wrong at multiples of 5): ⌈4n/5⌉ = (4n+4) div 5
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("shingle"))
+    val prefix = sh
+      .join(freq, Seq("shingle"))
+      .withColumn("rn", row_number().over(byRarity))
+      .join(broadcast(sizes), Seq("doc_id"))
+      .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
+      .select(col("doc_id"), col("shingle"))
+    // size-ratio filter (J ≥ 0.8 ⇒ 0.8·|A| ≤ |B| ≤ 1.25·|A|) prunes
+    // most candidates before the (heavier) set verification
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n")), Seq("a_id"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n")), Seq("b_id"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), Seq("a_id"))
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), Seq("b_id"))
+      .filter(col("b_n") * 5 >= col("a_n") * 4 && col("b_n") * 4 <= col("a_n") * 5)
+    // verify on 64-bit shingle hashes, not strings: long-array intersect
+    // is ~5× cheaper and the arrays shuffle at 8 B/element (collision
+    // odds across the distinct-shingle universe are ~2⁻⁴⁰ — nil)
+    val sets = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hsh"))
+      .groupBy(col("doc_id")).agg(collect_list(col("hsh")).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("a_n") + col("b_n") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), roundx(col("jaccard"), 4).as("jaccard"))
   }
@@ -99,21 +131,10 @@ object Dedup {
     * (No SQL oracle — checked by spec + rows-only.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // One fold over the words: acc[j] accumulates ±1 votes for bit j
-    // (word hashed once, natively); finish-lambda packs the signs into
-    // a 60-bit long.  SQL-string lambdas because bit j needs a
-    // variable shift (shiftright(h, j)) the Column API can't express.
-    val sketch = expr(
-      """aggregate(
-        |  transform(split(text, ' '), w -> xxhash64(w)),
-        |  array_repeat(cast(0 as bigint), 60),
-        |  (acc, h) -> zip_with(acc, sequence(0, 59),
-        |    (a, j) -> a + case when pmod(shiftright(h, j), 2) = 1 then 1 else -1 end),
-        |  acc -> aggregate(
-        |    zip_with(acc, sequence(0, 59),
-        |      (a, j) -> case when a > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end),
-        |    cast(0 as bigint), (s, x) -> s + x))""".stripMargin)
-    val sk = t.documents.select(col("doc_id"), sketch.as("simhash"))
+    // native per-row sketch (see graft.functions.SimHash64) — the HOF
+    // fold paid an interpreted lambda per (word × bit), 127 s at sf0.1
+    val sk = t.documents.select(col("doc_id"),
+      graft.functions.SimHash64(words(col("text"))).as("simhash"))
     val chunked = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/** Native 60-bit SimHash over an array<string> of words (Charikar
+  * 2002): per word one xxhash64, ±1 votes per bit, sign-packed.
+  *
+  * Replaces an expr-string HOF fold that paid interpreted lambda calls
+  * per (word × 60 bits) — 127 s for 5000 docs at sf0.1; this flat
+  * per-row loop is ~1000× cheaper.  Bit semantics are identical
+  * (`pmod(shiftright(h, j), 2) = 1` ⇔ `((h >> j) & 1) == 1`).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  private val Bits = 60
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val votes = new Array[Int](Bits)
+    var w = 0
+    while (w < n) {
+      val h = XxHash64Function.hash(words.getUTF8String(w), StringType, 42L)
+      var j = 0
+      while (j < Bits) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      w += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) sketch |= (1L << j)
+      j += 1
+    }
+    sketch
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(words: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(words)))
+}
