@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities — the explicit versions of what AQE's
+  * skew-join handles adaptively, for when a hot key is known ahead of
+  * time (fcd analogue: one denom/validator carrying most of the
+  * volume).
+  *
+  * Scale notes: a groupBy on a skewed key sends the hot key's entire
+  * volume to ONE reducer.  Salting splits each key into `salts`
+  * sub-keys for a first partial aggregate (parallel across reducers),
+  * then re-aggregates the tiny salted rollup.  For joins, the big
+  * side salts and the small side replicates each row `salts` times —
+  * turning one hot partition into `salts` even ones.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: sum `valueCol` by `key` with the
+    * first phase spread over `salts` sub-keys.  Result is identical to
+    * `df.groupBy(key).agg(sum(value))` — the second phase sums exact
+    * partials (route partials through DECIMAL via Exact.sumx upstream
+    * if cross-engine bit-equality matters). */
+  def saltedSum(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(valueCol).as("partial"), count(lit(1)).as("n_partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial")).as("total"), sum(col("n_partial")).as("n"))
+
+  /** Salted equi-join of a skewed big side against a small side:
+    * big rows get a random salt, small rows are replicated across all
+    * salts, and the join key becomes (key, salt).  Semantically
+    * identical to `big.join(small, keys)` for 1:N joins. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}
