@@ -97,6 +97,35 @@ object StreamOps {
       }
   }
 
+  /** foreachBatch upsert sink — fcd's collector UPSERTs each cycle's
+    * rollups into Postgres (reference: src/collector/dashboard/
+    * collectDashboard.ts:31, getRepository().save on conflict); the
+    * Structured Streaming counterpart is foreachBatch with an
+    * idempotent merge keyed by (window, event_type).
+    *
+    * In update output mode each micro-batch emits only CHANGED groups;
+    * the merge overwrites those keys in the sink.  Batch-id based
+    * idempotence (re-delivered batches produce the same final state)
+    * is what makes the pipeline exactly-once end to end.  The sink
+    * here is an in-memory map (the test double for a JDBC/Delta MERGE
+    * — the query shape is identical).
+    */
+  def upsertTumblingAgg(events: DataFrame,
+      sink: scala.collection.concurrent.Map[(Long, String), (Long, Double)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingTumblingAgg(events)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          sink.put(
+            (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")),
+            (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        }
+        ()
+      }
+      .start()
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events

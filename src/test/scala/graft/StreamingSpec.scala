@@ -44,6 +44,31 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch upsert sink converges to the batch rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = sources.Tables(s, Dir).events
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+    import scala.jdk.CollectionConverters._
+    val scalaSink = new java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Double)]().asScala
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val query = streaming.StreamOps.upsertTumblingAgg(
+      stream.toDF().toDF("ts", "event_type", "value"), scalaSink)
+    try {
+      rows.grouped(300).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val batch = streaming.StreamOps.tumblingAgg(sources.Tables(s, Dir).events)
+        .collect()
+        .map(r => (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      assert(scalaSink.toMap == batch)
+    } finally query.stop()
+  }
+
   test("watermark evicts state in append mode") {
     val s = spark
     import s.implicits._
