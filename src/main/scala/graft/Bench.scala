@@ -33,21 +33,28 @@ object Bench {
     // stalls for tens of seconds at random, and back-to-back repeats of
     // one query can all land inside a single stall — full-set rounds
     // spread each query's runs ~a minute apart
+    // only SUCCESSFUL runs are timed; a query that fails every round is
+    // reported as -1, not as its (fast) failure duration
     val times = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; name <- Headliners) {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+      if (ok) times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
     }
-    val results = Headliners.map(n => n -> times(n))
+    val results = Headliners.map(n => n -> times.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,20 @@
+package graft
+
+/** Dev loop: print the formatted physical plan of named queries (and
+  * execute them once so runtime warnings like unpartitioned-window
+  * surface in the log). `runMain graft.Explain <sfDir> <name>...` */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"==== $name ====")
+      df.explain("formatted")
+      df.write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

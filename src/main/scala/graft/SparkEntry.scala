@@ -348,12 +348,15 @@ object SparkEntry {
         |  (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp,
         |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
         |FROM documents""".stripMargin,
+    // first_byte mirrors the stub's payload(0) & 0xff — the first UTF-8
+    // BYTE (not codepoint), -1 for empty payloads — via hex(encode())
     "m_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
         |CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS height,
         |CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
-        |CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte FROM documents""".stripMargin,
+        |CASE WHEN octet_length(encode(text)) = 0 THEN CAST(-1 AS BIGINT)
+        |ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT END AS first_byte FROM documents""".stripMargin,
     "q_block_lookup" ->
       s"""WITH it AS (SELECT l_orderkey, count(*) AS n_txs, round(${SUMX("l_extendedprice")}, 2) AS block_volume
          |FROM lineitem WHERE l_orderkey = 1 GROUP BY 1)

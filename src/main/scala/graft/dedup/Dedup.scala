@@ -21,9 +21,10 @@ import graft.sources.Tables
   *  - MinHash/LSH: the candidate space is bands×buckets; shuffle is
   *    keyed by (band, band_hash), bounded skew by construction.  Only
   *    candidate pairs (tiny vs n²) get exact signature comparison.
-  *  - SimHash: 64-bit sketch per doc, candidates via 4×16-bit chunk
-  *    banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify
-  *    with bit_count(xor) — integer ops, codegen'd end to end.
+  *  - SimHash: 60-bit sketch per doc, candidates via 4×15-bit chunk
+  *    banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal — the 4
+  *    chunks must cover all 60 bits), verify with bit_count(xor) —
+  *    integer ops, codegen'd end to end.
   */
 object Dedup {
 
@@ -126,8 +127,8 @@ object Dedup {
       .select(col("a_id"), col("b_id"), roundx(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash per doc from word hashes; near-dup pairs at
-    * hamming ≤ 3 via 4×16-bit chunk banding + bit_count verify.
+  /** 60-bit SimHash per doc from word hashes; near-dup pairs at
+    * hamming ≤ 3 via 4×15-bit chunk banding + bit_count verify.
     * (No SQL oracle — checked by spec + rows-only.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -182,7 +183,13 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 15) {
+    // min-label propagation needs O(component diameter) rounds; MaxIter
+    // bounds a pathological chain-shaped cluster.  If the loop exits
+    // without convergence the labels are WRONG (split components), so
+    // fail loudly rather than return them — the caller can raise the cap
+    // (or switch to large-star/small-star contraction, O(log n) rounds).
+    val MaxIter = 50
+    while (!converged && iter < MaxIter) {
       val neighborMin = undirected
         .join(labels.withColumnRenamed("doc_id", "nid"), col("v") === col("nid"))
         .groupBy(col("u")).agg(min(col("group_id")).as("nmin"))
@@ -198,6 +205,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups: min-label propagation did not converge in $MaxIter rounds " +
+          "(component diameter exceeds the cap); results would be split components")
     val sizes = Window.partitionBy(col("group_id"))
     labels.select(col("doc_id"), col("group_id"),
       count(lit(1)).over(sizes).as("group_size"))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -19,19 +19,31 @@ import org.apache.spark.sql.{Column, GraftBridge}
   * sf0.1.  Here the whole signature is one flat primitive loop per row
   * (shingle hashed once with xxhash64, then k universal-hash
   * permutations a_i·h + b_i mod p), ~30 µs per document.
-  * CodegenFallback is fine: the expression runs once per ROW, not per
-  * element, so interpretation overhead is amortized across the loop.
+  *
+  * doGenCode emits a plain method call into this flat loop, so the
+  * expression participates in whole-stage codegen — CodegenFallback
+  * would have knocked the WHOLE enclosing stage (scan → project)
+  * back to interpreted InternalRow eval, not just this expression.
   *
   * Matches the published MinHash/LSH construction (Broder 1997);
   * a_i, b_i constants follow SURVEY §2 d_dedup_minhash.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Public per-row entry point, shared by eval and generated code. */
+  def compute(words: ArrayData): ArrayData =
+    new GenericArrayData(MinHashSig.signature(words, n, k))
+
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MinHashSig.signature(input.asInstanceOf[ArrayData], n, k))
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -42,12 +54,12 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   * hashes (not the k-wide signature) keeps the banding explode+join
   * shuffle at 8 bytes per (doc, band) instead of ~1 KB. */
 case class MinHashBands(child: Expression, n: Int, k: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sig = MinHashSig.signature(input.asInstanceOf[ArrayData], n, k)
+  def compute(words: ArrayData): ArrayData = {
+    val sig = MinHashSig.signature(words, n, k)
     val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -62,6 +74,14 @@ case class MinHashBands(child: Expression, n: Int, k: Int, bands: Int)
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashBands", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =

@@ -45,16 +45,23 @@ object Olap {
         count(lit(1)).as("count_order"))
   }
 
-  /** TPC-H Q3 shipping priority — broadcast dim joins + top-k.
+  /** TPC-H Q3 shipping priority — size-guarded broadcast joins + top-k.
     * Top-k via orderBy+limit compiles to TakeOrderedAndProject: per-
     * partition heaps then a driver merge of k rows — never a full sort.
+    *
+    * The orders⋈customer build side is FILTERED FACT data — it grows
+    * with history, so the broadcast is size-guarded: under the session
+    * threshold it broadcasts (the plan you want at test scale), above
+    * it the join runs shuffled on l_orderkey and AQE decides at runtime.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
     val ord = t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("date"))
     val li = t.lineitem.filter(col("l_shipdate") > lit("1998-03-15").cast("date"))
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    li.join(
+        PlanHints.broadcastIfSmall(
+          ord.join(PlanHints.broadcastIfSmall(cust), ord("o_custkey") === cust("c_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(roundx(sumx(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -87,29 +94,53 @@ object Olap {
     * before its timestamp (fcd joins rewards to the price effective at
     * that time, reference: src/collector/dashboard/blockReward.ts:19).
     *
-    * Spark-first plan: turn the small price stream into half-open
-    * validity intervals [ts, next_ts) with a window over the *price rows
-    * only* (tiny — bounded by #price ticks), broadcast the intervals,
-    * and range-join the fact side.  BroadcastNestedLoopJoin with a
-    * range predicate: the 100 TB probe side streams through codegen,
-    * never shuffles, never sorts.
+    * Spark-first plan: turn the price stream into half-open validity
+    * intervals [ts, next_ts), explode intervals into the 1-hour buckets
+    * they overlap, and equi-join the fact side on bucket — the range
+    * check then runs only against the handful of intervals in the
+    * fact's own bucket.  (A raw range-predicate join would be a
+    * nested-loop — O(facts × ticks) — quadratic at scale.)
+    *
+    * Scale shape: the tick stream GROWS WITH HISTORY, so
+    *  - `lead(next_ts)` runs inside per-DAY window partitions (parallel
+    *    across days); each day's last interval is stitched closed with
+    *    the next tick-day's first tick.  Only the day-level first-tick
+    *    series (1 row per day, calendar-bounded) uses a global-order
+    *    window — the one shape SURVEY §5 allows it for.
+    *  - the interval-bucket table is broadcast only under the session
+    *    broadcast threshold (PlanHints.broadcastIfSmall); above it the
+    *    join runs shuffled on bucket and AQE re-plans/splits skew.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // 1-hour bucket granularity: intervals are exploded into every
-    // bucket they overlap, so the fact side joins on bucket EQUALITY
-    // (hash join) and only checks the range against the handful of
-    // intervals in its own bucket.  A raw range-predicate join would be
-    // a nested-loop — O(facts × ticks) — and quadratic at scale.
     val BucketUs = 3600000000L // 1 h in µs — events are µs-grained, so
     // epoch-µs comparisons are exactly the raw-timestamp comparisons
+    val DayUs = 86400000000L
     val tsUs = unix_micros(col("ts").cast("timestamp"))
-    val w = Window.orderBy(col("p_us"), col("p_event_id"))
     val maxUs = t.events.agg(max(tsUs).as("max_us"))
-    val intervals = t.events.filter(col("event_type") === "click")
+    val ticks = t.events.filter(col("event_type") === "click")
       .select(tsUs.as("p_us"), col("event_id").as("p_event_id"), col("value").as("p_value"))
-      .withColumn("p_next_us", lead(col("p_us"), 1).over(w))
+      .withColumn("p_day", (col("p_us") / DayUs).cast("long"))
+    // lead within day partitions; p_day is a prefix of the (p_us,
+    // p_event_id) order, so in-day leads equal the global-order leads
+    val wDay = Window.partitionBy(col("p_day")).orderBy(col("p_us"), col("p_event_id"))
+    val inDay = ticks.withColumn("lead_in_day", lead(col("p_us"), 1).over(wDay))
+    // boundary stitch: the first tick of the NEXT tick-day closes each
+    // day's last interval.  One row per day → broadcast is bounded.
+    // The lead over the day series is a DELIBERATE single-partition
+    // window — its input is the calendar-bounded per-day rollup, not
+    // the tick stream; the explicit constant partition key says so (and
+    // keeps the generic unpartitioned-window warning out of the logs).
+    val nextDayFirst = ticks
+      .groupBy(col("p_day")).agg(min(col("p_us")).as("day_first_us"))
+      .withColumn("next_day_first_us",
+        lead(col("day_first_us"), 1)
+          .over(Window.partitionBy(pmod(col("p_day"), lit(1L))).orderBy(col("p_day"))))
+      .select(col("p_day"), col("next_day_first_us"))
+    val intervals = inDay
+      .join(broadcast(nextDayFirst), Seq("p_day"))
       .crossJoin(broadcast(maxUs))
+      .withColumn("p_next_us", coalesce(col("lead_in_day"), col("next_day_first_us")))
       .withColumn("end_us", coalesce(col("p_next_us"), col("max_us") + 1))
     val buckets = intervals
       .filter(col("end_us") > col("p_us")) // drop empty intervals (same-ts ticks)
@@ -120,7 +151,7 @@ object Olap {
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id"), tsUs.as("e_us"), col("value"))
     purchases
-      .join(broadcast(buckets),
+      .join(PlanHints.broadcastIfSmall(buckets),
         (col("e_us") / BucketUs).cast("long") === col("bucket") &&
           col("e_us") >= col("p_us") &&
           (col("p_next_us").isNull || col("e_us") < col("p_next_us")),

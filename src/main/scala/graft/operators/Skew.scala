@@ -17,25 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt from the FULL row content.  A salt derived from
+    * monotonically_increasing_id() (nondeterministic) feeding a shuffle
+    * key is the SPARK-23207 hazard: on stage retry after a partial
+    * shuffle-fetch failure, recomputed rows can land on different salts
+    * and rows get duplicated or dropped.  Hashing the row's columns is
+    * stable across recomputation; identical duplicate rows sharing a
+    * salt is fine (they still spread across salts by content). */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   /** Two-phase salted aggregation: sum `valueCol` by `key` with the
     * first phase spread over `salts` sub-keys.  Result is identical to
     * `df.groupBy(key).agg(sum(value))` — the second phase sums exact
     * partials (route partials through DECIMAL via Exact.sumx upstream
     * if cross-engine bit-equality matters). */
   def saltedSum(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(valueCol).as("partial"), count(lit(1)).as("n_partial"))
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("total"), sum(col("n_partial")).as("n"))
 
   /** Salted equi-join of a skewed big side against a small side:
-    * big rows get a random salt, small rows are replicated across all
-    * salts, and the join key becomes (key, salt).  Semantically
-    * identical to `big.join(small, keys)` for 1:N joins. */
+    * big rows get a content-derived salt, small rows are replicated
+    * across all salts, and the join key becomes (key, salt).
+    * Semantically identical to `big.join(small, keys)` for 1:N joins. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
