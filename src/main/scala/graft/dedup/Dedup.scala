@@ -55,10 +55,14 @@ object Dedup {
     // rounds wrong at multiples of 5): ⌈4n/5⌉ = (4n+4) div 5
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("shingle"))
+    // NOTE: `sizes` is a PER-DOCUMENT table — it grows with the corpus,
+    // so it must never carry a broadcast hint (at billions of docs that
+    // is a driver OOM).  These joins run shuffled; AQE still broadcasts
+    // at runtime when the actual size is small (as at test SF).
     val prefix = sh
       .join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(byRarity))
-      .join(broadcast(sizes), Seq("doc_id"))
+      .join(sizes, Seq("doc_id"))
       .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
       .select(col("doc_id"), col("shingle"))
     // size-ratio filter (J ≥ 0.8 ⇒ 0.8·|A| ≤ |B| ≤ 1.25·|A|) prunes
@@ -68,8 +72,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), Seq("b_id"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .filter(col("b_n") * 5 >= col("a_n") * 4 && col("b_n") * 4 <= col("a_n") * 5)
     // verify on 64-bit shingle hashes, not strings: long-array intersect
     // is ~5× cheaper and the arrays shuffle at 8 B/element (collision
@@ -214,26 +218,57 @@ object Dedup {
       count(lit(1)).over(sizes).as("group_size"))
   }
 
-  /** Embedding cosine ≥ 0.4 near-dup pairs (exact, oracle-checked).
-    * Threshold calibrated to the synthetic embeddings (near-random,
-    * max pairwise cosine ≈ 0.5) so the operator produces a non-trivial
-    * result set; the shape is the production one — change one literal
-    * for a 0.95 dedup gate.
-    * At 100 TB this exact variant is the verify stage downstream of an
-    * LSH/IVF candidate generator (see graft.similarity) — here it also
-    * stands alone since pairs are bounded by the docs² of one bucket. */
-  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Embedding cosine ≥ 0.4 near-dup pairs, computed as candidate
+    * generation (hyperplane-LSH banding) + exact verification (codegen'd
+    * dot product) — NO all-pairs join anywhere in the plan.
+    *
+    * Banding: 64 hyperplane bits split into 32 bands × 2 bits; a pair
+    * is a candidate iff some band matches, i.e. the self-join runs on
+    * (band, 2-bit key) EQUALITY — a bucketed shuffle join, bounded per
+    * bucket, never a BroadcastNestedLoopJoin.  Verification recomputes
+    * exact cosine per candidate, so false candidates cost one dot each
+    * and never reach the output.
+    *
+    * Recall: a pair at cosine c shares one hyperplane bit with
+    * probability 1 − acos(c)/π (Charikar 2002) — at the 0.4 threshold
+    * that is 0.631 per bit, 0.398 per 2-bit band, so P(miss all 32
+    * bands) = 0.602³² ≈ 9·10⁻⁸ per true pair (CosineLshRecallSpec
+    * asserts recall = 1.0 vs the exact join on test data).  At a
+    * production 0.95 gate the same machinery runs 16 bands × 8 bits
+    * (p_band 0.43, miss 1.3·10⁻⁴) and prunes ~all of the n² space —
+    * the 0.4 test threshold sits near the random-pair regime where ANY
+    * method must verify most pairs, which is a property of the
+    * threshold, not of the plan. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsLsh(spark, dir, threshold = 0.4, bitsPerBand = 2, bands = 32)
+
+  def cosinePairsLsh(spark: SparkSession, dir: String, threshold: Double,
+      bitsPerBand: Int, bands: Int): DataFrame = {
     import graft.functions.VectorFunctions._
     val t = Tables(spark, dir)
-    // norms are per-ROW math — compute once before the pairwise join so
-    // the per-PAIR work is a single codegen'd dot product
+    val nBits = bitsPerBand * bands
+    // per-ROW math (signature, norm) happens once before any join; the
+    // per-PAIR work is a single codegen'd dot product at verify time
     val e = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        roundx(col("cos"), 6).as("cosine"))
+      .withColumn("sig", hyperplaneSignature(col("v"), nBits))
+    val mask = (1L << bitsPerBand) - 1L
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), roundx(col("cos"), 6).as("cosine"))
   }
 }

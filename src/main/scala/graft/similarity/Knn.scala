@@ -63,11 +63,16 @@ object Knn {
 
     val seeds = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    // group by vec_id ONLY — grouping by the full vector would shuffle
+    // 512 B of key per row; `first(v)` is deterministic here (v is
+    // functionally determined by vec_id) and partial aggregation means
+    // each vector crosses the wire once per map partition, not per
+    // centroid row
     def nearestCid(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("v")).as("v"))
         .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
 
     // one Lloyd refinement: element-wise mean of each centroid's members

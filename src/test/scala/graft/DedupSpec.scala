@@ -55,12 +55,34 @@ class DedupSpec extends GraftSpec {
     assert(recall >= 0.5, s"simhash recall too low: $recall")
   }
 
-  test("cosine pairs are symmetric-free and above threshold") {
-    val rows = dedup.Dedup.cosinePairs(spark, Dir).collect()
+  test("cosine pairs: LSH-candidate plan matches exact all-pairs, no nested-loop join") {
+    import graft.functions.VectorFunctions._
+    val df = dedup.Dedup.cosinePairs(spark, Dir)
+    // plan shape: candidates come from the banded equi-join — the
+    // all-pairs BroadcastNestedLoopJoin/CartesianProduct must be gone
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
+      s"expected bucketed candidate join, got:\n${physical.take(2000)}")
+    val rows = df.collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
       assert(r.getAs[Double]("cosine") >= 0.4)
     }
+    // recall/precision 1.0 vs the exact all-pairs join (the shape the
+    // DuckDB oracle computes): LSH candidates must be a superset of the
+    // true pairs at the threshold, and verification kills the rest
+    val t = sources.Tables(spark, Dir)
+    val e = t.embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        toDouble(org.apache.spark.sql.functions.col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got == exact, s"missed=${exact -- got} extra=${got -- exact}")
   }
 
   test("knn brute force returns 10 ordered neighbors") {
