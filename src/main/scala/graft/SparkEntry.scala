@@ -48,12 +48,20 @@ object SparkEntry {
     "q_price_variation" -> (Market.priceVariation _),
     "q_swap_rate" -> (Market.swapRate _),
     "q_market_cap" -> (Market.marketCap _),
+    // semi-structured messages (reference: src/service/transaction/parseMsg.ts,
+    // src/collector/block/accountTx.ts)
+    "q_msg_parse" -> (Messages.msgParse _),
+    "q_account_tx_fanout" -> (Messages.accountTxFanout _),
+    "q_account_txs_page" -> ((s: SparkSession, d: String) => Messages.accountTxsPage(s, d)),
     // transactions (reference: src/service/transaction/)
     "q_txs_by_account_page" -> (Transactions.txsByAccountPage _),
     "q_txs_by_block" -> (Transactions.txsByBlock _),
     "q_tx_point_lookup" -> (Transactions.txPointLookup _),
     "q_block_lookup" -> (Transactions.blockLookup _),
     "q_gas_prices" -> (Transactions.gasPrices _),
+    // production median path; approx sketch has no portable SQL oracle
+    // -> rows-only check + spec vs exact within tolerance
+    "q_gas_prices_approx" -> (Transactions.gasPricesApprox _),
     // staking / treasury (reference: src/service/staking/, src/collector/richlist.ts)
     "q_validators_by_power" -> (Staking.validatorsByPower _),
     "q_validator_return" -> (Staking.validatorReturn _),
@@ -64,12 +72,14 @@ object SparkEntry {
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
     "q_validator_detail" -> (Staking.validatorDetail _),
+    "q_account_staking" -> ((s: SparkSession, d: String) => Staking.accountStaking(s, d)),
     // governance (reference: src/service/governance/)
     "q_vote_tally" -> (Governance.voteTally _),
     "q_proposals_summary" -> (Governance.proposalsSummary _),
     "q_proposal_deposits" -> (Governance.proposalDeposits _),
     // treasury (reference: src/service/treasury/)
     "q_circulating_supply" -> (Treasury.circulatingSupply _),
+    "q_vesting_supply" -> (Treasury.vestingSupply _),
     "q_tax_proceeds" -> (Treasury.taxProceeds _),
     // OLAP core
     "q1_pricing_summary" -> (Olap.q1PricingSummary _),
@@ -182,6 +192,33 @@ object SparkEntry {
          |FROM events WHERE event_type = 'click' GROUP BY 1)
          |SELECT s.date AS date, round(supply, 4) AS supply, round(price, 4) AS price,
          |round(supply * price, 4) AS market_cap FROM s JOIN p USING (date)""".stripMargin,
+    "q_msg_parse" ->
+      """SELECT event_id, event_type AS msg_type,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |CASE event_type
+        |WHEN 'signup' THEN 'Registered account ' || user_id
+        |WHEN 'purchase' THEN 'Bought ' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ' units'
+        |WHEN 'click' THEN 'Swapped ' || CAST(json_extract_string(props, '$.k') AS BIGINT) || ' tokens'
+        |WHEN 'view' THEN 'Queried contract ' || CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |WHEN 'error' THEN 'Failed to execute msg ' || CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |ELSE 'Unknown msg' END AS msg_text,
+        |round(value, 4) AS amount FROM events""".stripMargin,
+    "q_account_tx_fanout" ->
+      """SELECT DISTINCT account, event_id, epoch_ms(ts) AS ts_ms FROM (
+        |SELECT user_id AS account, event_id, ts FROM events
+        |UNION ALL
+        |SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS account, event_id, ts FROM events
+        |) u WHERE account IS NOT NULL""".stripMargin,
+    "q_account_txs_page" ->
+      """WITH fan AS (SELECT DISTINCT account, event_id, epoch_ms(ts) AS ts_ms FROM (
+        |SELECT user_id AS account, event_id, ts FROM events
+        |UNION ALL
+        |SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS account, event_id, ts FROM events
+        |) u WHERE account IS NOT NULL),
+        |keys AS (SELECT account, event_id, ts_ms FROM fan
+        |WHERE account = 7 AND event_id < 8000 ORDER BY event_id DESC LIMIT 20)
+        |SELECT k.account, e.event_id, k.ts_ms, e.event_type, round(e.value, 4) AS amount
+        |FROM keys k JOIN events e USING (event_id)""".stripMargin,
     "q_txs_by_account_page" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, round(value, 4) AS amount
         |FROM events WHERE user_id = 7 AND event_id < 800 ORDER BY event_id DESC LIMIT 20""".stripMargin,
@@ -367,6 +404,24 @@ object SparkEntry {
          |round(quantile_cont(value, 0.5), 4) AS median_price,
          |round(${AVGX("value")}, 4) AS avg_price, round(max(value), 4) AS max_price
          |FROM events GROUP BY 1""".stripMargin,
+    "q_account_staking" ->
+      s"""WITH mine AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 7)
+         |SELECT o_custkey AS account, l_suppkey, s_name,
+         |round(${SUMX("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}, 2) AS delegated,
+         |round(${SUMX("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}, 2) AS undelegated,
+         |round(${SUMX("l_extendedprice * l_discount")}, 4) AS rewards,
+         |count(*) AS n_entries
+         |FROM lineitem JOIN mine ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_vesting_supply" ->
+      s"""WITH m AS (SELECT epoch_ms(max(ts)) AS asof_ms FROM events),
+         |s AS (SELECT epoch_ms(ts) AS ts_ms, value FROM events WHERE event_type = 'signup'),
+         |tr AS (SELECT ts_ms + i * 604800000 AS unlock_ms, value / 4 AS amt
+         |FROM s, (SELECT unnest(generate_series(1, 4)) AS i) g)
+         |SELECT round(${SUMX("amt")}, 4) AS issued,
+         |round(${SUMX("CASE WHEN unlock_ms > asof_ms THEN amt ELSE 0 END")}, 4) AS unvested,
+         |round(${SUMX("CASE WHEN unlock_ms <= asof_ms THEN amt ELSE 0 END")}, 4) AS circulating
+         |FROM tr, m""".stripMargin,
     "q_circulating_supply" ->
       s"""SELECT round(${SUMX("CASE WHEN event_type = 'signup' THEN value ELSE 0 END")}, 4) AS issued,
          |round(${SUMX("CASE WHEN event_type = 'error' THEN value ELSE 0 END")}, 4) AS locked,

@@ -40,6 +40,40 @@ object Staking {
         rank().over(byRev).as("power_rank"))
   }
 
+  /** Composite per-account staking view: ONE account's delegations,
+    * undelegations and rewards per validator, assembled in a single
+    * multi-aggregation plan (reference: src/service/staking/
+    * getStaking.ts:105 — fcd fires separate delegation/undelegation/
+    * reward queries per account and stitches them in JS; here one
+    * filtered scan + one conditional-sum groupBy produces all sections,
+    * so the fact table is read once).
+    *
+    * Mapping: delegation ledger = lineitem⋈orders rows of the account;
+    * l_returnflag = 'R' marks an undelegation (returned), anything else
+    * an active delegation; rewards = price×discount accrued per
+    * validator.  The account filter reaches the orders scan
+    * (PushedFilters), so at 100 TB this is a pruned read, not a scan. */
+  def accountStaking(spark: SparkSession, dir: String, account: Long = 7L): DataFrame = {
+    val t = Tables(spark, dir)
+    val mine = t.orders.filter(col("o_custkey") === account)
+      .select(col("o_orderkey"), col("o_custkey"))
+    t.lineitem
+      .join(broadcast(mine), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("account"), col("l_suppkey"))
+      .agg(
+        roundx(sumx(when(col("l_returnflag") =!= "R",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("delegated"),
+        roundx(sumx(when(col("l_returnflag") === "R",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("undelegated"),
+        roundx(sumx(col("l_extendedprice") * col("l_discount")), 4).as("rewards"),
+        count(lit(1)).as("n_entries"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("account"), col("l_suppkey"), col("s_name"),
+        col("delegated"), col("undelegated"), col("rewards"), col("n_entries"))
+  }
+
   /** Per-validator daily return: (reward+commission)/avg voting power
     * (reference: src/collector/staking/collectValidatorReturn.ts:31). */
   def validatorReturn(spark: SparkSession, dir: String): DataFrame =

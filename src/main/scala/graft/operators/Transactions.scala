@@ -68,6 +68,22 @@ object Transactions {
         roundx(avgx(col("value")), 4).as("avg_price"),
         roundx(max(col("value")), 4).as("max_price"))
 
+  /** Production-path gas stats: approx_percentile for the median.
+    * The exact percentile() above buffers every value of a group in
+    * the aggregation buffer — memory-unbounded per denom at 100 TB.
+    * approx_percentile keeps a fixed-size sketch (relative-error 1e-4
+    * here) and merges map-side like any partial aggregate; the exact
+    * variant stays as the oracle at test SF.  (No SQL oracle — DuckDB's
+    * approx sketch differs; spec-checked against exact within 1%.) */
+  def gasPricesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type").as("denom"))
+      .agg(
+        roundx(min(col("value")), 4).as("min_price"),
+        roundx(expr("approx_percentile(value, 0.5, 10000)"), 4).as("median_price"),
+        roundx(avgx(col("value")), 4).as("avg_price"),
+        roundx(max(col("value")), 4).as("max_price"))
+
   /** Point lookup of one tx joined to its account
     * (reference: src/service/transaction/getTx.ts:8).  The single-row
     * filtered side is broadcast; no shuffle. */

@@ -28,6 +28,38 @@ object Treasury {
             sumx(when(col("event_type") === "error", col("value")).otherwise(0.0)), 4)
           .as("circulating"))
 
+  /** Schedule-based vesting supply (reference: src/collector/
+    * unvested.ts:27 + circulatingSupply.ts — fcd walks each vesting
+    * account's schedule and counts only tranches whose release time has
+    * passed; the two-conditional-sum approximation in
+    * `circulatingSupply` above loses that time dependence).
+    *
+    * Spark-first: EXPLODE each issuance into its vesting-schedule
+    * tranches (4 equal tranches, one per week after issue), join the
+    * as-of instant (max event ts — a broadcast single-row aggregate),
+    * and sum the tranches already released.  The schedule derivation is
+    * a narrow per-row transform; the only shuffle is the final
+    * single-group aggregate, so the shape survives any corpus size. */
+  def vestingSupply(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val WeekMs = 604800000L
+    val Tranches = 4
+    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    val asof = t.events.agg(max(tsMs).as("asof_ms"))
+    val issued = t.events.filter(col("event_type") === "signup")
+      .select(tsMs.as("ts_ms"), col("value"))
+    issued
+      .withColumn("tranche", explode(sequence(lit(1), lit(Tranches))))
+      .withColumn("unlock_ms", col("ts_ms") + col("tranche") * WeekMs)
+      .crossJoin(broadcast(asof))
+      .agg(
+        roundx(sumx(col("value") / Tranches), 4).as("issued"),
+        roundx(sumx(when(col("unlock_ms") > col("asof_ms"), col("value") / Tranches)
+          .otherwise(0.0)), 4).as("unvested"),
+        roundx(sumx(when(col("unlock_ms") <= col("asof_ms"), col("value") / Tranches)
+          .otherwise(0.0)), 4).as("circulating"))
+  }
+
   /** Daily tax proceeds
     * (reference: src/service/treasury/tax.ts:8 getTaxProceeds — fcd sums
     * the per-block tax rewards; here sum(extendedprice×tax) per day). */

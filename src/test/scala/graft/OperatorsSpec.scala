@@ -91,4 +91,39 @@ class OperatorsSpec extends GraftSpec {
     val balances = rows.map(_.getAs[Double]("balance"))
     assert(balances.sameElements(balances.sorted.reverse))
   }
+
+  test("approx gas-price medians track the exact medians") {
+    val exact = operators.Transactions.gasPrices(spark, Dir).collect()
+      .map(r => r.getAs[String]("denom") -> r.getAs[Double]("median_price")).toMap
+    val approx = operators.Transactions.gasPricesApprox(spark, Dir).collect()
+      .map(r => r.getAs[String]("denom") -> r.getAs[Double]("median_price")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, m) =>
+      assert(math.abs(approx(d) - m) <= math.max(0.01 * math.abs(m), 0.05),
+        s"denom $d approx ${approx(d)} vs exact $m")
+    }
+  }
+
+  test("account staking view: sections reconcile with the raw ledger") {
+    val t = sources.Tables(spark, Dir)
+    val rows = operators.Staking.accountStaking(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val totalEntries = rows.map(_.getAs[Long]("n_entries")).sum
+    val direct = t.lineitem.join(
+        t.orders.filter(col("o_custkey") === 7), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(totalEntries == direct)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("delegated") >= 0 && r.getAs[Double]("undelegated") >= 0)
+    }
+  }
+
+  test("vesting supply: issued = unvested + circulating, both non-trivial") {
+    val r = operators.Treasury.vestingSupply(spark, Dir).head()
+    val (iss, unv, circ) = (r.getAs[Double]("issued"),
+      r.getAs[Double]("unvested"), r.getAs[Double]("circulating"))
+    assert(math.abs(iss - (unv + circ)) < 0.01, s"$iss != $unv + $circ")
+    // the 30-day corpus with weekly tranches must leave SOME of both
+    assert(unv > 0 && circ > 0)
+  }
 }
