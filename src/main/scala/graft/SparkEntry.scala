@@ -31,6 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // dashboard (reference: src/collector/dashboard/, src/service/dashboard/)
     "q_txvol_daily" -> (Dashboard.txVolDaily _),
+    "q_txvol_from_rollup" -> (Dashboard.txVolFromRollup _),
     "q_txvol_cumulative" -> (Dashboard.txVolCumulative _),
     "q_active_accounts_daily" -> (Dashboard.activeAccountsDaily _),
     "q_account_growth" -> (Dashboard.accountGrowth _),
@@ -115,6 +116,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
+      s"""WITH d AS ($DAILY)
+         |SELECT date, denom, round(vol, 4) AS tx_volume FROM d""".stripMargin,
+    // materialize-then-read path: same result as q_txvol_daily by
+    // construction, so it shares the oracle
+    "q_txvol_from_rollup" ->
       s"""WITH d AS ($DAILY)
          |SELECT date, denom, round(vol, 4) AS tx_volume FROM d""".stripMargin,
     "q_txvol_cumulative" ->

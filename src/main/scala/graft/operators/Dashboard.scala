@@ -38,6 +38,31 @@ object Dashboard {
     daily(Tables(spark, dir))
       .select(col("date"), col("denom"), roundx(col("vol"), 4).as("tx_volume"))
 
+  /** Materialize the daily rollup as date-partitioned parquet — the
+    * batch analogue of fcd's collector persisting dashboard rows
+    * (reference: src/collector/dashboard/collectDashboard.ts:23).  At
+    * 100 TB the raw stream is scanned ONCE here; every dashboard read
+    * afterwards is a partition-pruned read of the tiny rollup. */
+  def materializeDailyRollup(spark: SparkSession, dir: String, path: String): Unit =
+    daily(Tables(spark, dir))
+      .select(col("date"), col("denom"), roundx(col("vol"), 4).as("tx_volume"),
+        col("n").as("n_txs"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(path)
+
+  /** Dashboard served FROM the materialized rollup (reference:
+    * src/service/dashboard/dashboardHistory.ts:14 — fcd's services read
+    * the collector-maintained dashboard table, never the raw txs).
+    * Same result (and oracle) as txVolDaily, different plan: a scan of
+    * the rollup parquet with date-partition pruning available. */
+  def txVolFromRollup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("user.dir")}/target/graft-rollup/txvol_${Integer.toHexString(dir.hashCode)}"
+    materializeDailyRollup(spark, dir, path)
+    spark.read.parquet(path).select(col("date"), col("denom"), col("tx_volume"))
+  }
+
   /** Cumulative tx volume per denom — fcd sums periodic rows in JS
     * (reference: src/service/dashboard/getTransactionVol.ts:26); here a
     * running-sum window over the per-day rollup. */

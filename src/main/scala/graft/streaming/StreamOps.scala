@@ -97,34 +97,47 @@ object StreamOps {
       }
   }
 
-  /** foreachBatch upsert sink — fcd's collector UPSERTs each cycle's
-    * rollups into Postgres (reference: src/collector/dashboard/
-    * collectDashboard.ts:31, getRepository().save on conflict); the
-    * Structured Streaming counterpart is foreachBatch with an
-    * idempotent merge keyed by (window, event_type).
+  /** Partition-parallel idempotent upsert sink — fcd's collector
+    * UPSERTs each cycle's rollups into Postgres (reference:
+    * src/collector/dashboard/collectDashboard.ts:31,
+    * getRepository().save on conflict); the Structured Streaming
+    * counterpart is foreachBatch writing the batch's CHANGED rollup
+    * groups (update output mode) into a parquet table partitioned by
+    * the upsert key (window_ms, event_type).
     *
-    * In update output mode each micro-batch emits only CHANGED groups;
-    * the merge overwrites those keys in the sink.  Batch-id based
-    * idempotence (re-delivered batches produce the same final state)
-    * is what makes the pipeline exactly-once end to end.  The sink
-    * here is an in-memory map (the test double for a JDBC/Delta MERGE
-    * — the query shape is identical).
+    * Dynamic partition overwrite makes the write a keyed MERGE: each
+    * group overwrites exactly its own partition directory, untouched
+    * keys keep their files.  Writes run on the executors (no driver
+    * collect, parallel across partitions), and a re-delivered batch
+    * rewrites the same partitions with the same content — idempotent,
+    * so the pipeline is exactly-once end to end.  One leaf per rollup
+    * key is the right layout BECAUSE this is post-aggregation data,
+    * bounded by windows×denoms, not by the 100 TB fact stream.  (With
+    * a transactional table format the same foreachBatch body becomes
+    * MERGE INTO keyed on (window_ms, event_type).)
     */
-  def upsertTumblingAgg(events: DataFrame,
-      sink: scala.collection.concurrent.Map[(Long, String), (Long, Double)])
+  def parquetUpsertSink(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamingTumblingAgg(events)
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          sink.put(
-            (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")),
-            (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
-        }
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("window_ms", "event_type")
+          .parquet(path)
         ()
       }
       .start()
+
+  /** Serve from the materialized rollup (reference: src/service/
+    * dashboard/dashboardHistory.ts:14 — fcd reads the dashboard table
+    * the collector maintains, never re-scanning raw txs).  Partition
+    * pruning on window_ms/event_type makes keyed reads file-local. */
+  def readRollup(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("window_ms"), col("event_type"), col("n_events"), col("total_value"))
 
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =

@@ -44,29 +44,41 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
-  test("foreachBatch upsert sink converges to the batch rollup") {
+  test("parquet upsert sink converges to the batch rollup, partition-parallel") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = sources.Tables(s, Dir).events
       .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
       .as[(Timestamp, String, Double)].collect()
-    import scala.jdk.CollectionConverters._
-    val scalaSink = new java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Double)]().asScala
+    val path = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     val stream = MemoryStream[(Timestamp, String, Double)]
-    val query = streaming.StreamOps.upsertTumblingAgg(
-      stream.toDF().toDF("ts", "event_type", "value"), scalaSink)
+    val query = streaming.StreamOps.parquetUpsertSink(
+      stream.toDF().toDF("ts", "event_type", "value"), path)
     try {
+      // several micro-batches so later batches UPDATE windows earlier
+      // batches already wrote — exercising the keyed-merge semantics
       rows.grouped(300).foreach { chunk =>
         stream.addData(chunk.toSeq)
         query.processAllAvailable()
       }
+      val sunk = streaming.StreamOps.readRollup(s, path).collect()
+        .map(r => (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
       val batch = streaming.StreamOps.tumblingAgg(sources.Tables(s, Dir).events)
         .collect()
         .map(r => (r.getAs[Long]("window_ms"), r.getAs[String]("event_type")) ->
           (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
-      assert(scalaSink.toMap == batch)
+      assert(sunk == batch)
     } finally query.stop()
+  }
+
+  test("rollup materialize-then-read equals the direct dashboard query") {
+    val direct = operators.Dashboard.txVolDaily(spark, Dir)
+      .collect().map(_.toSeq).toSet
+    val served = operators.Dashboard.txVolFromRollup(spark, Dir)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct)
   }
 
   test("watermark evicts state in append mode") {
