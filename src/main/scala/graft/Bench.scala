@@ -13,7 +13,8 @@ object Bench {
   private val Headliners = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_txvol_daily", "q_account_growth", "q_asof_join", "q_sessionize",
-    "d_dedup_exact", "d_dedup_minhash", "s_knn_brute", "q_stream_window")
+    "d_dedup_exact", "d_dedup_minhash", "s_knn_brute", "q_stream_window",
+    "q_msg_parse", "q_account_tx_fanout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
