@@ -90,6 +90,7 @@ object SparkEntry {
     "q_sessionize" -> (Olap.sessionize _),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
+    "d_dedup_stream" -> (Dedup.dedupSurvivors _),
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_simhash" -> (Dedup.simhash _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_lsh" -> (Knn.lshAnn _),
+    "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
@@ -317,6 +319,10 @@ object SparkEntry {
         |max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY 1, 2""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "d_dedup_stream" ->
+      """WITH k AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+        |SELECT k.doc_id, k.content_hash, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM k JOIN documents d ON k.doc_id = d.doc_id""".stripMargin,
     "d_dedup_ngram" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s

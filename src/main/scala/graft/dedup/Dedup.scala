@@ -34,6 +34,36 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming-shaped dedup, batch entry: the SURVIVORS of first-seen
+    * exact dedup — one row per distinct content, the smallest doc_id
+    * kept (what a dedup stage forwards downstream, vs `exact` above
+    * which reports the group stats).  The streaming twin is
+    * `streamingDedup` below: same keep-one-per-content semantics with
+    * the seen-set in the state store. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hashed = t.documents.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    hashed
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .join(t.documents, Seq("doc_id"))
+      .select(col("doc_id"), col("content_hash"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Streaming dedup over a document stream — the training-pipeline
+    * stage that drops re-crawled/duplicated content ONLINE instead of
+    * re-scanning the corpus per batch.  `dropDuplicates` on the content
+    * hash keeps one row per key with the seen-set in the state store,
+    * partitioned by hash — state ops scale with the shuffle, and a key
+    * seen in ANY earlier micro-batch is dropped in later ones.
+    * (Unbounded corpus ⇒ unbounded seen-set: production bounds it with
+    * `dropDuplicatesWithinWatermark` when re-crawls cluster in time —
+    * same plan shape, one extra eviction rule.) */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("content_hash"))
+
   /** 3-word-shingle Jaccard ≥ 0.8 near-dup pairs — EXACT, via prefix
     * filtering (the AllPairs/PPJoin bound, Bayardo et al. 2007):
     * order each doc's shingles by global frequency (rarest first) and

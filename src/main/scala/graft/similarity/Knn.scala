@@ -55,12 +55,11 @@ object Knn {
     * posexplode + groupBy(cid, dim) — shuffle bounded by K×dims groups.
     * Deterministic: seeds are vec_id < K, one Lloyd iteration.
     */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val K = 16
-    val NProbe = 4
-    val t = Tables(spark, dir)
-    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-
+  /** Shared coarse quantizer: deterministic seeds (vec_id < K), one
+    * Lloyd refinement, final assignment.  Returns (centroids(cid, cv),
+    * postingLists(vec_id, v, cid)) — used inline by `ivfAnn` and as the
+    * ingest-time layout by `IvfWarehouse.materialize`. */
+  private[similarity] def coarseQuantizer(e: DataFrame, K: Int): (DataFrame, DataFrame) = {
     val seeds = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
     // group by vec_id ONLY — grouping by the full vector would shuffle
@@ -82,8 +81,15 @@ object Knn {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cv"))
+    (refined, nearestCid(refined))
+  }
 
-    val lists = nearestCid(refined) // final posting lists
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val NProbe = 4
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (refined, lists) = coarseQuantizer(e, K)
     val q = lists.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
     val probeCids = refined.crossJoin(broadcast(q))
@@ -105,13 +111,33 @@ object Knn {
     * sized so buckets hold ~n/16 candidates on the synthetic corpus
     * (at 100 TB: more planes + multi-probe; the plan shape is the same),
     * exact top-10 cosine within it.  (No SQL oracle — spec-checked.) */
-  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+  def lshAnn(spark: SparkSession, dir: String): DataFrame =
+    lshAnnProbed(spark, dir, multiProbe = false)
+
+  /** Multi-probe variant: also probe every bucket at hamming distance 1
+    * from the query's (Lv et al. 2007, "Multi-probe LSH") — the
+    * standard recall lever that does NOT add hash tables; a near
+    * neighbor that lands one hyperplane-bit away is still found.
+    * Candidate pool is a superset of single-probe, so recall can only
+    * improve (spec-asserted). */
+  def lshAnnMulti(spark: SparkSession, dir: String): DataFrame =
+    lshAnnProbed(spark, dir, multiProbe = true)
+
+  private def lshAnnProbed(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+    val NPlanes = 4
     val t = Tables(spark, dir)
     val sig = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("bucket", hyperplaneSignature(col("v"), 4))
-    val q = sig.filter(col("vec_id") === 0)
+      .withColumn("bucket", hyperplaneSignature(col("v"), NPlanes))
+    val q0 = sig.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), norm(col("v")).as("qnrm"), col("bucket").as("qbucket"))
+    // probe set: the query bucket plus (multi-probe) its 1-bit flips —
+    // still a tiny broadcast relation (1 + NPlanes rows)
+    val q =
+      if (!multiProbe) q0
+      else q0.withColumn("qbucket",
+        explode(array(col("qbucket") +:
+          (0 until NPlanes).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)))
     sig.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .withColumn("cos",

@@ -104,6 +104,25 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("multi-probe lsh recall dominates single-probe") {
+    val brute = similarity.Knn.bruteForce(spark, Dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val single = similarity.Knn.lshAnn(spark, Dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val multi = similarity.Knn.lshAnnMulti(spark, Dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // candidate pool is a superset, so true-top-10 overlap cannot drop
+    assert(multi.intersect(brute).size >= single.intersect(brute).size,
+      s"multi-probe recall ${multi.intersect(brute).size} < single ${single.intersect(brute).size}")
+    // and cosines must still be exact where both rank a vec
+    val bruteCos = similarity.Knn.bruteForce(spark, Dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    similarity.Knn.lshAnnMulti(spark, Dir).collect().foreach { r =>
+      bruteCos.get(r.getAs[Long]("vec_id"))
+        .foreach(b => assert(math.abs(b - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
   test("ivf ann returns ranked in-list neighbors with exact cosines") {
     val brute = similarity.Knn.bruteForce(spark, Dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap

@@ -26,6 +26,51 @@ class ScaleSpec extends GraftSpec {
     assert(salted == direct)
   }
 
+  test("asof join: every window is partitioned; no nested-loop join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = operators.Olap.asofJoin(spark, Dir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in asof plan:\n$w"))
+    // the fact-side probe must be a hash join on the hour bucket; the
+    // only nested-loop allowed is the single-row max_us cross join
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    bnljs.foreach { j =>
+      assert(j.joinType.toString == "Cross" || j.condition.isEmpty,
+        s"range-predicate nested-loop join in asof plan:\n$j")
+    }
+  }
+
+  test("q3 build side broadcasts at test scale (size-guarded hint applied)") {
+    val plan = operators.Olap.q3ShippingPriority(spark, Dir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins at test scale:\n${plan.take(2000)}")
+  }
+
+  test("IVF warehouse: probe is a partition-pruned scan with ivfAnn's results") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/lists"
+    similarity.IvfWarehouse.materialize(spark, Dir, path)
+    val qv = sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") === 0).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val probe = similarity.IvfWarehouse.probe(spark, path, qv, nprobe = 4, k = 11)
+    // the scan must prune cid partitions (read nprobe lists, not K)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"),
+      s"expected cid partition pruning, got:\n${physical.take(2000)}")
+    val rows = probe.collect().filter(_.getAs[Long]("vec_id") != 0L).take(10)
+    assert(rows.map(_.getAs[Int]("cid")).distinct.length <= 4)
+    // identical quantizer + identical probe set => identical results to
+    // the inline ivfAnn plan
+    val inline = similarity.Knn.ivfAnn(spark, Dir).collect()
+    assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq ==
+      inline.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq)
+  }
+
   test("bucketed fact-fact join plans without Exchange") {
     sources.Warehouse.bucketize(spark, Dir, 4)
     val joined = sources.Warehouse.colocatedOrderRevenue(spark)

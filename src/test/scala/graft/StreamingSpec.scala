@@ -81,6 +81,32 @@ class StreamingSpec extends GraftSpec {
     assert(served == direct)
   }
 
+  test("streaming dedup drops duplicates across micro-batches via state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = sources.Tables(s, Dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val query = dedup.Dedup.streamingDedup(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      // second batch REPLAYS the first half (cross-batch duplicates)
+      // plus the rest — state must drop every replayed doc
+      stream.addData((first ++ second).toSeq)
+      query.processAllAvailable()
+      val out = s.table("dedup_out").collect()
+      val distinctHashes = docs.map(_._2).distinct.length
+      assert(out.length == distinctHashes,
+        s"emitted ${out.length}, expected $distinctHashes")
+      assert(out.map(_.getAs[String]("content_hash")).distinct.length == out.length)
+    } finally query.stop()
+  }
+
   test("watermark evicts state in append mode") {
     val s = spark
     import s.implicits._
