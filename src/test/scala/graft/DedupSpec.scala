@@ -140,6 +140,20 @@ class DedupSpec extends GraftSpec {
     assert(recall >= 2, s"IVF recall too low: $recall of 10")
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    val s = spark
+    import s.implicits._
+    // a 2048-node chain has diameter 2047: plain one-hop min-label
+    // propagation could NOT converge inside the 50-round cap; pointer
+    // jumping gets there in ~O(log n) rounds
+    val n = 2048L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = dedup.Dedup.connectedComponents(nodes, pairs).collect()
+    assert(labels.length == n)
+    assert(labels.map(_.getAs[Long]("group_id")).distinct.sameElements(Array(0L)))
+  }
+
   test("fingerprints: identical text => identical fingerprints") {
     val docs = sources.Tables(spark, Dir).documents
     val fps = operators.TextAnalysis.fingerprint(spark, Dir)
