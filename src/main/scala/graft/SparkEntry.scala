@@ -43,6 +43,8 @@ object SparkEntry {
     "q_seigniorage" -> (Dashboard.seigniorage _),
     "q_last_hour_ops" -> (Dashboard.lastHourOps _),
     "q_airdrop_avg_return" -> (Dashboard.airdropAvgReturn _),
+    "q_txvol_grains" -> (Dashboard.txVolGrains _),
+    "q_dormant_accounts" -> (Dashboard.dormantAccounts _),
     // market (reference: src/service/market/)
     "q_price_hourly" -> (Market.priceHourly _),
     "q_price_15m" -> (Market.price15m _),
@@ -76,12 +78,14 @@ object SparkEntry {
     "q_account_staking" -> ((s: SparkSession, d: String) => Staking.accountStaking(s, d)),
     // governance (reference: src/service/governance/)
     "q_vote_tally" -> (Governance.voteTally _),
+    "q_vote_pivot" -> (Governance.votePivot _),
     "q_proposals_summary" -> (Governance.proposalsSummary _),
     "q_proposal_deposits" -> (Governance.proposalDeposits _),
     // treasury (reference: src/service/treasury/)
     "q_circulating_supply" -> (Treasury.circulatingSupply _),
     "q_vesting_supply" -> (Treasury.vestingSupply _),
     "q_tax_proceeds" -> (Treasury.taxProceeds _),
+    "q_trailing_tax_30d" -> (Treasury.trailingTaxProceeds _),
     // OLAP core
     "q1_pricing_summary" -> (Olap.q1PricingSummary _),
     "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
@@ -175,6 +179,33 @@ object SparkEntry {
          |s AS (SELECT date, avg_value AS avg_staking FROM d WHERE denom = 'view'),
          |j AS (SELECT reward / avg_staking AS dr FROM r JOIN s USING (date))
          |SELECT round(sum(dr) * 365 / count(*), 8) AS annual_avg_return FROM j""".stripMargin,
+    "q_txvol_grains" ->
+      s"""SELECT CAST(ts AS DATE) AS date, event_type AS denom,
+         |CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
+         |round(${SUMX("value")}, 4) AS tx_volume, count(*) AS n
+         |FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)""".stripMargin,
+    "q_dormant_accounts" ->
+      """WITH c AS (SELECT max(epoch_ms(ts)) - 86400000 AS cutoff_ms FROM events),
+        |st AS (SELECT user_id, epoch_ms(ts) AS ts_ms, cutoff_ms FROM events, c),
+        |recent AS (SELECT DISTINCT user_id FROM st WHERE ts_ms >= cutoff_ms)
+        |SELECT user_id, count(*) AS n_events_before, max(ts_ms) AS last_seen_ms
+        |FROM st WHERE ts_ms < cutoff_ms
+        |AND user_id NOT IN (SELECT user_id FROM recent)
+        |GROUP BY 1""".stripMargin,
+    "q_vote_pivot" ->
+      """SELECT o_orderpriority AS proposal,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS votes_f,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS votes_o,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS votes_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_trailing_tax_30d" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS date, l_returnflag AS flag,
+        |sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,6))) AS vol,
+        |date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_n
+        |FROM lineitem GROUP BY 1, 2, 4)
+        |SELECT date, flag, round(CAST(sum(vol) OVER w AS DOUBLE), 4) AS trailing_30d
+        |FROM d WINDOW w AS (PARTITION BY flag ORDER BY day_n
+        |RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_price_hourly" ->
       s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms, round(${AVGX("value")}, 4) AS avg_price
          |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY hour_ms DESC LIMIT 50""".stripMargin,

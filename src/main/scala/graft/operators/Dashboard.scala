@@ -73,6 +73,40 @@ object Dashboard {
         roundx(sum(col("vol")).over(w), 4).as("cum_volume"))
   }
 
+  /** Multi-grain tx volume in ONE pass: GROUP BY ROLLUP(date, denom)
+    * computes the (date, denom), per-date and grand-total grains
+    * together — fcd materializes each grain with a separate collector
+    * query (reference: src/collector/dashboard/txVolume.ts per-denom +
+    * total rows); rollup shares the scan and partial aggregates across
+    * grains.  grouping_id disambiguates NULL-as-rolled-up from a real
+    * NULL key. */
+  def txVolGrains(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .rollup(to_date(col("ts")).as("date"), col("event_type").as("denom"))
+      .agg(grouping_id().cast("long").as("gid"),
+        roundx(sumx(col("value")), 4).as("tx_volume"), count(lit(1)).as("n"))
+      .select(col("date"), col("denom"), col("gid"), col("tx_volume"), col("n"))
+
+  /** Dormant accounts — active before the last day, silent since: a
+    * LEFT ANTI join of the account rollup against recent activity
+    * (fcd's dormancy/retention report shape; the anti-join is the
+    * relational NOT EXISTS, map-side with a broadcast of the small
+    * recent-actives set when it fits). */
+  def dormantAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val DayMs = 86400000L
+    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    val cutoff = t.events.agg((max(tsMs) - DayMs).as("cutoff_ms"))
+    val stamped = t.events.select(col("user_id"), tsMs.as("ts_ms"))
+      .crossJoin(broadcast(cutoff))
+    val recent = stamped.filter(col("ts_ms") >= col("cutoff_ms"))
+      .select(col("user_id")).distinct()
+    stamped.filter(col("ts_ms") < col("cutoff_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events_before"), max(col("ts_ms")).as("last_seen_ms"))
+      .join(recent, Seq("user_id"), "left_anti")
+  }
+
   /** Daily active accounts
     * (reference: src/collector/dashboard/accountGrowth.ts:33 getDailyActiveAccount). */
   def activeAccountsDaily(spark: SparkSession, dir: String): DataFrame =

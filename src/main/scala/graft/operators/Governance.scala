@@ -23,6 +23,22 @@ object Governance {
       .agg(count(lit(1)).as("votes"),
         roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
 
+  /** Vote tally PIVOTED to one row per proposal with per-option count
+    * columns — the wire shape fcd's tally endpoint actually returns
+    * (reference: src/service/governance/helper/voteSummary.ts:12 builds
+    * the {Yes, No, Abstain, NoWithVeto} object in JS).  Spark `pivot`
+    * with explicit values keeps the plan a single two-phase aggregate —
+    * no per-option scans. */
+  def votePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority").as("proposal"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("proposal"),
+        coalesce(col("F"), lit(0L)).as("votes_f"),
+        coalesce(col("O"), lit(0L)).as("votes_o"),
+        coalesce(col("P"), lit(0L)).as("votes_p"))
+
   /** Deposits of one proposal, recent-first
     * (reference: src/service/governance/getDeposits.ts:14 — deposit
     * list for a proposal id, paginated newest-first). */

@@ -68,4 +68,23 @@ object Treasury {
       .groupBy(to_date(col("l_shipdate")).as("date"))
       .agg(roundx(sumx(col("l_extendedprice") * col("l_tax")), 4).as("tax_proceeds"),
         count(lit(1)).as("n_items"))
+
+  /** Trailing-30-DAY tax proceeds per flag — a RANGE window frame over
+    * the calendar, not a ROWS frame over rows: ship dates have gaps, so
+    * "last 30 days" ≠ "last 30 rows" (fcd's period reports are
+    * calendar-denominated the same way, reference:
+    * src/service/treasury/tax.ts date-range params).  The frame key is
+    * the integer epoch-day; the window sums the DECIMAL daily rollup
+    * (order-independent), partitioned by flag over per-day rows —
+    * calendar-bounded per partition at any corpus size. */
+  def trailingTaxProceeds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(to_date(col("l_shipdate")).as("date"), col("l_returnflag").as("flag"))
+      .agg(sum((col("l_extendedprice") * col("l_tax")).cast("decimal(30,6)")).as("vol"))
+      .withColumn("day_n", datediff(col("date"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("flag")).orderBy(col("day_n")).rangeBetween(-29, 0)
+    daily.select(col("date"), col("flag"),
+      roundx(sum(col("vol")).over(w).cast("double"), 4).as("trailing_30d"))
+  }
 }
