@@ -13,7 +13,9 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"==== $name ====")
       df.explain("formatted")
+      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
+      println(f"==== $name took ${(System.nanoTime() - t0) / 1e9}%.3f s ====")
     }
     spark.stop()
   }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashSig, SimHash64}
+import graft.functions.TextFunctions.words
+
+/** GraftExtensions: the SQL surface of the native expression layer.
+  * SQL calls must produce IDENTICAL results to the Column API — they
+  * build the same expression trees. */
+class ExtensionsSpec extends GraftSpec {
+
+  test("graft_dot and graft_cosine are callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1d,2d,3d), array(4d,5d,6d)) AS d, " +
+        "graft_roundx(graft_cosine(array(1d,2d), array(1d,2d)), 9) AS c").head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("graft_simhash/graft_minhash match the Column API row for row") {
+    val docs = sources.Tables(spark, Dir).documents.limit(50)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(ws) AS sh, graft_minhash(ws, 3, 128) AS mh,
+        |       graft_minhash_bands(ws, 3, 128, 32) AS mb
+        |FROM ext_docs""".stripMargin)
+    val viaCol = docs.select(col("doc_id"), SimHash64(col("ws")).as("sh"),
+      MinHashSig(col("ws"), 3, 128).as("mh"),
+      MinHashSig.bandHashes(col("ws"), 3, 128, 32).as("mb"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    val one = viaSql.head()
+    assert(one.getSeq[Long](2).length == 128 && one.getSeq[Long](3).length == 32)
+  }
+
+  test("graft_roundx rounds the binary value (DuckDB semantics)") {
+    // 307.03/8 = 38.378749999…; Spark's round() says 38.3788 (decimal
+    // shortest-repr), binary rounding must say 38.3787
+    val r = spark.sql(
+      "SELECT graft_roundx(307.03d/8, 4) AS gx, round(307.03d/8, 4) AS sp").head()
+    assert(r.getDouble(0) == 38.3787)
+    assert(r.getDouble(1) == 38.3788)
+  }
+
+  test("graft_sumx aggregates order-independently in SQL") {
+    val r = spark.sql(
+      "SELECT graft_sumx(x) AS s FROM VALUES (0.1d),(0.2d),(0.3d) AS t(x)").head()
+    assert(r.getDouble(0) == 0.6)
+  }
+
+  test("shape parameters must be integer literals") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a','b','c','d'), 3, id + 1) " +
+        "FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("literal"))
+  }
+}
