@@ -93,69 +93,19 @@ object Olap {
   /** As-of join: each purchase event gets the latest 'click' price at or
     * before its timestamp (fcd joins rewards to the price effective at
     * that time, reference: src/collector/dashboard/blockReward.ts:19).
-    *
-    * Spark-first plan: turn the price stream into half-open validity
-    * intervals [ts, next_ts), explode intervals into the 1-hour buckets
-    * they overlap, and equi-join the fact side on bucket — the range
-    * check then runs only against the handful of intervals in the
-    * fact's own bucket.  (A raw range-predicate join would be a
-    * nested-loop — O(facts × ticks) — quadratic at scale.)
-    *
-    * Scale shape: the tick stream GROWS WITH HISTORY, so
-    *  - `lead(next_ts)` runs inside per-DAY window partitions (parallel
-    *    across days); each day's last interval is stitched closed with
-    *    the next tick-day's first tick.  Only the day-level first-tick
-    *    series (1 row per day, calendar-bounded) uses a global-order
-    *    window — the one shape SURVEY §5 allows it for.
-    *  - the interval-bucket table is broadcast only under the session
-    *    broadcast threshold (PlanHints.broadcastIfSmall); above it the
-    *    join runs shuffled on bucket and AQE re-plans/splits skew.
-    */
+    * The plan/scale strategy (interval buckets, per-day leads, boundary
+    * stitch, size-guarded broadcast) lives in the reusable
+    * [[AsOf.joinLatest]] operator — this query is one instantiation. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val BucketUs = 3600000000L // 1 h in µs — events are µs-grained, so
-    // epoch-µs comparisons are exactly the raw-timestamp comparisons
-    val DayUs = 86400000000L
+    // events are µs-grained, so epoch-µs comparisons are exactly the
+    // raw-timestamp comparisons
     val tsUs = unix_micros(col("ts").cast("timestamp"))
-    val maxUs = t.events.agg(max(tsUs).as("max_us"))
     val ticks = t.events.filter(col("event_type") === "click")
       .select(tsUs.as("p_us"), col("event_id").as("p_event_id"), col("value").as("p_value"))
-      .withColumn("p_day", (col("p_us") / DayUs).cast("long"))
-    // lead within day partitions; p_day is a prefix of the (p_us,
-    // p_event_id) order, so in-day leads equal the global-order leads
-    val wDay = Window.partitionBy(col("p_day")).orderBy(col("p_us"), col("p_event_id"))
-    val inDay = ticks.withColumn("lead_in_day", lead(col("p_us"), 1).over(wDay))
-    // boundary stitch: the first tick of the NEXT tick-day closes each
-    // day's last interval.  One row per day → broadcast is bounded.
-    // The lead over the day series is a DELIBERATE single-partition
-    // window — its input is the calendar-bounded per-day rollup, not
-    // the tick stream; the explicit constant partition key says so (and
-    // keeps the generic unpartitioned-window warning out of the logs).
-    val nextDayFirst = ticks
-      .groupBy(col("p_day")).agg(min(col("p_us")).as("day_first_us"))
-      .withColumn("next_day_first_us",
-        lead(col("day_first_us"), 1)
-          .over(Window.partitionBy(pmod(col("p_day"), lit(1L))).orderBy(col("p_day"))))
-      .select(col("p_day"), col("next_day_first_us"))
-    val intervals = inDay
-      .join(broadcast(nextDayFirst), Seq("p_day"))
-      .crossJoin(broadcast(maxUs))
-      .withColumn("p_next_us", coalesce(col("lead_in_day"), col("next_day_first_us")))
-      .withColumn("end_us", coalesce(col("p_next_us"), col("max_us") + 1))
-    val buckets = intervals
-      .filter(col("end_us") > col("p_us")) // drop empty intervals (same-ts ticks)
-      .withColumn("bucket", explode(sequence(
-        (col("p_us") / BucketUs).cast("long"),
-        ((col("end_us") - 1) / BucketUs).cast("long"))))
-      .select(col("bucket"), col("p_us"), col("p_next_us"), col("p_value"))
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id"), tsUs.as("e_us"), col("value"))
-    purchases
-      .join(PlanHints.broadcastIfSmall(buckets),
-        (col("e_us") / BucketUs).cast("long") === col("bucket") &&
-          col("e_us") >= col("p_us") &&
-          (col("p_next_us").isNull || col("e_us") < col("p_next_us")),
-        "left")
+    AsOf.joinLatest(purchases, "e_us", ticks, "p_us", "p_event_id")
       .select(col("event_id"), roundx(col("value"), 4).as("amount"),
         roundx(col("p_value"), 4).as("price_at_ts"))
   }
