@@ -24,19 +24,21 @@ import graft.sources.Tables
   */
 object Messages {
 
-  /** Typed projection of the raw `props` JSON. */
-  private def parsed(t: Tables): DataFrame =
-    t.events.withColumn("p",
+  /** Typed projection of the raw `props` JSON.  Pure transform — the
+    * same plan runs over the batch parquet or a readStream frame (the
+    * fcd collector runs this parse per incoming block). */
+  def parsed(events: DataFrame): DataFrame =
+    events.withColumn("p",
       from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
 
   /** Per-message typed parse + display-text dispatch
     * (parseMsg.ts:271: `types[type] || defaultParser`, with the
     * failure path prefixing "Failed to ").  One row per message with
-    * the extracted typed fields — the page renderer's input. */
-  def msgParse(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+    * the extracted typed fields — the page renderer's input.
+    * Pure transform: batch and streaming share it. */
+  def parseTransform(events: DataFrame): DataFrame = {
     val k = col("p.k").cast("long")
-    parsed(t).select(
+    parsed(events).select(
       col("event_id"),
       col("event_type").as("msg_type"),
       k.as("k"),
@@ -55,22 +57,27 @@ object Messages {
       roundx(col("value"), 4).as("amount"))
   }
 
+  def msgParse(spark: SparkSession, dir: String): DataFrame =
+    parseTransform(Tables(spark, dir).events)
+
   /** account_tx fan-out: every account mentioned by a tx (here the
     * sender `user_id` plus the counterparty account carried in
     * `props.k`) gets its own (account, tx) row — the materialization
     * that makes per-account tx pages a keyed read instead of a scan
     * (accountTx.ts:45; fcd uniq's the address list and drops empties,
-    * mirrored by array_distinct + the null filter). */
-  def accountTxFanout(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    parsed(t)
+    * mirrored by array_distinct + the null filter).
+    * Pure transform: batch and streaming share it. */
+  def fanoutTransform(events: DataFrame): DataFrame =
+    parsed(events)
       .select(col("event_id"),
         unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
         explode(array_distinct(
           array(col("user_id"), col("p.k").cast("long")))).as("account"))
       .filter(col("account").isNotNull)
       .select(col("account"), col("event_id"), col("ts_ms"))
-  }
+
+  def accountTxFanout(spark: SparkSession, dir: String): DataFrame =
+    fanoutTransform(Tables(spark, dir).events)
 
   /** The read side the fan-out exists for: one account's recent txs as
     * a keyset page over the fan-out rows, joined back to the tx facts

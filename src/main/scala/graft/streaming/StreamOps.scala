@@ -139,6 +139,54 @@ object StreamOps {
     spark.read.parquet(path)
       .select(col("window_ms"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming account_tx materialization — fcd's collector writes the
+    * account_tx fan-out PER BLOCK as txs arrive (reference:
+    * src/collector/block/accountTx.ts:45 inside the collectBlock loop),
+    * it is not a batch backfill.  The same pure fan-out transform
+    * (Messages.fanoutTransform) runs over a readStream frame here;
+    * stateless narrow transform → append mode, no watermark, no state
+    * store.
+    *
+    * Layout for the read side: files are partitioned by a 64-way hash
+    * bucket of `account`, NOT by account itself — per-account dirs
+    * would be millions of tiny partitions at 100 TB, while a fixed
+    * bucket count keeps leaf files large and lets the keyed page read
+    * prune to 1/64 of the files via partition pruning on
+    * `account_bucket` (then row-filter `account = x` inside the
+    * bucket).  This is the parquet analogue of fcd's account_tx btree.
+    */
+  def accountTxSink(events: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Messages.fanoutTransform(events)
+      .withColumn("account_bucket", pmod(xxhash64(col("account")), lit(64L)))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("account_bucket")
+      .start()
+
+  /** Keyed read over the materialized fan-out: bucket-prune, then
+    * row-filter — the serve path of getTxList.ts:118. */
+  def accountTxRead(spark: SparkSession, path: String, account: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("account_bucket") ===
+        pmod(xxhash64(lit(account)), lit(64L)) && col("account") === account)
+      .select(col("account"), col("event_id"), col("ts_ms"))
+
+  /** Stream-static enrichment: join the incoming tx stream to a static
+    * account dimension (fcd's collector decorates txs with validator /
+    * account metadata read from Postgres at collect time).  Spark
+    * stream-static joins re-plan the static side per micro-batch; the
+    * dim is broadcast so the stream side never shuffles — the plan a
+    * 1000-executor cluster wants for a dim measured in MBs. */
+  def enrichAccounts(fanout: DataFrame, accounts: DataFrame): DataFrame =
+    fanout.join(
+      broadcast(accounts.select(col("c_custkey").as("account"),
+        col("c_name").as("account_name"), col("c_mktsegment").as("segment"))),
+      Seq("account"), "left")
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events

@@ -107,6 +107,64 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming account_tx fan-out materializes the batch fan-out, bucket-pruned") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = sources.Tables(s, Dir).events
+      .select(col("event_id"), col("ts").cast("timestamp"),
+        col("user_id"), col("props"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    val base = java.nio.file.Files.createTempDirectory("graft_atx_")
+    val (path, ckpt) = (s"$base/data", s"$base/ckpt")
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val query = streaming.StreamOps.accountTxSink(
+      stream.toDF().toDF("event_id", "ts", "user_id", "props"), path, ckpt)
+    try {
+      rows.grouped(400).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val sunk = s.read.parquet(path)
+        .select("account", "event_id", "ts_ms").collect().map(_.toSeq).toSet
+      val batch = operators.Messages.accountTxFanout(s, Dir)
+        .collect().map(_.toSeq).toSet
+      assert(sunk == batch)
+      // keyed read returns exactly that account's rows
+      val acct = batch.head.head.asInstanceOf[Long]
+      val keyed = streaming.StreamOps.accountTxRead(s, path, acct)
+        .collect().map(_.toSeq).toSet
+      assert(keyed == batch.filter(_.head == acct) && keyed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("stream-static account enrichment matches the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t = sources.Tables(s, Dir)
+    val rows = t.events
+      .select(col("event_id"), col("ts").cast("timestamp"),
+        col("user_id"), col("props"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val enriched = streaming.StreamOps.enrichAccounts(
+      operators.Messages.fanoutTransform(
+        stream.toDF().toDF("event_id", "ts", "user_id", "props")),
+      t.customer)
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      stream.addData(rows.toSeq)
+      query.processAllAvailable()
+      val streamed = s.table("enrich_out").collect().map(_.toSeq).toSet
+      val batch = streaming.StreamOps.enrichAccounts(
+        operators.Messages.accountTxFanout(s, Dir), t.customer)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("watermark evicts state in append mode") {
     val s = spark
     import s.implicits._
