@@ -48,6 +48,7 @@ object SparkEntry {
     "q_airdrop_avg_return" -> (Dashboard.airdropAvgReturn _),
     "q_txvol_grains" -> (Dashboard.txVolGrains _),
     "q_dormant_accounts" -> (Dashboard.dormantAccounts _),
+    "q_general_info" -> (Dashboard.generalInfo _),
     // market (reference: src/service/market/)
     "q_price_hourly" -> (Market.priceHourly _),
     "q_price_15m" -> (Market.price15m _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_delegations_page" -> (Staking.delegationsPage _),
     "q_delegators_top" -> (Staking.delegatorsTop _),
     "q_richlist" -> (Staking.richlist _),
+    "q_richlist_denom" -> ((s: SparkSession, d: String) => Staking.richlistByDenom(s, d)),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
@@ -82,6 +84,8 @@ object SparkEntry {
     // governance (reference: src/service/governance/)
     "q_vote_tally" -> (Governance.voteTally _),
     "q_vote_pivot" -> (Governance.votePivot _),
+    "q_votes_latest" -> ((s: SparkSession, d: String) => Governance.votesLatest(s, d)),
+    "q_vote_tally_latest" -> (Governance.voteTallyLatest _),
     "q_proposals_summary" -> (Governance.proposalsSummary _),
     "q_proposal_deposits" -> (Governance.proposalDeposits _),
     // treasury (reference: src/service/treasury/)
@@ -100,6 +104,7 @@ object SparkEntry {
     "d_dedup_stream" -> (Dedup.dedupSurvivors _),
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
+    "d_dedup_minhash_verified" -> (Dedup.minhashVerified _),
     "d_dedup_simhash" -> (Dedup.simhash _),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
@@ -195,6 +200,31 @@ object SparkEntry {
         |FROM st WHERE ts_ms < cutoff_ms
         |AND user_id NOT IN (SELECT user_id FROM recent)
         |GROUP BY 1""".stripMargin,
+    "q_votes_latest" ->
+      """WITH v AS (SELECT o_custkey AS voter, o_orderstatus AS "option",
+        |CAST(o_orderdate AS DATE) AS vote_date, o_orderkey AS vote_id,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT voter, "option", vote_date, vote_id FROM v WHERE rn = 1
+        |ORDER BY vote_id DESC LIMIT 25""".stripMargin,
+    "q_vote_tally_latest" ->
+      s"""WITH v AS (SELECT o_orderpriority, o_orderstatus, o_totalprice,
+         |row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+         |ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         |SELECT o_orderpriority AS proposal, o_orderstatus AS "option", count(*) AS votes,
+         |round(${SUMX("o_totalprice")}, 2) AS voting_power FROM v WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    "q_general_info" ->
+      s"""WITH m AS (SELECT max(ts) AS max_ts FROM events),
+         |r AS (SELECT event_type, value, ts, event_id FROM events, m
+         |WHERE ts >= max_ts - INTERVAL 5 MINUTE),
+         |p AS (SELECT event_type AS denom, round(value, 4) AS price, epoch_ms(ts) AS price_ts_ms,
+         |row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM r),
+         |panel AS (SELECT round(${SUMX("CASE WHEN event_type = 'signup' THEN value ELSE 0 END")}, 4) AS issued,
+         |epoch_ms(max(ts)) AS asof_ms FROM events),
+         |lr AS (SELECT round(value, 4) AS staking_ratio FROM events WHERE event_type = 'view'
+         |ORDER BY ts DESC, event_id DESC LIMIT 1)
+         |SELECT denom, price, price_ts_ms, issued, asof_ms, staking_ratio
+         |FROM p, panel, lr WHERE rn = 1""".stripMargin,
     "q_vote_pivot" ->
       """SELECT o_orderpriority AS proposal,
         |count(*) FILTER (WHERE o_orderstatus = 'F') AS votes_f,
@@ -298,6 +328,13 @@ object SparkEntry {
          |top AS (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance,
          |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
+    "q_richlist_denom" ->
+      s"""WITH mem AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+         |t AS (SELECT ${SUMX("c_acctbal")} AS total_bal FROM mem),
+         |top AS (SELECT * FROM mem ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
+         |SELECT c_custkey, c_name, 'NATION_7' AS denom, round(c_acctbal, 2) AS balance,
+         |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
     "q_total_supply" ->
       s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
          |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
@@ -369,6 +406,21 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     // d_dedup_minhash / d_dedup_simhash / s_knn_lsh: hash-sketch internals are
     // not portably SQL-expressible -> rows-only check + ScalaTest specs.
+    // d_dedup_minhash_verified runs the LSH candidates through the EXACT
+    // set verify, so it shares d_dedup_ngram's naive-join oracle.  Like
+    // d_neardup_cosine (below), pairing a probabilistic candidate stage
+    // with a bit-exact oracle leans on the spec-asserted recall 1.0 at
+    // the FIXED test data + hash seeds (miss ~5e-8/pair at J=0.8).
+    "d_dedup_minhash_verified" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     "d_dedup_groups" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -15,9 +15,12 @@ import graft.sources.Tables
   *    no skew).
   *  - n-gram Jaccard: pair generation happens ONLY inside shingle
   *    buckets (self-join keyed by shingle) — never a document cross
-  *    join.  Hot shingles are the skew risk at scale; AQE skew-join
-  *    handles it, and a frequency cap (drop shingles appearing in >X%
-  *    of docs — they carry no signal) is the standard mitigation.
+  *    join.  Hot shingles are the skew risk at scale: the rarity-
+  *    ordered prefix filter keeps them out of the index structurally,
+  *    and the frequency cap (ngramStages maxDfRatio — shingles in >X%
+  *    of docs are dropped from the index; they carry no signal)
+  *    bounds the candidate join even on adversarial boilerplate
+  *    corpora; AQE skew-join covers what remains.
   *  - MinHash/LSH: the candidate space is bands×buckets; shuffle is
   *    keyed by (band, band_hash), bounded skew by construction.  Only
   *    candidate pairs (tiny vs n²) get exact signature comparison.
@@ -57,7 +60,16 @@ object Dedup {
     * seen in ANY earlier micro-batch is dropped in later ones.
     * (Unbounded corpus ⇒ unbounded seen-set: production bounds it with
     * `dropDuplicatesWithinWatermark` when re-crawls cluster in time —
-    * same plan shape, one extra eviction rule.) */
+    * same plan shape, one extra eviction rule.)
+    *
+    * Survivor choice DIFFERS from the batch twin: streaming keeps the
+    * FIRST-ARRIVED row per content_hash (arrival-order dependent, so
+    * the surviving doc_id is nondeterministic across re-runs with
+    * different batch interleavings), while dedupSurvivors keeps
+    * min(doc_id) (deterministic).  The kept CONTENT is identical
+    * either way; pipelines that key downstream state on doc_id rather
+    * than content_hash should run the batch form or re-key on
+    * content_hash. */
   def streamingDedup(docs: DataFrame): DataFrame =
     docs
       .withColumn("content_hash", md5(col("text")))
@@ -75,12 +87,36 @@ object Dedup {
     * Candidates are verified exactly with array_intersect over the
     * full shingle sets, so results are identical to the naive join
     * (the DuckDB oracle computes the naive form). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val sh = t.documents
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramStages(Tables(spark, dir).documents, maxDfRatio = 0.1).pairs
+
+  /** The staged AllPairs/PPJoin pipeline, exposed so specs can
+    * instrument the intermediate volumes (collision rows are the cost
+    * driver at scale). */
+  final case class NgramStages(collisions: DataFrame, pairs: DataFrame)
+
+  /** @param maxDfRatio hot-shingle frequency cap: shingles present in
+    *   more than this fraction of documents are EXCLUDED from the
+    *   prefix index (candidate generation only — rarity positions and
+    *   the verify sets are untouched).  A shingle shared by a large
+    *   fraction of the corpus generates O((ratio·N)²) collision rows
+    *   while carrying no discriminative signal; capping it bounds the
+    *   candidate join regardless of corpus pathology (NgramCapSpec
+    *   drives an adversarial boilerplate corpus through this).  The
+    *   only pairs the cap can lose are those whose EVERY common prefix
+    *   shingle is hot — i.e. docs whose content is near-pure
+    *   boilerplate; true duplicates among those are still caught by
+    *   the exact-hash pass that dedupGroups unions in.  The global
+    *   rarity order puts hot shingles last, so at the default 10% cap
+    *   nothing changes on an ordinary corpus (the test corpus' most
+    *   frequent shingle sits at 1.4% of docs) — the cap is the
+    *   guard-rail for the adversarial tail, not a sampling knob. */
+  def ngramStages(docs: DataFrame, maxDfRatio: Double): NgramStages = {
+    val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // prefix length |A| − ⌈0.8|A|⌉ + 1, in integer math (0.8·n in FP
     // rounds wrong at multiples of 5): ⌈4n/5⌉ = (4n+4) div 5
     val byRarity = Window.partitionBy(col("doc_id"))
@@ -91,11 +127,16 @@ object Dedup {
     // at runtime when the actual size is small (as at test SF).
     // Prefix rows carry (rn, n_sh) so the size-ratio and positional
     // filters run INSIDE the candidate join — no post-hoc `sizes` joins.
+    // The frequency cap drops hot rows from the INDEX only — `rn` is
+    // assigned before it, so surviving positions (and the positional
+    // bound below) are unchanged.
     val prefix = sh
       .join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(byRarity))
       .join(sizes, Seq("doc_id"))
       .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("freq") <= col("n_docs") * maxDfRatio)
       .select(col("doc_id"), col("shingle"), col("rn"), col("n_sh"))
     // size-ratio filter (J ≥ 0.8 ⇒ 0.8·|A| ≤ |B| ≤ 1.25·|A|) prunes
     // pairs in the join itself, before the (heavier) set verification
@@ -114,7 +155,11 @@ object Dedup {
     // pa=min(a_rn), pb=min(b_rn) — distinct common shingles beyond it
     // each occupy a later slot, so |A∩B| ≤ 1 + min(|A|−pa, |B|−pb);
     // J ≥ 0.8 needs |A∩B| ≥ 4(|A|+|B|)/9.  Pairs whose bound can't
-    // reach that never enter the verify stage.
+    // reach that never enter the verify stage.  (The bound survives
+    // the frequency cap: the global order ranks hot shingles LAST, so
+    // the smallest common shingle is never a capped one unless ALL
+    // common prefix shingles are — and then the pair has no collisions
+    // at all, the documented cap tradeoff.)
     val cand = collisions
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("a_rn")).as("pa"), min(col("b_rn")).as("pb"),
@@ -122,9 +167,20 @@ object Dedup {
       .filter((lit(1) + least(col("a_n") - col("pa"), col("b_n") - col("pb"))) * 9 >=
         (col("a_n") + col("b_n")) * 4)
       .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-    // verify on 64-bit shingle hashes, not strings: long-array intersect
-    // is ~5× cheaper and the arrays shuffle at 8 B/element (collision
-    // odds across the distinct-shingle universe are ~2⁻⁴⁰ — nil)
+    val pairs = exactJaccardVerify(sh, cand)
+    NgramStages(collisions, pairs)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * shingle sets — shared by the AllPairs path (ngramStages) and the
+    * MinHash-LSH path (minhashVerified); candidates (a_id, b_id) must
+    * carry doc sizes (a_n, b_n).
+    *
+    * Verification runs on 64-bit shingle hashes, not strings: long-
+    * array intersect is ~5× cheaper and the arrays shuffle at
+    * 8 B/element (collision odds across the distinct-shingle universe
+    * are ~2⁻⁴⁰ — nil). */
+  private def exactJaccardVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sets = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hsh"))
       .groupBy(col("doc_id")).agg(collect_list(col("hsh")).as("shs"))
     cand
@@ -153,19 +209,7 @@ object Dedup {
     * (No SQL oracle — checked by spec + rows-only.) */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // banding carries ONLY (doc_id, band, bucket) — 16 bytes per row —
-    // the k-wide signatures are joined back for the (rare) candidates.
-    // Band hashes come from the same native per-row loop as the sig.
-    val banded = t.documents
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands))
-          .as(Seq("band", "bucket")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = minhashBandCandidates(t.documents)
     val sig = t.documents
       .select(col("doc_id"), minhashSignature(words(col("text"))).as("sig"))
     cand
@@ -176,6 +220,48 @@ object Dedup {
           .cast("double") / MinhashK)
       .filter(col("est_jaccard") >= 0.7)
       .select(col("a_id"), col("b_id"), roundx(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** MinHash-LSH banded candidate pairs.  Banding carries ONLY
+    * (doc_id, band, bucket) — 16 bytes per row — the k-wide signatures
+    * never shuffle; band hashes come from the same native per-row loop
+    * as the signature. */
+  private def minhashBandCandidates(docs: DataFrame): DataFrame = {
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands))
+          .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** MinHash-LSH candidates run through the EXACT Jaccard verify (the
+    * same full-shingle-set stage as ngramJaccard) — the production
+    * shape when downstream wants true similarities, not estimates:
+    * LSH prunes the n² space, one set-intersect per surviving
+    * candidate, output = exact pairs at J ≥ 0.8.
+    *
+    * Oracled against the same DuckDB naive join as d_dedup_ngram: with
+    * 32 bands × 4 rows, a true pair at J = 0.8 escapes every band with
+    * probability (1 − 0.8⁴)³² ≈ 5·10⁻⁸, so on fixed test data the
+    * candidate set provably covers the exact answer (NgramCapSpec also
+    * asserts parity with the AllPairs path).  Like d_neardup_cosine,
+    * the bit-exact oracle pairing leans on that fixed-data/fixed-seed
+    * recall — regenerated data with a borderline pair could in
+    * principle flip a band. */
+  def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = t.documents
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cand = minhashBandCandidates(t.documents)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+    exactJaccardVerify(sh, cand)
   }
 
   /** 60-bit SimHash per doc from word hashes; near-dup pairs at
@@ -307,7 +393,16 @@ object Dedup {
     * (p_band 0.43, miss 1.3·10⁻⁴) and prunes ~all of the n² space —
     * the 0.4 test threshold sits near the random-pair regime where ANY
     * method must verify most pairs, which is a property of the
-    * threshold, not of the plan. */
+    * threshold, not of the plan.
+    *
+    * NOTE on the oracle pairing: d_neardup_cosine is hash-compared
+    * against an EXACT all-pairs DuckDB oracle even though candidate
+    * generation is probabilistic.  That only holds because recall is
+    * 1.0 on the FIXED test data and hyperplane seed
+    * (CosineLshRecallSpec asserts it); regenerated embeddings with a
+    * borderline pair could in principle flip a band and fail the
+    * hash compare — that would be the oracle pairing, not the
+    * operator, misfiring. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     cosinePairsLsh(spark, dir, threshold = 0.4, bitsPerBand = 2, bands = 32)
 

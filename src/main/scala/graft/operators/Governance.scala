@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact.{sumx, avgx, roundx}
 import graft.sources.Tables
@@ -38,6 +39,52 @@ object Governance {
         coalesce(col("F"), lit(0L)).as("votes_f"),
         coalesce(col("O"), lit(0L)).as("votes_o"),
         coalesce(col("P"), lit(0L)).as("votes_p"))
+
+  /** A voter's LATEST vote is the one that counts — fcd reverses the
+    * vote list and uniqBy(voter) before tallying/paging (reference:
+    * src/service/governance/getVotes.ts:61 `uniqBy(reverse(votes),
+    * 'voter')`): re-votes supersede, so every per-voter dedup must keep
+    * the newest row.  Mapping: voter ⇔ o_custkey, vote time ⇔
+    * o_orderdate with o_orderkey as the insertion-order tiebreak.
+    *
+    * Spark-first: row_number over (proposal, voter) ordered newest
+    * first, rn=1 — the window partitions by the high-cardinality voter
+    * key, so the dedup is parallel; no driver-side uniqBy loop. */
+  private def latestVotes(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"), col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** One proposal's unique-voter vote page, newest-first (the
+    * getVotes.ts response list).  The proposal filter pushes to the
+    * scan BEFORE the window, so the dedup runs over one proposal's
+    * votes only; top-k page = TakeOrderedAndProject. */
+  def votesLatest(spark: SparkSession, dir: String,
+      proposal: String = "1-URGENT", pageSize: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables(spark, dir).orders
+      .filter(col("o_orderpriority") === proposal)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("voter"), col("o_orderstatus").as("option"),
+        to_date(col("o_orderdate")).as("vote_date"), col("o_orderkey").as("vote_id"))
+      .orderBy(col("vote_id").desc)
+      .limit(pageSize)
+  }
+
+  /** Vote tally with the uniqBy-voter semantics applied: count each
+    * voter's latest vote only, per (proposal, option) — what fcd's
+    * tally actually reports for re-voting voters. */
+  def voteTallyLatest(spark: SparkSession, dir: String): DataFrame =
+    latestVotes(Tables(spark, dir))
+      .groupBy(col("o_orderpriority").as("proposal"),
+        col("o_orderstatus").as("option"))
+      .agg(count(lit(1)).as("votes"),
+        roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
 
   /** Deposits of one proposal, recent-first
     * (reference: src/service/governance/getDeposits.ts:14 — deposit

@@ -28,8 +28,11 @@ object Messages {
     * same plan runs over the batch parquet or a readStream frame (the
     * fcd collector runs this parse per incoming block). */
   def parsed(events: DataFrame): DataFrame =
+    // k is an ACCOUNT ID (it joins/unions with BIGINT user_id) — parse
+    // it as BIGINT: an INT schema would silently null out ids beyond
+    // 2^31 and drop their rows from the account fan-out
     events.withColumn("p",
-      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
 
   /** Per-message typed parse + display-text dispatch
     * (parseMsg.ts:271: `types[type] || defaultParser`, with the
@@ -37,7 +40,7 @@ object Messages {
     * the extracted typed fields — the page renderer's input.
     * Pure transform: batch and streaming share it. */
   def parseTransform(events: DataFrame): DataFrame = {
-    val k = col("p.k").cast("long")
+    val k = col("p.k")
     parsed(events).select(
       col("event_id"),
       col("event_type").as("msg_type"),
@@ -72,23 +75,39 @@ object Messages {
       .select(col("event_id"),
         unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
         explode(array_distinct(
-          array(col("user_id"), col("p.k").cast("long")))).as("account"))
+          array(col("user_id"), col("p.k")))).as("account"))
       .filter(col("account").isNotNull)
       .select(col("account"), col("event_id"), col("ts_ms"))
 
   def accountTxFanout(spark: SparkSession, dir: String): DataFrame =
     fanoutTransform(Tables(spark, dir).events)
 
+  /** The fan-out materialized in the SAME 64-way hash-bucket layout the
+    * streaming sink writes (graft.streaming.StreamOps.accountTxSink):
+    * files partitioned by pmod(xxhash64(account), 64), so a keyed read
+    * partition-prunes to 1/64 of the files.  Built once per process
+    * (graft.sources.Materialized); this is the batch backfill of the
+    * table the collector maintains incrementally. */
+  def accountTxPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("account_tx", dir) { p =>
+      fanoutTransform(Tables(spark, dir).events)
+        .withColumn("account_bucket", pmod(xxhash64(col("account")), lit(64L)))
+        .write.mode("overwrite").partitionBy("account_bucket").parquet(p)
+    }
+
   /** The read side the fan-out exists for: one account's recent txs as
-    * a keyset page over the fan-out rows, joined back to the tx facts
-    * (getTxList.ts:118 over the account_tx table).  The fan-out side
-    * filters to ONE account before the join, so the join build side is
-    * a page-bounded sliver. */
+    * a keyset page, joined back to the tx facts (getTxList.ts:118 over
+    * the account_tx table).  Serves from the MATERIALIZED hash-bucket
+    * fan-out via the same keyed read as the streaming layout
+    * (StreamOps.accountTxRead): bucket partition-pruning cuts the key
+    * scan to 1/64 of the files (AccountTxPruningSpec asserts it), then
+    * the page-bounded key sliver joins the fact table. */
   def accountTxsPage(spark: SparkSession, dir: String, account: Long = 7L,
       beforeId: Long = 8000L, pageSize: Int = 20): DataFrame = {
     val t = Tables(spark, dir)
-    val keys = accountTxFanout(spark, dir)
-      .filter(col("account") === account && col("event_id") < beforeId)
+    val keys = graft.streaming.StreamOps
+      .accountTxRead(spark, accountTxPath(spark, dir), account)
+      .filter(col("event_id") < beforeId)
       .orderBy(col("event_id").desc)
       .limit(pageSize)
     keys.join(t.events, Seq("event_id"))

@@ -17,15 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt from the FULL row content.  A salt derived from
-    * monotonically_increasing_id() (nondeterministic) feeding a shuffle
-    * key is the SPARK-23207 hazard: on stage retry after a partial
-    * shuffle-fetch failure, recomputed rows can land on different salts
-    * and rows get duplicated or dropped.  Hashing the row's columns is
-    * stable across recomputation; identical duplicate rows sharing a
-    * salt is fine (they still spread across salts by content). */
+  /** Deterministic salt from the row content MIXED with the input
+    * partition id.  A salt derived from monotonically_increasing_id()
+    * (nondeterministic) feeding a shuffle key is the SPARK-23207
+    * hazard: on stage retry after a partial shuffle-fetch failure,
+    * recomputed rows can land on different salts and rows get
+    * duplicated or dropped.
+    *
+    * Content alone is NOT enough: fully-identical duplicate rows all
+    * hash to one salt, so the heavy-duplicate skew case (the same hot
+    * row repeated millions of times) would still hit one reducer.
+    * Mixing in spark_partition_id() spreads identical rows by where
+    * they sit in the input — deterministic across task retries when
+    * the input partitioning itself is deterministic (a file-source
+    * scan re-plans the same splits; anything downstream of a
+    * nondeterministic shuffle is not, in which case localCheckpoint
+    * the input first or accept the single-salt hotspot by passing the
+    * content-only salt). */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+    pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
+      lit(salts.toLong))
 
   /** Two-phase salted aggregation: sum `valueCol` by `key` with the
     * first phase spread over `salts` sub-keys.  Result is identical to

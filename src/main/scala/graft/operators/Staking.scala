@@ -134,6 +134,32 @@ object Staking {
         roundx(col("c_acctbal") / col("total_bal"), 8).as("share"))
   }
 
+  /** Per-denom richlist — the `/richlist/:denom` route (reference:
+    * src/service/treasury/richList.ts:19 — find({where: {denom}},
+    * order amount DESC, paged).  The denom resolves to its nationkey
+    * through the K-row nation dim FIRST (driver-side metadata lookup,
+    * like any partition-pruning predicate build — nation is 25 rows,
+    * not data), so the big customer scan gets a pushed-down EQUALITY
+    * filter on c_nationkey: at 100 TB with balances partitioned by
+    * denom that is partition pruning, not a post-scan filter.  Share
+    * denominator is the DENOM's total, per the per-denom response. */
+  def richlistByDenom(spark: SparkSession, dir: String,
+      denom: String = "NATION_7", pageSize: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val nationKeys = t.nation.filter(col("n_name") === denom)
+      .select(col("n_nationkey")).collect().map(_.get(0))
+    require(nationKeys.length == 1, s"unknown denom: $denom")
+    val members = t.customer.filter(col("c_nationkey") === nationKeys.head)
+    val total = members.agg(sumx(col("c_acctbal")).as("total_bal"))
+    members
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(pageSize)
+      .crossJoin(broadcast(total))
+      .select(col("c_custkey"), col("c_name"), lit(denom).as("denom"),
+        roundx(col("c_acctbal"), 2).as("balance"),
+        roundx(col("c_acctbal") / col("total_bal"), 8).as("share"))
+  }
+
   /** Total supply per denom (nation)
     * (reference: src/service/treasury/getTotalSupply.ts:8). */
   def totalSupply(spark: SparkSession, dir: String): DataFrame = {
