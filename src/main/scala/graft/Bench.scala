@@ -14,7 +14,16 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_txvol_daily", "q_account_growth", "q_asof_join", "q_sessionize",
     "d_dedup_exact", "d_dedup_minhash", "s_knn_brute", "q_stream_window",
-    "q_msg_parse", "q_account_tx_fanout")
+    "q_msg_parse", "q_account_tx_fanout",
+    // the heavy dedup/CC family — the most expensive plans in the
+    // engine; benched so regressions in them are visible round-over-round
+    "d_dedup_ngram", "d_dedup_simhash", "d_dedup_minhash_verified",
+    "d_neardup_cosine", "d_dedup_groups")
+
+  // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
+  // no bigger dataset to stress the dedup/CC family against; recorded in
+  // the output so round comparisons know the ceiling.
+  private val SfCeiling = "sf0.1 (largest generated SF available)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,7 +64,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling"}""")
     spark.stop()
   }
 }
