@@ -112,6 +112,11 @@ object SparkEntry {
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
+    // training-data preparation (chunking, split, shards, scrub)
+    "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
+    "d_sample_split" -> (TrainPrep.sampleSplit _),
+    "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
+    "t_redact" -> (TrainPrep.redact _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
     "t_tokens" -> (TextAnalysis.tokens _),
@@ -449,6 +454,26 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "t_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |c AS (SELECT doc_id, a,
+        |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM w),
+        |x AS (SELECT doc_id, a, i AS chunk_id
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t)
+        |SELECT doc_id, chunk_id,
+        |CAST(len(a[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
+        |array_to_string(a[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text FROM x""".stripMargin,
+    "d_sample_split" ->
+      """WITH h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h""".stripMargin,
+    "d_train_shards" ->
+      """WITH h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM h""".stripMargin,
+    "t_redact" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_redacted,
+        |regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g') AS redacted_text FROM documents""".stripMargin,
     "t_langid" ->
       """WITH h AS (SELECT doc_id,
         |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,

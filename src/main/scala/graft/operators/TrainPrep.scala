@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+
+/** Training-data preparation operators over `documents` — the steps
+  * between "deduped corpus" and "batches on a trainer": context
+  * chunking, deterministic split assignment, shard layout, scrubbing.
+  *
+  * Scale notes: chunking/split/redaction are pure per-row column math
+  * (narrow, scan-speed, whole-stage codegen, zero shuffle).  Sharding
+  * shuffles once on the bounded shard key and runs its ordinal window
+  * PARTITIONED BY SHARD — never a global row_number.  Every hash here
+  * is md5-derived (engine-portable, content-deterministic): re-running
+  * the pipeline, on any engine, reassigns identical splits/shards —
+  * the property that makes train/test leakage audits possible.
+  */
+object TrainPrep {
+
+  /** Portable content hash: first 15 md5 hex digits as a BIGINT
+    * (< 2⁶⁰, always non-negative — safe under % on both engines). */
+  private def contentHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Context-window chunking: split each doc into `size`-word windows
+    * every `stride` words (overlap = size − stride keeps boundary
+    * context, the standard LM packing shape).  One explode — narrow,
+    * no shuffle; chunk count is integer math (FP ceil misrounds at
+    * exact multiples). */
+  def chunkDocs(spark: SparkSession, dir: String,
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    val w = words(col("text"))
+    val n = org.apache.spark.sql.functions.size(w)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(lit(1) + floor((n - lit(size) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), w.as("w"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("w"), col("chunk_id") * stride + 1, lit(size)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("cw")).cast("long").as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic train/val/test assignment: content-hash mod 100 →
+    * 80/10/10.  Hash-of-content (not random()) means the split is
+    * stable across runs, engines and repartitionings, and duplicate
+    * texts always land in the SAME split — no leakage across the
+    * boundary from re-crawled content. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(contentHash(col("text")), lit(100L))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Shard layout for training readers: shard = content-hash mod
+    * `shards` (uniform, content-stable), ordinal within shard by
+    * (hash, doc_id) — a deterministic pseudo-random order, which is
+    * exactly what an epoch shuffle wants.  The ordinal window is
+    * partitioned by shard, so at 100 TB each shard's numbering runs
+    * parallel — a GLOBAL row_number (one partition) is the anti-
+    * pattern this operator avoids. */
+  def trainShards(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val h = contentHash(col("text"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), h.as("h"), pmod(h, lit(shards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Scrub numeric identifiers before training: digit runs of ≥ 2
+    * become a <NUM> sentinel (the shape of PII/ID redaction; the
+    * pattern set is the pluggable part).  Counting + rewriting are
+    * regex column ops — codegen'd, no UDF. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "[0-9]{2,}"
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_redacted"),
+        regexp_replace(col("text"), pat, "<NUM>").as("redacted_text"))
+  }
+}

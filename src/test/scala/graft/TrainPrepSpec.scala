@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
+
+/** Invariants of the training-prep operators that the value-level
+  * oracle can't express: chunk coverage/overlap, split stability for
+  * duplicate content, dense per-shard ordinals. */
+class TrainPrepSpec extends GraftSpec {
+
+  test("chunks cover every word and respect the stride grid") {
+    val docs = graft.sources.Tables(spark, Dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+    val perDoc = TrainPrep.chunkDocs(spark, Dir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("chunk_id")).as("last_chunk"),
+        max(col("chunk_id") * 48 + col("n_tokens")).as("max_covered"),
+        min(col("n_tokens")).as("min_tokens"))
+      .join(docs, Seq("doc_id"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (last, covered, n) =
+        (r.getAs[Long]("last_chunk"), r.getAs[Long]("max_covered"), r.getAs[Int]("n_words"))
+      assert(covered == n, s"doc ${r.get(0)}: covered $covered of $n words")
+      // no chunk past the end: the grid point after last must start beyond n
+      assert(last * 48 < n || last == 0, s"doc ${r.get(0)}: empty trailing chunk")
+      assert(r.getAs[Long]("min_tokens") > 0)
+    }
+  }
+
+  test("identical texts get identical split and shard (leakage safety)") {
+    val t = graft.sources.Tables(spark, Dir).documents
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val splits = TrainPrep.sampleSplit(spark, Dir).join(t, Seq("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(splits == 1L, "duplicate texts assigned to different splits")
+    val shards = TrainPrep.trainShards(spark, Dir).join(t, Seq("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("shard")).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(shards == 1L, "duplicate texts assigned to different shards")
+  }
+
+  test("shard ordinals are dense 1..count per shard") {
+    val bad = TrainPrep.trainShards(spark, Dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+      .count()
+    assert(bad == 0)
+  }
+}
