@@ -187,6 +187,30 @@ object StreamOps {
         col("c_name").as("account_name"), col("c_mktsegment").as("segment"))),
       Seq("account"), "left")
 
+  /** Streaming latest-observation-per-denom materialization — the
+    * collector side of q_general_info's price panel: fcd keeps one
+    * fresh price row per denom up to date as blocks arrive and the
+    * general-info read consumes it (reference: src/service/dashboard/
+    * getGeneralInfo.ts:22 getLatestPrices over collector-maintained
+    * PriceEntity rows).
+    *
+    * Spark-first: a stateful aggregation keyed by denom with
+    * `max_by(value, (ts, event_id))` — state is ONE fixed-width row
+    * per key, and the key space is the denom set (bounded by the
+    * asset universe, not the stream), so no watermark is needed:
+    * this state CAN'T grow with the 100 TB history, which is exactly
+    * why fcd materializes the same thing as a one-row-per-denom
+    * table.  Update mode emits only the denoms a micro-batch
+    * refreshed.  (StreamingSpec drives it from a MemoryStream and
+    * asserts the snapshot converges to the batch latest-per-denom.) */
+  def streamingLatestPrice(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("event_type").as("denom"))
+      .agg(
+        roundx(max_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("price"),
+        unix_millis(max(col("ts"))).as("price_ts_ms"))
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events

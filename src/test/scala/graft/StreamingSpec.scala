@@ -73,6 +73,32 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming latest-price state converges to batch latest-per-denom") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = sources.Tables(s, Dir).events
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"),
+        col("event_id"))
+      .as[(Timestamp, String, Double, Long)].collect()
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    val query = streaming.StreamOps.streamingLatestPrice(
+      stream.toDF().toDF("ts", "event_type", "value", "event_id"))
+      .writeStream.format("memory").queryName("latest_price")
+      .outputMode("complete").start()
+    try {
+      // chunked feed: later chunks must OVERWRITE earlier state per denom
+      rows.grouped(400).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val streamed = s.table("latest_price").collect().map(_.toSeq).toSet
+      val batch = streaming.StreamOps.streamingLatestPrice(
+        sources.Tables(s, Dir).events).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("rollup materialize-then-read equals the direct dashboard query") {
     val direct = operators.Dashboard.txVolDaily(spark, Dir)
       .collect().map(_.toSeq).toSet
