@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off stress probe for the dedup/CC family BEYOND the largest
+  * generated SF: replicate the sf0.1 corpus `Reps`× with distinct
+  * doc_ids (the re-crawl scenario — every doc becomes an exact-dup
+  * clique), then run the pair pipeline and connected components over
+  * the inflated corpus.  Prints one JSON line; recorded in SURVEY §6.
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 8
+    val spark = GraftSession.builder("32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Tables(spark, sfDir).documents
+    val rep = spark.range(reps).toDF("r")
+    // distinct ids per replica; same text -> reps-cliques of exact dups
+    val docs = base.crossJoin(rep)
+      .select((col("doc_id") * reps + col("r")).as("doc_id"), col("text"))
+    val nDocs = docs.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nPairs, tPairs) = time {
+      graft.dedup.Dedup.ngramStages(docs, maxDfRatio = 0.1).pairs.count()
+    }
+    val (nGroups, tCc) = time {
+      val hashed = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      val exactPairs = hashed.as("x")
+        .join(hashed.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val pairs = graft.dedup.Dedup.ngramStages(docs, maxDfRatio = 0.1).pairs
+        .select(col("a_id"), col("b_id")).union(exactPairs).distinct()
+      graft.dedup.Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+        .select(col("group_id")).distinct().count()
+    }
+    println(s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
+      s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc}""")
+    spark.stop()
+  }
+}
