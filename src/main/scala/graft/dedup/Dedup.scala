@@ -278,13 +278,18 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    // first-matching-chunk predicate instead of a post-join
+    // dropDuplicates: each pair is emitted exactly once, no candidate
+    // shuffle+aggregate (same construction as cosinePairsLsh)
+    val skXor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val firstMatchingChunk = coalesce((0 until 4).map(c =>
+      when(shiftrightunsigned(skXor, c * 15).bitwiseAND(lit(32767L)) === 0, lit(c))): _*)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && col("a.chunk") === firstMatchingChunk)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
   }
@@ -418,16 +423,24 @@ object Dedup {
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignature(col("v"), nBits))
     val mask = (1L << bitsPerBand) - 1L
-    val banded = e.select(col("vec_id"),
+    // banded rows carry the whole 64-bit signature (one long) so the
+    // join can keep each pair ONLY at its first matching band — pairs
+    // come out exactly-once BY CONSTRUCTION and the dropDuplicates
+    // shuffle+aggregate over the (millions-of-rows) candidate set is
+    // gone.  firstMatchingBand is a coalesce-of-whens over integer ops
+    // on (sigA xor sigB) — pure Catalyst columns, whole-stage codegen.
+    val banded = e.select(col("vec_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
+    val sigXor = col("a.sig").bitwiseXOR(col("b.sig"))
+    val firstMatchingBand = coalesce((0 until bands).map(b =>
+      when(shiftrightunsigned(sigXor, b * bitsPerBand).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.vec_id") < col("b.vec_id") && col("a.band") === firstMatchingBand)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
     cand
       .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm")), Seq("a_id"))
       .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm")), Seq("b_id"))
