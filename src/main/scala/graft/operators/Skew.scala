@@ -35,7 +35,7 @@ object Skew {
     * the input first or accept the single-salt hotspot by passing the
     * content-only salt). */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
+    pmod(xxhash64(spark_partition_id() +: df.columns.toIndexedSeq.map(col): _*),
       lit(salts.toLong))
 
   /** Two-phase salted aggregation: sum `valueCol` by `key` with the

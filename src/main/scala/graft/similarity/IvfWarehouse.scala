@@ -44,7 +44,7 @@ object IvfWarehouse {
       .orderBy(col("dist"), col("cid")).limit(nprobe)
       .collect().map(_.getAs[Int]("cid"))
     spark.read.parquet(path)
-      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
       .withColumn("cos", roundx(dot(col("v"), qvCol) / (norm(col("v")) * norm(qvCol)), 6))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
