@@ -114,26 +114,31 @@ object Dedup {
   def ngramStages(docs: DataFrame, maxDfRatio: Double): NgramStages = {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // freq MUST be a groupBy (map-side combine): a count window
+    // partitioned by shingle would put a hot shingle's every
+    // occurrence on one task — the exact skew this operator mitigates
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // prefix length |A| − ⌈0.8|A|⌉ + 1, in integer math (0.8·n in FP
     // rounds wrong at multiples of 5): ⌈4n/5⌉ = (4n+4) div 5
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("shingle"))
-    // NOTE: `sizes` is a PER-DOCUMENT table — it grows with the corpus,
-    // so it must never carry a broadcast hint (at billions of docs that
-    // is a driver OOM).  These joins run shuffled; AQE still broadcasts
-    // at runtime when the actual size is small (as at test SF).
+    // NOTE: per-document stats (n_sh) ride the SAME doc_id exchange as
+    // the rarity window — a count window over the unordered doc
+    // partition (bounded by doc length, no skew) instead of a separate
+    // sizes aggregate + shuffled join.  The freq join itself runs
+    // shuffled and unhinted — freq is vocabulary-sized and must never
+    // be broadcast by hint; AQE still broadcasts small actuals.
     // Prefix rows carry (rn, n_sh) so the size-ratio and positional
-    // filters run INSIDE the candidate join — no post-hoc `sizes` joins.
+    // filters run INSIDE the candidate join — no post-hoc size joins.
     // The frequency cap drops hot rows from the INDEX only — `rn` is
     // assigned before it, so surviving positions (and the positional
     // bound below) are unchanged.
+    val byDoc = Window.partitionBy(col("doc_id"))
     val prefix = sh
       .join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(byRarity))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
       .crossJoin(broadcast(nDocs))
       .filter(col("freq") <= col("n_docs") * maxDfRatio)
@@ -352,9 +357,12 @@ object Dedup {
       val neighborMin = undirected
         .join(labels.withColumnRenamed("doc_id", "nid"), col("v") === col("nid"))
         .groupBy(col("u")).agg(min(col("group_id")).as("nmin"))
+      // carry the round's starting label through so convergence is a
+      // flag on the materialized frame — no extra join-back against
+      // `labels` and no second recompute per round
       val hop = labels
         .join(neighborMin, labels("doc_id") === neighborMin("u"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("group_id").as("old_gid"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
       // pointer jumping: group_id is itself a doc_id, so look up ITS
       // label and take the min — halves remaining chain depth per round
@@ -362,12 +370,12 @@ object Dedup {
         .join(hop.select(col("doc_id").as("gid"), col("group_id").as("glabel")),
           col("a.group_id") === col("gid"), "left")
         .select(col("a.doc_id").as("doc_id"),
-          least(col("a.group_id"), coalesce(col("glabel"), col("a.group_id"))).as("group_id"))
+          least(col("a.group_id"), coalesce(col("glabel"), col("a.group_id"))).as("group_id"),
+          (least(col("a.group_id"), coalesce(col("glabel"), col("a.group_id")))
+            =!= col("a.old_gid")).as("changed"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.group_id") =!= col("o.group_id")).count()
-      labels = next
+      val changed = next.filter(col("changed")).count()
+      labels = next.select(col("doc_id"), col("group_id"))
       converged = changed == 0
       iter += 1
     }
