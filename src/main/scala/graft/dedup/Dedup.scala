@@ -171,15 +171,17 @@ object Dedup {
         first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
       .filter((lit(1) + least(col("a_n") - col("pa"), col("b_n") - col("pb"))) * 9 >=
         (col("a_n") + col("b_n")) * 4)
-      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .select(col("a_id"), col("b_id"))
     val pairs = exactJaccardVerify(sh, cand)
     NgramStages(collisions, pairs)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the FULL
-    * shingle sets — shared by the AllPairs path (ngramStages) and the
-    * MinHash-LSH path (minhashVerified); candidates (a_id, b_id) must
-    * carry doc sizes (a_n, b_n).
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    * against the FULL shingle sets — shared by the AllPairs path
+    * (ngramStages) and the MinHash-LSH path (minhashVerified).  Set
+    * sizes come from the collected arrays themselves (`size(shs)` —
+    * exact, the shingle rows are distinct per doc), so candidates
+    * shuffle as bare id pairs and no size table joins in.
     *
     * Verification runs on 64-bit shingle hashes, not strings: long-
     * array intersect is ~5× cheaper and the arrays shuffle at
@@ -193,7 +195,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("a_n") + col("b_n") - col("inter")))
+        (size(col("a_shs")) + size(col("b_shs")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), roundx(col("jaccard"), 4).as("jaccard"))
   }
@@ -262,11 +264,7 @@ object Dedup {
     val t = Tables(spark, dir)
     val sh = t.documents
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val cand = minhashBandCandidates(t.documents)
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
-    exactJaccardVerify(sh, cand)
+    exactJaccardVerify(sh, minhashBandCandidates(t.documents))
   }
 
   /** 60-bit SimHash per doc from word hashes; near-dup pairs at
