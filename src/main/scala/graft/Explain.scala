@@ -2,14 +2,18 @@ package graft
 
 /** Dev loop: print the formatted physical plan of named queries (and
   * execute them once so runtime warnings like unpartitioned-window
-  * surface in the log). `runMain graft.Explain <sfDir> <name>...` */
+  * surface in the log). `runMain graft.Explain <sfDir> <name>...`;
+  * with no names, audits EVERY registered query. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { name =>
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"==== $name ====")
       df.explain("formatted")
