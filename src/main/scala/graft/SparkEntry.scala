@@ -117,6 +117,11 @@ object SparkEntry {
     "d_sample_split" -> (TrainPrep.sampleSplit _),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
     "t_redact" -> (TrainPrep.redact _),
+    "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
+    // corpus profiling (vocabulary, length distributions, repetition)
+    "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
+    "d_corpus_stats" -> (CorpusStats.corpusStats _),
+    "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
     "t_tokens" -> (TextAnalysis.tokens _),
@@ -474,6 +479,47 @@ object SparkEntry {
     "t_redact" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_redacted,
         |regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g') AS redacted_text FROM documents""".stripMargin,
+    "d_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+        |string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT DISTINCT doc_id, bucket, array_to_string(a[i : i+7], ' ') AS gram
+        |FROM docs, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+        |tr AS (SELECT doc_id, gram FROM g WHERE bucket < 80),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 90)
+        |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams, count(DISTINCT eval_id) AS n_eval_docs
+        |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+    "t_vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM w GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "d_corpus_stats" ->
+      """WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |CAST(length(text) AS BIGINT) AS nc FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(nw) AS n_tokens,
+        |min(nw) AS min_tokens, max(nw) AS max_tokens,
+        |round(quantile_cont(nw, 0.5), 4) AS p50_tokens,
+        |round(quantile_cont(nw, 0.9), 4) AS p90_tokens,
+        |round(quantile_cont(nw, 0.99), 4) AS p99_tokens,
+        |round(CAST(sum(CAST(nc AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_chars
+        |FROM x GROUP BY 1""".stripMargin,
+    "t_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT doc_id, a,
+        |CASE WHEN len(a) >= 2 THEN list_transform(generate_series(1, len(a)-1), i -> a[i] || ' ' || a[i+1]) ELSE [] END AS g2,
+        |CASE WHEN len(a) >= 3 THEN list_transform(generate_series(1, len(a)-2), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]) ELSE [] END AS g3
+        |FROM w),
+        |d AS (SELECT doc_id,
+        |CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) ELSE 0.0 END AS dup2,
+        |CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) ELSE 0.0 END AS dup3
+        |FROM g),
+        |t AS (SELECT doc_id, token, count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(a) AS token FROM w) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_cnt FROM t GROUP BY 1)
+        |SELECT d.doc_id, CAST(tt.n_words AS BIGINT) AS n_words,
+        |round(CAST(tt.top_cnt AS DOUBLE)/tt.n_words, 4) AS top_word_frac,
+        |round(d.dup2, 4) AS dup_2gram_frac, round(d.dup3, 4) AS dup_3gram_frac,
+        |CAST(CAST(tt.top_cnt AS DOUBLE)/tt.n_words > 0.12 OR d.dup2 > 0.1 OR d.dup3 > 0.05 AS BIGINT) AS repetitive
+        |FROM d JOIN tt ON d.doc_id = tt.doc_id""".stripMargin,
     "t_langid" ->
       """WITH h AS (SELECT doc_id,
         |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{avgx, roundx}
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+
+/** Corpus-level statistics over `documents` — the profiling pass a
+  * training-data pipeline runs before filtering: vocabulary frequency,
+  * per-language length distributions, and repetition scoring
+  * (the Gopher/MassiveText "repetitious text" filters, Rae et al. 2021,
+  * adapted to word n-grams since this corpus is single-line).
+  *
+  * Scale notes: everything here is a scan plus ONE partial-aggregated
+  * shuffle keyed by (token) or (doc_id, token) — high-cardinality,
+  * uniform keys, the classic word-count shape that saturates a cluster
+  * rather than a single reducer.  Top-k compiles to
+  * TakeOrderedAndProject (per-partition heaps, k-row driver merge),
+  * never a global sort.
+  */
+object CorpusStats {
+
+  /** Corpus vocabulary, top-k by term frequency: term frequency and
+    * document frequency per token.  The word-count shape: map-side
+    * partial aggregation means each distinct token crosses the wire
+    * once per map partition, and the final top-k never sorts the full
+    * vocabulary. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
+  /** Per-language corpus profile: doc counts, token totals, and the
+    * exact token-length distribution (p50/p90/p99).  Token totals are
+    * integer sums (order-independent, no Exact route needed); exact
+    * percentile() buffers a group's values — bounded here by docs per
+    * language, and the approx_percentile swap (see
+    * Transactions.gasPricesApprox) is the documented production path
+    * at corpus scale. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(words(col("text"))).cast("long")
+    Tables(spark, dir).documents
+      .select(col("lang"), nw.as("nw"), length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        min(col("nw")).as("min_tokens"),
+        max(col("nw")).as("max_tokens"),
+        roundx(expr("percentile(nw, 0.5)"), 4).as("p50_tokens"),
+        roundx(expr("percentile(nw, 0.9)"), 4).as("p90_tokens"),
+        roundx(expr("percentile(nw, 0.99)"), 4).as("p99_tokens"),
+        roundx(avgx(col("nc")), 4).as("avg_chars"))
+  }
+
+  /** All overlapping word k-grams, duplicates KEPT (unlike
+    * TextFunctions.shingles) — repetition scoring needs the total vs
+    * distinct counts. */
+  private def gramsAll(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => array_join(slice(w, i + 1, lit(k)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Fraction of k-grams that are repeats of an earlier k-gram in the
+    * same doc: (total − distinct) / total. */
+  private def dupFrac(w: Column, k: Int): Column = {
+    val g = gramsAll(w, k)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Repetition filters (Gopher-style): duplicate 2-gram / 3-gram
+    * fraction and most-frequent-word fraction, with a keep/drop flag.
+    *
+    * Two frames joined on doc_id, deliberately: expressions selected
+    * ALONGSIDE an explode() land in the Project above the Generate and
+    * are re-evaluated once per generated row — carrying the dup
+    * fractions through the token explode re-runs their O(words)
+    * interpreted gram lambdas per TOKEN, i.e. O(words²) per doc
+    * (measured 53 s for 500 docs before the split; sub-second after).
+    * The per-doc frame computes each fraction once at scan speed; the
+    * token frame is the uniform (doc_id, token) word-count shuffle; and
+    * the final equi-join reuses the aggregation's doc_id partitioning,
+    * so the join adds no exchange on the heavy side.  The top-word
+    * count goes through explode + two-phase aggregation rather than a
+    * per-row nested HOF: filter-inside-transform is the same O(words²)
+    * §4b anti-pattern. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val docs = Tables(spark, dir).documents
+    val perDoc = docs.select(col("doc_id"),
+      dupFrac(w, 2).as("dup2"), dupFrac(w, 3).as("dup3"))
+    val topWord = docs
+      .select(col("doc_id"), explode(w).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_cnt"))
+    topWord.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        roundx(col("top_cnt").cast("double") / col("n_words").cast("double"), 4).as("top_word_frac"),
+        roundx(col("dup2"), 4).as("dup_2gram_frac"),
+        roundx(col("dup3"), 4).as("dup_3gram_frac"),
+        (col("top_cnt").cast("double") / col("n_words").cast("double") > 0.12 ||
+          col("dup2") > 0.1 || col("dup3") > 0.05).cast("int").cast("long").as("repetitive"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{shingles, words}
 import graft.sources.Tables
 
 /** Training-data preparation operators over `documents` — the steps
@@ -72,6 +72,36 @@ object TrainPrep {
       .select(col("doc_id"), h.as("h"), pmod(h, lit(shards.toLong)).as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Benchmark decontamination: flag train-split docs sharing any word
+    * n-gram with the held-out test split (the GPT-3 appendix-C /
+    * PaLM-style overlap check; n = 8 here against 13 there because this
+    * corpus's docs are 10–99 words).  Exact dups can't leak across the
+    * split (same content hash → same bucket), so what this catches is
+    * NEAR-dup leakage — re-crawls with small edits.
+    *
+    * Scale shape: explode distinct n-grams on both sides, equi-join on
+    * the gram, count distinct shared grams / eval docs per train doc.
+    * In production the eval side is a fixed benchmark suite — MBs, a
+    * broadcast — but here it is the 10% split of the corpus itself, so
+    * the hint is size-guarded: above threshold it degrades to a
+    * shuffled equi-join on the gram key (uniform by construction —
+    * grams hot enough to skew a bucket are exactly the ones a real
+    * pipeline drops from the check as boilerplate). */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        pmod(contentHash(col("text")), lit(100L)).as("bucket"),
+        shingles(col("text"), n).as("g"))
+    val train = docs.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+    val heldout = docs.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("eval_id"), explode(col("g")).as("gram"))
+    train.join(PlanHints.broadcastIfSmall(heldout), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
   /** Scrub numeric identifiers before training: digit runs of ≥ 2

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.shingles
+import graft.operators.{CorpusStats, TrainPrep}
+
+/** Invariants of the corpus-profiling + decontamination operators
+  * beyond the value-level oracle: plan shapes (top-k never global-sorts,
+  * repetition shuffles at most twice) and cross-operator consistency
+  * (decontamination only ever flags train-split docs, and every flag is
+  * backed by a real shared n-gram). */
+class CorpusStatsSpec extends GraftSpec {
+
+  test("vocab top-k compiles to TakeOrderedAndProject and tf sums to corpus words") {
+    val v = CorpusStats.vocabTopK(spark, Dir, k = 1000000)
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$plan")
+    val tfSum = v.agg(sum(col("tf"))).collect()(0).getLong(0)
+    val words = graft.sources.Tables(spark, Dir).documents
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(tfSum == words, s"tf total $tfSum != corpus words $words")
+  }
+
+  test("repetition metrics are in [0,1] and the plan shuffles at most twice") {
+    val r = CorpusStats.repetition(spark, Dir)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(r.queryExecution.executedPlan.toString).size
+    assert(exchanges <= 2, s"repetition plan has $exchanges shuffle exchanges")
+    val bad = r.filter(
+      col("top_word_frac") < 0 || col("top_word_frac") > 1 ||
+        col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1 ||
+        col("dup_3gram_frac") < 0 || col("dup_3gram_frac") > 1 ||
+        (col("repetitive") =!= 0 && col("repetitive") =!= 1)).count()
+    assert(bad == 0)
+    // the flag must split the corpus, not rubber-stamp it
+    val flagged = r.filter(col("repetitive") === 1).count()
+    assert(flagged > 0 && flagged < r.count())
+  }
+
+  test("decontamination flags only train-split docs, each backed by a shared 8-gram") {
+    val flagged = TrainPrep.decontaminate(spark, Dir)
+    val splits = TrainPrep.sampleSplit(spark, Dir)
+    val nonTrain = flagged.join(splits, Seq("doc_id"))
+      .filter(col("split") =!= "train").count()
+    assert(nonTrain == 0, "decontamination flagged a non-train doc")
+
+    // independent re-verify: every flagged doc really shares an 8-gram
+    // with some test-split doc
+    val docs = graft.sources.Tables(spark, Dir).documents
+      .join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), explode(shingles(col("text"), 8)).as("gram"))
+    val truth = docs.filter(col("split") === "train").select(col("doc_id"), col("gram"))
+      .join(docs.filter(col("split") === "test").select(col("gram")), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    assert(flagged.select(col("doc_id")).except(truth).count() == 0)
+    assert(truth.except(flagged.select(col("doc_id"))).count() == 0)
+    assert(flagged.count() > 0, "test data should contain cross-split near-dups")
+  }
+}
