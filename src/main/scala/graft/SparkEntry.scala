@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.Knn
+import graft.similarity.{Kmeans, Knn}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -112,6 +112,7 @@ object SparkEntry {
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
+    "s_kmeans" -> (Kmeans.kmeansHistory _),
     // training-data preparation (chunking, split, shards, scrub)
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
     "d_sample_split" -> (TrainPrep.sampleSplit _),
