@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.{Kmeans, Knn}
+import graft.similarity.{Kmeans, Knn, Pq, SemDedup}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -113,14 +113,21 @@ object SparkEntry {
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
+    // sketch internals (k-means training / Bloom probes) are not
+    // portably SQL-expressible -> rows-only checks + invariant specs
+    "s_knn_pq" -> (Pq.pqAnn _),
+    "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
+    "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
     "d_sample_split" -> (TrainPrep.sampleSplit _),
+    "d_sample_stratified" -> ((s: SparkSession, d: String) => TrainPrep.sampleStratified(s, d)),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
     "t_redact" -> (TrainPrep.redact _),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
+    "t_bpe_pairs" -> ((s: SparkSession, d: String) => CorpusStats.bpePairs(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
@@ -473,6 +480,18 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket FROM documents)
         |SELECT doc_id, bucket,
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h""".stripMargin,
+    "d_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |CAST(bucket < CASE WHEN lang = 'en' THEN 400 ELSE 1000 END AS BIGINT) AS kept FROM h""".stripMargin,
+    "t_bpe_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |p AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 2
+        |THEN list_transform(generate_series(1, len(a) - 1), i -> a[i] || ' ' || a[i+1])
+        |ELSE [] END) AS pair FROM w)
+        |SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 100""".stripMargin,
     "d_train_shards" ->
       """WITH h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents)
         |SELECT doc_id, h % 8 AS shard,

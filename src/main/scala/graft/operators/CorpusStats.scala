@@ -34,6 +34,29 @@ object CorpusStats {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** BPE merge-candidate scan — the inner step of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016: count all ADJACENT
+    * symbol pairs, merge the most frequent, repeat): corpus-wide
+    * adjacent-token-pair frequencies, top-k.  One round is registered;
+    * the trainer loop re-runs it on the merged vocabulary.
+    *
+    * Shape: the pair list is built per row with zip_with over two
+    * shifted slices (no self-join on position — a join would shuffle
+    * the corpus once per side), then the same word-count aggregation
+    * as vocabTopK: partial agg + TakeOrderedAndProject, never a
+    * global sort. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val w = words(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-language corpus profile: doc counts, token totals, and the
     * exact token-length distribution (p50/p90/p99).  Token totals are
     * integer sums (order-independent, no Exact route needed); exact

@@ -58,6 +58,27 @@ object TrainPrep {
           .otherwise("test").as("split"))
   }
 
+  /** Stratified (per-language) deterministic downsampling — the data-
+    * mixing step that rebalances an over-represented language before
+    * training (e.g. keep 40% of `en`, 100% of everything else).  Same
+    * hash-of-content selection as `sampleSplit`: the kept set is stable
+    * across runs/engines/partitionings and duplicate texts share a
+    * fate, so dedup before or after sampling commutes.  Pure per-row
+    * column math — narrow, scan-speed, zero shuffle; random() sampling
+    * (nondeterministic, partitioning-dependent) is the anti-pattern
+    * this avoids. */
+  def sampleStratified(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 400),
+      defaultRate: Int = 1000): DataFrame = {
+    val bucket = pmod(contentHash(col("text")), lit(1000L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        (bucket < rate).cast("int").cast("long").as("kept"))
+  }
+
   /** Shard layout for training readers: shard = content-hash mod
     * `shards` (uniform, content-stable), ordinal within shard by
     * (hash, doc_id) — a deterministic pseudo-random order, which is
@@ -102,6 +123,41 @@ object TrainPrep {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Bloom-filter decontamination — the production twin of
+    * `decontaminate` for the realistic asymmetry: a petabyte train side
+    * against a FIXED benchmark suite (MBs of eval grams).  Instead of
+    * an equi-join, the eval grams are folded into a Bloom filter
+    * (Bloom 1970) built executor-side, and the train scan probes it
+    * with a codegen'd expression (graft.functions.BloomContains) —
+    * the gram explode never shuffles and the eval side never joins;
+    * the filter rides the plan like Spark's own runtime filters.
+    *
+    * False positives only ADD flagged grams (never miss one), at rate
+    * `fpp` per distinct probe — with the default 1e-6, ~0.1 expected
+    * extra grams per million, and the Bloom seed is fixed so results
+    * are deterministic across runs.  The two driver-side scalars
+    * (gram count to size the filter; the merged KB-scale sketch) are
+    * bounded by the benchmark suite, not the corpus — metadata reads,
+    * like IVF centroids. */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      n: Int = 8, fpp: Double = 1e-6): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        pmod(contentHash(col("text")), lit(100L)).as("bucket"),
+        shingles(col("text"), n).as("g"))
+    val train = docs.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+    val evalGrams = docs.filter(col("bucket") >= 90)
+      .select(explode(col("g")).as("gram")).distinct()
+      .select(xxhash64(col("gram")).as("h"))
+      .localCheckpoint() // two bounded passes (size, build) — scan eval once
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("h", nGrams, fpp)
+    train.filter(graft.functions.BloomContains(col("gram"), bloom))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_flagged_grams"))
   }
 
   /** Scrub numeric identifiers before training: digit runs of ≥ 2

@@ -35,28 +35,35 @@ object Kmeans {
   /** Train K centroids for `iters` rounds over e(vec_id, v).
     * Returns (centroids(cid, cv), history(iter, cost, n_moved)) where
     * cost = Σ (1 − cos(v, centroid)) after each assignment. */
+  /** Pre-normalize ONCE: |vn| = 1 turns the cosine objective into a
+    * plain dot and makes the spherical refinement a per-dim mean.
+    * Two checkpointed steps so `nrm` is a materialized leaf column —
+    * if it stayed an expression, CollapseProject would substitute it
+    * into the transform lambda and re-derive the norm per ELEMENT. */
+  private[similarity] def normalize(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .localCheckpoint()
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+      .localCheckpoint()
+
+  /** Assignment step over normalized vectors: broadcast the K-row
+    * centroid table, one codegen'd dot per (row × centroid), argmin
+    * via min(struct).  Shared with SemDedup's cluster assignment. */
+  private[similarity] def assign(eN: DataFrame, cents: DataFrame): DataFrame =
+    eN.crossJoin(broadcast(cents))
+      .withColumn("dist", -dot(col("vn"), col("cv")) / norm(col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("vn")).as("vn"))
+      .select(col("vec_id"), col("vn"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
+
   def train(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = e.sparkSession
     import spark.implicits._
 
-    // Pre-normalize ONCE: |vn| = 1 turns the cosine objective into a
-    // plain dot and makes the spherical refinement a per-dim mean.
-    // Two checkpointed steps so `nrm` is a materialized leaf column —
-    // if it stayed an expression, CollapseProject would substitute it
-    // into the transform lambda and re-derive the norm per ELEMENT.
-    val withNorm = e.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-      .localCheckpoint()
-    val eN = withNorm
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
-      .localCheckpoint()
+    val eN = normalize(e)
 
-    def assign(cents: DataFrame): DataFrame =
-      eN.crossJoin(broadcast(cents))
-        .withColumn("dist", -dot(col("vn"), col("cv")) / norm(col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("vn")).as("vn"))
-        .select(col("vec_id"), col("vn"),
-          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    def assignC(cents: DataFrame): DataFrame = assign(eN, cents)
 
     // spherical refinement: mean DIRECTION of each cluster's members
     // (exact DECIMAL means — centroid values independent of partitioning)
@@ -72,7 +79,7 @@ object Kmeans {
     var prev: Option[DataFrame] = None
     val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     for (it <- 1 to iters) {
-      val a = assign(cents).localCheckpoint()
+      val a = assignC(cents).localCheckpoint()
       val cost = a.agg(sumx(roundx(lit(1.0) + col("dist"), 6)))
         .collect()(0).getDouble(0)
       val moved = prev match {

@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{avgx, roundx, sumx}
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+  * quantization for nearest neighbor search"): split each pre-
+  * normalized 64-dim vector into M=8 contiguous 8-dim subvectors,
+  * vector-quantize each subspace to Ksub=16 centroids (deterministic
+  * seeds + one Lloyd round, the same recipe as Knn.coarseQuantizer),
+  * and store each vector as M small codes — 8 codes ≈ 8 B against
+  * 256 B of floats, the 16–64× memory cut that makes billion-vector
+  * indexes RAM-resident.  Composes with IvfWarehouse into IVF-PQ
+  * (posting lists of codes), the standard FAISS layout.
+  *
+  * Queries run ADC — ASYMMETRIC distance computation: the query stays
+  * un-quantized; its dot product against every (subspace, centroid)
+  * pair forms an M×Ksub=128-row lookup table, and a vector's score is
+  * the sum of its M table entries.  In Spark that is a broadcast hash
+  * join of the codes table against the LUT plus one partial-aggregated
+  * sum — scan-speed, no per-pair vector math at all (the only
+  * full-width dots happen 128 times building the LUT).
+  *
+  * Determinism: subspace centroids refine through Exact DECIMAL means
+  * and ADC sums through sumx, so scores — and the top-k cut — are
+  * bit-stable across partitionings.  No SQL oracle (iterative
+  * quantizer training); PqSpec asserts code-range/width invariants and
+  * recall@10 against the exact brute-force baseline.
+  */
+object Pq {
+
+  private val M = 8       // subspaces
+  private val SubDim = 8  // dims per subspace (M × SubDim = 64)
+  private val Ksub = 16   // centroids per subspace
+
+  /** (vec_id, m, sv): the M subvectors of each normalized vector.
+    * Slices are computed INSIDE the generator input (posexplode of an
+    * 8-element array built per row), so the 64-wide source array is
+    * never re-evaluated per generated row. */
+  private def subvectors(eN: DataFrame): DataFrame =
+    eN.select(col("vec_id"), posexplode(
+      array((0 until M).map(m => slice(col("vn"), m * SubDim + 1, SubDim)): _*))
+      .as(Seq("m", "sv")))
+
+  /** Ingest-time entry point: train the M per-subspace codebooks and
+    * encode every vector of e(vec_id, v).
+    * Returns (codebook(m, cid, cv), codes(vec_id, m, code)). */
+  def encode(e: DataFrame): (DataFrame, DataFrame) =
+    codebookAndCodes(Kmeans.normalize(e))
+
+  /** Train the M per-subspace codebooks and encode every vector.
+    * Returns (codebook(m, cid, cv), codes(vec_id, m, code)). */
+  private def codebookAndCodes(eN: DataFrame): (DataFrame, DataFrame) = {
+    val sub = subvectors(eN).localCheckpoint() // reused: seeds, assign ×2
+    val seeds = sub.filter(col("vec_id") < Ksub)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+
+    // L2 argmin per (vector, subspace); the codebook is 128 rows →
+    // always a broadcast; partial agg keeps each subvector crossing
+    // the wire once per map partition
+    def nearest(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("m"))
+        .withColumn("d2",
+          dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+            - lit(2.0) * dot(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("m"), col("sv"), col("best.cid").as("cid"))
+
+    // one Lloyd refinement per subspace: exact per-dim means, shuffle
+    // bounded by M × Ksub × SubDim groups
+    val refined = nearest(seeds)
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("cid"), col("dim")).agg(avgx(col("x")).as("mu"))
+      .groupBy(col("m"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+      .select(col("m"), col("cid"), transform(col("dm"), s => s.getField("mu")).as("cv"))
+    (refined, nearest(refined).select(col("vec_id"), col("m"), col("cid").as("code")))
+  }
+
+  /** Registered query: top-10 ADC neighbors of vec_id 0. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val eN = Kmeans.normalize(
+      t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")))
+    val (codebook, codes) = codebookAndCodes(eN)
+    val qsub = subvectors(eN.filter(col("vec_id") === 0))
+      .select(col("m"), col("sv").as("qsv"))
+    // the ADC lookup table: M × Ksub rows, built with the ONLY
+    // full-width dots in the query path
+    val lut = codebook.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        dot(col("cv"), col("qsv")).as("part"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(roundx(sumx(col("part")), 6).as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("adc_cosine"))
+  }
+}

@@ -22,6 +22,20 @@ class CorpusStatsSpec extends GraftSpec {
     assert(tfSum == words, s"tf total $tfSum != corpus words $words")
   }
 
+  test("bpe pair counts cover exactly the adjacent positions") {
+    // with the limit lifted, Σn over all pairs must equal Σ(words−1):
+    // one pair per adjacent position, none dropped, none double-counted
+    val p = CorpusStats.bpePairs(spark, Dir, k = 1000000)
+    assert(p.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val nSum = p.agg(sum(col("n"))).collect()(0).getLong(0)
+    val positions = graft.sources.Tables(spark, Dir).documents
+      .select((size(split(col("text"), " ")) - 1).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(nSum == positions, s"pair total $nSum != adjacent positions $positions")
+    val badDf = p.filter(col("df") > col("n") || col("df") < 1).count()
+    assert(badDf == 0)
+  }
+
   test("repetition metrics are in [0,1] and the plan shuffles at most twice") {
     val r = CorpusStats.repetition(spark, Dir)
     val exchanges = "Exchange hashpartitioning".r

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.similarity.{Knn, Pq}
+
+/** Product-quantization invariants: code-table shape (M codes per
+  * vector, each within the subspace codebook), ADC recall against the
+  * exact brute-force baseline, and bit-determinism of the top-k cut.
+  *
+  * Recall note: random synthetic embeddings are PQ's worst case (no
+  * cluster structure for the codebooks to exploit), so the bound here
+  * is intentionally loose — the spec guards against the pipeline
+  * degenerating (e.g. all vectors coding identically), not for
+  * production recall, which real embedding distributions and 8-bit
+  * codebooks (Ksub=256) deliver.
+  */
+class PqSpec extends GraftSpec {
+
+  test("every vector gets 8 codes, each inside the 16-entry subspace codebook") {
+    val e = graft.sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (codebook, codes) = Pq.encode(e)
+    assert(codebook.count() == 8 * 16)
+    val perVec = codes.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("m")).as("nm"))
+      .filter(col("n") =!= 8 || col("nm") =!= 8).count()
+    assert(perVec == 0, "a vector is missing subspace codes")
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    // codes must discriminate: if every vector coded identically the
+    // quantizer collapsed
+    val distinctWords = codes.groupBy(col("vec_id"))
+      .agg(concat_ws(",", collect_list(col("code"))).as("w"))
+      .select(countDistinct(col("w"))).collect()(0).getLong(0)
+    assert(distinctWords > 1)
+  }
+
+  test("ADC top-10 overlaps the exact baseline and is deterministic") {
+    val pq = Pq.pqAnn(spark, Dir)
+    val rows = pq.collect()
+    assert(rows.length == 10)
+    val pqIds = rows.map(_.getLong(0)).toSet
+    val brIds = Knn.bruteForce(spark, Dir).collect().map(_.getLong(0)).toSet
+    assert((pqIds & brIds).size >= 2,
+      s"ADC recall collapsed: ${(pqIds & brIds).size}/10 overlap with brute force")
+    val again = Pq.pqAnn(spark, Dir)
+    assert(pq.except(again).count() == 0 && again.except(pq).count() == 0)
+  }
+}

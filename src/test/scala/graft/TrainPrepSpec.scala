@@ -42,6 +42,44 @@ class TrainPrepSpec extends GraftSpec {
     assert(shards == 1L, "duplicate texts assigned to different shards")
   }
 
+  test("stratified sampling downsamples only the targeted language, deterministically") {
+    val s = TrainPrep.sampleStratified(spark, Dir)
+    // non-targeted languages are kept in full
+    val droppedOther = s.filter(col("lang") =!= "en" && col("kept") === 0).count()
+    assert(droppedOther == 0, "non-en docs were dropped")
+    // en is actually downsampled (rate 400/1000 — binomial tail makes
+    // a zero-drop corpus astronomically unlikely)
+    val en = s.filter(col("lang") === "en")
+    val enKept = en.filter(col("kept") === 1).count()
+    assert(enKept < en.count(), "en not downsampled at all")
+    // duplicate texts share a fate: sampling and dedup commute
+    val t = graft.sources.Tables(spark, Dir).documents
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val fates = s.join(t, Seq("doc_id")).groupBy(col("h"))
+      .agg(countDistinct(col("kept")).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(fates == 1L, "duplicate texts got different sampling fates")
+  }
+
+  test("bloom decontamination matches the exact-join path (no misses; FPs bounded)") {
+    val exact = TrainPrep.decontaminate(spark, Dir)
+      .select(col("doc_id"), col("n_shared_grams")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TrainPrep.bloomDecontaminate(spark, Dir)
+      .select(col("doc_id"), col("n_flagged_grams")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Bloom filters have no false negatives: every exact hit is flagged
+    // with at least its exact gram count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id flagged by exact join but missed by bloom")
+      assert(bloom(id) >= n, s"doc $id: bloom count ${bloom(id)} < exact $n")
+    }
+    // at fpp 1e-6 over this corpus's probe count the expected FP count
+    // is ~1e-2 — and the fixed Bloom seed makes the outcome stable, so
+    // equality is deterministic here, not flaky
+    assert(bloom == exact, s"false positives: ${bloom.keySet -- exact.keySet}")
+  }
+
   test("shard ordinals are dense 1..count per shard") {
     val bad = TrainPrep.trainShards(spark, Dir)
       .groupBy(col("shard"))
