@@ -116,6 +116,7 @@ object SparkEntry {
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
+    "s_knn_ivfpq" -> ((s: SparkSession, d: String) => Pq.ivfPqAnn(s, d)),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)
@@ -125,6 +126,7 @@ object SparkEntry {
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
     "t_redact" -> (TrainPrep.redact _),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
+    "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
     "t_bpe_pairs" -> ((s: SparkSession, d: String) => CorpusStats.bpePairs(s, d)),
@@ -142,6 +144,55 @@ object SparkEntry {
   // DuckDB mirrors.  SUMX/AVGX == graft.functions.Exact.
   private def SUMX(e: String) = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
   private def AVGX(e: String) = s"${SUMX(e)}/count(*)"
+
+  // Hoisted oracle bodies reused by the d_corpus_funnel composition —
+  // one definition, so funnel gates and per-signal queries can't drift.
+  private val TQualitySql =
+    """WITH x AS (SELECT doc_id,
+      |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+      |CAST(length(text) AS DOUBLE) AS nc,
+      |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+      |  - CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS np,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
+      |FROM documents)
+      |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(nc / nw, 4) AS avg_word_len,
+      |np AS n_punct, round(sw / nw, 4) AS stopword_ratio,
+      |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS quality_score FROM x""".stripMargin
+  private val TLangidSql =
+    """WITH h AS (SELECT doc_id,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS BIGINT) AS es_hits,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','ist','ein'))) AS BIGINT) AS de_hits,
+      |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','un','est'))) AS BIGINT) AS fr_hits
+      |FROM documents)
+      |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+      |CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+      |WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+      |WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      |WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h""".stripMargin
+  private val TRepetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |g AS (SELECT doc_id, a,
+      |CASE WHEN len(a) >= 2 THEN list_transform(generate_series(1, len(a)-1), i -> a[i] || ' ' || a[i+1]) ELSE [] END AS g2,
+      |CASE WHEN len(a) >= 3 THEN list_transform(generate_series(1, len(a)-2), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]) ELSE [] END AS g3
+      |FROM w),
+      |d AS (SELECT doc_id,
+      |CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) ELSE 0.0 END AS dup2,
+      |CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) ELSE 0.0 END AS dup3
+      |FROM g),
+      |t AS (SELECT doc_id, token, count(*) AS cnt
+      |FROM (SELECT doc_id, unnest(a) AS token FROM w) GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_cnt FROM t GROUP BY 1)
+      |SELECT d.doc_id, CAST(tt.n_words AS BIGINT) AS n_words,
+      |round(CAST(tt.top_cnt AS DOUBLE)/tt.n_words, 4) AS top_word_frac,
+      |round(d.dup2, 4) AS dup_2gram_frac, round(d.dup3, 4) AS dup_3gram_frac,
+      |CAST(CAST(tt.top_cnt AS DOUBLE)/tt.n_words > 0.12 OR d.dup2 > 0.1 OR d.dup3 > 0.05 AS BIGINT) AS repetitive
+      |FROM d JOIN tt ON d.doc_id = tt.doc_id""".stripMargin
+  private val DSampleStratifiedSql =
+    """WITH h AS (SELECT doc_id, lang,
+      |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
+      |SELECT doc_id, lang, bucket,
+      |CAST(bucket < CASE WHEN lang = 'en' THEN 400 ELSE 1000 END AS BIGINT) AS kept FROM h""".stripMargin
   private val DAILY =
     s"SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${SUMX("value")} AS vol, " +
       s"count(*) AS n, ${AVGX("value")} AS avg_value FROM events GROUP BY 1, 2"
@@ -481,10 +532,7 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h""".stripMargin,
     "d_sample_stratified" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
-        |SELECT doc_id, lang, bucket,
-        |CAST(bucket < CASE WHEN lang = 'en' THEN 400 ELSE 1000 END AS BIGINT) AS kept FROM h""".stripMargin,
+      DSampleStratifiedSql,
     "t_bpe_pairs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |p AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 2
@@ -508,6 +556,22 @@ object SparkEntry {
         |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 90)
         |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams, count(DISTINCT eval_id) AS n_eval_docs
         |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+    // the funnel's gates are the per-signal oracle bodies verbatim
+    // (hoisted vals above) — composition can't drift from the signals
+    "d_corpus_funnel" ->
+      s"""WITH q AS ($TQualitySql),
+         |l AS ($TLangidSql),
+         |r AS ($TRepetitionSql),
+         |s AS ($DSampleStratifiedSql),
+         |c AS (SELECT doc_id, CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS is_canonical FROM documents)
+         |SELECT c.doc_id AS doc_id, c.is_canonical,
+         |CAST(q.quality_score >= 0.25 AS BIGINT) AS quality_ok,
+         |CAST(l.pred_lang <> 'unknown' AS BIGINT) AS lang_known,
+         |s.kept AS sample_kept, r.repetitive,
+         |CAST(c.is_canonical = 1 AND q.quality_score >= 0.25 AND l.pred_lang <> 'unknown'
+         |  AND s.kept = 1 AND r.repetitive = 0 AS BIGINT) AS keep
+         |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
+         |JOIN r ON r.doc_id = c.doc_id JOIN s ON s.doc_id = c.doc_id""".stripMargin,
     "t_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -523,46 +587,11 @@ object SparkEntry {
         |round(CAST(sum(CAST(nc AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_chars
         |FROM x GROUP BY 1""".stripMargin,
     "t_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |g AS (SELECT doc_id, a,
-        |CASE WHEN len(a) >= 2 THEN list_transform(generate_series(1, len(a)-1), i -> a[i] || ' ' || a[i+1]) ELSE [] END AS g2,
-        |CASE WHEN len(a) >= 3 THEN list_transform(generate_series(1, len(a)-2), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]) ELSE [] END AS g3
-        |FROM w),
-        |d AS (SELECT doc_id,
-        |CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) ELSE 0.0 END AS dup2,
-        |CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) ELSE 0.0 END AS dup3
-        |FROM g),
-        |t AS (SELECT doc_id, token, count(*) AS cnt
-        |FROM (SELECT doc_id, unnest(a) AS token FROM w) GROUP BY 1, 2),
-        |tt AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_cnt FROM t GROUP BY 1)
-        |SELECT d.doc_id, CAST(tt.n_words AS BIGINT) AS n_words,
-        |round(CAST(tt.top_cnt AS DOUBLE)/tt.n_words, 4) AS top_word_frac,
-        |round(d.dup2, 4) AS dup_2gram_frac, round(d.dup3, 4) AS dup_3gram_frac,
-        |CAST(CAST(tt.top_cnt AS DOUBLE)/tt.n_words > 0.12 OR d.dup2 > 0.1 OR d.dup3 > 0.05 AS BIGINT) AS repetitive
-        |FROM d JOIN tt ON d.doc_id = tt.doc_id""".stripMargin,
+      TRepetitionSql,
     "t_langid" ->
-      """WITH h AS (SELECT doc_id,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS BIGINT) AS es_hits,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','ist','ein'))) AS BIGINT) AS de_hits,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','un','est'))) AS BIGINT) AS fr_hits
-        |FROM documents)
-        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
-        |CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-        |WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
-        |WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-        |WHEN fr_hits > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h""".stripMargin,
+      TLangidSql,
     "t_quality" ->
-      """WITH x AS (SELECT doc_id,
-        |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-        |CAST(length(text) AS DOUBLE) AS nc,
-        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
-        |  - CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS np,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
-        |FROM documents)
-        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(nc / nw, 4) AS avg_word_len,
-        |np AS n_punct, round(sw / nw, 4) AS stopword_ratio,
-        |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS quality_score FROM x""".stripMargin,
+      TQualitySql,
     "t_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,

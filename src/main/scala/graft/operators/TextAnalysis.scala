@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.Exact.roundx
@@ -12,6 +12,29 @@ import graft.sources.Tables
   * scan-speed and whole-stage-codegen'd.
   */
 object TextAnalysis {
+
+  /** Predicted language as a column — the argmax-with-precedence rule
+    * shared by `langId` and the corpus funnel. */
+  def predLangCol(text: Column): Column = {
+    val en = stopwordHits(text, StopEn)
+    val es = stopwordHits(text, StopEs)
+    val de = stopwordHits(text, StopDe)
+    val fr = stopwordHits(text, StopFr)
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Quality score as a column (already roundx'd to 4 — threshold
+    * comparisons against it are engine-stable), shared by `quality`
+    * and the corpus funnel. */
+  def qualityScoreCol(text: Column): Column = {
+    val nWords = size(words(text)).cast("double")
+    val stopRatio = stopwordHits(text, StopEn).cast("double") / nWords
+    roundx(least(nWords / 100.0, lit(1.0)) * (lit(0.5) + lit(0.5) * stopRatio), 4)
+  }
 
   /** Stopword-hit language ID: count hits per language list, argmax
     * with a fixed precedence (en > es > de > fr > unknown). */
@@ -25,11 +48,7 @@ object TextAnalysis {
       col("doc_id"),
       en.cast("long").as("en_hits"), es.cast("long").as("es_hits"),
       de.cast("long").as("de_hits"), fr.cast("long").as("fr_hits"),
-      when(en >= es && en >= de && en >= fr && en > 0, "en")
-        .when(es >= de && es >= fr && es > 0, "es")
-        .when(de >= fr && de > 0, "de")
-        .when(fr > 0, "fr")
-        .otherwise("unknown").as("pred_lang"))
+      predLangCol(col("text")).as("pred_lang"))
   }
 
   /** Quality score from length / punctuation / stopword signals —
@@ -40,14 +59,13 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("double")
     val nPunct = regexTokenCount(col("text")) - size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+"), lit(0)))
     val stopRatio = stopwordHits(col("text"), StopEn).cast("double") / nWords
-    val lenScore = least(nWords / 100.0, lit(1.0))
     t.documents.select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
       roundx(nChars / nWords, 4).as("avg_word_len"),
       nPunct.cast("long").as("n_punct"),
       roundx(stopRatio, 4).as("stopword_ratio"),
-      roundx(lenScore * (lit(0.5) + lit(0.5) * stopRatio), 4).as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */

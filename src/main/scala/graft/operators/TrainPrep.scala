@@ -67,17 +67,23 @@ object TrainPrep {
     * column math — narrow, scan-speed, zero shuffle; random() sampling
     * (nondeterministic, partitioning-dependent) is the anti-pattern
     * this avoids. */
-  def sampleStratified(spark: SparkSession, dir: String,
-      rates: Map[String, Int] = Map("en" -> 400),
-      defaultRate: Int = 1000): DataFrame = {
-    val bucket = pmod(contentHash(col("text")), lit(1000L))
+  /** The per-row keep decision of stratified sampling, shared with the
+    * corpus funnel: content-hash bucket < the language's keep rate
+    * (per mille). */
+  private def stratifiedKeep(rates: Map[String, Int], defaultRate: Int) = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
-        (bucket < rate).cast("int").cast("long").as("kept"))
+    pmod(contentHash(col("text")), lit(1000L)) < rate
   }
+
+  def sampleStratified(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 400),
+      defaultRate: Int = 1000): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        pmod(contentHash(col("text")), lit(1000L)).as("bucket"),
+        stratifiedKeep(rates, defaultRate).cast("int").cast("long").as("kept"))
 
   /** Shard layout for training readers: shard = content-hash mod
     * `shards` (uniform, content-stable), ordinal within shard by
@@ -158,6 +164,44 @@ object TrainPrep {
     train.filter(graft.functions.BloomContains(col("gram"), bloom))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_flagged_grams"))
+  }
+
+  /** The corpus → training-set funnel: every per-doc gate a corpus
+    * pass applies before chunk/shard, composed into ONE plan — the
+    * operator a pipeline user actually runs nightly, and the test that
+    * the individual signals compose without extra passes:
+    *   keep = canonical (first copy of its content)
+    *        ∧ quality ≥ minQuality ∧ language identified
+    *        ∧ not repetitive (Gopher gates) ∧ stratified-sample kept.
+    *
+    * Scale shape: the row-level signals (quality, language, sampling)
+    * are computed in a single projection over ONE corpus scan — NOT by
+    * joining the registered per-signal queries, which would re-scan
+    * the corpus once per signal.  Only two signals need a shuffle and
+    * they keep it minimal: canonical = min(doc_id) window over the
+    * content-hash partition (uniform keys), and the repetition flag's
+    * (doc_id, token) word-count aggregation, which arrives already
+    * partitioned by doc_id for the final join. */
+  def corpusFunnel(spark: SparkSession, dir: String,
+      minQuality: Double = 0.25): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    val signals = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(byHash))
+        .cast("int").cast("long").as("is_canonical"),
+      (TextAnalysis.qualityScoreCol(col("text")) >= minQuality)
+        .cast("int").cast("long").as("quality_ok"),
+      (TextAnalysis.predLangCol(col("text")) =!= "unknown")
+        .cast("int").cast("long").as("lang_known"),
+      stratifiedKeep(Map("en" -> 400), 1000)
+        .cast("int").cast("long").as("sample_kept"))
+    signals
+      .join(CorpusStats.repetition(spark, dir)
+        .select(col("doc_id"), col("repetitive")), Seq("doc_id"))
+      .withColumn("keep",
+        (col("is_canonical") === 1 && col("quality_ok") === 1 &&
+          col("lang_known") === 1 && col("sample_kept") === 1 &&
+          col("repetitive") === 0).cast("int").cast("long"))
   }
 
   /** Scrub numeric identifiers before training: digit runs of ≥ 2

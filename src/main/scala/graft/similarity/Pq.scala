@@ -81,6 +81,51 @@ object Pq {
     (refined, nearest(refined).select(col("vec_id"), col("m"), col("cid").as("code")))
   }
 
+  /** IVF-PQ: the coarse quantizer's posting lists (Knn.coarseQuantizer
+    * / IvfWarehouse — partition pruning to nprobe lists) composed with
+    * PQ codes (this file — 8 B/vector in the lists) and an ADC scan of
+    * the probed lists only.  This is the billion-scale FAISS layout:
+    * the probe reads nprobe/K of the corpus AND touches only codes,
+    * never float vectors.  Vectors are encoded directly rather than as
+    * centroid residuals (FAISS `by_residual=false`; residual encoding
+    * is a refinement that shrinks quantization error, not a different
+    * plan shape).
+    *
+    * No SQL oracle (two trained quantizers); PqSpec asserts the probe
+    * set restriction, overlap with brute force, and determinism. */
+  def ivfPqAnn(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val eN = Kmeans.normalize(e)
+    val (cents, lists) = Knn.coarseQuantizer(e, k)
+    val (codebook, codes) = codebookAndCodes(eN)
+    val q = lists.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+    val probeCids = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (-dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qnrm"))).as("dist"))
+      .orderBy(col("dist"), col("cid")).limit(nprobe)
+      .select(col("cid"))
+    // at rest this join is partition pruning (IvfWarehouse's cid
+    // layout); inline it restricts the ADC scan to the probed lists
+    val probedIds = lists.join(broadcast(probeCids), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cid"))
+    val qsub = subvectors(eN.filter(col("vec_id") === 0))
+      .select(col("m"), col("sv").as("qsv"))
+    val lut = codebook.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        dot(col("cv"), col("qsv")).as("part"))
+    codes.join(probedIds, Seq("vec_id"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(roundx(sumx(col("part")), 6).as("adc_cosine"), first(col("cid")).as("cid"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("adc_cosine"), col("cid"))
+  }
+
   /** Registered query: top-10 ADC neighbors of vec_id 0. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -35,6 +35,25 @@ class PqSpec extends GraftSpec {
     assert(distinctWords > 1)
   }
 
+  test("IVF-PQ results come only from probed lists and overlap plain PQ") {
+    val r = Pq.ivfPqAnn(spark, Dir).collect()
+    assert(r.length == 10)
+    // nprobe=4 of k=16 lists: results must span at most 4 distinct cids
+    val cids = r.map(_.getInt(2)).toSet
+    assert(cids.size <= 4, s"results from ${cids.size} lists > nprobe=4")
+    // pruning can only REMOVE candidates relative to exhaustive PQ:
+    // any result also in plain PQ's top-10 must carry the same ADC
+    val pq = Pq.pqAnn(spark, Dir).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    r.foreach { row =>
+      pq.get(row.getLong(0)).foreach { adc =>
+        assert(adc == row.getDouble(1), s"ADC mismatch for vec ${row.getLong(0)}")
+      }
+    }
+    val again = Pq.ivfPqAnn(spark, Dir).collect()
+    assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("ADC top-10 overlaps the exact baseline and is deterministic") {
     val pq = Pq.pqAnn(spark, Dir)
     val rows = pq.collect()

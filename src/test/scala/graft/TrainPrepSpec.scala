@@ -80,6 +80,28 @@ class TrainPrepSpec extends GraftSpec {
     assert(bloom == exact, s"false positives: ${bloom.keySet -- exact.keySet}")
   }
 
+  test("corpus funnel agrees with the registered per-signal queries") {
+    val f = TrainPrep.corpusFunnel(spark, Dir).localCheckpoint()
+    // keep is exactly the conjunction of its gates
+    val badKeep = f.filter(col("keep") =!=
+      (col("is_canonical") === 1 && col("quality_ok") === 1 &&
+        col("lang_known") === 1 && col("sample_kept") === 1 &&
+        col("repetitive") === 0).cast("int").cast("long")).count()
+    assert(badKeep == 0)
+    // gates match the standalone signal queries they were factored from
+    val q = graft.operators.TextAnalysis.quality(spark, Dir)
+      .select(col("doc_id"), (col("quality_score") >= 0.25).cast("int").cast("long").as("x"))
+    assert(f.join(q, Seq("doc_id")).filter(col("quality_ok") =!= col("x")).count() == 0)
+    val l = graft.operators.TextAnalysis.langId(spark, Dir)
+      .select(col("doc_id"), (col("pred_lang") =!= "unknown").cast("int").cast("long").as("x"))
+    assert(f.join(l, Seq("doc_id")).filter(col("lang_known") =!= col("x")).count() == 0)
+    val s = TrainPrep.sampleStratified(spark, Dir).select(col("doc_id"), col("kept"))
+    assert(f.join(s, Seq("doc_id")).filter(col("sample_kept") =!= col("kept")).count() == 0)
+    // the funnel must split the corpus, not pass or drop everything
+    val kept = f.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < f.count())
+  }
+
   test("shard ordinals are dense 1..count per shard") {
     val bad = TrainPrep.trainShards(spark, Dir)
       .groupBy(col("shard"))
