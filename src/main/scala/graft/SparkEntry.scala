@@ -53,6 +53,7 @@ object SparkEntry {
     "q_price_hourly" -> (Market.priceHourly _),
     "q_price_15m" -> (Market.price15m _),
     "q_price_variation" -> (Market.priceVariation _),
+    "q_price_ohlc" -> (Market.priceOhlc _),
     "q_swap_rate" -> (Market.swapRate _),
     "q_market_cap" -> (Market.marketCap _),
     // semi-structured messages (reference: src/service/transaction/parseMsg.ts,
@@ -108,6 +109,7 @@ object SparkEntry {
     "d_dedup_simhash" -> (Dedup.simhash _),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
+    "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
@@ -320,6 +322,16 @@ object SparkEntry {
          |SELECT date, denom, round(p, 4) AS avg_price, round(p - lag(p) OVER w, 4) AS diff,
          |round((p - lag(p) OVER w) / lag(p) OVER w, 6) AS rate
          |FROM d WINDOW w AS (PARTITION BY denom ORDER BY date)""".stripMargin,
+    "q_price_ohlc" ->
+      """WITH x AS (SELECT CAST(ts AS DATE) AS date, event_type AS denom, value,
+        |row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type ORDER BY ts, event_id) AS rn_a,
+        |row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type ORDER BY ts DESC, event_id DESC) AS rn_z
+        |FROM events)
+        |SELECT date, denom,
+        |round(min(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+        |round(max(value), 4) AS high, round(min(value), 4) AS low,
+        |round(min(CASE WHEN rn_z = 1 THEN value END), 4) AS close,
+        |count(*) AS n_ticks FROM x GROUP BY 1, 2""".stripMargin,
     "q_swap_rate" ->
       s"""WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${AVGX("value")} AS p
          |FROM events GROUP BY 1, 2),
@@ -490,6 +502,14 @@ object SparkEntry {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "d_substring_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(a[i : i+7], ' ') AS gram
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+        |df AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
+        |FROM sh JOIN df USING (gram) GROUP BY 1""".stripMargin,
     "d_dedup_groups" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -200,6 +200,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), roundx(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-document substring overlap — the SIGNAL stage of exact-
+    * substring deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": drop any 50-token span that
+    * appears verbatim elsewhere in the corpus; suffix arrays find the
+    * spans on one machine, word-gram document frequency is the
+    * distributed equivalent at gram granularity): per doc, how many of
+    * its distinct `n`-grams appear verbatim in at least one OTHER
+    * document.  Downstream either drops high-overlap docs or excises
+    * the flagged spans.
+    *
+    * Scale shape: gram explode → gram-keyed df aggregation (word-count
+    * shuffle, partial-aggregated) → join back → doc-keyed count.  The
+    * df table is vocabulary-sized and runs shuffled, never broadcast by
+    * hint (the d_dedup_ngram rule); grams are distinct per doc so df
+    * counts documents directly. */
+  def substringOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+    val df = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") >= 2).cast("int")).cast("long").as("n_shared_grams"))
+  }
+
   private val MinhashK = 128
   private val Bands = 32 // 4 rows per band
   private val Prime = 2147483647L // 2^31 - 1

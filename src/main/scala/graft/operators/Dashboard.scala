@@ -125,13 +125,16 @@ object Dashboard {
     * (HyperLogLog++).  Exact COUNT(DISTINCT user) expands and shuffles
     * every distinct (date, user) pair — a corpus-sized shuffle per
     * rollup at 100 TB.  The HLL++ sketch is fixed-size per group and
-    * merges map-side like any partial aggregate (rsd 0.5% here); the
-    * exact variant stays as the oracle at test SF.  (No SQL oracle —
-    * DuckDB's approx sketch differs; spec-checked against exact.) */
+    * merges map-side like any partial aggregate; the exact variant
+    * stays as the oracle at test SF.  rsd 1% ⇒ 2¹⁴-register (~16 KB)
+    * sketches — rsd 0.5% quadruples the sketch (and measured 4× the
+    * merge time) for precision nothing downstream uses.  (No SQL
+    * oracle — DuckDB's approx sketch differs; spec-checked against
+    * exact within 2%.) */
   def activeAccountsApproxDaily(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(to_date(col("ts")).as("date"))
-      .agg(approx_count_distinct(col("user_id"), 0.005).as("active_accounts"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("active_accounts"))
 
   /** Account growth: daily new accounts + cumulative total.  fcd runs
     * one COUNT query per day in a loop (reference:

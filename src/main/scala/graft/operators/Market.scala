@@ -38,6 +38,28 @@ object Market {
       .groupBy(((tsMs / 900000L).cast("long") * 900000L).as("bucket_ms"))
       .agg(roundx(avgx(col("value")), 4).as("avg_price"), count(lit(1)).as("n_ticks"))
 
+  /** OHLC candles per (denom, day) — the standard exchange extension
+    * of the reference's interval averages (getPrice.ts serves plain
+    * avg buckets; candle consumers want open/high/low/close).
+    *
+    * Open/close use the argmin-by-(ts, event_id) struct trick:
+    * min/max over struct(ts, event_id, value) orders lexicographically
+    * on the unique (ts, event_id) prefix, so ONE partial-aggregated
+    * groupBy produces all four prices — no window over the tick
+    * stream, no first()/last() (whose result depends on partition
+    * order), no self-join. */
+  def priceOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val tick = struct(col("ts"), col("event_id"), col("value"))
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("date"), col("event_type").as("denom"))
+      .agg(
+        roundx(min(tick).getField("value"), 4).as("open"),
+        roundx(max(col("value")), 4).as("high"),
+        roundx(min(col("value")), 4).as("low"),
+        roundx(max(tick).getField("value"), 4).as("close"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** One-day price variation: daily average with lag diff and rate
     * (reference: src/service/market/getPrice.ts:51 oneDayVariation). */
   def priceVariation(spark: SparkSession, dir: String): DataFrame = {
