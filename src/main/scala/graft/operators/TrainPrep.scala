@@ -68,9 +68,9 @@ object TrainPrep {
     * (nondeterministic, partitioning-dependent) is the anti-pattern
     * this avoids. */
   /** The per-row keep decision of stratified sampling, shared with the
-    * corpus funnel: content-hash bucket < the language's keep rate
-    * (per mille). */
-  private def stratifiedKeep(rates: Map[String, Int], defaultRate: Int) = {
+    * corpus funnel and the streaming ingest funnel: content-hash
+    * bucket < the language's keep rate (per mille). */
+  private[graft] def stratifiedKeep(rates: Map[String, Int], defaultRate: Int) = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }

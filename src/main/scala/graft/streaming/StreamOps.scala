@@ -211,6 +211,39 @@ object StreamOps {
         roundx(max_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("price"),
         unix_millis(max(col("ts"))).as("price_ts_ms"))
 
+  /** Streaming ingest funnel — the ONLINE twin of
+    * TrainPrep.corpusFunnel for ingest-time gating: a document stream
+    * passes the stateless row gates (quality score, language ID,
+    * stratified-sample keep — the same column expressions the batch
+    * funnel selects, so the two paths cannot diverge), then the Bloom
+    * decontamination probe (the filter is a plan constant, the same
+    * serialized object the batch path builds — `exists` over the doc's
+    * grams, a per-element probe, no explode and no join), and finally
+    * cross-batch exact dedup via dropDuplicates state.
+    *
+    * Ordering is deliberate: every stateless gate runs BEFORE the
+    * stateful dedup so dropped docs never touch the state store.
+    * Like streamingDedup, the survivor per content hash is
+    * first-arrival (vs the batch funnel's min-doc_id canonical rule);
+    * the repetition gate stays batch-side — its top-word fraction
+    * needs a per-doc aggregation that is the O(words²) HOF
+    * anti-pattern if forced into a row expression (§4b). */
+  def streamingIngestFunnel(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      minQuality: Double = 0.25): DataFrame = {
+    import graft.operators.{TextAnalysis, TrainPrep}
+    import graft.functions.TextFunctions.shingles
+    docs
+      .filter(TextAnalysis.qualityScoreCol(col("text")) >= minQuality)
+      .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
+      .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+      .filter(!exists(shingles(col("text"), 8),
+        g => graft.functions.BloomContains(g, bloom)))
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events

@@ -133,6 +133,59 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming ingest funnel gates rows statelessly and dedups across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.TextFunctions.shingles
+    import graft.operators.{TextAnalysis, TrainPrep}
+
+    val t = sources.Tables(s, Dir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    val docs = t.as[(Long, String, String)].collect()
+    // contamination bloom: the 8-grams of one seed doc — the seed (and
+    // only docs sharing a gram with it) must be dropped by the probe
+    val seedId = docs.head._1
+    val grams = t.filter(col("doc_id") === seedId)
+      .select(explode(shingles(col("text"), 8)).as("g"))
+      .select(xxhash64(col("g"))).as[Long].collect()
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(grams.length, 1).toLong, 1e-6)
+    grams.foreach(bloom.putLong)
+
+    val stream = MemoryStream[(Long, String, String)]
+    val query = streaming.StreamOps.streamingIngestFunnel(
+        stream.toDF().toDF("doc_id", "text", "lang"), bloom)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData((first ++ second).toSeq) // replays the first half
+      query.processAllAvailable()
+      val out = s.table("ingest_out").collect()
+      val outIds = out.map(_.getAs[Long]("doc_id")).toSet
+
+      // batch mirror of the stateless gates
+      val passing = t
+        .filter(TextAnalysis.qualityScoreCol(col("text")) >= 0.25)
+        .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
+        .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+        .filter(!exists(shingles(col("text"), 8),
+          g => graft.functions.BloomContains(g, bloom)))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .collect()
+      assert(!outIds.contains(seedId), "contaminated seed doc passed the bloom gate")
+      assert(outIds.subsetOf(passing.map(_.getLong(0)).toSet),
+        "stream emitted a doc the batch gates reject")
+      // one survivor per distinct passing content hash
+      assert(out.length == passing.map(_.getString(1)).distinct.length)
+      // the funnel must actually gate (not pass everything through)
+      assert(out.length < docs.length)
+    } finally query.stop()
+  }
+
   test("streaming account_tx fan-out materializes the batch fan-out, bucket-pruned") {
     val s = spark
     import s.implicits._
