@@ -37,8 +37,25 @@ object StressBench {
       graft.dedup.Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
         .select(col("group_id")).distinct().count()
     }
+    // embedding near-dup at the PRODUCTION gate (0.95, 16 bands × 8
+    // bits — the parameterization documented in Dedup.cosinePairs):
+    // replicas are exact vector copies, so every base vector becomes a
+    // reps-clique of cosine-1.0 pairs the banding must recover.  The
+    // 0.4 test gate is deliberately NOT stressed — it sits in the
+    // verify-most-pairs regime where candidate count ~ n²/2 by design.
+    val baseE = graft.sources.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val eRep = baseE.crossJoin(rep)
+      .select((col("vec_id") * reps + col("r")).as("vec_id"), col("v"))
+    val nVecs = eRep.count()
+    val cliquePairs = (nVecs / reps) * (reps.toLong * (reps - 1) / 2)
+    val (nCos, tCos) = time {
+      graft.dedup.Dedup.cosinePairsFrom(eRep, threshold = 0.95,
+        bitsPerBand = 8, bands = 16).count()
+    }
     println(s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
-      s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc}""")
+      s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
+      s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos}""")
     spark.stop()
   }
 }

@@ -446,27 +446,45 @@ object Dedup {
       bitsPerBand: Int, bands: Int): DataFrame = {
     import graft.functions.VectorFunctions._
     val t = Tables(spark, dir)
+    cosinePairsFrom(
+      t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      threshold, bitsPerBand, bands)
+  }
+
+  /** Frame-level entry (ev = (vec_id, v: array<double>)) — shared by
+    * the registered query and StressBench's replicated-corpus probe.
+    * Signatures are arrays of 64-bit words so band widths beyond one
+    * long work (the production 16×8-bit gate is 128 planes; the packed
+    * single-long form silently wrapped `1L << p` past 64 — caught by
+    * the StressBench probe, guarded by WideBandSpec now).  Bands must
+    * not straddle words. */
+  def cosinePairsFrom(ev: DataFrame, threshold: Double,
+      bitsPerBand: Int, bands: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(64 % bitsPerBand == 0,
+      s"bitsPerBand=$bitsPerBand must divide the 64-bit signature words")
     val nBits = bitsPerBand * bands
     // per-ROW math (signature, norm) happens once before any join; the
     // per-PAIR work is a single codegen'd dot product at verify time
-    val e = t.embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val e = ev
       .withColumn("nrm", norm(col("v")))
-      .withColumn("sig", hyperplaneSignature(col("v"), nBits))
+      .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))
     val mask = (1L << bitsPerBand) - 1L
-    // banded rows carry the whole 64-bit signature (one long) so the
+    def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
+        (b * bitsPerBand) % 64).bitwiseAND(lit(mask))
+    // banded rows carry the whole signature (⌈nBits/64⌉ longs) so the
     // join can keep each pair ONLY at its first matching band — pairs
     // come out exactly-once BY CONSTRUCTION and the dropDuplicates
     // shuffle+aggregate over the (millions-of-rows) candidate set is
     // gone.  firstMatchingBand is a coalesce-of-whens over integer ops
-    // on (sigA xor sigB) — pure Catalyst columns, whole-stage codegen.
+    // on the signature words — pure Catalyst columns, whole-stage
+    // codegen.
     val banded = e.select(col("vec_id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band", "bkey")))
-    val sigXor = col("a.sig").bitwiseXOR(col("b.sig"))
     val firstMatchingBand = coalesce((0 until bands).map(b =>
-      when(shiftrightunsigned(sigXor, b * bitsPerBand).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
+      when(bandKey(col("a.sig"), b) === bandKey(col("b.sig"), b), lit(b))): _*)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -43,12 +43,29 @@ object VectorFunctions {
   }
 
   /** nPlanes-bit random-hyperplane signature of an embedding (the
-    * classic cosine-LSH sketch): bit p = [dot(v, plane_p) > 0]. */
+    * classic cosine-LSH sketch): bit p = [dot(v, plane_p) > 0].
+    * Single-long form — nPlanes must fit one word; bits combine with
+    * OR (a `+` reduce trips the ANSI overflow check once bit 63 is
+    * involved, and `1L << p` silently wraps past 64). */
   def hyperplaneSignature(v: Column, nPlanes: Int, dims: Int = 64): Column = {
+    require(nPlanes <= 64, s"single-long signature holds at most 64 bits, got $nPlanes" +
+      " — use hyperplaneSignatureWords")
     val bits = (0 until nPlanes).map { p =>
       val w = typedLit(planeWeights(p, dims)).cast("array<double>")
       when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    bits.reduce(_ bitwiseOR _)
   }
+
+  /** Wide signature as an array of 64-bit words (word w packs planes
+    * [64w, 64w+63]) — the production cosine-LSH parameterizations
+    * (e.g. 16 bands × 8 bits = 128 planes) exceed one long. */
+  def hyperplaneSignatureWords(v: Column, nPlanes: Int, dims: Int = 64): Column =
+    array((0 until (nPlanes + 63) / 64).map { w =>
+      val bits = (w * 64 until math.min((w + 1) * 64, nPlanes)).map { p =>
+        val wts = typedLit(planeWeights(p, dims)).cast("array<double>")
+        when(dot(v, wts) > 0, lit(1L << (p % 64))).otherwise(lit(0L))
+      }
+      bits.reduce(_ bitwiseOR _)
+    }: _*)
 }

@@ -55,6 +55,27 @@ class DedupSpec extends GraftSpec {
     assert(recall >= 0.5, s"simhash recall too low: $recall")
   }
 
+  test("production 128-bit cosine gate (16 bands × 8 bits) recovers duplicate cliques") {
+    // the wide gate exceeds one signature long — this drives the
+    // word-array path (the packed form wrapped 1L << p past 64)
+    val s = spark
+    val base = sources.Tables(s, Dir).embeddings
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val reps = 3
+    val e = base.crossJoin(s.range(reps).toDF("r"))
+      .select((col("vec_id") * reps + col("r")).as("vec_id"), col("v"))
+    val pairs = dedup.Dedup.cosinePairsFrom(e, 0.95, 8, 16).collect()
+    // identical replicas: every base vector becomes a 3-clique at
+    // cosine 1.0, and identical signatures match every band — all
+    // clique pairs MUST surface, exactly once each
+    val nBase = base.count()
+    val clique = pairs.filter(r => r.getAs[Long]("a_id") / reps == r.getAs[Long]("b_id") / reps)
+    assert(clique.length == nBase * reps * (reps - 1) / 2,
+      s"expected ${nBase * 3} clique pairs, got ${clique.length}")
+    assert(pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).distinct.length == pairs.length)
+    pairs.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+  }
+
   test("cosine pairs: LSH-candidate plan matches exact all-pairs, no nested-loop join") {
     import graft.functions.VectorFunctions._
     val df = dedup.Dedup.cosinePairs(spark, Dir)
