@@ -465,10 +465,16 @@ object Dedup {
       s"bitsPerBand=$bitsPerBand must divide the 64-bit signature words")
     val nBits = bitsPerBand * bands
     // per-ROW math (signature, norm) happens once before any join; the
-    // per-PAIR work is a single codegen'd dot product at verify time
+    // per-PAIR work is a single codegen'd dot product at verify time.
+    // The signature is MATERIALIZED (localCheckpoint — the
+    // Kmeans.normalize pattern): left as an expression, CollapseProject
+    // inlines the nPlanes-dot tree into every per-band slot and the
+    // inflated stage falls out of whole-stage codegen (measured 4.7×
+    // on the banding stage when the words refactor first landed).
     val e = ev
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))
+      .localCheckpoint()
     val mask = (1L << bitsPerBand) - 1L
     def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
       shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
@@ -477,14 +483,15 @@ object Dedup {
     // join can keep each pair ONLY at its first matching band — pairs
     // come out exactly-once BY CONSTRUCTION and the dropDuplicates
     // shuffle+aggregate over the (millions-of-rows) candidate set is
-    // gone.  firstMatchingBand is a coalesce-of-whens over integer ops
-    // on the signature words — pure Catalyst columns, whole-stage
-    // codegen.
+    // gone.  The predicate is a native codegen'd word-xor loop
+    // (graft.functions.FirstMatchingBand) — per-pair math on every
+    // bucket collision, far too hot for a when-chain over array
+    // lookups (see the expression's Scaladoc for the measurement).
     val banded = e.select(col("vec_id"), col("sig"),
       posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band", "bkey")))
-    val firstMatchingBand = coalesce((0 until bands).map(b =>
-      when(bandKey(col("a.sig"), b) === bandKey(col("b.sig"), b), lit(b))): _*)
+    val firstMatchingBand = graft.functions.FirstMatchingBand(
+      col("a.sig"), col("b.sig"), bitsPerBand, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
