@@ -114,15 +114,23 @@ object Dedup {
   def ngramStages(docs: DataFrame, maxDfRatio: Double): NgramStages = {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+    // the index stages run on 64-bit shingle hashes, not strings: the
+    // freq and collision joins shuffle 8 B keys with primitive
+    // compares (same trade as exactJaccardVerify, ~2⁻⁴⁰ collision odds
+    // across the shingle universe).  The rarity order becomes
+    // (freq, hsh) — ANY consistent global order preserves the
+    // AllPairs/PPJoin completeness argument, and the verify stage is
+    // exact over the full sets, so results are unchanged.
+    val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hsh"))
     // freq MUST be a groupBy (map-side combine): a count window
     // partitioned by shingle would put a hot shingle's every
     // occurrence on one task — the exact skew this operator mitigates
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val freq = shh.groupBy(col("hsh")).agg(count(lit(1)).as("freq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // prefix length |A| − ⌈0.8|A|⌉ + 1, in integer math (0.8·n in FP
     // rounds wrong at multiples of 5): ⌈4n/5⌉ = (4n+4) div 5
     val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("freq"), col("shingle"))
+      .orderBy(col("freq"), col("hsh"))
     // NOTE: per-document stats (n_sh) ride the SAME doc_id exchange as
     // the rarity window — a count window over the unordered doc
     // partition (bounded by doc length, no skew) instead of a separate
@@ -135,25 +143,25 @@ object Dedup {
     // assigned before it, so surviving positions (and the positional
     // bound below) are unchanged.
     val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = sh
-      .join(freq, Seq("shingle"))
+    val prefix = shh
+      .join(freq, Seq("hsh"))
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n_sh") - floor((col("n_sh") * 4 + 4) / 5) + 1)
       .crossJoin(broadcast(nDocs))
       .filter(col("freq") <= col("n_docs") * maxDfRatio)
-      .select(col("doc_id"), col("shingle"), col("rn"), col("n_sh"))
+      .select(col("doc_id"), col("hsh"), col("rn"), col("n_sh"))
     // size-ratio filter (J ≥ 0.8 ⇒ 0.8·|A| ≤ |B| ≤ 1.25·|A|) prunes
     // pairs in the join itself, before the (heavier) set verification
     val collisions = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(prefix.as("b"), col("a.hsh") === col("b.hsh") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.n_sh") * 5 >= col("a.n_sh") * 4 && col("b.n_sh") * 4 <= col("a.n_sh") * 5)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.rn").as("a_rn"), col("b.rn").as("b_rn"),
         col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
     // PPJoin positional filter (Xiao et al. 2008): every doc orders its
-    // shingles by the SAME global (freq, shingle) key, so a qualifying
+    // shingles by the SAME global (freq, hsh) key, so a qualifying
     // pair's first prefix collision is provably the globally smallest
     // common shingle (anything smaller and common would sit inside both
     // prefixes and collide earlier).  At that token — positions
