@@ -139,6 +139,7 @@ object SparkEntry {
     "t_tokens" -> (TextAnalysis.tokens _),
     "t_fingerprint" -> (TextAnalysis.fingerprint _),
     "m_multimodal" -> (Multimodal.features _),
+    "m_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // streaming (batch-equivalent plan; streaming path spec-tested)
     "q_stream_window" -> (StreamOps.streamWindow _),
   )
@@ -632,6 +633,11 @@ object SparkEntry {
         |CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
         |CASE WHEN octet_length(encode(text)) = 0 THEN CAST(-1 AS BIGINT)
         |ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT END AS first_byte FROM documents""".stripMargin,
+    "m_frame_sample" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |f AS (SELECT doc_id, hx, unnest(range(0, (length(hx) + 127) // 128, 4)) AS frame_idx FROM h),
+        |s AS (SELECT doc_id, frame_idx, substring(hx, CAST(frame_idx * 128 + 1 AS INTEGER), 128) AS fh FROM f)
+        |SELECT doc_id, frame_idx, length(fh) // 2 AS frame_len, md5(fh) AS frame_md5 FROM s""".stripMargin,
     "q_block_lookup" ->
       s"""WITH it AS (SELECT l_orderkey, count(*) AS n_txs, round(${SUMX("l_extendedprice")}, 2) AS block_volume
          |FROM lineitem WHERE l_orderkey = 1 GROUP BY 1)

@@ -61,4 +61,37 @@ object Multimodal {
       .mapPartitions(batch => batch.map(stubDecode))
       .toDF()
   }
+
+  /** Frame sampling for video-shaped payloads: treat the payload as
+    * consecutive `frameBytes` windows ("frames") and emit every
+    * `stride`-th one with its index, byte length, and content hash —
+    * the sample-then-decode stage of a video pipeline, where sampling
+    * is pure column math (explode over an integer grid + a slice per
+    * frame, narrow, no shuffle, no codec) and only the dropped-out
+    * decode needs the stubbed mapPartitions path above.  Downstream
+    * frame-level dedup/similarity runs on (frame_md5, embeddings)
+    * without ever touching pixels.
+    *
+    * The slices here run over the HEX form of the payload (2 chars =
+    * 1 byte) purely so the DuckDB oracle can mirror them — DuckDB
+    * cannot slice BLOBs.  In production the same plan slices the
+    * binary column directly (`substring` on BinaryType), which is
+    * also what keeps per-frame cost O(frameBytes): re-deriving hex()
+    * per generated row is O(payload) and would matter for MB-scale
+    * payloads (the Project-above-Generate re-evaluation documented at
+    * CorpusStats.repetition). */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val fhex = frameBytes * 2
+    val hx = hex(encode(col("text"), "UTF-8"))
+    val nFrames = floor((length(hx) + lit(fhex - 1)) / lit(fhex)).cast("int")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), hx.as("hx"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("hx").substr(col("frame_idx") * fhex + 1, lit(fhex)).as("fh"))
+      .select(col("doc_id"), col("frame_idx"),
+        (length(col("fh")) / lit(2)).cast("long").as("frame_len"),
+        md5(col("fh")).as("frame_md5"))
+  }
 }

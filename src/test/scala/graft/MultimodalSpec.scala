@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
   * batched stub decode, feature schema. */
 class MultimodalSpec extends GraftSpec {
 
+  test("frame sampling covers the stride grid and hashes real payload windows") {
+    val f = multimodal.Multimodal.frameSample(spark, Dir).collect()
+    assert(f.nonEmpty)
+    // indices sit on the stride grid
+    f.foreach(r => assert(r.getAs[Long]("frame_idx") % 4 == 0))
+    // every doc contributes its frame 0, and full frames are 64 bytes
+    val perDoc = f.groupBy(_.getAs[Long]("doc_id"))
+    val nDocs = sources.Tables(spark, Dir).documents.count()
+    assert(perDoc.size == nDocs)
+    perDoc.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("frame_idx")).min == 0)
+      val sorted = rows.sortBy(_.getAs[Long]("frame_idx"))
+      sorted.init.foreach(r => assert(r.getAs[Long]("frame_len") == 64))
+      assert(sorted.last.getAs[Long]("frame_len") <= 64)
+    }
+    // a sampled frame of one doc re-hashes to the same md5 (slice is
+    // anchored at frame_idx × 64 bytes of the payload)
+    val doc = sources.Tables(spark, Dir).documents
+      .select(col("doc_id"), col("text")).head()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val hx = bytes.map("%02X".format(_)).mkString
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(hx.slice(0, 128).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = f.filter(r => r.getAs[Long]("doc_id") == doc.getLong(0))
+      .minBy(_.getAs[Long]("frame_idx")).getAs[String]("frame_md5")
+    assert(got == expect)
+  }
+
   test("media records carry the document bytes") {
     val rec = multimodal.Multimodal.mediaRecords(spark, Dir)
     val docs = sources.Tables(spark, Dir).documents
