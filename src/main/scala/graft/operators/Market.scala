@@ -47,7 +47,15 @@ object Market {
     * on the unique (ts, event_id) prefix, so ONE partial-aggregated
     * groupBy produces all four prices — no window over the tick
     * stream, no first()/last() (whose result depends on partition
-    * order), no self-join. */
+    * order), no self-join.
+    *
+    * Plan note: struct-typed min/max buffers aren't UnsafeRow-mutable,
+    * so this compiles to a PARTIAL SortAggregate (map-side sort by
+    * group key; only the per-(date, denom) rows cross the shuffle) —
+    * the map-side sort vs hash probe is the price of exactness here.
+    * The tempting fix, packing (ts_ms, event_id) into one long for a
+    * hash-aggregable min, silently corrupts once ids exceed the packed
+    * width — the same id-range hazard as props.k (Messages.scala). */
   def priceOhlc(spark: SparkSession, dir: String): DataFrame = {
     val tick = struct(col("ts"), col("event_id"), col("value"))
     Tables(spark, dir).events
