@@ -18,7 +18,9 @@ object Bench {
     // the heavy dedup/CC family — the most expensive plans in the
     // engine; benched so regressions in them are visible round-over-round
     "d_dedup_ngram", "d_dedup_simhash", "d_dedup_minhash_verified",
-    "d_neardup_cosine", "d_dedup_groups")
+    "d_neardup_cosine", "d_dedup_groups",
+    // round-3 additions heavy enough to regression-track
+    "d_corpus_funnel", "d_substring_overlap", "s_knn_pq")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -80,23 +80,13 @@ object CorpusStats {
         roundx(avgx(col("nc")), 4).as("avg_chars"))
   }
 
-  /** All overlapping word k-grams, duplicates KEPT (unlike
-    * TextFunctions.shingles) — repetition scoring needs the total vs
-    * distinct counts. */
-  private def gramsAll(w: Column, k: Int): Column =
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => array_join(slice(w, i + 1, lit(k)), " ")))
-      .otherwise(typedLit(Seq.empty[String]))
-
   /** Fraction of k-grams that are repeats of an earlier k-gram in the
-    * same doc: (total − distinct) / total. */
-  private def dupFrac(w: Column, k: Int): Column = {
-    val g = gramsAll(w, k)
-    when(size(g) > 0,
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
-      .otherwise(lit(0.0))
-  }
+    * same doc: (total − distinct) / total.  Native expression
+    * (graft.functions.DupGramFrac) — the HOF form (gramsAll +
+    * array_distinct) allocated a string per gram interpreted, 70% of
+    * t_repetition's runtime at sf0.1. */
+  private def dupFrac(w: Column, k: Int): Column =
+    graft.functions.DupGramFrac(w, k)
 
   /** Repetition filters (Gopher-style): duplicate 2-gram / 3-gram
     * fraction and most-frequent-word fraction, with a keep/drop flag.
