@@ -224,10 +224,16 @@ object Dedup {
     * hint (the d_dedup_ngram rule); grams are distinct per doc so df
     * counts documents directly. */
   def substringOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    // grams never materialize as strings: GramHashes emits the
+    // distinct 8-gram hashes in one flat native loop (the interpreted
+    // shingle HOF was the bulk of this query's runtime), and the df
+    // join shuffles 8 B primitive keys (the d_dedup_ngram trade —
+    // ~2⁻⁶⁴ per-pair collision odds, a collision merges two grams' df)
     val sh = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
-    val df = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.GramHashes(words(col("text")), n)).as("hsh"))
+    val df = sh.groupBy(col("hsh")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("hsh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum((col("df") >= 2).cast("int")).cast("long").as("n_shared_grams"))

@@ -44,12 +44,21 @@ case class BloomContains(child: Expression, bloomBytes: Array[Byte])
 }
 
 object BloomContains {
-  /** Probe `bloom` (built over xxhash64 of the same column domain)
-    * with xxhash64(value) — hashing stays a codegen'd builtin. */
-  def apply(value: Column, bloom: BloomFilter): Column = {
+  private def serialize(bloom: BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    GraftBridge.column(
-      BloomContains(GraftBridge.expression(xxhash64(value)), bos.toByteArray))
+    bos.toByteArray
   }
+
+  /** Probe `bloom` (built over xxhash64 of the same column domain)
+    * with xxhash64(value) — hashing stays a codegen'd builtin. */
+  def apply(value: Column, bloom: BloomFilter): Column =
+    GraftBridge.column(
+      BloomContains(GraftBridge.expression(xxhash64(value)), serialize(bloom)))
+
+  /** Probe with an ALREADY-hashed long column (e.g. GramHashes output)
+    * against a bloom built over the same hash domain. */
+  def ofHashed(h: Column, bloom: BloomFilter): Column =
+    GraftBridge.column(
+      BloomContains(GraftBridge.expression(h), serialize(bloom)))
 }

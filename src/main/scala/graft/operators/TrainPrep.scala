@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{shingles, words}
+import graft.functions.TextFunctions.words
 import graft.sources.Tables
 
 /** Training-data preparation operators over `documents` — the steps
@@ -117,17 +117,21 @@ object TrainPrep {
     * grams hot enough to skew a bucket are exactly the ones a real
     * pipeline drops from the check as boilerplate). */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    // grams travel as 64-bit hashes from one flat native loop
+    // (graft.functions.GramHashes) — gram strings never materialize
+    // and the overlap join shuffles primitive keys (~2⁻⁶⁴ per-pair
+    // collision odds, the engine-wide 64-bit-hash trade)
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"),
         pmod(contentHash(col("text")), lit(100L)).as("bucket"),
-        shingles(col("text"), n).as("g"))
+        graft.functions.GramHashes(words(col("text")), n).as("g"))
     val train = docs.filter(col("bucket") < 80)
-      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .select(col("doc_id"), explode(col("g")).as("hsh"))
     val heldout = docs.filter(col("bucket") >= 90)
-      .select(col("doc_id").as("eval_id"), explode(col("g")).as("gram"))
-    train.join(PlanHints.broadcastIfSmall(heldout), Seq("gram"))
+      .select(col("doc_id").as("eval_id"), explode(col("g")).as("hsh"))
+    train.join(PlanHints.broadcastIfSmall(heldout), Seq("hsh"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+      .agg(countDistinct(col("hsh")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
@@ -149,21 +153,23 @@ object TrainPrep {
     * like IVF centroids. */
   def bloomDecontaminate(spark: SparkSession, dir: String,
       n: Int = 8, fpp: Double = 1e-6): DataFrame = {
+    // same GramHashes identity as `decontaminate`, so the two paths
+    // stay comparable gram for gram; the bloom is built over and
+    // probed with the raw 64-bit gram hashes
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"),
         pmod(contentHash(col("text")), lit(100L)).as("bucket"),
-        shingles(col("text"), n).as("g"))
+        graft.functions.GramHashes(words(col("text")), n).as("g"))
     val train = docs.filter(col("bucket") < 80)
-      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .select(col("doc_id"), explode(col("g")).as("hsh"))
     val evalGrams = docs.filter(col("bucket") >= 90)
-      .select(explode(col("g")).as("gram")).distinct()
-      .select(xxhash64(col("gram")).as("h"))
+      .select(explode(col("g")).as("hsh")).distinct()
       .localCheckpoint() // two bounded passes (size, build) — scan eval once
     val nGrams = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("h", nGrams, fpp)
-    train.filter(graft.functions.BloomContains(col("gram"), bloom))
+    val bloom = evalGrams.stat.bloomFilter("hsh", nGrams, fpp)
+    train.filter(graft.functions.BloomContains.ofHashed(col("hsh"), bloom))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_flagged_grams"))
+      .agg(countDistinct(col("hsh")).as("n_flagged_grams"))
   }
 
   /** The corpus → training-set funnel: every per-doc gate a corpus
