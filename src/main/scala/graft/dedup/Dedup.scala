@@ -112,16 +112,18 @@ object Dedup {
     *   frequent shingle sits at 1.4% of docs) — the cap is the
     *   guard-rail for the adversarial tail, not a sampling knob. */
   def ngramStages(docs: DataFrame, maxDfRatio: Double): NgramStages = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
-    // the index stages run on 64-bit shingle hashes, not strings: the
-    // freq and collision joins shuffle 8 B keys with primitive
-    // compares (same trade as exactJaccardVerify, ~2⁻⁴⁰ collision odds
-    // across the shingle universe).  The rarity order becomes
+    // shingle STRINGS never materialize anywhere in this pipeline:
+    // GramHashes emits each doc's distinct 3-gram hashes in one flat
+    // native loop (the interpreted shingle HOF built a string per
+    // gram), and every downstream stage — freq, prefix index,
+    // collision join, set verify — runs on the 8 B hashes with
+    // primitive compares (~2⁻⁴⁰ collision odds across the shingle
+    // universe, the engine-wide trade).  The rarity order is
     // (freq, hsh) — ANY consistent global order preserves the
     // AllPairs/PPJoin completeness argument, and the verify stage is
     // exact over the full sets, so results are unchanged.
-    val shh = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hsh"))
+    val shh = docs.select(col("doc_id"),
+      explode(graft.functions.GramHashes(words(col("text")), 3)).as("hsh"))
     // freq MUST be a groupBy (map-side combine): a count window
     // partitioned by shingle would put a hot shingle's every
     // occurrence on one task — the exact skew this operator mitigates
@@ -180,7 +182,7 @@ object Dedup {
       .filter((lit(1) + least(col("a_n") - col("pa"), col("b_n") - col("pb"))) * 9 >=
         (col("a_n") + col("b_n")) * 4)
       .select(col("a_id"), col("b_id"))
-    val pairs = exactJaccardVerify(sh, cand)
+    val pairs = exactJaccardVerify(shh, cand)
     NgramStages(collisions, pairs)
   }
 
@@ -188,15 +190,15 @@ object Dedup {
     * against the FULL shingle sets — shared by the AllPairs path
     * (ngramStages) and the MinHash-LSH path (minhashVerified).  Set
     * sizes come from the collected arrays themselves (`size(shs)` —
-    * exact, the shingle rows are distinct per doc), so candidates
+    * exact, the hash rows are distinct per doc), so candidates
     * shuffle as bare id pairs and no size table joins in.
     *
-    * Verification runs on 64-bit shingle hashes, not strings: long-
-    * array intersect is ~5× cheaper and the arrays shuffle at
-    * 8 B/element (collision odds across the distinct-shingle universe
-    * are ~2⁻⁴⁰ — nil). */
+    * `sh` carries (doc_id, hsh) — the GramHashes 64-bit shingle
+    * hashes: long-array intersect is ~5× cheaper than strings and the
+    * arrays shuffle at 8 B/element (collision odds across the
+    * distinct-shingle universe are ~2⁻⁴⁰ — nil). */
   private def exactJaccardVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sets = sh.select(col("doc_id"), xxhash64(col("shingle")).as("hsh"))
+    val sets = sh
       .groupBy(col("doc_id")).agg(collect_list(col("hsh")).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
@@ -301,8 +303,8 @@ object Dedup {
     * principle flip a band. */
   def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val sh = t.documents
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+    val sh = t.documents.select(col("doc_id"),
+      explode(graft.functions.GramHashes(words(col("text")), 3)).as("hsh"))
     exactJaccardVerify(sh, minhashBandCandidates(t.documents))
   }
 
