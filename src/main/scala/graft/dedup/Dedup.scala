@@ -482,11 +482,13 @@ object Dedup {
     val nBits = bitsPerBand * bands
     // per-ROW math (signature, norm) happens once before any join; the
     // per-PAIR work is a single codegen'd dot product at verify time.
-    // The signature is MATERIALIZED (localCheckpoint — the
-    // Kmeans.normalize pattern): left as an expression, CollapseProject
-    // inlines the nPlanes-dot tree into every per-band slot and the
-    // inflated stage falls out of whole-stage codegen (measured 4.7×
-    // on the banding stage when the words refactor first landed).
+    // The signature (HyperplaneSigWords, one native node) is still
+    // MATERIALIZED via localCheckpoint: CollapseProject substitutes
+    // the sig expression into all `bands` per-band key slots, and
+    // measured timings show codegen subexpression elimination does NOT
+    // recover the duplication across the Generate boundary (2.7 s with
+    // the barrier vs 8-10 s without, sf0.1) — the Kmeans.normalize
+    // lesson, kept deliberately.
     val e = ev
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))

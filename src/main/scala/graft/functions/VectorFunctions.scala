@@ -59,13 +59,10 @@ object VectorFunctions {
 
   /** Wide signature as an array of 64-bit words (word w packs planes
     * [64w, 64w+63]) — the production cosine-LSH parameterizations
-    * (e.g. 16 bands × 8 bits = 128 planes) exceed one long. */
+    * (e.g. 16 bands × 8 bits = 128 planes) exceed one long.  Native
+    * single-node expression (see HyperplaneSigWords): safe to
+    * reference repeatedly without CollapseProject re-inlining an
+    * nPlanes-dot tree per reference. */
   def hyperplaneSignatureWords(v: Column, nPlanes: Int, dims: Int = 64): Column =
-    array((0 until (nPlanes + 63) / 64).map { w =>
-      val bits = (w * 64 until math.min((w + 1) * 64, nPlanes)).map { p =>
-        val wts = typedLit(planeWeights(p, dims)).cast("array<double>")
-        when(dot(v, wts) > 0, lit(1L << (p % 64))).otherwise(lit(0L))
-      }
-      bits.reduce(_ bitwiseOR _)
-    }: _*)
+    GraftBridge.column(HyperplaneSigWords(GraftBridge.expression(v), nPlanes, dims))
 }
