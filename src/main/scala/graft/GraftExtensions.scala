@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
-import graft.functions.{DotProduct, MinHashBands, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, HyperplaneSigWords, MinHashBands, MinHashSig, SimHash64}
 
 /** Library integration point: registers graft's native expressions and
   * exactness helpers as SQL functions, so `spark.sql` users get them
@@ -24,6 +24,10 @@ import graft.functions.{DotProduct, MinHashBands, MinHashSig, SimHash64}
   *   graft_minhash(words, n, k)         MinHash(k) signature over n-word shingles
   *   graft_minhash_bands(words, n, k, b) LSH band hashes of the signature
   *   graft_simhash(words)               60-bit SimHash sketch
+  *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
+  *   graft_gram_hashes(words, k)        distinct k-gram hashes, array<long>
+  *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
+  *   graft_first_matching_band(a, b, bits, bands) banded-signature agreement index
   *   graft_sumx(x)                      order-independent DECIMAL-routed sum
   *   graft_roundx(x, n)                 binary-value half-away rounding
   *
@@ -88,6 +92,25 @@ object GraftExtensions {
     },
     "graft_simhash" -> { args =>
       arity("graft_simhash", 1, args); SimHash64(args(0))
+    },
+    "graft_dupgram_frac" -> { args =>
+      arity("graft_dupgram_frac", 2, args)
+      DupGramFrac(args(0), intLit("graft_dupgram_frac", 2, args(1)))
+    },
+    "graft_gram_hashes" -> { args =>
+      arity("graft_gram_hashes", 2, args)
+      GramHashes(args(0), intLit("graft_gram_hashes", 2, args(1)))
+    },
+    "graft_hyperplane_sig" -> { args =>
+      arity("graft_hyperplane_sig", 3, args)
+      HyperplaneSigWords(args(0), intLit("graft_hyperplane_sig", 2, args(1)),
+        intLit("graft_hyperplane_sig", 3, args(2)))
+    },
+    "graft_first_matching_band" -> { args =>
+      arity("graft_first_matching_band", 4, args)
+      FirstMatchingBand(args(0), args(1),
+        intLit("graft_first_matching_band", 3, args(2)),
+        intLit("graft_first_matching_band", 4, args(3)))
     },
     "graft_sumx" -> { args =>
       arity("graft_sumx", 1, args)

@@ -33,6 +33,27 @@ class ExtensionsSpec extends GraftSpec {
     assert(one.getSeq[Long](2).length == 128 && one.getSeq[Long](3).length == 32)
   }
 
+  test("round-3 gram/signature functions are callable from SQL and match the Column API") {
+    val docs = sources.Tables(spark, Dir).documents.limit(50)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    docs.createOrReplaceTempView("ext_docs3")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_dupgram_frac(ws, 2) AS df,
+        |       graft_gram_hashes(ws, 3) AS gh
+        |FROM ext_docs3""".stripMargin)
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.DupGramFrac(col("ws"), 2).as("df"),
+      graft.functions.GramHashes(col("ws"), 3).as("gh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // wide signature + band agreement: a signature always agrees with
+    // itself at band 0
+    val r = spark.sql(
+      """SELECT graft_first_matching_band(
+        |  graft_hyperplane_sig(array(1d,2d,3d), 128, 3),
+        |  graft_hyperplane_sig(array(1d,2d,3d), 128, 3), 8, 16) AS b""".stripMargin).head()
+    assert(r.getLong(0) == 0L)
+  }
+
   test("graft_roundx rounds the binary value (DuckDB semantics)") {
     // 307.03/8 = 38.378749999…; Spark's round() says 38.3788 (decimal
     // shortest-repr), binary rounding must say 38.3787
