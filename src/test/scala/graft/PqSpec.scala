@@ -54,6 +54,24 @@ class PqSpec extends GraftSpec {
     assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("PQ warehouse probe prunes cid partitions and matches inline IVF-PQ row for row") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_").toString + "/codes"
+    graft.similarity.PqWarehouse.materialize(spark, Dir, path)
+    val qv = graft.sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") === 0).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val probe = graft.similarity.PqWarehouse.probe(spark, path, qv, excludeId = 0L)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"),
+      s"expected cid partition pruning, got:\n${physical.take(2000)}")
+    // the at-rest probe and the inline computation are the same math —
+    // stored doubles round-trip exactly and the LUT folds sequentially
+    val stored = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inline = Pq.ivfPqAnn(spark, Dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stored.toSeq == inline.toSeq,
+      s"warehouse probe diverged from inline:\n stored=${stored.toSeq}\n inline=${inline.toSeq}")
+  }
+
   test("ADC top-10 overlaps the exact baseline and is deterministic") {
     val pq = Pq.pqAnn(spark, Dir)
     val rows = pq.collect()
