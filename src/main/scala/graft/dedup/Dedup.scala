@@ -270,21 +270,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), roundx(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** MinHash-LSH banded candidate pairs.  Banding carries ONLY
-    * (doc_id, band, bucket) — 16 bytes per row — the k-wide signatures
-    * never shuffle; band hashes come from the same native per-row loop
-    * as the signature. */
+  /** MinHash-LSH banded candidate pairs, emitted exactly once via the
+    * first-agreeing-band predicate (FirstEqualIndex over the band-hash
+    * arrays — the cosine/simhash construction): the dropDuplicates
+    * shuffle+aggregate over candidates is gone, which matters most on
+    * re-crawl corpora where an exact-dup pair agrees on ~ALL bands and
+    * would otherwise pay ~Bands× its true candidate volume into the
+    * dedup aggregate.  Banded rows carry the Bands-long hash array
+    * (8 B × 32) alongside (band, bucket); the k-wide signatures still
+    * never shuffle. */
   private def minhashBandCandidates(docs: DataFrame): DataFrame = {
+    val bh = graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands)
     val banded = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands))
-          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), bh.as("bands"),
+        posexplode(bh).as(Seq("band", "bucket")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
   }
 
   /** MinHash-LSH candidates run through the EXACT Jaccard verify (the

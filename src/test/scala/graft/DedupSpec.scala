@@ -18,8 +18,12 @@ class DedupSpec extends GraftSpec {
     // ground truth: exact 3-shingle Jaccard >= 0.8
     val exactPairs = dedup.Dedup.ngramJaccard(spark, Dir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
-    val lshPairs = dedup.Dedup.minhashLsh(spark, Dir).collect()
-      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lshRows = dedup.Dedup.minhashLsh(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    // the first-agreeing-band predicate must emit each pair once
+    assert(lshRows.distinct.length == lshRows.length,
+      "candidate pairs emitted more than once")
+    val lshPairs = lshRows.toSet
     // MinHash(128) with 32 bands at est>=0.7 should recall nearly all
     // true >=0.8 pairs; allow a small miss margin
     val missed = exactPairs -- lshPairs
