@@ -37,6 +37,14 @@ object StressBench {
       graft.dedup.Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
         .select(col("group_id")).distinct().count()
     }
+    // MinHash banded candidates on the same 8-clique corpus — the
+    // exactly-once emission path: every dup pair agrees on ~all 32
+    // bands, so this is precisely the corpus where the old
+    // dropDuplicates aggregate paid ~32× the true candidate volume
+    val (nMinhashCand, tMinhash) = time {
+      graft.dedup.Dedup.minhashBandCandidates(docs).count()
+    }
+
     // embedding near-dup at the PRODUCTION gate (0.95, 16 bands × 8
     // bits — the parameterization documented in Dedup.cosinePairs):
     // replicas are exact vector copies, so every base vector becomes a
@@ -55,6 +63,7 @@ object StressBench {
     }
     println(s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
       s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
+      s""""minhash_cand":$nMinhashCand,"minhash_sec":$tMinhash,""" +
       s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos}""")
     spark.stop()
   }

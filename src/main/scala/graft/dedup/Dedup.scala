@@ -279,11 +279,17 @@ object Dedup {
     * dedup aggregate.  Banded rows carry the Bands-long hash array
     * (8 B × 32) alongside (band, bucket); the k-wide signatures still
     * never shuffle. */
-  private def minhashBandCandidates(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBandCandidates(docs: DataFrame): DataFrame = {
     val bh = graft.functions.MinHashSig.bandHashes(words(col("text")), 3, MinhashK, Bands)
-    val banded = docs
-      .select(col("doc_id"), bh.as("bands"),
-        posexplode(bh).as(Seq("band", "bucket")))
+    // bands MUST be a materialized leaf before the explode: selected
+    // alongside posexplode as an expression, the full MinHash loop
+    // re-evaluates once per generated row — ×Bands per doc (measured
+    // 51 s vs 3 s at the 8× stress corpus; the CorpusStats.repetition
+    // lesson again)
+    val sig = docs.select(col("doc_id"), bh.as("bands")).localCheckpoint()
+    val banded = sig
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
