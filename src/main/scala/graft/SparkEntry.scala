@@ -147,6 +147,16 @@ object SparkEntry {
   // DuckDB mirrors.  SUMX/AVGX == graft.functions.Exact.
   private def SUMX(e: String) = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
   private def AVGX(e: String) = s"${SUMX(e)}/count(*)"
+  // Bracketing-rank percentile over a pre-sorted BIGINT list `arr` with
+  // group size `n_docs` — the integer-exact mirror of
+  // CorpusStats.corpusStats' pctx (see its Scaladoc for why the
+  // quantile_cont/percentile builtins cannot be hash-compared).
+  private def PCTX(p: Int, alias: String) = {
+    val lo = s"($p*(n_docs-1))//100"
+    val rem = s"($p*(n_docs-1))%100"
+    s"round((arr[CAST($lo+1 AS BIGINT)]*100 + " +
+      s"(arr[CAST(least($lo+2, n_docs) AS BIGINT)] - arr[CAST($lo+1 AS BIGINT)])*($rem)) / 100.0, 4) AS $alias"
+  }
 
   // Hoisted oracle bodies reused by the d_corpus_funnel composition —
   // one definition, so funnel gates and per-signal queries can't drift.
@@ -597,16 +607,25 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM w GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    // percentiles mirror CorpusStats.corpusStats' bracketing-rank
+    // integer arithmetic exactly (idx = p·(n−1); lo/rem = div/mod 100;
+    // (v_lo·100 + (v_hi−v_lo)·rem)/100.0) — NOT quantile_cont, whose
+    // double interpolation order differs from Spark's percentile by
+    // up to one ULP and flipped round(…,4) on a tie in one
+    // environment (the round-3 red row)
     "d_corpus_stats" ->
-      """WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-        |CAST(length(text) AS BIGINT) AS nc FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(nw) AS n_tokens,
-        |min(nw) AS min_tokens, max(nw) AS max_tokens,
-        |round(quantile_cont(nw, 0.5), 4) AS p50_tokens,
-        |round(quantile_cont(nw, 0.9), 4) AS p90_tokens,
-        |round(quantile_cont(nw, 0.99), 4) AS p99_tokens,
-        |round(CAST(sum(CAST(nc AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_chars
-        |FROM x GROUP BY 1""".stripMargin,
+      s"""WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |CAST(length(text) AS BIGINT) AS nc FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs, sum(nw) AS n_tokens,
+         |min(nw) AS min_tokens, max(nw) AS max_tokens,
+         |list_sort(list(nw)) AS arr,
+         |round(CAST(sum(CAST(nc AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_chars
+         |FROM x GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens, min_tokens, max_tokens,
+         |${PCTX(50, "p50_tokens")},
+         |${PCTX(90, "p90_tokens")},
+         |${PCTX(99, "p99_tokens")},
+         |avg_chars FROM g""".stripMargin,
     "t_repetition" ->
       TRepetitionSql,
     "t_langid" ->

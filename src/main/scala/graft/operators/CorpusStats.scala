@@ -59,13 +59,39 @@ object CorpusStats {
 
   /** Per-language corpus profile: doc counts, token totals, and the
     * exact token-length distribution (p50/p90/p99).  Token totals are
-    * integer sums (order-independent, no Exact route needed); exact
-    * percentile() buffers a group's values — bounded here by docs per
-    * language, and the approx_percentile swap (see
-    * Transactions.gasPricesApprox) is the documented production path
-    * at corpus scale. */
+    * integer sums (order-independent, no Exact route needed); the
+    * sorted per-group buffer is bounded by docs per language — exactly
+    * what exact percentile() buffers — and the approx_percentile swap
+    * (see Transactions.gasPricesApprox) is the documented production
+    * path at corpus scale.
+    *
+    * Percentiles are ENGINE-EXACT by construction, not via a
+    * percentile() builtin: linear-interpolation percentile of integer
+    * values at probability p/100 over n sorted values is the exact
+    * rational v_lo + (v_hi − v_lo)·rem/100 with
+    * idx = p·(n−1), lo = idx div 100, rem = idx mod 100 — so it is
+    * computed here as (v_lo·100 + (v_hi − v_lo)·rem)/100 in pure
+    * integer math up to one final division by 100.  Spark's
+    * `percentile` and DuckDB's `quantile_cont` compute the SAME value
+    * but blend `lo + (hi−lo)·frac` with a double `frac` in
+    * engine-specific expression orderings, which can land one ULP
+    * apart and flip `round(…,4)` on a `x.xxxx5` tie (the round-3
+    * driver-vs-local divergence).  The integer form has exactly two
+    * decimal digits, so no 4-dp rounding tie exists anywhere. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val nw = size(words(col("text"))).cast("long")
+    // bracketing-rank percentile over the sorted group values: all
+    // integer math (idx ≤ 99·n stays far below 2^53, so the one
+    // double division inside floor() is exact too)
+    def pctx(p: Int): Column = {
+      val n = size(col("arr")).cast("long")
+      val idx = lit(p.toLong) * (n - lit(1L))
+      val lo = floor(idx / lit(100L)).cast("long")
+      val rem = idx - lo * lit(100L)
+      val vLo = element_at(col("arr"), (lo + lit(1L)).cast("int"))
+      val vHi = element_at(col("arr"), least(lo + lit(2L), n).cast("int"))
+      roundx((vLo * lit(100L) + (vHi - vLo) * rem).cast("double") / lit(100.0), 4)
+    }
     Tables(spark, dir).documents
       .select(col("lang"), nw.as("nw"), length(col("text")).cast("long").as("nc"))
       .groupBy(col("lang"))
@@ -74,10 +100,12 @@ object CorpusStats {
         sum(col("nw")).as("n_tokens"),
         min(col("nw")).as("min_tokens"),
         max(col("nw")).as("max_tokens"),
-        roundx(expr("percentile(nw, 0.5)"), 4).as("p50_tokens"),
-        roundx(expr("percentile(nw, 0.9)"), 4).as("p90_tokens"),
-        roundx(expr("percentile(nw, 0.99)"), 4).as("p99_tokens"),
+        sort_array(collect_list(col("nw"))).as("arr"),
         roundx(avgx(col("nc")), 4).as("avg_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        pctx(50).as("p50_tokens"), pctx(90).as("p90_tokens"),
+        pctx(99).as("p99_tokens"), col("avg_chars"))
   }
 
   /** Fraction of k-grams that are repeats of an earlier k-gram in the
