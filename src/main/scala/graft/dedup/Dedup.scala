@@ -488,7 +488,7 @@ object Dedup {
   def cosinePairsFrom(ev: DataFrame, threshold: Double,
       bitsPerBand: Int, bands: Int): DataFrame = {
     import graft.functions.VectorFunctions._
-    require(64 % bitsPerBand == 0,
+    require(bitsPerBand >= 1 && bitsPerBand <= 64 && 64 % bitsPerBand == 0,
       s"bitsPerBand=$bitsPerBand must divide the 64-bit signature words")
     val nBits = bitsPerBand * bands
     // per-ROW math (signature, norm) happens once before any join; the
@@ -504,7 +504,12 @@ object Dedup {
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))
       .localCheckpoint()
-    val mask = (1L << bitsPerBand) - 1L
+    // unsigned-shift mask (NOT (1L << bits) - 1, which wraps to 0 at
+    // bits = 64 and would send every row to bucket 0 — an all-pairs
+    // cross join instead of an error); FirstMatchingBand uses the
+    // same form so the band keys and the dedup predicate agree at
+    // every legal width including full-word bands
+    val mask = -1L >>> (64 - bitsPerBand)
     def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
       shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
         (b * bitsPerBand) % 64).bitwiseAND(lit(mask))

@@ -26,12 +26,18 @@ import org.apache.spark.sql.{Column, GraftBridge}
   */
 case class FirstMatchingBand(left: Expression, right: Expression,
     bitsPerBand: Int, bands: Int) extends BinaryExpression {
+  require(bitsPerBand >= 1 && bitsPerBand <= 64,
+    s"bitsPerBand=$bitsPerBand out of [1, 64]")
 
   override def dataType: DataType = LongType
 
+  // unsigned-shift form, NOT (1L << bits) - 1: at bits = 64 the shift
+  // wraps to 1L and the mask would be 0 — every band would "agree" and
+  // the join would degenerate to an all-pairs cross product
+  private val mask = -1L >>> (64 - bitsPerBand)
+
   /** Per-row entry point shared by eval and generated code. */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val mask = (1L << bitsPerBand) - 1L
     val nWords = a.numElements()
     var band = 0
     var w = 0

@@ -81,13 +81,25 @@ object Multimodal {
     * payloads (the Project-above-Generate re-evaluation documented at
     * CorpusStats.repetition). */
   def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    frameSampleOf(Tables(spark, dir).documents, frameBytes, stride)
+
+  /** Frame-level entry (docs = (doc_id, text)) — exposed so degenerate
+    * payloads (empty text) are testable without a table fixture. */
+  def frameSampleOf(docs: DataFrame,
       frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val fhex = frameBytes * 2
     val hx = hex(encode(col("text"), "UTF-8"))
     val nFrames = floor((length(hx) + lit(fhex - 1)) / lit(fhex)).cast("int")
-    Tables(spark, dir).documents
-      .select(col("doc_id"), hx.as("hx"),
-        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
+    // empty payloads are expected input (features() handles them; the
+    // oracle's range(0, 0, stride) is empty) — but sequence(0, -1,
+    // +stride) is an illegal-boundary runtime error, so the grid must
+    // collapse to an empty array explicitly (the TextFunctions.shingles
+    // guard, same hazard)
+    val grid = when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
+      .otherwise(typedLit(Seq.empty[Int]))
+    docs
+      .select(col("doc_id"), hx.as("hx"), explode(grid).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("hx").substr(col("frame_idx") * fhex + 1, lit(fhex)).as("fh"))
       .select(col("doc_id"), col("frame_idx"),

@@ -151,22 +151,38 @@ object TrainPrep {
     * (gram count to size the filter; the merged KB-scale sketch) are
     * bounded by the benchmark suite, not the corpus — metadata reads,
     * like IVF centroids. */
+  /** Fold a document frame's distinct n-gram hashes into a Bloom
+    * filter — THE one builder for every gram-domain filter in the
+    * engine.  The hash domain is GramHashes' 64-bit values, and every
+    * probe site must use `BloomContains.ofHashed` over the SAME
+    * GramHashes expression: a filter built (or probed) in any other
+    * domain — e.g. xxhash64 of the shingle string — silently never
+    * hits, and a decontamination gate that never hits passes every
+    * contaminated doc.  `bloomDecontaminate` and
+    * `StreamOps.streamingIngestFunnel` both go through here, so the
+    * two paths cannot drift apart. */
+  def gramBloom(docs: DataFrame, n: Int = 8, fpp: Double = 1e-6)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val grams = docs
+      .select(explode(graft.functions.GramHashes(words(col("text")), n)).as("hsh"))
+      .distinct()
+      .localCheckpoint() // two bounded passes (size, build) — scan once
+    val nGrams = math.max(grams.count(), 1L)
+    grams.stat.bloomFilter("hsh", nGrams, fpp)
+  }
+
   def bloomDecontaminate(spark: SparkSession, dir: String,
       n: Int = 8, fpp: Double = 1e-6): DataFrame = {
     // same GramHashes identity as `decontaminate`, so the two paths
     // stay comparable gram for gram; the bloom is built over and
-    // probed with the raw 64-bit gram hashes
+    // probed with the raw 64-bit gram hashes (gramBloom's contract)
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        pmod(contentHash(col("text")), lit(100L)).as("bucket"),
-        graft.functions.GramHashes(words(col("text")), n).as("g"))
+      .select(col("doc_id"), col("text"),
+        pmod(contentHash(col("text")), lit(100L)).as("bucket"))
     val train = docs.filter(col("bucket") < 80)
-      .select(col("doc_id"), explode(col("g")).as("hsh"))
-    val evalGrams = docs.filter(col("bucket") >= 90)
-      .select(explode(col("g")).as("hsh")).distinct()
-      .localCheckpoint() // two bounded passes (size, build) — scan eval once
-    val nGrams = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("hsh", nGrams, fpp)
+      .select(col("doc_id"),
+        explode(graft.functions.GramHashes(words(col("text")), n)).as("hsh"))
+    val bloom = gramBloom(docs.filter(col("bucket") >= 90), n, fpp)
     train.filter(graft.functions.BloomContains.ofHashed(col("hsh"), bloom))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("hsh")).as("n_flagged_grams"))

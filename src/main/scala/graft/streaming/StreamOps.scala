@@ -228,17 +228,25 @@ object StreamOps {
     * the repetition gate stays batch-side — its top-word fraction
     * needs a per-doc aggregation that is the O(words²) HOF
     * anti-pattern if forced into a row expression (§4b). */
+  /** @param bloom MUST be built by `TrainPrep.gramBloom` (the
+    *   GramHashes 64-bit domain): the probe below evaluates the same
+    *   GramHashes expression the batch builder folds in, so build and
+    *   probe share one hash domain BY CONSTRUCTION.  (Round-3 bug: the
+    *   probe hashed the shingle STRING with xxhash64 — against a
+    *   batch-built filter every probe missed and contaminated docs
+    *   silently passed; the spec masked it by building its own
+    *   string-domain filter.) */
   def streamingIngestFunnel(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       minQuality: Double = 0.25): DataFrame = {
     import graft.operators.{TextAnalysis, TrainPrep}
-    import graft.functions.TextFunctions.shingles
+    import graft.functions.TextFunctions.words
     docs
       .filter(TextAnalysis.qualityScoreCol(col("text")) >= minQuality)
       .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
       .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
-      .filter(!exists(shingles(col("text"), 8),
-        g => graft.functions.BloomContains(g, bloom)))
+      .filter(!exists(graft.functions.GramHashes(words(col("text")), 8),
+        h => graft.functions.BloomContains.ofHashed(h, bloom)))
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .select(col("doc_id"), col("content_hash"))

@@ -31,6 +31,35 @@ class EdgeSpec extends GraftSpec {
     assert(dedup.Dedup.cosinePairsFrom(e, 0.4, 2, 32).count() == 0)
   }
 
+  test("frame sampling of an empty payload emits no rows (not an error)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, ""), (2L, "abcd")).toDF("doc_id", "text")
+    val f = multimodal.Multimodal.frameSampleOf(docs).collect()
+    // empty doc contributes nothing; the sequence() boundary must not throw
+    assert(f.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+  }
+
+  test("full-word 64-bit bands bucket correctly (mask must not wrap to 0)") {
+    val s = spark
+    import s.implicits._
+    // two identical vectors + one orthogonal: with (1L<<64)-1 == 0 as
+    // the mask every row would land in bucket 0 and the orthogonal
+    // vector would become a candidate of everything
+    val e = Seq(
+      (0L, Seq.fill(64)(1.0)), (1L, Seq.fill(64)(1.0)),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0))
+    ).toDF("vec_id", "v")
+    val out = dedup.Dedup.cosinePairsFrom(e, threshold = 0.99,
+        bitsPerBand = 64, bands = 2)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.functions.FirstMatchingBand(col("x"), col("y"), 65, 1)
+    }
+  }
+
   test("identical-corpus dedup collapses to one group") {
     val s = spark
     import s.implicits._

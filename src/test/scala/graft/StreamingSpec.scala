@@ -137,21 +137,20 @@ class StreamingSpec extends GraftSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    import graft.functions.TextFunctions.shingles
+    import graft.functions.TextFunctions.words
     import graft.operators.{TextAnalysis, TrainPrep}
 
     val t = sources.Tables(s, Dir).documents
       .select(col("doc_id"), col("text"), col("lang"))
     val docs = t.as[(Long, String, String)].collect()
     // contamination bloom: the 8-grams of one seed doc — the seed (and
-    // only docs sharing a gram with it) must be dropped by the probe
+    // only docs sharing a gram with it) must be dropped by the probe.
+    // Built via the ONE shared builder (TrainPrep.gramBloom), exactly
+    // like the batch decontamination path: a spec-local filter in a
+    // different hash domain would mask a build/probe domain mismatch
+    // (every probe missing ⇒ contaminated docs pass — the round-3 bug).
     val seedId = docs.head._1
-    val grams = t.filter(col("doc_id") === seedId)
-      .select(explode(shingles(col("text"), 8)).as("g"))
-      .select(xxhash64(col("g"))).as[Long].collect()
-    val bloom = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(grams.length, 1).toLong, 1e-6)
-    grams.foreach(bloom.putLong)
+    val bloom = TrainPrep.gramBloom(t.filter(col("doc_id") === seedId))
 
     val stream = MemoryStream[(Long, String, String)]
     val query = streaming.StreamOps.streamingIngestFunnel(
@@ -167,13 +166,14 @@ class StreamingSpec extends GraftSpec {
       val out = s.table("ingest_out").collect()
       val outIds = out.map(_.getAs[Long]("doc_id")).toSet
 
-      // batch mirror of the stateless gates
+      // batch mirror of the stateless gates (probe in the gramBloom
+      // domain, as the funnel does)
       val passing = t
         .filter(TextAnalysis.qualityScoreCol(col("text")) >= 0.25)
         .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
         .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
-        .filter(!exists(shingles(col("text"), 8),
-          g => graft.functions.BloomContains(g, bloom)))
+        .filter(!exists(graft.functions.GramHashes(words(col("text")), 8),
+          h => graft.functions.BloomContains.ofHashed(h, bloom)))
         .select(col("doc_id"), md5(col("text")).as("h"))
         .collect()
       assert(!outIds.contains(seedId), "contaminated seed doc passed the bloom gate")
