@@ -26,6 +26,7 @@ import graft.functions.{DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, 
   *   graft_simhash(words)               60-bit SimHash sketch
   *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
   *   graft_gram_hashes(words, k)        distinct k-gram hashes, array<long>
+  *   graft_gram_hashes_pos(words, k)    per-position k-gram hashes (spans)
   *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
   *   graft_first_matching_band(a, b, bits, bands) banded-signature agreement index
   *   graft_sumx(x)                      order-independent DECIMAL-routed sum
@@ -100,6 +101,11 @@ object GraftExtensions {
     "graft_gram_hashes" -> { args =>
       arity("graft_gram_hashes", 2, args)
       GramHashes(args(0), intLit("graft_gram_hashes", 2, args(1)))
+    },
+    "graft_gram_hashes_pos" -> { args =>
+      arity("graft_gram_hashes_pos", 2, args)
+      GramHashes(args(0), intLit("graft_gram_hashes_pos", 2, args(1)),
+        distinct = false)
     },
     "graft_hyperplane_sig" -> { args =>
       arity("graft_hyperplane_sig", 3, args)

@@ -110,6 +110,7 @@ object SparkEntry {
     "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
+    "d_substring_spans" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
@@ -521,6 +522,21 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_grams,
         |CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
         |FROM sh JOIN df USING (gram) GROUP BY 1""".stripMargin,
+    // positional grams via generate_series indexing (the DuckDB
+    // unnest-with-ordinality form); island merge mirrors the Spark
+    // window: flagged grams chain iff gap ≤ n (= 8)
+    "d_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(a[i : i+7], ' ') AS gram
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+        |f AS (SELECT doc_id, pos FROM g JOIN df USING (gram) WHERE df >= 2),
+        |l AS (SELECT doc_id, pos,
+        |CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM f),
+        |s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM l)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+        |CAST(max(pos) + 7 AS BIGINT) AS end_word, count(*) AS n_grams
+        |FROM s GROUP BY doc_id, island""".stripMargin,
     "d_dedup_groups" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

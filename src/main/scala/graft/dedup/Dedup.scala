@@ -241,6 +241,52 @@ object Dedup {
         sum((col("df") >= 2).cast("int")).cast("long").as("n_shared_grams"))
   }
 
+  /** Span-level exact-substring dedup output — the EXCISION stage of
+    * Lee et al. 2021's pipeline (their tool emits the overlapping byte
+    * ranges so the pipeline cuts the duplicated spans out of each doc
+    * instead of dropping the doc; `substringOverlap` above is the
+    * per-doc signal, this is the actionable form): per doc, the merged
+    * word ranges covered by `n`-grams that appear verbatim in at least
+    * one OTHER document.
+    *
+    * Plan: positional gram hashes (GramHashes.positional — same native
+    * loop and mixing as the distinct form, so identity agrees gram for
+    * gram) are flagged against the cross-doc df table (built from the
+    * DISTINCT per-doc grams, so df counts documents directly — the
+    * substringOverlap aggregation), then flagged positions merge into
+    * islands: two flagged grams chain iff their word windows overlap
+    * or touch (gap ≤ n).  The island window is partitioned by doc_id
+    * and bounded by doc length — the rarity-window shape, no skew; the
+    * df join still shuffles 8 B keys and the df table is never
+    * broadcast by hint.
+    *
+    * Output: (doc_id, start_word, end_word, n_grams) with INCLUSIVE
+    * 0-based word offsets — end_word = last flagged gram start + n−1. */
+  def substringSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    substringSpansOf(Tables(spark, dir).documents, n)
+
+  /** Frame-level entry (docs = (doc_id, text)) — spec-drivable. */
+  def substringSpansOf(docs: DataFrame, n: Int): DataFrame = {
+    val gh = graft.functions.GramHashes
+    val pos = docs.select(col("doc_id"),
+      posexplode(gh.positional(words(col("text")), n)).as(Seq("pos", "hsh")))
+    val df = docs
+      .select(col("doc_id"), explode(gh(words(col("text")), n)).as("hsh"))
+      .groupBy(col("hsh")).agg(count(lit(1)).as("df"))
+    val flagged = pos.join(df.filter(col("df") >= 2), Seq("hsh"))
+      .select(col("doc_id"), col("pos"))
+    val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDocPos) <= n, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(byDocPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_word"),
+        (max(col("pos")) + n - 1).cast("long").as("end_word"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_word"), col("end_word"), col("n_grams"))
+  }
+
   private val MinhashK = 128
   private val Bands = 32 // 4 rows per band
   private val Prime = 2147483647L // 2^31 - 1

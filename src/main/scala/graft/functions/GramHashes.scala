@@ -20,7 +20,8 @@ import org.apache.spark.sql.{Column, GraftBridge}
   * identity).  Collisions merge two grams at ~2⁻⁶⁴ per pair — the
   * documented trade of every 64-bit-hash stage in this engine.
   */
-case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+case class GramHashes(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -35,23 +36,38 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
       wh(i) = XxHash64Function.hash(words.getUTF8String(i), StringType, 42L)
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[java.lang.Long](total * 2)
-    i = 0
-    while (i < total) {
-      var h = -7046029254386353131L // golden-ratio seed (= DupGramFrac)
-      var j = 0
-      while (j < k) {
-        h = java.lang.Long.rotateLeft(h, 5) * -6148914691236517205L ^ wh(i + j)
-        j += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long](total * 2)
+      i = 0
+      while (i < total) {
+        seen.add(gramAt(wh, i))
+        i += 1
       }
-      seen.add(h)
-      i += 1
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      // positional form: out(i) = hash of the gram STARTING at word i —
+      // posexplode recovers (word offset, gram identity), the input of
+      // span-level excision.  Same mixing, so identities agree with the
+      // distinct form gram for gram.
+      val out = new Array[Long](total)
+      i = 0
+      while (i < total) { out(i) = gramAt(wh, i); i += 1 }
+      new GenericArrayData(out)
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+  }
+
+  @inline private def gramAt(wh: Array[Long], i: Int): Long = {
+    var h = -7046029254386353131L // golden-ratio seed (= DupGramFrac)
+    var j = 0
+    while (j < k) {
+      h = java.lang.Long.rotateLeft(h, 5) * -6148914691236517205L ^ wh(i + j)
+      j += 1
+    }
+    h
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -69,4 +85,10 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
 object GramHashes {
   def apply(words: Column, k: Int): Column =
     GraftBridge.column(GramHashes(GraftBridge.expression(words), k))
+
+  /** Per-position (non-distinct) gram hashes — element i is the gram
+    * starting at word offset i. */
+  def positional(words: Column, k: Int): Column =
+    GraftBridge.column(
+      GramHashes(GraftBridge.expression(words), k, distinct = false))
 }

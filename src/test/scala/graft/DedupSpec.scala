@@ -165,6 +165,39 @@ class DedupSpec extends GraftSpec {
     assert(recall >= 2, s"IVF recall too low: $recall of 10")
   }
 
+  test("substring spans excise exactly the cross-doc shared range") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share words 5..14 of doc 1 (a 10-word run → three
+    // overlapping 8-grams at starts 5,6,7); doc 3 shares nothing
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+        (0 until 5).map(i => s"b$i").mkString(" ")),
+      (2L, (0 until 5).map(i => s"c$i").mkString(" ") + " " + shared + " " +
+        (0 until 5).map(i => s"d$i").mkString(" ")),
+      (3L, (0 until 20).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = dedup.Dedup.substringSpansOf(docs, n = 8).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // both sharers: one island, starts at word 5, covers grams 5..7 →
+    // end = 7 + 8 − 1 = 14 (exactly the shared run), 3 grams
+    assert(out == Map(1L -> ((5L, 14L, 3L)), 2L -> ((5L, 14L, 3L))))
+
+    // disjoint shared runs become SEPARATE islands (gap > n)
+    val far = Seq(
+      (1L, shared + " " + (0 until 12).map(i => s"x$i").mkString(" ") + " " + shared),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val spans1 = dedup.Dedup.substringSpansOf(far, n = 8)
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("start_word")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans1.length == 2, s"expected 2 islands, got ${spans1.mkString(",")}")
+    assert(spans1(0) == ((0L, 9L)) && spans1(1) == ((22L, 31L)))
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     val s = spark
     import s.implicits._
