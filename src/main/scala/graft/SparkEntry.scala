@@ -127,6 +127,12 @@ object SparkEntry {
     "d_sample_split" -> (TrainPrep.sampleSplit _),
     "d_sample_stratified" -> ((s: SparkSession, d: String) => TrainPrep.sampleStratified(s, d)),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
+    // training set at rest: materialized once per (view, dir) per JVM
+    // (the txVolFromRollup pattern), then served as a pure pruned read
+    "d_train_shards_read" -> ((s: SparkSession, d: String) =>
+      TrainWarehouse.shardLayout(s,
+        graft.sources.Materialized.pathFor("train_warehouse", d)(
+          TrainWarehouse.materialize(s, d, _)))),
     "t_redact" -> (TrainPrep.redact _),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
@@ -207,6 +213,24 @@ object SparkEntry {
       |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
       |SELECT doc_id, lang, bucket,
       |CAST(bucket < CASE WHEN lang = 'en' THEN 400 ELSE 1000 END AS BIGINT) AS kept FROM h""".stripMargin
+  // hoisted (not inline in the map) so d_train_shards_read's oracle can
+  // compose the SAME funnel body for its keep-filter — the composition
+  // rule d_corpus_funnel itself follows
+  private val DCorpusFunnelSql =
+    s"""WITH q AS ($TQualitySql),
+       |l AS ($TLangidSql),
+       |r AS ($TRepetitionSql),
+       |s AS ($DSampleStratifiedSql),
+       |c AS (SELECT doc_id, CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS is_canonical FROM documents)
+       |SELECT c.doc_id AS doc_id, c.is_canonical,
+       |CAST(q.quality_score >= 0.25 AS BIGINT) AS quality_ok,
+       |CAST(l.pred_lang <> 'unknown' AS BIGINT) AS lang_known,
+       |s.kept AS sample_kept, r.repetitive,
+       |CAST(c.is_canonical = 1 AND q.quality_score >= 0.25 AND l.pred_lang <> 'unknown'
+       |  AND s.kept = 1 AND r.repetitive = 0 AS BIGINT) AS keep
+       |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
+       |JOIN r ON r.doc_id = c.doc_id JOIN s ON s.doc_id = c.doc_id""".stripMargin
+
   private val DAILY =
     s"SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${SUMX("value")} AS vol, " +
       s"count(*) AS n, ${AVGX("value")} AS avg_value FROM events GROUP BY 1, 2"
@@ -606,19 +630,18 @@ object SparkEntry {
     // the funnel's gates are the per-signal oracle bodies verbatim
     // (hoisted vals above) — composition can't drift from the signals
     "d_corpus_funnel" ->
-      s"""WITH q AS ($TQualitySql),
-         |l AS ($TLangidSql),
-         |r AS ($TRepetitionSql),
-         |s AS ($DSampleStratifiedSql),
-         |c AS (SELECT doc_id, CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS is_canonical FROM documents)
-         |SELECT c.doc_id AS doc_id, c.is_canonical,
-         |CAST(q.quality_score >= 0.25 AS BIGINT) AS quality_ok,
-         |CAST(l.pred_lang <> 'unknown' AS BIGINT) AS lang_known,
-         |s.kept AS sample_kept, r.repetitive,
-         |CAST(c.is_canonical = 1 AND q.quality_score >= 0.25 AND l.pred_lang <> 'unknown'
-         |  AND s.kept = 1 AND r.repetitive = 0 AS BIGINT) AS keep
-         |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
-         |JOIN r ON r.doc_id = c.doc_id JOIN s ON s.doc_id = c.doc_id""".stripMargin,
+      DCorpusFunnelSql,
+    // the warehouse layout read back from the files: the funnel body
+    // (verbatim, hoisted) gates the survivor set, then the
+    // d_train_shards window runs over survivors — dense per-shard
+    // ordinals over exactly the docs that enter training
+    "d_train_shards_read" ->
+      s"""WITH fn AS ($DCorpusFunnelSql),
+         |kd AS (SELECT d.doc_id, d.text FROM documents d
+         |JOIN fn ON fn.doc_id = d.doc_id WHERE fn.keep = 1),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM kd)
+         |SELECT doc_id, h % 8 AS shard,
+         |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM h""".stripMargin,
     "t_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -22,7 +22,7 @@ object TrainPrep {
 
   /** Portable content hash: first 15 md5 hex digits as a BIGINT
     * (< 2⁶⁰, always non-negative — safe under % on both engines). */
-  private def contentHash(c: org.apache.spark.sql.Column) =
+  private[graft] def contentHash(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Context-window chunking: split each doc into `size`-word windows
@@ -31,12 +31,19 @@ object TrainPrep {
     * no shuffle; chunk count is integer math (FP ceil misrounds at
     * exact multiples). */
   def chunkDocs(spark: SparkSession, dir: String,
+      size: Int = 64, stride: Int = 48): DataFrame =
+    chunkDocsOf(Tables(spark, dir).documents, size, stride)
+
+  /** Frame-level chunking entry (docs = (doc_id, text, …)) — shared by
+    * the registered query and TrainWarehouse, which chunks only the
+    * funnel's survivors. */
+  def chunkDocsOf(docs: DataFrame,
       size: Int = 64, stride: Int = 48): DataFrame = {
     val w = words(col("text"))
     val n = org.apache.spark.sql.functions.size(w)
     val nChunks = when(n <= size, lit(1))
       .otherwise(lit(1) + floor((n - lit(size) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), w.as("w"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         slice(col("w"), col("chunk_id") * stride + 1, lit(size)).as("cw"))
@@ -92,10 +99,17 @@ object TrainPrep {
     * partitioned by shard, so at 100 TB each shard's numbering runs
     * parallel — a GLOBAL row_number (one partition) is the anti-
     * pattern this operator avoids. */
-  def trainShards(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+  def trainShards(spark: SparkSession, dir: String, shards: Int = 8): DataFrame =
+    shardLayoutOf(Tables(spark, dir).documents, shards)
+
+  /** Frame-level shard layout (docs = (doc_id, text, …)) — shared by
+    * the registered query (whole corpus) and TrainWarehouse (funnel
+    * survivors only; ordinals are dense within whatever frame is
+    * passed). */
+  def shardLayoutOf(docs: DataFrame, shards: Int): DataFrame = {
     val h = contentHash(col("text"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), h.as("h"), pmod(h, lit(shards.toLong)).as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
