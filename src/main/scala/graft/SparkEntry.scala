@@ -107,6 +107,7 @@ object SparkEntry {
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_minhash_verified" -> (Dedup.minhashVerified _),
     "d_dedup_simhash" -> (Dedup.simhash _),
+    "d_dedup_simhash_verified" -> (Dedup.simhashVerified _),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
@@ -538,6 +539,10 @@ object SparkEntry {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // d_dedup_simhash_verified: deliberately NO oracle — the naive
+    // J>=0.8 join is unsound for simhash banding (measured: true pairs
+    // reach hamming 11 vs the pigeonhole's 3; see Dedup.simhashVerified
+    // Scaladoc).  Precision/tail invariants in SimhashRecallSpec.
     "d_substring_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(a[i : i+7], ' ') AS gram

@@ -368,11 +368,22 @@ object Dedup {
   /** 60-bit SimHash per doc from word hashes; near-dup pairs at
     * hamming ≤ 3 via 4×15-bit chunk banding + bit_count verify.
     * (No SQL oracle — checked by spec + rows-only.) */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(Tables(spark, dir).documents)
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+
+  /** SimHash chunk-banded candidate pairs with their hamming distance,
+    * emitted exactly once via the first-matching-chunk predicate —
+    * shared by the hamming-gated `simhash` query and the exact-verify
+    * path (`simhashVerified`).  A pair is a candidate iff SOME 15-bit
+    * chunk agrees (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4
+    * chunks is untouched, so the ≤3 set is provably covered — and near
+    * dups far tighter than the bound agree on ~all chunks). */
+  private[graft] def simhashCandidates(docs: DataFrame): DataFrame = {
     // native per-row sketch (see graft.functions.SimHash64) — the HOF
     // fold paid an interpreted lambda per (word × bit), 127 s at sf0.1
-    val sk = t.documents.select(col("doc_id"),
+    val sk = docs.select(col("doc_id"),
       graft.functions.SimHash64(words(col("text"))).as("simhash"))
     val chunked = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
@@ -391,8 +402,36 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") && col("a.chunk") === firstMatchingChunk)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** SimHash banded candidates run through the EXACT Jaccard verify —
+    * the minhashVerified construction applied to the SimHash family:
+    * chunk collisions prune the n² space, one set-intersect per
+    * surviving candidate, output = candidate pairs at true J ≥ 0.8.
+    *
+    * Deliberately NO SQL oracle, unlike minhashVerified — the naive
+    * J ≥ 0.8 join would be an UNSOUND oracle here, and this is
+    * measured, not assumed: on the driver testdata the true J ≥ 0.8
+    * pairs carry simhash hamming up to 9 (sf0.001) / 11 (sf0.1), while
+    * 4×15-bit pigeonhole banding only guarantees capture at hamming
+    * ≤ 3 (the sf0.001 corpus has a J=0.8 pair with flips in all four
+    * chunks).  That is the structural difference from MinHash: MinHash
+    * rows estimate Jaccard itself (per-pair miss ~5·10⁻⁸ at J = 0.8),
+    * while SimHash estimates the tf-vector ANGLE, whose J ≥ 0.8 tail
+    * is fat — E[flips] ≈ 60·θ/π stays several bits for textually
+    * near-identical docs, and no affordable probing scheme covers
+    * hamming 11 with slack (2-bit multi-probe = 484 probe rows/doc for
+    * exactly the measured max).  What IS guaranteed: precision 1.0
+    * (the verify stage is exact) and that every miss sits in the
+    * pigeonhole-uncovered tail (hamming > 3) — SimhashRecallSpec
+    * asserts both plus a recall floor.  Production use is accordingly
+    * a cheap pre-gate / re-crawl detector, not a complete J-threshold
+    * dedup — that is minhashVerified's job. */
+  def simhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = t.documents.select(col("doc_id"),
+      explode(graft.functions.GramHashes(words(col("text")), 3)).as("hsh"))
+    exactJaccardVerify(sh, simhashCandidates(t.documents).select(col("a_id"), col("b_id")))
   }
 
   /** Dedup groups: connected components over the near-dup graph

@@ -58,4 +58,36 @@ class NgramCapSpec extends GraftSpec {
     assert(viaLsh == allPairs,
       s"minhash-LSH candidates missed ${(allPairs -- viaLsh).size} verified pairs")
   }
+
+  // SimhashRecallSpec: d_dedup_simhash_verified is no-oracle BY
+  // MEASUREMENT (true J>=0.8 pairs reach simhash hamming 9-11 on the
+  // driver testdata, past the 4x15 pigeonhole's hamming<=3 guarantee —
+  // a naive-join oracle would flake on the tail).  What the operator
+  // DOES guarantee, asserted here: exact precision (output ⊆ the
+  // AllPairs truth set, jaccard values identical), every miss sits in
+  // the uncovered tail (hamming > 3 — a miss at <=3 would be an
+  // implementation bug, not a sketch limit), and a recall floor.
+  test("simhash-verified: exact precision, misses only in the hamming>3 tail") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = pairs(Dedup.ngramJaccard(spark, Dir))
+    val viaSimhash = pairs(Dedup.simhashVerified(spark, Dir))
+    assert(allPairs.nonEmpty)
+    assert((viaSimhash -- allPairs).isEmpty,
+      s"verify stage must be exact; extras: ${viaSimhash -- allPairs}")
+    val missedKeys = (allPairs -- viaSimhash).map(p => (p._1, p._2))
+    if (missedKeys.nonEmpty) {
+      // every miss must be pigeonhole-uncovered: hamming > 3
+      val sk = graft.sources.Tables(spark, Dir).documents
+        .select(col("doc_id"), graft.functions.SimHash64(
+          graft.functions.TextFunctions.words(col("text"))).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      missedKeys.foreach { case (a, b) =>
+        val h = java.lang.Long.bitCount(sk(a) ^ sk(b))
+        assert(h > 3, s"pair ($a,$b) at hamming $h escaped — banding bug")
+      }
+    }
+    val recall = (allPairs.size - missedKeys.size).toDouble / allPairs.size
+    assert(recall >= 0.9, s"simhash-verified recall floor broken: $recall")
+  }
 }
