@@ -140,6 +140,9 @@ object SparkEntry {
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
     "t_bpe_pairs" -> ((s: SparkSession, d: String) => CorpusStats.bpePairs(s, d)),
+    // iterative trainer loop — not a DuckDB query; BpeSpec asserts the
+    // merge sequence against a single-machine reference implementation
+    "t_bpe_merges" -> ((s: SparkSession, d: String) => CorpusStats.bpeMerges(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),

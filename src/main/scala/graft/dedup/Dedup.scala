@@ -76,6 +76,28 @@ object Dedup {
       .dropDuplicates("content_hash")
       .select(col("doc_id"), col("content_hash"))
 
+  /** The BOUNDED-STATE form of streamingDedup — the production choice
+    * when re-crawls cluster in time (they do: crawlers revisit within
+    * days, not years).  `dropDuplicatesWithinWatermark` keeps each
+    * content key's state only while the event-time watermark can still
+    * admit a duplicate (key expiry = last event time + `delay`), so
+    * the seen-set is bounded by the watermark window's key arrival
+    * rate instead of growing with the full corpus history.  The trade,
+    * asserted in StreamingSpec: a re-crawl INSIDE the watermark still
+    * dedups exactly like the unbounded form; a re-crawl arriving after
+    * its key's state expired is re-emitted (downstream exact dedup —
+    * one hash-groupBy at training-set build time — catches those, at a
+    * volume the watermark makes negligible).
+    *
+    * `docs` must carry an event-time `ts` TIMESTAMP column. */
+  def streamingDedupWithinWatermark(docs: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("content_hash"))
+
   /** 3-word-shingle Jaccard ≥ 0.8 near-dup pairs — EXACT, via prefix
     * filtering (the AllPairs/PPJoin bound, Bayardo et al. 2007):
     * order each doc's shingles by global frequency (rarest first) and

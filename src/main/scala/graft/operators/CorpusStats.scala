@@ -57,6 +57,60 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** The full BPE trainer LOOP on top of the bpePairs inner step
+    * (Sennrich et al. 2016): per round, count all adjacent token
+    * pairs, take the most frequent (ties broken lexicographically —
+    * deterministic across runs/partitionings), rewrite every doc's
+    * token stream with the merged symbol (greedy left-to-right, the
+    * reference algorithm's order), repeat.  Stops early when no pair
+    * repeats.
+    *
+    * Scale shape per round: the word-count aggregation of bpePairs
+    * (partial agg + a 1-row TakeOrdered — pairs travel as (a, b)
+    * STRUCTS, never re-split strings, so merged tokens containing
+    * spaces stay unambiguous) + one scan-speed rewrite via the native
+    * BpeMergePair expression with the round's pair as a plan constant.
+    * The driver holds only the per-round winning pair — K bytes of
+    * telemetry, the Kmeans-history pattern — and `localCheckpoint`
+    * truncates lineage so plans don't grow with rounds.  (No SQL
+    * oracle — an iterative trainer is not a DuckDB query; BpeSpec
+    * asserts the merge sequence equals a single-machine reference
+    * implementation.) */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeMergesOf(spark, Tables(spark, dir).documents, rounds)
+
+  def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    var toks = docs.select(col("doc_id"), words(col("text")).as("toks"))
+      .localCheckpoint()
+    val hist = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val t = col("toks")
+      val top = toks
+        .select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < 2) done = true
+      else {
+        val (a, b, n) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
+          top(0).getAs[Long]("n"))
+        hist += ((r + 1L, a, b, n))
+        toks = toks
+          .select(col("doc_id"), graft.functions.BpeMergePair(col("toks"), a, b).as("toks"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    hist.result().toDF("round", "first", "second", "n")
+  }
+
   /** Per-language corpus profile: doc counts, token totals, and the
     * exact token-length distribution (p50/p90/p99).  Token totals are
     * integer sums (order-independent, no Exact route needed); the

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusStats
+
+/** The distributed BPE trainer must reproduce the single-machine
+  * reference algorithm (Sennrich et al. 2016) EXACTLY: same pair
+  * counts, same tie-breaks, same greedy left-to-right merges. */
+class BpeSpec extends GraftSpec {
+
+  /** Reference implementation: in-memory, one machine, no Spark. */
+  private def refBpe(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var docs = texts.map(_.split(" ").toVector)
+    val hist = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach { d =>
+        d.indices.dropRight(1).foreach { i =>
+          counts((d(i), d(i + 1))) = counts.getOrElse((d(i), d(i + 1)), 0L) + 1
+        }
+      }
+      if (counts.isEmpty || counts.values.max < 2) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        hist += ((r + 1L, a, b, n))
+        docs = docs.map { d =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
+              out += s"$a $b"; i += 2
+            } else { out += d(i); i += 1 }
+          }
+          out.result()
+        }
+        r += 1
+      }
+    }
+    hist.result()
+  }
+
+  test("merge sequence equals the reference on a corpus with overlap traps") {
+    val s = spark
+    import s.implicits._
+    // "x x x" exercises greedy non-overlap; "p q" vs "q p" exercises
+    // the lexicographic tie-break; later rounds must treat merged
+    // tokens ("p q") as single symbols
+    val texts = Seq(
+      "x x x x x", "p q r p q r", "q p q p", "p q p q",
+      "r p q x x", "p q r x")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = CorpusStats.bpeMergesOf(s, docs, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(texts, rounds = 6)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.nonEmpty)
+  }
+
+  test("merge sequence equals the reference on the real sf0.001 corpus") {
+    val docs = sources.Tables(spark, Dir).documents
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    val got = CorpusStats.bpeMerges(spark, Dir, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refBpe(texts, rounds = 4))
+    assert(got.size == 4, s"corpus should support 4 merge rounds, got ${got.size}")
+  }
+}

@@ -107,6 +107,46 @@ class StreamingSpec extends GraftSpec {
     assert(served == direct)
   }
 
+  test("watermarked dedup: in-watermark re-crawls drop, expired state re-admits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // (doc_id, text, event-time minute) — content A is re-crawled once
+    // INSIDE the 10-minute watermark window and once long after expiry
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF().toDF("doc_id", "text", "min")
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("min") * 60000L).as("ts"))
+    val query = dedup.Dedup.streamingDedupWithinWatermark(docs, "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    try {
+      // minute 100 base — an event AT the initial epoch-0 watermark is
+      // judged late and silently dropped (boundary, not semantics)
+      stream.addData((1L, "content A", 100L), (2L, "content B", 100L))
+      query.processAllAvailable()
+      // re-crawl of A at minute 105 — inside the watermark: must drop
+      stream.addData((3L, "content A", 105L), (4L, "content C", 105L))
+      query.processAllAvailable()
+      val mid = s.table("wm_dedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(mid == Set(1L, 2L, 4L), s"in-watermark re-crawl leaked: $mid")
+      // advance event time far past every key's expiry (last A event
+      // min 105 + 10 min delay << min 160), then re-crawl A: its state
+      // was evicted, so it re-emits — the documented bounded-state trade
+      stream.addData((5L, "content D", 160L))
+      query.processAllAvailable()
+      stream.addData((6L, "content A", 161L))
+      query.processAllAvailable()
+      val ids = s.table("wm_dedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 4L, 5L, 6L),
+        s"expired key must re-admit (proves eviction): $ids")
+      // state is bounded by live keys in the watermark window, not by
+      // every key ever seen (5 distinct contents seen; A+B+C expired)
+      val stateRows = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state should hold only live keys, has $stateRows")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicates across micro-batches via state") {
     val s = spark
     import s.implicits._
