@@ -66,7 +66,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling"}""")
+
+    // beyond-ceiling stress probes (8×-replicated corpus) ride the same
+    // output line so the heavy family's scale behavior is regression-
+    // tracked by the driver, not just described in SURVEY prose.
+    // SPARK_GRAFT_STRESS=0 skips them (local quick loops).
+    val stress =
+      if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") == "0") "null"
+      else try StressBench.probesJson(spark, sfDir, reps = 8)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stress probes failed: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress}""")
     spark.stop()
   }
 }

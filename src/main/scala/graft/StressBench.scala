@@ -1,19 +1,24 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off stress probe for the dedup/CC family BEYOND the largest
-  * generated SF: replicate the sf0.1 corpus `Reps`× with distinct
-  * doc_ids (the re-crawl scenario — every doc becomes an exact-dup
-  * clique), then run the pair pipeline and connected components over
-  * the inflated corpus.  Prints one JSON line; recorded in SURVEY §6.
-  */
+/** Stress probes for the dedup/CC/LSH family BEYOND the largest
+  * generated SF: replicate the corpus `Reps`× with distinct doc_ids
+  * (the re-crawl scenario — every doc becomes an exact-dup clique),
+  * then run the pair pipelines and connected components over the
+  * inflated corpus.  `probesJson` is embedded in Bench's output line
+  * (the `stress` key) so the beyond-ceiling behavior is regression-
+  * tracked round over round instead of living in SURVEY prose;
+  * the standalone main prints the same object. */
 object StressBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args(1).toInt else 8
-    val spark = GraftSession.builder("32").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run every probe on a `reps`×-replicated corpus; returns one JSON
+    * object (no newline).  Probes run once each — they are volume
+    * checks (candidate/pair/group counts must scale with output, and
+    * the counts are the regression signal; times are secondary on a
+    * host whose throughput drifts). */
+  def probesJson(spark: SparkSession, sfDir: String, reps: Int): String = {
     val base = graft.sources.Tables(spark, sfDir).documents
     val rep = spark.range(reps).toDF("r")
     // distinct ids per replica; same text -> reps-cliques of exact dups
@@ -61,10 +66,18 @@ object StressBench {
       graft.dedup.Dedup.cosinePairsFrom(eRep, threshold = 0.95,
         bitsPerBand = 8, bands = 16).count()
     }
-    println(s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
+    s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
       s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
       s""""minhash_cand":$nMinhashCand,"minhash_sec":$tMinhash,""" +
-      s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos}""")
+      s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 8
+    val spark = GraftSession.builder("32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(probesJson(spark, sfDir, reps))
     spark.stop()
   }
 }
