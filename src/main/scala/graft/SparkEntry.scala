@@ -112,7 +112,9 @@ object SparkEntry {
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
     "d_substring_spans" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    "d_substring_excised" -> ((s: SparkSession, d: String) => Dedup.substringExcise(s, d)),
     "s_knn_brute" -> (Knn.bruteForce _),
+    "s_knn_batch" -> ((s: SparkSession, d: String) => Knn.knnBatch(s, d)),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
@@ -144,6 +146,7 @@ object SparkEntry {
     // merge sequence against a single-machine reference implementation
     "t_bpe_merges" -> ((s: SparkSession, d: String) => CorpusStats.bpeMerges(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
+    "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
@@ -569,6 +572,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
         |CAST(max(pos) + 7 AS BIGINT) AS end_word, count(*) AS n_grams
         |FROM s GROUP BY doc_id, island""".stripMargin,
+    // the excision rewrite: flagged gram starts → covered positions →
+    // anti-join the token table → order-preserving re-assembly.  Docs
+    // with every word covered drop (no unique remainder), both sides.
+    "d_substring_excised" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(a[i : i+7], ' ') AS gram
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+        |f AS (SELECT doc_id, pos FROM g JOIN df USING (gram) WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + i AS wpos
+        |FROM f, LATERAL (SELECT unnest(range(0, 8)) AS i) t),
+        |toks AS (SELECT doc_id, i - 1 AS wpos, a[i] AS tok
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t)
+        |SELECT t.doc_id, count(*) AS n_kept,
+        |string_agg(t.tok, ' ' ORDER BY t.wpos) AS excised_text
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.wpos = c.wpos
+        |WHERE c.doc_id IS NULL GROUP BY 1""".stripMargin,
     "d_dedup_groups" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
@@ -597,6 +617,15 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "s_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine,
+        |row_number() OVER (PARTITION BY q.query_id
+        |ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id) AS rnk
+        |FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM s WHERE rnk <= 5""".stripMargin,
     "t_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |c AS (SELECT doc_id, a,
@@ -673,6 +702,13 @@ object SparkEntry {
          |${PCTX(90, "p90_tokens")},
          |${PCTX(99, "p99_tokens")},
          |avg_chars FROM g""".stripMargin,
+    "t_token_rarity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_tokens, min(df) AS min_df,
+         |round(${AVGX("df")}, 4) AS mean_token_df,
+         |round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS hapax_frac
+         |FROM toks JOIN df USING (token) GROUP BY 1""".stripMargin,
     "t_repetition" ->
       TRepetitionSql,
     "t_langid" ->

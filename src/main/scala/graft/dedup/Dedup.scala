@@ -289,16 +289,8 @@ object Dedup {
 
   /** Frame-level entry (docs = (doc_id, text)) — spec-drivable. */
   def substringSpansOf(docs: DataFrame, n: Int): DataFrame = {
-    val gh = graft.functions.GramHashes
-    val pos = docs.select(col("doc_id"),
-      posexplode(gh.positional(words(col("text")), n)).as(Seq("pos", "hsh")))
-    val df = docs
-      .select(col("doc_id"), explode(gh(words(col("text")), n)).as("hsh"))
-      .groupBy(col("hsh")).agg(count(lit(1)).as("df"))
-    val flagged = pos.join(df.filter(col("df") >= 2), Seq("hsh"))
-      .select(col("doc_id"), col("pos"))
     val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    flagged
+    flaggedGramPositions(docs, n)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDocPos) <= n, 0).otherwise(1))
       .withColumn("island", sum(col("brk")).over(byDocPos))
@@ -307,6 +299,56 @@ object Dedup {
         (max(col("pos")) + n - 1).cast("long").as("end_word"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("start_word"), col("end_word"), col("n_grams"))
+  }
+
+  /** (doc_id, pos) of every n-gram whose hash occurs in ≥2 docs —
+    * shared by the span report (island-merged) and the excision
+    * rewrite (exploded to covered word positions). */
+  private def flaggedGramPositions(docs: DataFrame, n: Int): DataFrame = {
+    val gh = graft.functions.GramHashes
+    val pos = docs.select(col("doc_id"),
+      posexplode(gh.positional(words(col("text")), n)).as(Seq("pos", "hsh")))
+    val df = docs
+      .select(col("doc_id"), explode(gh(words(col("text")), n)).as("hsh"))
+      .groupBy(col("hsh")).agg(count(lit(1)).as("df"))
+    pos.join(df.filter(col("df") >= 2), Seq("hsh"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Span excision APPLIED — the rewrite step that closes the Lee et
+    * al. pipeline: every word covered by a cross-doc duplicated n-gram
+    * is cut out and the surviving words re-join into the cleaned text.
+    * Whole-doc dropping (d_dedup_*) loses the unique remainder of a
+    * partially-duplicated doc; this keeps it — the common production
+    * choice the span report exists for.
+    *
+    * Plan: flagged gram starts explode to covered word positions
+    * (distinct — overlapping grams cover shared words once), the
+    * corpus token table anti-joins them on (doc_id, wpos) EQUALITY
+    * (positions enumerated, so no range-condition join), and each
+    * doc's survivors re-assemble via a bounded per-doc sort inside the
+    * aggregate.  Docs whose every word is covered drop out entirely —
+    * a fully-duplicated doc has no unique remainder (and the exact
+    * dedup family owns that case).
+    *
+    * Output: (doc_id, n_kept, excised_text). */
+  def substringExcise(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    substringExciseOf(Tables(spark, dir).documents, n)
+
+  def substringExciseOf(docs: DataFrame, n: Int): DataFrame = {
+    val covered = flaggedGramPositions(docs, n)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("wpos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("wpos", "tok")))
+    toks.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("wpos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("excised_text"))
   }
 
   private val MinhashK = 128

@@ -162,6 +162,39 @@ object CorpusStats {
         pctx(99).as("p99_tokens"), col("avg_chars"))
   }
 
+  /** Corpus-relative token rarity per doc — the distributional half
+    * of an LM-based quality filter (CCNet-style pipelines score docs
+    * by LM log-prob; the corpus-statistics analogue scores them by
+    * how rare their tokens are corpus-wide): per doc, the mean and
+    * minimum document frequency of its token occurrences and the
+    * hapax fraction (tokens appearing in exactly one doc).  Gibberish
+    * scores all-hapax; boilerplate scores all-common — both tails are
+    * what the filter flags.
+    *
+    * Shape: one (doc_id, token) shuffle for df, join back (df table
+    * vocabulary-sized, unhinted — the d_dedup_ngram rule), one doc
+    * aggregate.  All signals are integer-rational (df sums through
+    * the DECIMAL route, fractions are integer/count divisions), so
+    * the oracle compare is bit-exact — a true LM log-prob would sum
+    * `ln()` values, and transcendental libm results differ across
+    * engines in the last ULP (the d_corpus_stats percentile lesson:
+    * never hash-compare a value two engines compute through their own
+    * floating transcendentals). */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val df = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("df")).as("min_df"),
+        roundx(avgx(col("df")), 4).as("mean_token_df"),
+        roundx(sum((col("df") === 1).cast("int")).cast("double") / count(lit(1)), 4)
+          .as("hapax_frac"))
+  }
+
   /** Fraction of k-grams that are repeats of an earlier k-gram in the
     * same doc: (total − distinct) / total.  Native expression
     * (graft.functions.DupGramFrac) — the HOF form (gramsAll +

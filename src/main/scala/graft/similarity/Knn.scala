@@ -43,6 +43,41 @@ object Knn {
       .select(col("vec_id"), col("cos").as("cosine"))
   }
 
+  /** BATCHED KNN join — the serving shape a retrieval/RAG pipeline
+    * actually runs: a SET of query vectors against the corpus in ONE
+    * scan, top-k per query.  fcd has no analogue; a per-query loop
+    * (N × bruteForce) would re-scan the corpus N times — this is the
+    * N+1-query anti-pattern in vector form.
+    *
+    * Spark shape: the query set is a broadcast relation (bounded —
+    * a serving batch, not the corpus), so the corpus streams through
+    * ONE BroadcastNestedLoopJoin producing |Q| scored rows per vector;
+    * per-query top-k is a rank window over (query_id), which Spark's
+    * WindowGroupLimit rewrites into per-partition partial top-k heaps
+    * BELOW the exchange — only ~|Q|·k rows shuffle, never the scored
+    * cross product.  At 100 TB with an IVF layout the same plan runs
+    * per-probe-list; this is the exact baseline. */
+  def knnBatch(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", roundx(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer → posting
     * lists → probe the nprobe nearest lists exactly.  The standard
     * billion-scale ANN layout (Jégou et al., IVF in FAISS): at 100 TB

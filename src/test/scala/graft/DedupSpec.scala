@@ -117,6 +117,47 @@ class DedupSpec extends GraftSpec {
     assert(cos.sameElements(cos.sorted.reverse))
   }
 
+  test("batched knn: query 0's slice equals brute force; top-k pushes below the shuffle") {
+    val batch = similarity.Knn.knnBatch(spark, Dir, nQueries = 10, k = 5)
+    val rows = batch.collect()
+    // every query present, exactly k ranked neighbors each
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L))
+      val cos = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cos.sameElements(cos.sorted.reverse))
+    }
+    // the query_id = 0 slice must equal the single-query brute force
+    val slice = rows.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val brute = similarity.Knn.bruteForce(spark, Dir).collect().take(5)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(slice == brute)
+    // rank<=k must compile to WindowGroupLimit (partial top-k heaps
+    // below the exchange — only ~|Q|·k rows shuffle, not |Q|·corpus)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+  }
+
+  test("token rarity: hapax docs score 1.0, df bounds hold") {
+    val rows = operators.CorpusStats.tokenRarity(spark, Dir).collect()
+    assert(rows.length == sources.Tables(spark, Dir).documents.count())
+    rows.foreach { r =>
+      val (minDf, hapax) = (r.getAs[Long]("min_df"), r.getAs[Double]("hapax_frac"))
+      assert(minDf >= 1L)
+      assert(hapax >= 0.0 && hapax <= 1.0)
+      if (hapax > 0.0) assert(minDf == 1L, "hapax tokens imply min_df 1")
+      assert(r.getAs[Double]("mean_token_df") >= minDf.toDouble)
+    }
+    // the signal separates docs (not a constant column); the synthetic
+    // vocab is small enough that hapax tokens may not exist at sf0.001,
+    // so the separation check runs on mean_token_df
+    assert(rows.map(_.getAs[Double]("mean_token_df")).distinct.length > 10)
+  }
+
   test("lsh ann neighbors are a subset of the same bucket, ranked like brute force") {
     val brute = similarity.Knn.bruteForce(spark, Dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
@@ -196,6 +237,13 @@ class DedupSpec extends GraftSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(spans1.length == 2, s"expected 2 islands, got ${spans1.mkString(",")}")
     assert(spans1(0) == ((0L, 9L)) && spans1(1) == ((22L, 31L)))
+
+    // excision cuts exactly the span words and keeps everything else
+    // in order; the fully-covered doc 2 (pure shared run) drops
+    val ex = dedup.Dedup.substringExciseOf(far, n = 8).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(ex.keySet == Set(1L), s"fully-covered doc must drop: ${ex.keySet}")
+    assert(ex(1L) == ((12L, (0 until 12).map(i => s"x$i").mkString(" "))))
   }
 
   test("connected components converge on a long chain (pointer jumping)") {
