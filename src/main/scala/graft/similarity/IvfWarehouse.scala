@@ -50,4 +50,44 @@ object IvfWarehouse {
       .limit(k)
       .select(col("vec_id"), col("cos").as("cosine"), col("cid"))
   }
+
+  /** BATCHED probe — the serving path under load: a SET of queries
+    * against the warehouse in ONE pruned scan.  Per query, its nprobe
+    * nearest lists are chosen from the K-row centroid table (driver-
+    * side metadata math, |Q|·K distances); the scan prunes to the
+    * UNION of all probed cids (still partition pruning — a literal
+    * `isin`), and a broadcast (query_id, cid) assignment join restricts
+    * each query's scoring to exactly ITS lists, so results are
+    * identical to running `probe` per query while the files are read
+    * once.  Top-k per query via the rank window Spark rewrites to
+    * WindowGroupLimit partial heaps (the Knn.knnBatch shape). */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val cents = spark.read.parquet(centroidsPath(path))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
+    // |Q|·K rows of metadata — collected only to build the literal
+    // pruning predicate + the broadcast assignment (bounded by the
+    // serving batch and the codebook, never the corpus)
+    val assign = queries
+      .crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("cid"),
+        (-dot(col("cv"), col("qv")) / norm(col("cv"))).as("dist"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+      .localCheckpoint()
+    val unionCids = assign.select(col("cid")).distinct()
+      .collect().map(_.getAs[Int]("cid"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    spark.read.parquet(path)
+      .filter(col("cid").isin(unionCids.toIndexedSeq.map(Integer.valueOf): _*))
+      .join(broadcast(assign), Seq("cid"))
+      .withColumn("cos", roundx(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"),
+        col("cid"), col("rnk").cast("long").as("rnk"))
+  }
 }

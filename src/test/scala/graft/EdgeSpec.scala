@@ -60,6 +60,17 @@ class EdgeSpec extends GraftSpec {
     }
   }
 
+  test("excision passes short docs (< n words, no grams) through intact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = dedup.Dedup.substringExciseOf(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // identical 3-word docs: no 8-gram exists, so nothing is flagged —
+    // exact dedup owns them, excision must not touch them
+    assert(out == Map(1L -> "a b c", 2L -> "a b c", 3L -> ""))
+  }
+
   test("identical-corpus dedup collapses to one group") {
     val s = spark
     import s.implicits._

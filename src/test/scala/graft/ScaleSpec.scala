@@ -71,6 +71,34 @@ class ScaleSpec extends GraftSpec {
       inline.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq)
   }
 
+  test("IVF warehouse: batched probe == per-query probe, one pruned union scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString + "/lists"
+    similarity.IvfWarehouse.materialize(spark, Dir, path)
+    val queries = sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("qv"))
+    val batch = similarity.IvfWarehouse
+      .probeBatch(spark, path, queries, nprobe = 4, k = 10)
+    // union scan still prunes cid partitions; top-k pushes below shuffle
+    val physical = batch.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"))
+    assert(physical.contains("WindowGroupLimit"))
+    val rows = batch.collect()
+    // each query's slice must equal its single-query probe, row for row
+    (0L until 3L).foreach { q =>
+      val qv = sources.Tables(spark, Dir).embeddings
+        .filter(col("vec_id") === q).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      val single = similarity.IvfWarehouse.probe(spark, path, qv, nprobe = 4, k = 10)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      val slice = rows.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      assert(slice == single, s"query $q batch/single divergence")
+    }
+  }
+
   test("bucketed fact-fact join plans without Exchange") {
     sources.Warehouse.bucketize(spark, Dir, 4)
     val joined = sources.Warehouse.colocatedOrderRevenue(spark)
