@@ -35,21 +35,28 @@ object TrainPrep {
     chunkDocsOf(Tables(spark, dir).documents, size, stride)
 
   /** Frame-level chunking entry (docs = (doc_id, text, …)) — shared by
-    * the registered query and TrainWarehouse, which chunks only the
-    * funnel's survivors. */
+    * the registered query, TrainWarehouse (chunks only the funnel's
+    * survivors) and the streaming shard sink.  `carry` names columns
+    * of `docs` to pass through onto every chunk row — they ride the
+    * explode as attribute references (computed once per DOC in the
+    * Project below the Generate), never as re-evaluated expressions
+    * (the alongside-explode trap of CorpusStats.repetition). */
   def chunkDocsOf(docs: DataFrame,
-      size: Int = 64, stride: Int = 48): DataFrame = {
+      size: Int = 64, stride: Int = 48,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = words(col("text"))
     val n = org.apache.spark.sql.functions.size(w)
     val nChunks = when(n <= size, lit(1))
       .otherwise(lit(1) + floor((n - lit(size) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
+    val cc = carry.map(col)
     docs
-      .select(col("doc_id"), w.as("w"), explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        slice(col("w"), col("chunk_id") * stride + 1, lit(size)).as("cw"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(Seq(col("doc_id"), w.as("w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id")) ++ cc: _*)
+      .select(Seq(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("w"), col("chunk_id") * stride + 1, lit(size)).as("cw")) ++ cc: _*)
+      .select(Seq(col("doc_id"), col("chunk_id"),
         org.apache.spark.sql.functions.size(col("cw")).cast("long").as("n_tokens"),
-        array_join(col("cw"), " ").as("chunk_text"))
+        array_join(col("cw"), " ").as("chunk_text")) ++ cc: _*)
   }
 
   /** Deterministic train/val/test assignment: content-hash mod 100 →

@@ -238,7 +238,16 @@ object StreamOps {
     *   string-domain filter.) */
   def streamingIngestFunnel(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
-      minQuality: Double = 0.25): DataFrame = {
+      minQuality: Double = 0.25): DataFrame =
+    ingestGated(docs, bloom, minQuality)
+      .select(col("doc_id"), col("content_hash"))
+
+  /** The funnel's gate+dedup stage with `text` still attached — shared
+    * by the keep-list view (streamingIngestFunnel) and the shard sink
+    * (which chunks the survivors, so it needs their text). */
+  private def ingestGated(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      minQuality: Double): DataFrame = {
     import graft.operators.{TextAnalysis, TrainPrep}
     import graft.functions.TextFunctions.words
     docs
@@ -249,7 +258,39 @@ object StreamOps {
         h => graft.functions.BloomContains.ofHashed(h, bloom)))
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
-      .select(col("doc_id"), col("content_hash"))
+  }
+
+  /** Streaming training-set writer — the INCREMENTAL last mile: ingest
+    * gates + cross-batch dedup, then context chunks land
+    * shard-partitioned as they arrive (the accountTxSink layout
+    * pattern applied to TrainWarehouse's schema).  Shard =
+    * content-hash mod `shards`, so a doc lands in the same shard the
+    * batch writer would choose and the two paths can interleave.
+    *
+    * Deliberately ABSENT vs the batch warehouse: the within-shard
+    * ordinal `pos` — a dense per-shard ordinal under continuous append
+    * would serialize every batch through a single counter (the global
+    * row_number anti-pattern in time).  Readers recover the epoch
+    * order the batch layout encodes by sorting their one shard on
+    * (content_hash, doc_id) — the same (hash, doc_id) key
+    * TrainWarehouse's `pos` is built from. */
+  def trainShardSink(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String, checkpoint: String,
+      shards: Int = 8, minQuality: Double = 0.25)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TrainPrep
+    val gated = ingestGated(docs, bloom, minQuality)
+      .withColumn("shard",
+        pmod(TrainPrep.contentHash(col("text")), lit(shards.toLong)))
+    TrainPrep.chunkDocsOf(gated, carry = Seq("shard", "content_hash"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("shard")
+      .start()
   }
 
   /** Streaming variant with watermarking, for a readStream source. */

@@ -147,6 +147,56 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming shard sink lands gated survivors' chunks shard-partitioned") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.{TextAnalysis, TrainPrep}
+    val t = sources.Tables(s, Dir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    val docs = t.as[(Long, String, String)].collect()
+    // empty bloom: no contamination — gates are quality/lang/sample
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1, 1e-6)
+    val base = java.nio.file.Files.createTempDirectory("graft-shard-sink-").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val query = streaming.StreamOps.trainShardSink(
+      stream.toDF().toDF("doc_id", "text", "lang"), bloom,
+      s"$base/data", s"$base/ckpt")
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData((first ++ second).toSeq) // replays the first half
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // batch mirror: gate, dedup by content, chunk, shard — compared on
+    // content keys (the streaming survivor's doc_id is arrival-order)
+    val gatedBatch = t
+      .filter(TextAnalysis.qualityScoreCol(col("text")) >= 0.25)
+      .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
+      .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .withColumn("shard", pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long"), lit(8L)))
+    val mirror = TrainPrep.chunkDocsOf(gatedBatch, carry = Seq("shard", "content_hash"))
+      .select(col("content_hash"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("shard"))
+      .collect().map(_.toSeq).toSet
+    val stored = s.read.parquet(s"$base/data")
+      .select(col("content_hash"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("shard").cast("long").as("shard"))
+      .collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty)
+    assert(stored == mirror,
+      s"stream/batch divergence: ${(stored -- mirror).take(3)} vs ${(mirror -- stored).take(3)}")
+    // files really are shard-partitioned (the pruned-read layout)
+    val dirs = new java.io.File(s"$base/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length > 1, s"expected shard= partition dirs, got ${dirs.mkString(",")}")
+  }
+
   test("streaming dedup drops duplicates across micro-batches via state") {
     val s = spark
     import s.implicits._
