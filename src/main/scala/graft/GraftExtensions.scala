@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
-import graft.functions.{DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, HyperplaneSigWords, MinHashBands, MinHashSig, SimHash64}
+import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, HyperplaneSigWords, MinHashBands, MinHashSig, SimHash64}
 
 /** Library integration point: registers graft's native expressions and
   * exactness helpers as SQL functions, so `spark.sql` users get them
@@ -29,6 +29,7 @@ import graft.functions.{DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, 
   *   graft_gram_hashes_pos(words, k)    per-position k-gram hashes (spans)
   *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
   *   graft_first_matching_band(a, b, bits, bands) banded-signature agreement index
+  *   graft_bpe_merge(toks, 'a', 'b')    one greedy BPE merge rewrite
   *   graft_sumx(x)                      order-independent DECIMAL-routed sum
   *   graft_roundx(x, n)                 binary-value half-away rounding
   *
@@ -51,6 +52,12 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument $pos must be an INTEGER literal, got $other")
+  }
+
+  private def strLit(fn: String, pos: Int, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a STRING literal, got $other")
   }
 
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
@@ -117,6 +124,11 @@ object GraftExtensions {
       FirstMatchingBand(args(0), args(1),
         intLit("graft_first_matching_band", 3, args(2)),
         intLit("graft_first_matching_band", 4, args(3)))
+    },
+    "graft_bpe_merge" -> { args =>
+      arity("graft_bpe_merge", 3, args)
+      BpeMergePair(args(0), strLit("graft_bpe_merge", 2, args(1)),
+        strLit("graft_bpe_merge", 3, args(2)))
     },
     "graft_sumx" -> { args =>
       arity("graft_sumx", 1, args)

@@ -88,4 +88,65 @@ object PqWarehouse {
       .limit(k)
       .select(col("vec_id"), col("adc_cosine"), col("cid"))
   }
+
+  /** BATCHED probe over the code table — IvfWarehouse.probeBatch on
+    * the deployable layout: ONE pruned scan of the union of all
+    * queries' posting lists, scored entirely through 4-bit codes.
+    * Per-query metadata (nprobe centroid ranking, the 128-row ADC
+    * LUT) is computed driver-side with EXACTLY the sequential fold
+    * `probe` uses, so batch results are bit-identical per query; the
+    * broadcast (query_id, cid) assignment restricts each query's
+    * scoring to its own lists and the broadcast |Q|×128-row LUT binds
+    * on (query_id, m, code).  Everything driver-side is bounded by
+    * the serving batch × KB-scale codebook — never the corpus. */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getSeq[Double](1).toArray))
+    val cents = spark.read.parquet(centroidsPath(path)).collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("cv")).toArray))
+    val cb = spark.read.parquet(codebookPath(path)).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+
+    // sequential folds, element order identical to DotProduct/norm —
+    // the bit-exactness contract with the single-query path
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val assign = qs.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cid, -dotd(cv, qv) / math.sqrt(dotd(cv, cv))) }
+        .sortBy { case (cid, dist) => (dist, cid) }.take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val lutAll = qs.flatMap { case (qid, qv) =>
+      val qn = { val n = math.sqrt(dotd(qv, qv)); qv.map(_ / n) }
+      cb.map { case (m, code, cv) =>
+        var part = 0.0
+        var j = 0
+        val base = m * SubDim
+        while (j < math.min(SubDim, cv.length)) { part += cv(j) * qn(base + j); j += 1 }
+        (qid, m, code, part)
+      }
+    }
+    val unionCids = assign.map(_._2).distinct
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("vec_id"))
+    spark.read.parquet(path)
+      .filter(col("cid").isin(unionCids.toIndexedSeq.map(Integer.valueOf): _*))
+      .join(broadcast(assign.toSeq.toDF("query_id", "cid")), Seq("cid"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .join(broadcast(lutAll.toSeq.toDF("query_id", "m", "code", "part")),
+        Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(roundx(sumx(col("part")), 6).as("adc_cosine"), first(col("cid")).as("cid"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_cosine"), col("cid"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

@@ -17,6 +17,16 @@ class ExtensionsSpec extends GraftSpec {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("graft_bpe_merge rewrites greedily left-to-right, non-overlapping") {
+    val r = spark.sql(
+      "SELECT graft_bpe_merge(array('x','x','x','y'), 'x', 'x') AS m").head()
+    assert(r.getSeq[String](0) == Seq("x x", "x", "y"))
+    // pair is a plan constant: non-literal args must be rejected
+    intercept[Exception] {
+      spark.sql("SELECT graft_bpe_merge(array('a'), concat('a',''), 'b')").head()
+    }
+  }
+
   test("graft_simhash/graft_minhash match the Column API row for row") {
     val docs = sources.Tables(spark, Dir).documents.limit(50)
       .select(col("doc_id"), words(col("text")).as("ws"))

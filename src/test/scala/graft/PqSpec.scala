@@ -72,6 +72,31 @@ class PqSpec extends GraftSpec {
       s"warehouse probe diverged from inline:\n stored=${stored.toSeq}\n inline=${inline.toSeq}")
   }
 
+  test("PQ warehouse batched probe == per-query probe, pruned union scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqb_").toString + "/codes"
+    graft.similarity.PqWarehouse.materialize(spark, Dir, path)
+    val queries = graft.sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("qv"))
+    val batch = graft.similarity.PqWarehouse.probeBatch(spark, path, queries)
+    val physical = batch.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"))
+    assert(physical.contains("WindowGroupLimit"))
+    val rows = batch.collect()
+    (0L until 3L).foreach { q =>
+      val qv = graft.sources.Tables(spark, Dir).embeddings
+        .filter(col("vec_id") === q).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+      val single = graft.similarity.PqWarehouse.probe(spark, path, qv, excludeId = q)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = rows.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_cosine"))).toSeq
+      assert(slice == single, s"query $q: batch/single ADC divergence")
+    }
+  }
+
   test("ADC top-10 overlaps the exact baseline and is deterministic") {
     val pq = Pq.pqAnn(spark, Dir)
     val rows = pq.collect()
