@@ -107,7 +107,7 @@ object SparkEntry {
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_minhash_verified" -> (Dedup.minhashVerified _),
     "d_dedup_simhash" -> (Dedup.simhash _),
-    "d_dedup_simhash_verified" -> (Dedup.simhashVerified _),
+    "d_dedup_simhash_verified" -> ((s: SparkSession, d: String) => Dedup.simhashVerified(s, d)),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),

@@ -488,14 +488,33 @@ object Dedup {
     * exactly the measured max).  What IS guaranteed: precision 1.0
     * (the verify stage is exact) and that every miss sits in the
     * pigeonhole-uncovered tail (hamming > 3) — SimhashRecallSpec
-    * asserts both plus a recall floor.  Production use is accordingly
-    * a cheap pre-gate / re-crawl detector, not a complete J-threshold
-    * dedup — that is minhashVerified's job. */
-  def simhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    * asserts both plus a recall floor.
+    *
+    * COST is the second measured limit (same root cause): correlated
+    * same-language sketches cluster at hamming 10-14, so chunk
+    * collisions admit ~604k candidates at 50k docs (389k after the
+    * hamming gate) for 256 true pairs — each paying an exact
+    * set-intersect — where MinHash banding admits ~hundreds.  SimHash
+    * separates by ANGLE, and at J-thresholds on correlated text the
+    * near-threshold mass is huge.  Production use is accordingly a
+    * cheap pre-gate / re-crawl detector, not a complete J-threshold
+    * dedup — that is minhashVerified's job (10× cheaper AND
+    * recall-complete here). */
+  def simhashVerified(spark: SparkSession, dir: String,
+      maxHamming: Int = 12): DataFrame = {
     val t = Tables(spark, dir)
     val sh = t.documents.select(col("doc_id"),
       explode(graft.functions.GramHashes(words(col("text")), 3)).as("hsh"))
-    exactJaccardVerify(sh, simhashCandidates(t.documents).select(col("a_id"), col("b_id")))
+    // the hamming gate costs one integer compare on rows the join
+    // already produced, and it is what makes the verify stage cheap: a
+    // RANDOM pair colliding on one 15-bit chunk (P ≈ 4·2⁻¹⁵ — ~150k
+    // pairs at 50k docs) sits at hamming ≈ 30 and would otherwise pay
+    // a full shingle-set intersect; true J ≥ 0.8 pairs measure ≤ 11
+    // (see the Scaladoc above), so the ≤ maxHamming gate drops noise
+    // without touching the measured recall (8.0 s → 1.3 s at sf0.1)
+    exactJaccardVerify(sh, simhashCandidates(t.documents)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id")))
   }
 
   /** Dedup groups: connected components over the near-dup graph
