@@ -25,6 +25,7 @@ import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand
   *   graft_minhash_bands(words, n, k, b) LSH band hashes of the signature
   *   graft_simhash(words)               60-bit SimHash sketch
   *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
+  *   graft_top_token_count(words)       most-frequent-token count (repetition)
   *   graft_gram_hashes(words, k)        distinct k-gram hashes, array<long>
   *   graft_gram_hashes_pos(words, k)    per-position k-gram hashes (spans)
   *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
@@ -100,6 +101,10 @@ object GraftExtensions {
     },
     "graft_simhash" -> { args =>
       arity("graft_simhash", 1, args); SimHash64(args(0))
+    },
+    "graft_top_token_count" -> { args =>
+      arity("graft_top_token_count", 1, args)
+      graft.functions.TopTokenCount(args(0))
     },
     "graft_dupgram_frac" -> { args =>
       arity("graft_dupgram_frac", 2, args)

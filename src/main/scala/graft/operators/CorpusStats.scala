@@ -206,36 +206,48 @@ object CorpusStats {
   /** Repetition filters (Gopher-style): duplicate 2-gram / 3-gram
     * fraction and most-frequent-word fraction, with a keep/drop flag.
     *
-    * Two frames joined on doc_id, deliberately: expressions selected
-    * ALONGSIDE an explode() land in the Project above the Generate and
-    * are re-evaluated once per generated row — carrying the dup
-    * fractions through the token explode re-runs their O(words)
-    * interpreted gram lambdas per TOKEN, i.e. O(words²) per doc
-    * (measured 53 s for 500 docs before the split; sub-second after).
-    * The per-doc frame computes each fraction once at scan speed; the
-    * token frame is the uniform (doc_id, token) word-count shuffle; and
-    * the final equi-join reuses the aggregation's doc_id partitioning,
-    * so the join adds no exchange on the heavy side.  The top-word
-    * count goes through explode + two-phase aggregation rather than a
-    * per-row nested HOF: filter-inside-transform is the same O(words²)
-    * §4b anti-pattern. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    * ONE projection over ONE scan — every signal is per-row native
+    * math (DupGramFrac for the gram fractions, TopTokenCount for the
+    * top-word numerator), so the operator shuffles NOTHING.  History
+    * of this plan, kept because each step is a §4b lesson: the first
+    * form carried interpreted gram lambdas through a token explode
+    * (re-evaluated per generated row — O(words²) per doc, 53 s for
+    * 500 docs); the second computed per-doc fractions scan-side but
+    * still paid a corpus-wide (doc_id, token) shuffle + two
+    * aggregations + a join-back just for each doc's max token count;
+    * TopTokenCount (one flat pass over a doc-bounded hash map) makes
+    * that whole branch a column.  Locally the query was already
+    * scan-bound (~0.4 s → ~0.3 s warm at sf0.1), but the token table
+    * it used to shuffle grows WITH THE CORPUS — eliminating that
+    * exchange is the structural win at 100 TB, and it is what lets
+    * the funnel and the STREAMING ingest gates carry the full
+    * repetition rule as a row expression. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(repetitionCols: _*)
+
+  /** The repetition projection, exposed so corpusFunnel (and the
+    * streaming ingest funnel) select the SAME columns in their own
+    * single scan instead of joining this operator's output. */
+  private[graft] def repetitionCols: Seq[Column] = {
     val w = words(col("text"))
-    val docs = Tables(spark, dir).documents
-    val perDoc = docs.select(col("doc_id"),
-      dupFrac(w, 2).as("dup2"), dupFrac(w, 3).as("dup3"))
-    val topWord = docs
-      .select(col("doc_id"), explode(w).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_cnt"))
-    topWord.join(perDoc, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
-        roundx(col("top_cnt").cast("double") / col("n_words").cast("double"), 4).as("top_word_frac"),
-        roundx(col("dup2"), 4).as("dup_2gram_frac"),
-        roundx(col("dup3"), 4).as("dup_3gram_frac"),
-        (col("top_cnt").cast("double") / col("n_words").cast("double") > 0.12 ||
-          col("dup2") > 0.1 || col("dup3") > 0.05).cast("int").cast("long").as("repetitive"))
+    val nWords = size(w).cast("long")
+    val topFrac = graft.functions.TopTokenCount(w).cast("double") / nWords.cast("double")
+    val dup2 = dupFrac(w, 2)
+    val dup3 = dupFrac(w, 3)
+    Seq(col("doc_id"), nWords.as("n_words"),
+      roundx(topFrac, 4).as("top_word_frac"),
+      roundx(dup2, 4).as("dup_2gram_frac"),
+      roundx(dup3, 4).as("dup_3gram_frac"),
+      repetitiveFlag.as("repetitive"))
+  }
+
+  /** The keep/drop flag alone — the gate expression every funnel
+    * consumer shares with the registered t_repetition query. */
+  private[graft] def repetitiveFlag: Column = {
+    val w = words(col("text"))
+    val topFrac = graft.functions.TopTokenCount(w).cast("double") /
+      size(w).cast("long").cast("double")
+    (topFrac > 0.12 || dupFrac(w, 2) > 0.1 || dupFrac(w, 3) > 0.05)
+      .cast("int").cast("long")
   }
 }

@@ -217,18 +217,19 @@ object TrainPrep {
     *        ∧ quality ≥ minQuality ∧ language identified
     *        ∧ not repetitive (Gopher gates) ∧ stratified-sample kept.
     *
-    * Scale shape: the row-level signals (quality, language, sampling)
-    * are computed in a single projection over ONE corpus scan — NOT by
-    * joining the registered per-signal queries, which would re-scan
-    * the corpus once per signal.  Only two signals need a shuffle and
-    * they keep it minimal: canonical = min(doc_id) window over the
-    * content-hash partition (uniform keys), and the repetition flag's
-    * (doc_id, token) word-count aggregation, which arrives already
-    * partitioned by doc_id for the final join. */
+    * Scale shape: EVERY row-level signal (quality, language, sampling,
+    * and — since TopTokenCount made the top-word numerator a column —
+    * the full repetition flag) is computed in a single projection over
+    * ONE corpus scan; joining the registered per-signal queries would
+    * re-scan the corpus once per signal.  The only shuffle left in the
+    * whole funnel is the canonical rule's min(doc_id) window over the
+    * content-hash partition (uniform keys).  (Until round 4 the
+    * repetition flag cost a (doc_id, token) word-count aggregation
+    * plus a join-back — the funnel's only non-window shuffle, gone.) */
   def corpusFunnel(spark: SparkSession, dir: String,
       minQuality: Double = 0.25): DataFrame = {
     val byHash = Window.partitionBy(md5(col("text")))
-    val signals = Tables(spark, dir).documents.select(
+    Tables(spark, dir).documents.select(
       col("doc_id"),
       (col("doc_id") === min(col("doc_id")).over(byHash))
         .cast("int").cast("long").as("is_canonical"),
@@ -237,10 +238,8 @@ object TrainPrep {
       (TextAnalysis.predLangCol(col("text")) =!= "unknown")
         .cast("int").cast("long").as("lang_known"),
       stratifiedKeep(Map("en" -> 400), 1000)
-        .cast("int").cast("long").as("sample_kept"))
-    signals
-      .join(CorpusStats.repetition(spark, dir)
-        .select(col("doc_id"), col("repetitive")), Seq("doc_id"))
+        .cast("int").cast("long").as("sample_kept"),
+      CorpusStats.repetitiveFlag.as("repetitive"))
       .withColumn("keep",
         (col("is_canonical") === 1 && col("quality_ok") === 1 &&
           col("lang_known") === 1 && col("sample_kept") === 1 &&

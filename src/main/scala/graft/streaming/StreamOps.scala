@@ -224,10 +224,12 @@ object StreamOps {
     * Ordering is deliberate: every stateless gate runs BEFORE the
     * stateful dedup so dropped docs never touch the state store.
     * Like streamingDedup, the survivor per content hash is
-    * first-arrival (vs the batch funnel's min-doc_id canonical rule);
-    * the repetition gate stays batch-side — its top-word fraction
-    * needs a per-doc aggregation that is the O(words²) HOF
-    * anti-pattern if forced into a row expression (§4b). */
+    * first-arrival (vs the batch funnel's min-doc_id canonical rule).
+    * Since round 4 the REPETITION gate runs here too: TopTokenCount
+    * made the top-word numerator per-row native math (it previously
+    * needed a per-doc aggregation — inexpressible as a row gate
+    * without the O(words²) HOF anti-pattern), so the streaming gates
+    * are now the complete batch gate set. */
   /** @param bloom MUST be built by `TrainPrep.gramBloom` (the
     *   GramHashes 64-bit domain): the probe below evaluates the same
     *   GramHashes expression the batch builder folds in, so build and
@@ -248,12 +250,13 @@ object StreamOps {
   private def ingestGated(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       minQuality: Double): DataFrame = {
-    import graft.operators.{TextAnalysis, TrainPrep}
+    import graft.operators.{CorpusStats, TextAnalysis, TrainPrep}
     import graft.functions.TextFunctions.words
     docs
       .filter(TextAnalysis.qualityScoreCol(col("text")) >= minQuality)
       .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
       .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+      .filter(CorpusStats.repetitiveFlag === 0L)
       .filter(!exists(graft.functions.GramHashes(words(col("text")), 8),
         h => graft.functions.BloomContains.ofHashed(h, bloom)))
       .withColumn("content_hash", md5(col("text")))

@@ -54,6 +54,18 @@ class ExpressionPropertySpec extends GraftSpec {
     })
   }
 
+  test("TopTokenCount == max groupBy count on random token streams") {
+    val s = spark
+    import s.implicits._
+    holds(forAll(toksGen) { toks =>
+      val got = Seq(toks).toDF("toks")
+        .select(graft.functions.TopTokenCount(col("toks"))).head().getLong(0)
+      val ref = if (toks.isEmpty) 0L
+        else toks.groupBy(identity).map(_._2.length).max.toLong
+      got == ref
+    })
+  }
+
   test("FirstMatchingBand == naive band scan on random signatures") {
     val s = spark
     import s.implicits._

@@ -176,6 +176,7 @@ class StreamingSpec extends GraftSpec {
       .filter(TextAnalysis.qualityScoreCol(col("text")) >= 0.25)
       .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
       .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+      .filter(operators.CorpusStats.repetitiveFlag === 0L)
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .withColumn("shard", pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
@@ -257,11 +258,12 @@ class StreamingSpec extends GraftSpec {
       val outIds = out.map(_.getAs[Long]("doc_id")).toSet
 
       // batch mirror of the stateless gates (probe in the gramBloom
-      // domain, as the funnel does)
+      // domain, as the funnel does; repetition gate included since r4)
       val passing = t
         .filter(TextAnalysis.qualityScoreCol(col("text")) >= 0.25)
         .filter(TextAnalysis.predLangCol(col("text")) =!= "unknown")
         .filter(TrainPrep.stratifiedKeep(Map("en" -> 400), 1000))
+        .filter(operators.CorpusStats.repetitiveFlag === 0L)
         .filter(!exists(graft.functions.GramHashes(words(col("text")), 8),
           h => graft.functions.BloomContains.ofHashed(h, bloom)))
         .select(col("doc_id"), md5(col("text")).as("h"))
