@@ -137,6 +137,7 @@ object SparkEntry {
         graft.sources.Materialized.pathFor("train_warehouse", d)(
           TrainWarehouse.materialize(s, d, _)))),
     "t_redact" -> (TrainPrep.redact _),
+    "t_pack" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
     // corpus profiling (vocabulary, length distributions, repetition)
@@ -655,6 +656,24 @@ object SparkEntry {
     "t_redact" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_redacted,
         |regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g') AS redacted_text FROM documents""".stripMargin,
+    // packing = the t_chunk body joined to the d_train_shards body +
+    // one per-shard running sum; all-integer math, 256-token sequences
+    "t_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |c AS (SELECT doc_id, a,
+        |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM w),
+        |x AS (SELECT doc_id, a, i AS chunk_id
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t),
+        |chunks AS (SELECT doc_id, chunk_id,
+        |CAST(len(a[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens FROM x),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |layout AS (SELECT doc_id, h % 8 AS shard,
+        |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM h),
+        |s AS (SELECT c.doc_id, c.chunk_id, l.shard, l.pos, c.n_tokens,
+        |sum(c.n_tokens) OVER (PARTITION BY l.shard ORDER BY l.pos, c.chunk_id) - c.n_tokens AS stream_offset
+        |FROM chunks c JOIN layout l ON c.doc_id = l.doc_id)
+        |SELECT doc_id, chunk_id, shard, CAST(stream_offset AS BIGINT) AS stream_offset,
+        |CAST(stream_offset // 256 AS BIGINT) AS seq_id FROM s""".stripMargin,
     "d_decontaminate" ->
       """WITH docs AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
         |string_split(text, ' ') AS a FROM documents),

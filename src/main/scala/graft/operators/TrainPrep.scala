@@ -122,6 +122,33 @@ object TrainPrep {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Sequence packing — the step between chunking and the trainer: the
+    * shard's chunk stream fills fixed-`seqLen`-token training
+    * sequences back to back (the GPT-style "pack to context length"
+    * layout; chunks straddle sequence boundaries and the trainer masks
+    * across them).  Each chunk gets its shard-stream offset and the
+    * sequence it STARTS in: seq_id = stream_offset div seqLen.
+    *
+    * Scale shape: chunks join the shard layout on doc_id, then ONE
+    * running-sum window per shard (partitioned — shards fill in
+    * parallel, never a global cumsum) and pure integer math.  The
+    * deterministic (pos, chunk_id) order means re-running the pipeline
+    * reproduces the identical packing — the property that makes a
+    * training run resumable from any step count. */
+  def packSequences(spark: SparkSession, dir: String,
+      seqLen: Int = 256): DataFrame = {
+    val chunks = chunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+    val layout = trainShards(spark, dir)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("chunk_id"))
+    chunks.join(layout, Seq("doc_id"))
+      .withColumn("stream_offset",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("stream_offset"),
+        floor(col("stream_offset") / lit(seqLen.toLong)).cast("long").as("seq_id"))
+  }
+
   /** Benchmark decontamination: flag train-split docs sharing any word
     * n-gram with the held-out test split (the GPT-3 appendix-C /
     * PaLM-style overlap check; n = 8 here against 13 there because this

@@ -108,6 +108,34 @@ class TrainPrepSpec extends GraftSpec {
     assert(kept > 0 && kept < f.count())
   }
 
+  test("packing fills each shard stream contiguously and deterministically") {
+    val rows = operators.TrainPrep.packSequences(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("stream_offset"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    // per shard: offsets start at 0 and are gap-free (each chunk begins
+    // where the previous ended), so sequences pack back to back
+    val chunkTokens = operators.TrainPrep.chunkDocs(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) -> r.getAs[Long]("n_tokens"))
+      .toMap
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.head._2 == 0L, s"shard $shard stream must start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + chunkTokens((a._4, a._5)),
+            s"gap in shard $shard stream at offset ${a._2}")
+        case _ =>
+      }
+      // seq_id is the offset's 256-token bin
+      ordered.foreach { case (_, off, seq, _, _) => assert(seq == off / 256) }
+    }
+    // deterministic: a second run packs identically
+    val again = operators.TrainPrep.packSequences(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("stream_offset"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    assert(rows.toSet == again.toSet)
+  }
+
   test("shard ordinals are dense 1..count per shard") {
     val bad = TrainPrep.trainShards(spark, Dir)
       .groupBy(col("shard"))
