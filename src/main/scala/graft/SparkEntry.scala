@@ -764,11 +764,19 @@ object SparkEntry {
          |FROM lineitem WHERE l_orderkey = 1 GROUP BY 1)
          |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus, n_txs, block_volume
          |FROM orders JOIN it ON o_orderkey = l_orderkey WHERE o_orderkey = 1""".stripMargin,
+    // median via the explicit blend over the sorted list — the same
+    // formula (and so the same IEEE ops) the Spark side evaluates; the
+    // quantile_cont builtin is the d_corpus_stats ULP-tie class
     "q_gas_prices" ->
-      s"""SELECT event_type AS denom, round(min(value), 4) AS min_price,
-         |round(quantile_cont(value, 0.5), 4) AS median_price,
-         |round(${AVGX("value")}, 4) AS avg_price, round(max(value), 4) AS max_price
-         |FROM events GROUP BY 1""".stripMargin,
+      """WITH g AS (SELECT event_type AS denom, round(min(value), 4) AS min_price,
+        |list_sort(list(value)) AS arr, count(*) AS n,
+        |round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_price,
+        |round(max(value), 4) AS max_price FROM events GROUP BY 1)
+        |SELECT denom, min_price,
+        |round(arr[CAST((50*(n-1))//100 + 1 AS BIGINT)] +
+        |(arr[CAST(least((50*(n-1))//100 + 2, n) AS BIGINT)] - arr[CAST((50*(n-1))//100 + 1 AS BIGINT)])
+        |  * (CAST((50*(n-1))%100 AS DOUBLE) / 100.0), 4) AS median_price,
+        |avg_price, max_price FROM g""".stripMargin,
     "q_account_staking" ->
       s"""WITH mine AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 7)
          |SELECT o_custkey AS account, l_suppkey, s_name,

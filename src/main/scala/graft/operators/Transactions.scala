@@ -57,16 +57,37 @@ object Transactions {
   /** Per-denom gas price stats with an exact median
     * (reference: src/service/transaction/getTxList.ts + /txs/gas_prices
     * route — fcd serves per-denom min gas prices; widened to
-    * min/median/avg/max).  percentile() is Spark's exact interpolated
-    * percentile — identical formula to DuckDB's quantile_cont. */
-  def gasPrices(spark: SparkSession, dir: String): DataFrame =
+    * min/median/avg/max).
+    *
+    * The median deliberately avoids percentile()/quantile_cont: the
+    * two builtins interpolate the same VALUE through engine-specific
+    * double expression orderings, which can land one ULP apart and
+    * flip round(…,4) on a tie — the d_corpus_stats round-3 red row.
+    * Values here are doubles (the integer bracketing-rank trick of
+    * CorpusStats doesn't produce an exact rational), so instead BOTH
+    * sides evaluate the literally identical blend over the sorted
+    * group: v_lo + (v_hi − v_lo)·(rem/100) with rem ∈ {0, 50} —
+    * identical IEEE operations on identical inputs are bit-identical,
+    * no builtin in the loop. */
+  def gasPrices(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("arr")).cast("long")
+    val idx = lit(50L) * (n - lit(1L))
+    val lo = floor(idx / lit(100L)).cast("long")
+    val rem = idx - lo * lit(100L)
+    val vLo = element_at(col("arr"), (lo + lit(1L)).cast("int"))
+    val vHi = element_at(col("arr"), least(lo + lit(2L), n).cast("int"))
+    val median = vLo + (vHi - vLo) * (rem.cast("double") / lit(100.0))
     Tables(spark, dir).events
       .groupBy(col("event_type").as("denom"))
       .agg(
         roundx(min(col("value")), 4).as("min_price"),
-        roundx(expr("percentile(value, 0.5)"), 4).as("median_price"),
+        sort_array(collect_list(col("value"))).as("arr"),
         roundx(avgx(col("value")), 4).as("avg_price"),
         roundx(max(col("value")), 4).as("max_price"))
+      .select(col("denom"), col("min_price"),
+        roundx(median, 4).as("median_price"),
+        col("avg_price"), col("max_price"))
+  }
 
   /** Production-path gas stats: approx_percentile for the median.
     * The exact percentile() above buffers every value of a group in
