@@ -28,14 +28,28 @@ object TrainWarehouse {
     * assignment, written shard-partitioned.  Columns at rest:
     * (doc_id, chunk_id, n_tokens, chunk_text, pos) partitioned by
     * shard — `pos` is the doc's dense ordinal within its shard
-    * (the epoch-shuffle order), carried on every chunk row. */
+    * (the epoch-shuffle order), carried on every chunk row.
+    *
+    * `exciseSpans = true` inserts the Lee et al. span rewrite between
+    * the funnel and chunking: cross-doc duplicated word ranges
+    * (computed WITHIN the survivor set — that is the corpus being
+    * trained on) are cut out, docs reduced to nothing drop, and the
+    * shard layout + ordinals are computed over the EXCISED texts —
+    * so dedup-of-spans and epoch order stay consistent.  This is the
+    * production pairing of d_substring_excised: keep the unique
+    * remainder of partially-duplicated docs instead of dropping or
+    * double-training them. */
   def materialize(spark: SparkSession, dir: String, path: String,
-      shards: Int = 8): Unit = {
+      shards: Int = 8, exciseSpans: Boolean = false): Unit = {
     val survivors = Tables(spark, dir).documents
       .join(TrainPrep.corpusFunnel(spark, dir)
         .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
-    val layout = TrainPrep.shardLayoutOf(survivors, shards)
-    TrainPrep.chunkDocsOf(survivors)
+    val corpus =
+      if (!exciseSpans) survivors
+      else graft.dedup.Dedup.substringExciseOf(survivors, n = 8)
+        .select(col("doc_id"), col("excised_text").as("text"))
+    val layout = TrainPrep.shardLayoutOf(corpus, shards)
+    TrainPrep.chunkDocsOf(corpus)
       .join(layout, Seq("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

@@ -49,6 +49,35 @@ class TrainWarehouseSpec extends GraftSpec {
     assert(df.count() > 0)
   }
 
+  test("excising materialization trains on cleaned text, consistently sharded") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-tw-excise-").toString + "/data"
+    TrainWarehouse.materialize(spark, Dir, p, exciseSpans = true)
+    val survivors = sources.Tables(spark, Dir).documents
+      .join(TrainPrep.corpusFunnel(spark, Dir)
+        .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    val excised = dedup.Dedup.substringExciseOf(survivors, n = 8)
+      .select(col("doc_id"), col("excised_text").as("text"))
+    val inline = TrainPrep.chunkDocsOf(excised)
+      .join(TrainPrep.shardLayoutOf(excised, 8), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("shard"), col("pos"))
+      .collect().map(_.toSeq).toSet
+    val stored = TrainWarehouse.read(spark, p)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"), col("shard"), col("pos"))
+      .collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty && stored == inline)
+    // excision strictly reduces the training token volume vs the
+    // plain warehouse (this corpus has cross-doc duplicated spans)
+    val plainTokens = TrainWarehouse.read(spark, path)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val excisedTokens = TrainWarehouse.read(spark, p)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(excisedTokens < plainTokens,
+      s"excision removed nothing: $excisedTokens vs $plainTokens")
+  }
+
   test("per-shard ordinals are dense from 1 and the layout is hash-stable") {
     val layout = TrainWarehouse.shardLayout(spark, path).collect()
     layout.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
