@@ -117,6 +117,9 @@ object SparkEntry {
     "s_knn_batch" -> ((s: SparkSession, d: String) => Knn.knnBatch(s, d)),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
+    // batched multi-probe serving shape (no oracle: spec vs the
+    // single-query ranking per query)
+    "s_knn_lsh_batch" -> ((s: SparkSession, d: String) => Knn.lshBatch(s, d)),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
     // sketch internals (k-means training / Bloom probes) are not

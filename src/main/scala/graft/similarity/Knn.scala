@@ -158,6 +158,43 @@ object Knn {
   def lshAnnMulti(spark: SparkSession, dir: String): DataFrame =
     lshAnnProbed(spark, dir, multiProbe = true)
 
+  /** BATCHED multi-probe LSH — knnBatch's serving shape on the
+    * bucketed layout: every query contributes its bucket plus the
+    * 1-bit flips to ONE broadcast probe relation ((1+NPlanes) rows per
+    * query), the corpus signature table joins it ON BUCKET EQUALITY in
+    * a single pass, and per-query top-k rides WindowGroupLimit.  Probe
+    * buckets are distinct per query, so each (query, vector) pair
+    * scores at most once — no dedup stage.  At 100 TB the signature
+    * is an ingest-time column and the table is bucketed by it, so the
+    * join prunes instead of scanning (the IvfWarehouse analogue).
+    * (No SQL oracle — spec asserts each query's slice equals its
+    * single-query lshAnnMulti ranking.) */
+  def lshBatch(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val NPlanes = 4
+    val t = Tables(spark, dir)
+    val sig = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), NPlanes))
+    val probes = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qnrm"), col("bucket").as("qbucket"))
+      .withColumn("qbucket",
+        explode(array(col("qbucket") +:
+          (0 until NPlanes).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    sig
+      .join(broadcast(probes),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"),
+        col("bucket"), col("rnk").cast("long").as("rnk"))
+  }
+
   private def lshAnnProbed(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val NPlanes = 4
     val t = Tables(spark, dir)

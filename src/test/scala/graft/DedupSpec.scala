@@ -142,6 +142,21 @@ class DedupSpec extends GraftSpec {
       s"expected WindowGroupLimit in plan:\n$plan")
   }
 
+  test("batched multi-probe lsh: each query's slice equals its single-query ranking") {
+    val batch = similarity.Knn.lshBatch(spark, Dir, nQueries = 3, k = 5)
+    val rows = batch.collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == (0L until 3L).toSet)
+    assert(batch.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // query 0's slice must equal the registered single-query
+    // multi-probe ranking (same planes, same probe set)
+    val single = similarity.Knn.lshAnnMulti(spark, Dir).collect().take(5)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val slice = rows.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(slice == single, s"batch $slice vs single $single")
+  }
+
   test("token rarity: hapax docs score 1.0, df bounds hold") {
     val rows = operators.CorpusStats.tokenRarity(spark, Dir).collect()
     assert(rows.length == sources.Tables(spark, Dir).documents.count())
