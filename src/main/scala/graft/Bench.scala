@@ -21,9 +21,10 @@ object Bench {
     "d_neardup_cosine", "d_dedup_groups",
     // round-3 additions heavy enough to regression-track
     "d_corpus_funnel", "d_substring_overlap", "s_knn_pq",
-    // round-4 additions: span excision, simhash exact verify, the
-    // iterative BPE trainer (8 merge rounds per run)
-    "d_substring_spans", "d_dedup_simhash_verified", "t_bpe_merges")
+    // round-4 additions: span report + excision rewrite, simhash exact
+    // verify, the iterative BPE trainer (8 merge rounds per run)
+    "d_substring_spans", "d_substring_excised",
+    "d_dedup_simhash_verified", "t_bpe_merges")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

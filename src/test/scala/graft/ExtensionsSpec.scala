@@ -17,6 +17,21 @@ class ExtensionsSpec extends GraftSpec {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("graft_gram_hashes_pos and graft_top_token_count match the Column API") {
+    val docs = sources.Tables(spark, Dir).documents.limit(50)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    docs.createOrReplaceTempView("ext_docs_pos")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_gram_hashes_pos(ws, 3) AS gp,
+        |       graft_top_token_count(ws) AS tc FROM ext_docs_pos""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.GramHashes.positional(col("ws"), 3).as("gp"),
+      graft.functions.TopTokenCount(col("ws")).as("tc"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("graft_bpe_merge rewrites greedily left-to-right, non-overlapping") {
     val r = spark.sql(
       "SELECT graft_bpe_merge(array('x','x','x','y'), 'x', 'x') AS m").head()
