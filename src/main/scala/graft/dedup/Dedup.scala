@@ -562,6 +562,11 @@ object Dedup {
     * (corpus-sized rows, fixed 16-byte width); `localCheckpoint`
     * truncates lineage so plans don't grow with iterations. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // per-round convergence telemetry (round, labels changed, seconds)
+    // to stderr when spark.graft.cc.verbose=true — the operational
+    // counterpart of Kmeans' history: long-running CC on a cluster is
+    // monitored by exactly these scalars
+    val verbose = pairs.sparkSession.conf.getOption("spark.graft.cc.verbose").contains("true")
     val undirected = pairs
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -572,6 +577,7 @@ object Dedup {
     var iter = 0
     val MaxIter = 50
     while (!converged && iter < MaxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = undirected
         .join(labels.withColumnRenamed("doc_id", "nid"), col("v") === col("nid"))
         .groupBy(col("u")).agg(min(col("group_id")).as("nmin"))
@@ -596,6 +602,8 @@ object Dedup {
       labels = next.select(col("doc_id"), col("group_id"))
       converged = changed == 0
       iter += 1
+      if (verbose)
+        System.err.println(f"graft.cc round=$iter changed=$changed sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     if (!converged)
       throw new IllegalStateException(
