@@ -102,6 +102,7 @@ object SparkEntry {
     "q_sessionize" -> (Olap.sessionize _),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
+    "d_dedup_chunk" -> (Dedup.dedupChunks _),
     "d_dedup_stream" -> (Dedup.dedupSurvivors _),
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -115,6 +116,8 @@ object SparkEntry {
     "d_substring_excised" -> ((s: SparkSession, d: String) => Dedup.substringExcise(s, d)),
     "s_knn_brute" -> (Knn.bruteForce _),
     "s_knn_batch" -> ((s: SparkSession, d: String) => Knn.knnBatch(s, d)),
+    "s_range_search" -> ((s: SparkSession, d: String) => Knn.rangeSearch(s, d)),
+    "s_range_search_lsh" -> ((s: SparkSession, d: String) => Knn.rangeSearchLsh(s, d)),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     // batched multi-probe serving shape (no oracle: spec vs the
@@ -132,6 +135,7 @@ object SparkEntry {
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
     "d_sample_split" -> (TrainPrep.sampleSplit _),
     "d_sample_stratified" -> ((s: SparkSession, d: String) => TrainPrep.sampleStratified(s, d)),
+    "d_domain_mix" -> ((s: SparkSession, d: String) => TrainPrep.domainMix(s, d)),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
     // training set at rest: materialized once per (view, dir) per JVM
     // (the txVolFromRollup pattern), then served as a pure pruned read
@@ -219,6 +223,16 @@ object SparkEntry {
       |round(d.dup2, 4) AS dup_2gram_frac, round(d.dup3, 4) AS dup_3gram_frac,
       |CAST(CAST(tt.top_cnt AS DOUBLE)/tt.n_words > 0.12 OR d.dup2 > 0.1 OR d.dup3 > 0.05 AS BIGINT) AS repetitive
       |FROM d JOIN tt ON d.doc_id = tt.doc_id""".stripMargin
+  // one SQL body for BOTH range-search plans: the brute scan is the
+  // definition, and the LSH-banded plan is recall-1.0 on the fixed
+  // corpus+seed so it is held to the identical exact answer
+  private val SRangeSearchSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |FROM embeddings WHERE vec_id < 10)
+      |SELECT query_id, vec_id,
+      |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+      |FROM embeddings, q WHERE vec_id <> query_id
+      |AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.3""".stripMargin
   private val DSampleStratifiedSql =
     """WITH h AS (SELECT doc_id, lang,
       |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
@@ -518,6 +532,21 @@ object SparkEntry {
         |max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY 1, 2""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    // the t_chunk CTE + two windows over the chunk hash
+    "d_dedup_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |c AS (SELECT doc_id, a,
+        |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM w),
+        |x AS (SELECT doc_id, a, i AS chunk_id
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t),
+        |chunks AS (SELECT doc_id, chunk_id,
+        |CAST(len(a[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
+        |md5(array_to_string(a[chunk_id*48+1 : chunk_id*48+64], ' ')) AS h FROM x)
+        |SELECT doc_id, chunk_id, n_tokens,
+        |CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_dups,
+        |CAST(CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) = 1
+        |THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM chunks""".stripMargin,
     "d_dedup_stream" ->
       """WITH k AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1)
         |SELECT k.doc_id, k.content_hash, CAST(length(d.text) AS BIGINT) AS n_chars
@@ -621,6 +650,11 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "s_range_search" -> SRangeSearchSql,
+    // the LSH plan's recall is 1.0 on the fixed corpus+seed
+    // (RangeSearchSpec), so the banded path is held to the SAME exact
+    // brute-force SQL — the d_neardup_cosine oracle pairing
+    "s_range_search_lsh" -> SRangeSearchSql,
     "s_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |FROM embeddings WHERE vec_id < 10),
@@ -659,6 +693,24 @@ object SparkEntry {
     "t_redact" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]{2,}')) AS BIGINT) AS n_redacted,
         |regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g') AS redacted_text FROM documents""".stripMargin,
+    // mixture→rates arithmetic is all-integer at ppm scale (no double
+    // division anywhere near the keep/drop boundary — the percentile
+    // tie-class lesson); weights: src0 boosted 6× over everything else
+    "d_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |CAST(CASE WHEN source = 'src0' THEN 240 ELSE 40 END AS BIGINT) AS target_w
+        |FROM d GROUP BY 1),
+        |m AS (SELECT min((src_tokens * 1000000) // target_w) AS m_scaled FROM s),
+        |r AS (SELECT source,
+        |CAST(least(1000000, (target_w * m_scaled) // src_tokens) AS BIGINT) AS keep_ppm
+        |FROM s, m),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000 AS bucket FROM d)
+        |SELECT b.doc_id, b.source, b.n_tokens, r.keep_ppm, b.bucket,
+        |CAST(CASE WHEN b.bucket < r.keep_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM b JOIN r USING (source)""".stripMargin,
     // packing = the t_chunk body joined to the d_train_shards body +
     // one per-shard running sum; all-integer math, 256-token sequences
     "t_pack" ->

@@ -37,6 +37,35 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Chunk-granularity exact dedup — dedup at the TRAINING-SEQUENCE
+    * level rather than the document level: chunk every doc with the
+    * standard context-window chunker (TrainPrep.chunkDocsOf — the
+    * same 64/48 windows t_chunk and t_pack emit), hash each chunk's
+    * text, keep the first occurrence corpus-wide (minimal (doc_id,
+    * chunk_id)), and report how many copies each chunk has.  Document
+    * dedup misses boilerplate chunks shared by otherwise-distinct
+    * docs (headers, license blocks, templated intros); this is the
+    * granularity at which those repeats would reach training
+    * sequences, so it is where a pipeline that packs chunks (t_pack)
+    * wants its dedup gate.
+    *
+    * Scale shape: one explode (the chunker — narrow, scan-speed) then
+    * ONE shuffle keyed by the md5 chunk hash (uniform by construction,
+    * no skew; same key property as `exact`).  Both window functions
+    * (the copy count and the keep decision) share that single
+    * partitioning — one Exchange, two WindowExecs, no second shuffle. */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.TrainPrep.chunkDocsOf(Tables(spark, dir).documents)
+    val byHash = Window.partitionBy(col("content_hash"))
+    val firstSeen = byHash.orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk_text")).as("content_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        count(lit(1)).over(byHash).as("n_dups"),
+        (row_number().over(firstSeen) === 1).cast("long").as("kept"))
+  }
+
   /** Streaming-shaped dedup, batch entry: the SURVIVORS of first-seen
     * exact dedup — one row per distinct content, the smallest doc_id
     * kept (what a dedup stage forwards downstream, vs `exact` above

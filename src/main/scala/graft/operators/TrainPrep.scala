@@ -122,6 +122,53 @@ object TrainPrep {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Domain-mixture resampling — compute the keep RATES from a target
+    * mixture, the step upstream of `sampleStratified` (which takes
+    * rates as given): given relative target weights per `source`
+    * (e.g. boost a curated domain, flatten the web crawl), find the
+    * largest output corpus where no domain needs upsampling —
+    * M = min over sources of tokens(s)/weight(s) — and keep each
+    * source at p(s) = weight(s)·M / tokens(s).  Docs are then kept by
+    * the same content-hash bucketing as every sampler here (stable
+    * across runs/engines/partitionings; dup texts share a fate).
+    *
+    * The rate arithmetic is pure INTEGER math at parts-per-million
+    * scale — `tokens·10⁶ div weight` then `weight·M div tokens` — so
+    * the keep set is engine-exact (the percentile-tie lesson: never
+    * let two engines' double ULPs near a keep/drop boundary).  Long
+    * headroom bounds the ppm scale at ~9·10¹² tokens per source;
+    * beyond that (a >30 PB text corpus) drop to per-mille scale or
+    * DECIMAL(38) — documented, not silently lossy.
+    *
+    * Scale shape: one groupBy(source) over a token-count scan (partial
+    * agg; source cardinality is domains, not docs), a 1-row min
+    * aggregate broadcast back over the 20-row rate dim (the
+    * q_last_hour_ops pattern), then a broadcast join onto the corpus
+    * scan — the fact table shuffles zero times. */
+  def domainMix(spark: SparkSession, dir: String,
+      targets: Map[String, Long] = Map("src0" -> 240L),
+      defaultTarget: Long = 40L): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"),
+        org.apache.spark.sql.functions.size(words(col("text"))).cast("long").as("n_tokens"))
+    val weight = targets.foldLeft(lit(defaultTarget)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val bySource = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("target_w", weight)
+    val mScaled = bySource
+      .agg(min(expr("(src_tokens * 1000000) DIV target_w")).as("m_scaled"))
+    val rates = bySource.crossJoin(broadcast(mScaled))
+      .select(col("source"),
+        least(lit(1000000L), expr("(target_w * m_scaled) DIV src_tokens")).as("keep_ppm"))
+    val bucket = pmod(contentHash(col("text")), lit(1000000L))
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("keep_ppm"), bucket.as("bucket"),
+        (bucket < col("keep_ppm")).cast("long").as("kept"))
+  }
+
   /** Sequence packing — the step between chunking and the trainer: the
     * shard's chunk stream fills fixed-`seqLen`-token training
     * sequences back to back (the GPT-style "pack to context length"

@@ -78,6 +78,99 @@ object Knn {
         col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** RANGE (radius) search, brute baseline — every corpus vector with
+    * cosine ≥ `tau` of each query in a batch.  The retrieval shape
+    * when the caller wants "everything similar enough" (near-dup
+    * audits, contamination sweeps, recall-complete candidate pulls)
+    * rather than a fixed k: output size is data-dependent, so there is
+    * no top-k heap and no window anywhere — the threshold predicate IS
+    * the operator, and it runs inside the scan's codegen stage right
+    * after one dot product per (vector, query).  Like knnBatch, the
+    * query set is a bounded broadcast relation and the corpus streams
+    * through ONE BroadcastNestedLoopJoin — linear, embarrassingly
+    * parallel, the exact baseline `rangeSearchLsh` is verified
+    * against. */
+  def rangeSearch(spark: SparkSession, dir: String,
+      nQueries: Int = 10, tau: Double = 0.3): DataFrame = {
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"), roundx(col("cos"), 6).as("cosine"))
+  }
+
+  /** LSH-banded range search — rangeSearch's scale path: the corpus
+    * carries a hyperplane signature exploded into 32 bands × 2 bits
+    * (an ingest-time index column at 100 TB, exactly like the
+    * cosinePairsFrom dedup layout), query probes join ON BAND-KEY
+    * EQUALITY, and each surviving (query, vector) candidate pays one
+    * exact dot at verify.  The corpus is never scanned against every
+    * query: only bucket collisions score, and with the table bucketed
+    * by (band, key) at rest the join prunes partitions instead.
+    *
+    * Exactly-once by construction: candidates keep only their FIRST
+    * matching band (the native FirstMatchingBand predicate — the
+    * cosinePairsFrom construction on a query/corpus join instead of a
+    * self-join), so no dedup aggregate over the candidate set.
+    *
+    * Recall: tau = 0.3 (sized to this corpus's near-random cosine
+    * distribution, like d_neardup_cosine's 0.4 gate) → p_bit =
+    * 1 − acos(0.3)/π ≈ 0.597, p_band = 0.597² ≈ 0.356, P(miss all 32
+    * bands) = 0.644³² ≈ 8·10⁻⁷ per true pair — which is why the
+    * oracle pairing with the EXACT brute SQL holds on fixed data
+    * (RangeSearchSpec asserts result equality vs rangeSearch; the
+    * d_neardup_cosine caveat about regenerated borderline pairs
+    * applies verbatim).  At a production 0.8 gate the same machinery
+    * runs wider bands (p_band = 0.795⁴ ≈ 0.40 at 4 bits) with
+    * correspondingly harder pruning. */
+  def rangeSearchLsh(spark: SparkSession, dir: String,
+      nQueries: Int = 10, tau: Double = 0.3,
+      bitsPerBand: Int = 2, bands: Int = 32): DataFrame = {
+    val t = Tables(spark, dir)
+    val nBits = bitsPerBand * bands
+    // per-row math (sig, norm) once, behind a localCheckpoint barrier:
+    // CollapseProject would otherwise substitute the signature
+    // expression into all `bands` band-key slots below the explode
+    // (the measured cosinePairsFrom trap)
+    val e = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))
+      .localCheckpoint()
+    val mask = -1L >>> (64 - bitsPerBand)
+    def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
+        (b * bitsPerBand) % 64).bitwiseAND(lit(mask))
+    def banded(df: DataFrame) = df.select(col("vec_id"), col("sig"),
+      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "bkey")))
+    val corpus = banded(e)
+    val probes = banded(e.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+        col("band").as("qband"), col("bkey").as("qbkey"))
+    val firstMatchingBand = graft.functions.FirstMatchingBand(
+      col("sig"), col("qsig"), bitsPerBand, bands)
+    val cand = corpus.join(broadcast(probes),
+        col("band") === col("qband") && col("bkey") === col("qbkey") &&
+          col("vec_id") =!= col("query_id") && col("band") === firstMatchingBand)
+      .select(col("query_id"), col("vec_id"))
+    cand
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"), roundx(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer → posting
     * lists → probe the nprobe nearest lists exactly.  The standard
     * billion-scale ANN layout (Jégou et al., IVF in FAISS): at 100 TB

@@ -275,6 +275,28 @@ class DedupSpec extends GraftSpec {
     assert(labels.map(_.getAs[Long]("group_id")).distinct.sameElements(Array(0L)))
   }
 
+  test("chunk dedup: one survivor per distinct chunk, and it is the first occurrence") {
+    val out = dedup.Dedup.dedupChunks(spark, Dir).localCheckpoint()
+    val chunks = operators.TrainPrep.chunkDocs(spark, Dir)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("h"))
+    val j = out.join(chunks, Seq("doc_id", "chunk_id"))
+    // exactly one kept row per hash, n_dups = group size on every row
+    val perHash = j.groupBy(col("h"))
+      .agg(sum(col("kept")).as("n_kept"), count(lit(1)).as("n"),
+        min(col("n_dups")).as("dmin"), max(col("n_dups")).as("dmax"),
+        min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+    assert(perHash.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perHash.filter(col("dmin") =!= col("n") || col("dmax") =!= col("n")).count() == 0)
+    // the kept row IS the minimal (doc_id, chunk_id) of its hash group
+    val keptNotFirst = j.filter(col("kept") === 1)
+      .join(j.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f")), Seq("h"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("chunk_id") =!= col("f.chunk_id"))
+    assert(keptNotFirst.count() == 0)
+    // the corpus HAS duplicate chunks (else the operator proves nothing)
+    assert(out.filter(col("kept") === 0).count() > 0)
+  }
+
   test("fingerprints: identical text => identical fingerprints") {
     val docs = sources.Tables(spark, Dir).documents
     val fps = operators.TextAnalysis.fingerprint(spark, Dir)

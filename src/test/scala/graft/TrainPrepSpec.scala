@@ -145,4 +145,47 @@ class TrainPrepSpec extends GraftSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("domain mix realizes the target mixture without upsampling") {
+    val out = TrainPrep.domainMix(spark, Dir).localCheckpoint()
+    // the DETERMINISTIC contract: expected kept tokens per source
+    // (keep_ppm·src_tokens/10⁶) are proportional to the target
+    // weights (src0=240, others 40), exactly up to the two integer
+    // floors.  The REALIZED sample adds hash-bucket binomial noise —
+    // huge at sf0.001's 25 docs/source — so that part only gets a
+    // robust dominance check.
+    val bySrc = out.groupBy(col("source"))
+      .agg(first(col("keep_ppm")).as("keep_ppm"),
+        sum(col("n_tokens")).as("src_tokens"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("keep_ppm"), r.getAs[Long]("src_tokens"), r.getAs[Long]("kept_tokens"))))
+      .toMap
+    val expected = bySrc.map { case (s, (ppm, t, _)) => s -> ppm.toDouble * t / 1e6 }
+    val expTotal = expected.values.sum
+    assert(expTotal > 0)
+    val weights = bySrc.keys.map(s => s -> (if (s == "src0") 240.0 else 40.0)).toMap
+    val wTotal = weights.values.sum
+    expected.foreach { case (s, e) =>
+      val share = e / expTotal
+      val target = weights(s) / wTotal
+      assert(math.abs(share - target) < 2e-4,
+        s"$s expected-kept share $share vs target $target (floors only)")
+    }
+    // realized: the 6×-boosted source must dominate every other source
+    val realized = bySrc.map { case (s, (_, _, k)) => s -> k }
+    assert(realized("src0") > realized.filter(_._1 != "src0").values.max,
+      s"boosted src0 not dominant: $realized")
+    // no source upsamples: keep_ppm <= 1e6 and the binding source
+    // (largest weight per token) keeps ~everything
+    assert(out.filter(col("keep_ppm") > 1000000L).count() == 0)
+    // the binding source keeps ~everything (two integer floors can
+    // shave single ppm off the exact 10⁶, never more than g+1)
+    assert(out.filter(col("keep_ppm") >= 999000L).count() > 0,
+      "some source must bind at keep-everything")
+    // deterministic: same inputs, same keep set
+    val again = TrainPrep.domainMix(spark, Dir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
 }
