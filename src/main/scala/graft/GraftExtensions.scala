@@ -26,6 +26,7 @@ import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand
   *   graft_simhash(words)               60-bit SimHash sketch
   *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
   *   graft_top_token_count(words)       most-frequent-token count (repetition)
+  *   graft_mg_topk(words, k)            Misra-Gries heavy-hitters aggregate
   *   graft_gram_hashes(words, k)        distinct k-gram hashes, array<long>
   *   graft_gram_hashes_pos(words, k)    per-position k-gram hashes (spans)
   *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
@@ -105,6 +106,11 @@ object GraftExtensions {
     "graft_top_token_count" -> { args =>
       arity("graft_top_token_count", 1, args)
       graft.functions.TopTokenCount(args(0))
+    },
+    "graft_mg_topk" -> { args =>
+      arity("graft_mg_topk", 2, args)
+      graft.functions.MisraGries(args(0), intLit("graft_mg_topk", 2, args(1)))
+        .toAggregateExpression()
     },
     "graft_dupgram_frac" -> { args =>
       arity("graft_dupgram_frac", 2, args)

@@ -149,6 +149,11 @@ object SparkEntry {
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
+    // Misra-Gries summary: the guarantee (coverage above n/(k+1),
+    // bounded underestimates), not the surviving row set, is the
+    // contract — HeavyHittersSpec asserts it vs exact counts; same
+    // no-oracle class as the HLL/Bloom sketches
+    "t_heavy_hitters" -> ((s: SparkSession, d: String) => CorpusStats.heavyHitters(s, d)),
     "t_bpe_pairs" -> ((s: SparkSession, d: String) => CorpusStats.bpePairs(s, d)),
     // iterative trainer loop — not a DuckDB query; BpeSpec asserts the
     // merge sequence against a single-machine reference implementation

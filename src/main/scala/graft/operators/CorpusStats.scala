@@ -34,6 +34,28 @@ object CorpusStats {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Approximate heavy hitters — vocabTopK's 100 TB-scale sibling: a
+    * Misra–Gries summary (native typed-imperative aggregate,
+    * graft.functions.MisraGries) built scan-side, so token occurrences
+    * NEVER explode into a shuffle.  Where vocabTopK shuffles every
+    * distinct token (fine while vocabulary ≪ corpus; the profiling
+    * default), this moves at most k counters per map partition and
+    * merges them associatively — the shape that survives a vocabulary
+    * that no longer fits a reducer (URLs, code identifiers, n-grams).
+    *
+    * Output estimates are LOWER bounds, short by at most
+    * total_tokens/(k+1), and every token above that frequency is
+    * guaranteed present — HeavyHittersSpec asserts both against the
+    * exact counts.  (No SQL oracle: the summary's surviving set is
+    * merge-order-dependent below the guarantee line; the GUARANTEE,
+    * not the row set, is the contract — same no-oracle class as the
+    * HLL/Bloom sketches.) */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 32): DataFrame =
+    Tables(spark, dir).documents
+      .agg(graft.functions.MisraGries(words(col("text")), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est").as("est_count"))
+
   /** BPE merge-candidate scan — the inner step of byte-pair-encoding
     * tokenizer training (Sennrich et al. 2016: count all ADJACENT
     * symbol pairs, merge the most frequent, repeat): corpus-wide
