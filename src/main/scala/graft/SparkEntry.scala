@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.{Kmeans, Knn, Pq, SemDedup}
+import graft.similarity.{Kmeans, Knn, Logreg, Pq, SemDedup}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -125,6 +125,11 @@ object SparkEntry {
     "s_knn_lsh_batch" -> ((s: SparkSession, d: String) => Knn.lshBatch(s, d)),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
+    // logistic-regression quality classifier: iterative GD trainer
+    // (not a DuckDB query; LogregSpec pins gradient parity, monotone
+    // loss, determinism) + the corpus-scale scoring pass it feeds
+    "s_logreg" -> (Logreg.logregHistory _),
+    "s_logreg_score" -> (Logreg.logregScore _),
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
