@@ -24,7 +24,11 @@ object Bench {
     // round-4 additions: span report + excision rewrite, simhash exact
     // verify, the iterative BPE trainer (8 merge rounds per run)
     "d_substring_spans", "d_substring_excised",
-    "d_dedup_simhash_verified", "t_bpe_merges")
+    "d_dedup_simhash_verified", "t_bpe_merges",
+    // round-5 additions: chunk-level dedup (corpus-wide window over the
+    // chunk hash), banded range search, the MG sketch pass, and the
+    // iterative LR trainer (8 GD rounds per run)
+    "d_dedup_chunk", "s_range_search_lsh", "t_heavy_hitters", "s_logreg")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -154,9 +154,13 @@ object TrainPrep {
     val weight = targets.foldLeft(lit(defaultTarget)) { case (acc, (s, w)) =>
       when(col("source") === s, lit(w)).otherwise(acc)
     }
+    // 20-row materialized leaf: the totals feed BOTH the min aggregate
+    // and the rate projection — without the barrier each consumer
+    // re-runs the whole corpus scan+shuffle (seen in explain)
     val bySource = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("target_w", weight)
+      .localCheckpoint()
     val mScaled = bySource
       .agg(min(expr("(src_tokens * 1000000) DIV target_w")).as("m_scaled"))
     val rates = bySource.crossJoin(broadcast(mScaled))
