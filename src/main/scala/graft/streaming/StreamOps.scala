@@ -296,6 +296,23 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming heavy hitters — the ONLINE twin of t_heavy_hitters: a
+    * global Misra–Gries aggregate over the document stream, emitted in
+    * complete mode.  The state store holds ONE serialized summary per
+    * aggregation state row (≤ k counters — KBs, bounded for the life
+    * of the stream regardless of volume), and each micro-batch folds
+    * its partial summaries in via the same mergeIn path the batch
+    * partial aggregation uses, so the streaming result carries the
+    * identical n/(k+1) guarantee over everything ingested so far.
+    * (StreamingSpec drives it from a MemoryStream and asserts the MG
+    * guarantee against the exact counts of the streamed corpus.) */
+  def streamingHeavyHitters(docs: DataFrame, k: Int = 32): DataFrame =
+    docs
+      .agg(graft.functions.MisraGries(
+        graft.functions.TextFunctions.words(col("text")), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est").as("est_count"))
+
   /** Streaming variant with watermarking, for a readStream source. */
   def streamingTumblingAgg(events: DataFrame): DataFrame =
     events

@@ -89,4 +89,42 @@ class ExpressionPropertySpec extends GraftSpec {
       got == ref
     })
   }
+
+  test("Misra-Gries guarantees survive random streams, merge splits, and serde") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.oneOf((0 until 12).map(i => s"t$i"))
+    val streamGen = Gen.listOfN(300, tokGen)
+    val kGen = Gen.oneOf(1, 2, 4, 7)
+    val cutsGen = Gen.listOfN(3, Gen.choose(0, 300))
+    // the expression instance is only a serde handle here (k matters,
+    // the child does not)
+    def summaries(k: Int) =
+      graft.functions.MisraGries(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), k)
+    holds(forAll(streamGen, kGen, cutsGen) { (toks, k, cuts) =>
+      val agg = summaries(k)
+      // split the stream at random cut points, build one summary per
+      // segment (update path), then fold via SERIALIZED merge — the
+      // exact partial-aggregation lifecycle
+      val bounds = (cuts.sorted :+ toks.length).distinct
+      val segs = (0 +: bounds).zip(bounds).map { case (a, b) => toks.slice(a, b) }
+      val merged = segs.map { seg =>
+        val s = agg.createAggregationBuffer()
+        seg.foreach(t => s.offer(UTF8String.fromString(t)))
+        agg.deserialize(agg.serialize(s)) // serde roundtrip per partial
+      }.reduce { (a, b) => a.mergeIn(b); a }
+      val got = {
+        import scala.jdk.CollectionConverters._
+        merged.counts.asScala.map { case (t, c) => t.toString -> c.longValue() }.toMap
+      }
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.length.toDouble
+      val bound = n / (k + 1)
+      val coverage = exact.forall { case (t, c) => c <= bound || got.contains(t) }
+      val under = got.forall { case (t, est) =>
+        est <= exact.getOrElse(t, 0L) && exact.getOrElse(t, 0L) - est <= bound
+      }
+      coverage && under && got.size <= k
+    })
+  }
 }

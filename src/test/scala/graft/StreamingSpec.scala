@@ -359,4 +359,38 @@ class StreamingSpec extends GraftSpec {
       assert(out.exists(_.getAs[Long]("n_events") == 2L))
     } finally query.stop()
   }
+
+  test("streaming heavy hitters carry the MG guarantee over everything ingested") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val texts = sources.Tables(s, Dir).documents
+      .select(col("text")).as[String].collect()
+    val stream = MemoryStream[String]
+    val query = streaming.StreamOps.streamingHeavyHitters(
+        stream.toDF().toDF("text"), k = 32)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = texts.splitAt(texts.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+      val got = s.table("hh_out").collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+      val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val n = exact.values.sum
+      val bound = n.toDouble / 33
+      assert(got.size <= 32)
+      val heavy = exact.filter(_._2 > bound).keySet
+      assert(heavy.nonEmpty && (heavy -- got.keySet).isEmpty,
+        s"streaming MG missed ${heavy -- got.keySet}")
+      got.foreach { case (t, est) =>
+        assert(est <= exact.getOrElse(t, 0L) &&
+          exact.getOrElse(t, 0L) - est <= bound + 1e-9, s"$t estimate off: $est")
+      }
+    } finally query.stop()
+  }
 }
