@@ -65,4 +65,19 @@ object VectorFunctions {
     * nPlanes-dot tree per reference. */
   def hyperplaneSignatureWords(v: Column, nPlanes: Int, dims: Int = 64): Column =
     GraftBridge.column(HyperplaneSigWords(GraftBridge.expression(v), nPlanes, dims))
+
+  /** The `bands` LSH band keys of a word-array signature, as one array
+    * column (posexplode it for banded rows).  Unsigned-shift mask so
+    * full-word bands don't wrap (the WideBandSpec lesson); bands must
+    * not straddle words.  ONE definition shared by the inline range-
+    * search plan and the LshWarehouse layout, so a probe computed here
+    * always agrees with keys at rest. */
+  def bandKeys(sig: Column, bitsPerBand: Int, bands: Int): Column = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 64 && 64 % bitsPerBand == 0,
+      s"bitsPerBand=$bitsPerBand must divide the 64-bit signature words")
+    val mask = -1L >>> (64 - bitsPerBand)
+    array((0 until bands).map(b =>
+      shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
+        (b * bitsPerBand) % 64).bitwiseAND(lit(mask))): _*)
+  }
 }

@@ -161,11 +161,15 @@ object TrainPrep {
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("target_w", weight)
       .localCheckpoint()
-    val mScaled = bySource
+    // weight 0 = "drop this source": it must neither divide (ANSI
+    // DIVIDE_BY_ZERO) nor bind the no-upsampling minimum
+    val mScaled = bySource.filter(col("target_w") > 0)
       .agg(min(expr("(src_tokens * 1000000) DIV target_w")).as("m_scaled"))
     val rates = bySource.crossJoin(broadcast(mScaled))
       .select(col("source"),
-        least(lit(1000000L), expr("(target_w * m_scaled) DIV src_tokens")).as("keep_ppm"))
+        when(col("target_w") <= 0 || col("src_tokens") <= 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(target_w * m_scaled) DIV src_tokens"))).as("keep_ppm"))
     val bucket = pmod(contentHash(col("text")), lit(1000000L))
     docs.join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),

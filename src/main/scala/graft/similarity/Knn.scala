@@ -144,13 +144,8 @@ object Knn {
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), nBits))
       .localCheckpoint()
-    val mask = -1L >>> (64 - bitsPerBand)
-    def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
-      shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
-        (b * bitsPerBand) % 64).bitwiseAND(lit(mask))
     def banded(df: DataFrame) = df.select(col("vec_id"), col("sig"),
-      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
-        .as(Seq("band", "bkey")))
+      posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
     val corpus = banded(e)
     val probes = banded(e.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"),

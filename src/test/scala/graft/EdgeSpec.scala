@@ -83,4 +83,31 @@ class EdgeSpec extends GraftSpec {
       .select(col("group_id")).distinct().count()
     assert(groups == 1)
   }
+
+  test("MG with k=1 over one repeated token reports it exactly") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("x x x x", "x x").toDF("text")
+      .agg(functions.MisraGries(split(col("text"), " "), 1).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token"), col("h.est")).collect()
+    // a single-token stream is the one input where k=1 is lossless
+    assert(out.length == 1 && out(0).getString(0) == "x" && out(0).getLong(1) == 6L)
+  }
+
+  test("range search above the max cosine returns empty, not an error") {
+    assert(similarity.Knn.rangeSearch(spark, Dir, tau = 1.01).count() == 0)
+    assert(similarity.Knn.rangeSearchLsh(spark, Dir, tau = 1.01).count() == 0)
+  }
+
+  test("domain mix with all weight on one source keeps exactly that source") {
+    val out = operators.TrainPrep.domainMix(spark, Dir,
+        targets = Map("src0" -> 1000L), defaultTarget = 0L)
+      .localCheckpoint()
+    // zero-weight sources divide to keep_ppm 0 — and the m_scaled min
+    // over (tokens*1e6 div 0) must not throw or win the min
+    assert(out.filter(col("source") === "src0").filter(col("kept") === 0).count() == 0 ||
+      out.filter(col("source") === "src0" && col("keep_ppm") < 1000000L).count() == 0)
+    assert(out.filter(col("source") =!= "src0" && col("kept") === 1).count() == 0)
+  }
 }

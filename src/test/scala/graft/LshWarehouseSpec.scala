@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.similarity.{Knn, LshWarehouse}
+
+/** The banded-signature layout at rest: probe results must be
+  * row-identical to the inline rangeSearchLsh plan (hence to brute
+  * force — RangeSearchSpec closes that link), and the probe must
+  * actually PRUNE (band, key) partitions rather than scan the index.
+  */
+class LshWarehouseSpec extends GraftSpec {
+
+  private lazy val path = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-lshw-").toString + "/index"
+    LshWarehouse.materialize(spark, Dir, p)
+    p
+  }
+
+  test("warehouse probe equals the inline banded plan") {
+    val atRest = LshWarehouse.rangeProbe(spark, path)
+      .collect().map(_.toSeq).toSet
+    val inline = Knn.rangeSearchLsh(spark, Dir)
+      .collect().map(_.toSeq).toSet
+    assert(atRest.nonEmpty, "degenerate: empty result set proves nothing")
+    assert(atRest == inline)
+  }
+
+  test("a single query's probe prunes to at most its bands' partitions") {
+    val df = LshWarehouse.rangeProbe(spark, path, nQueries = 1)
+    val scan = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.endsWith("index")) => f
+      }.headOption.getOrElse(fail("no index FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    // 32 bands × 2-bit keys = 128 partitions at rest; one query probes
+    // at most its 32 (band, key) pairs
+    assert(allParts > 32, s"expected >32 bb partitions at rest, got $allParts")
+    assert(pruned <= 32, s"probe scanned $pruned of $allParts partitions")
+    assert(df.count() >= 0) // plan must execute
+  }
+}
