@@ -179,15 +179,17 @@ object SparkEntry {
   // DuckDB mirrors.  SUMX/AVGX == graft.functions.Exact.
   private def SUMX(e: String) = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
   private def AVGX(e: String) = s"${SUMX(e)}/count(*)"
-  // Bracketing-rank percentile over a pre-sorted BIGINT list `arr` with
-  // group size `n_docs` — the integer-exact mirror of
-  // CorpusStats.corpusStats' pctx (see its Scaladoc for why the
-  // quantile_cont/percentile builtins cannot be hash-compared).
+  // Bracketing-rank percentile NUMERATOR (100× the percentile, pure
+  // BIGINT) over a pre-sorted list `arr` with group size `n_docs` —
+  // the integer-exact mirror of CorpusStats.corpusStats' pctx.  No
+  // final /100.0 or round(): the r04 driver run proved even that last
+  // double step diverges across DuckDB versions (see the corpusStats
+  // Scaladoc), so the fixed-point integer IS the output.
   private def PCTX(p: Int, alias: String) = {
     val lo = s"($p*(n_docs-1))//100"
     val rem = s"($p*(n_docs-1))%100"
-    s"round((arr[CAST($lo+1 AS BIGINT)]*100 + " +
-      s"(arr[CAST(least($lo+2, n_docs) AS BIGINT)] - arr[CAST($lo+1 AS BIGINT)])*($rem)) / 100.0, 4) AS $alias"
+    s"arr[CAST($lo+1 AS BIGINT)]*100 + " +
+      s"(arr[CAST(least($lo+2, n_docs) AS BIGINT)] - arr[CAST($lo+1 AS BIGINT)])*($rem) AS $alias"
   }
 
   // Hoisted oracle bodies reused by the d_corpus_funnel composition —
@@ -778,14 +780,13 @@ object SparkEntry {
          |CAST(length(text) AS BIGINT) AS nc FROM documents),
          |g AS (SELECT lang, count(*) AS n_docs, sum(nw) AS n_tokens,
          |min(nw) AS min_tokens, max(nw) AS max_tokens,
-         |list_sort(list(nw)) AS arr,
-         |round(CAST(sum(CAST(nc AS DECIMAL(30,6))) AS DOUBLE)/count(*), 4) AS avg_chars
+         |list_sort(list(nw)) AS arr, sum(nc) AS n_chars
          |FROM x GROUP BY 1)
          |SELECT lang, n_docs, n_tokens, min_tokens, max_tokens,
-         |${PCTX(50, "p50_tokens")},
-         |${PCTX(90, "p90_tokens")},
-         |${PCTX(99, "p99_tokens")},
-         |avg_chars FROM g""".stripMargin,
+         |${PCTX(50, "p50_x100")},
+         |${PCTX(90, "p90_x100")},
+         |${PCTX(99, "p99_x100")},
+         |CAST((n_chars*20000 + n_docs)//(2*n_docs) AS BIGINT) AS avg_chars_x10000 FROM g""".stripMargin,
     "t_token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
