@@ -107,6 +107,12 @@ object SparkEntry {
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_minhash_verified" -> (Dedup.minhashVerified _),
+    // incremental dedup vs the MinHash index at rest: the warehouse
+    // materializes once per (view, dir) per JVM, probes are pure reads
+    "d_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      graft.dedup.MinHashWarehouse.incrementalDedup(s, d,
+        graft.sources.Materialized.pathFor("minhash_warehouse", d)(
+          graft.dedup.MinHashWarehouse.materialize(s, d, _)))),
     "d_dedup_simhash" -> (Dedup.simhash _),
     "d_dedup_simhash_verified" -> ((s: SparkSession, d: String) => Dedup.simhashVerified(s, d)),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
@@ -589,6 +595,18 @@ object SparkEntry {
         |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // same recall argument as d_dedup_minhash_verified (both sides
+    // restricted to the deterministic doc_id mod 10 base/incoming split)
+    "d_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS new_id, y.doc_id AS base_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8 GROUP BY 1, 2)
+        |SELECT new_id, base_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     // d_dedup_simhash_verified: deliberately NO oracle — the naive
     // J>=0.8 join is unsound for simhash banding (measured: true pairs

@@ -380,8 +380,8 @@ object Dedup {
           " ").as("excised_text"))
   }
 
-  private val MinhashK = 128
-  private val Bands = 32 // 4 rows per band
+  private[graft] val MinhashK = 128
+  private[graft] val Bands = 32 // 4 rows per band
   private val Prime = 2147483647L // 2^31 - 1
 
   /** Per-doc MinHash(128) signature — native expression (see

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashWarehouse}
+
+/** Incremental dedup against the MinHash index at rest: the probe
+  * must agree pair-for-pair with the from-scratch verified path
+  * restricted to cross-split pairs, and the historical side must be
+  * served from the WAREHOUSE — the probe plan never re-reads the
+  * corpus text for base docs.
+  */
+class MinHashWarehouseSpec extends GraftSpec {
+
+  private lazy val path = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhw-").toString + "/index"
+    MinHashWarehouse.materialize(spark, Dir, p)
+    p
+  }
+
+  test("incremental probe equals the from-scratch verified cross pairs") {
+    val inc = MinHashWarehouse.incrementalDedup(spark, Dir, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // minhashVerified emits a_id < b_id over the whole corpus; keep
+    // cross-split pairs and orient them (new, base)
+    val full = Dedup.minhashVerified(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 10 >= 8, b % 10 >= 8) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _             => None
+        }
+      }.toSet
+    assert(inc.nonEmpty, "degenerate: no cross-split near-dup pairs at this SF")
+    assert(inc == full)
+  }
+
+  test("probe plan reads no corpus text — only signed leaves and the warehouse") {
+    val df = MinHashWarehouse.incrementalDedup(spark, Dir, path)
+    // incoming text is read ONCE at signing (localCheckpoint leaf);
+    // base text never — the probe plan itself contains no documents scan
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"probe plan re-reads corpus text: ${docScans.length} documents scans")
+    val whScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft-mhw-")) => f
+    }
+    assert(whScans.nonEmpty, "base side must be served from the warehouse")
+  }
+
+  test("every emitted pair crosses the split, J >= 0.8, exactly once") {
+    val rows = MinHashWarehouse.incrementalDedup(spark, Dir, path).collect()
+    assert(rows.forall(r => r.getLong(0) % 10 >= 8 && r.getLong(1) % 10 < 8))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate candidate pair emitted")
+  }
+}
