@@ -169,6 +169,10 @@ object SparkEntry {
     // iterative trainer loop — not a DuckDB query; BpeSpec asserts the
     // merge sequence against a single-machine reference implementation
     "t_bpe_merges" -> ((s: SparkSession, d: String) => CorpusStats.bpeMerges(s, d)),
+    // tokenizer application: trained merges replayed by the native
+    // BpeEncode expression in one scan — iterative like the trainer,
+    // so no SQL oracle; BpeSpec pins it to the reference encode
+    "t_bpe_encode" -> ((s: SparkSession, d: String) => CorpusStats.bpeEncode(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_repetition" -> (CorpusStats.repetition _),

@@ -103,6 +103,14 @@ object CorpusStats {
 
   def bpeMergesOf(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
+    trainMerges(docs, rounds).toDF("round", "first", "second", "n")
+  }
+
+  /** The trainer loop itself, returning the per-round winning pairs —
+    * shared by the registered history query (t_bpe_merges) and the
+    * corpus ENCODING pass (t_bpe_encode), which replays the merge list
+    * through the single-projection BpeEncode expression. */
+  private[graft] def trainMerges(docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
     var toks = docs.select(col("doc_id"), words(col("text")).as("toks"))
       .localCheckpoint()
     val hist = Seq.newBuilder[(Long, String, String, Long)]
@@ -130,7 +138,33 @@ object CorpusStats {
         r += 1
       }
     }
-    hist.result().toDF("round", "first", "second", "n")
+    hist.result()
+  }
+
+  /** Tokenizer APPLICATION — the pass that actually touches the
+    * corpus after t_bpe_merges trained the merge list: every doc's
+    * token stream encoded with all R merges in rank order via ONE
+    * native BpeEncode projection (R chained BpeMergePair projections
+    * would materialize R intermediate arrays per row; the merge table
+    * rides the plan as a constant).  Zero joins, zero shuffles — the
+    * s_logreg_score asymmetry: training loops on aggregates, encoding
+    * is a scan.  Output carries the raw/encoded token counts (the
+    * compression the merges bought) and the md5 of the encoded stream
+    * so correctness is a value check, not just counts; size+md5 share
+    * the one BpeEncode via codegen subexpression elimination (no
+    * Generate in this plan, so CSE applies — unlike the
+    * alongside-explode trap).  (No SQL oracle — the ENCODER is
+    * iterative like the trainer; BpeSpec pins it to the chained
+    * BpeMergePair rewrite, which is itself pinned to the
+    * single-machine reference.) */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = trainMerges(docs, rounds).map(h => (h._2, h._3))
+    val enc = graft.functions.BpeEncode(words(col("text")), merges)
+    docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens_raw"),
+      size(enc).cast("long").as("n_tokens_bpe"),
+      md5(array_join(enc, " ")).as("bpe_md5"))
   }
 
   /** Per-language corpus profile: doc counts, token totals, and the

@@ -59,6 +59,56 @@ class BpeSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  /** Reference encode: apply merges in rank order, each greedily
+    * left to right — the loop BpeEncode runs natively. */
+  private def refEncode(toks: Vector[String], merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(toks) { case (d, (a, b)) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < d.length) {
+        if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
+          out += s"$a $b"; i += 2
+        } else { out += d(i); i += 1 }
+      }
+      out.result()
+    }
+
+  test("BpeEncode equals chained BpeMergePair and the reference encode") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "x x x x x", "p q r p q r", "q p q p", "p q p q",
+      "r p q x x", "p q r x", "x")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = refBpe(texts, rounds = 5).map(h => (h._2, h._3))
+    assert(merges.size >= 3, "trap corpus should yield several merges")
+    val native = docs.select(col("doc_id"),
+        graft.functions.BpeEncode(split(col("text"), " "), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val chained = merges.foldLeft(
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks"))) {
+        case (df, (a, b)) =>
+          df.select(col("doc_id"), graft.functions.BpeMergePair(col("toks"), a, b).as("toks"))
+      }.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val ref = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> refEncode(t.split(" ").toVector, merges) }.toMap
+    assert(native == chained)
+    assert(native == ref)
+  }
+
+  test("t_bpe_encode counts are consistent and the stream hash is deterministic") {
+    val out = CorpusStats.bpeEncode(spark, Dir, rounds = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // merges only ever shrink a doc, and every doc survives encoding
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1))
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "4 corpus merges must compress at least one doc")
+    val again = CorpusStats.bpeEncode(spark, Dir, rounds = 4).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("merge sequence equals the reference on the real sf0.001 corpus") {
     val docs = sources.Tables(spark, Dir).documents
     val texts = docs.select(col("doc_id"), col("text"))
