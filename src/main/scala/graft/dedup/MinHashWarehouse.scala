@@ -45,14 +45,16 @@ object MinHashWarehouse {
   /** Historical side of the split: doc_id ≡ 0..7 (mod 10). */
   private[graft] def isBase = pmod(col("doc_id"), lit(10)) < 8
 
-  private def signed(docs: DataFrame): DataFrame =
+  private def signedCols(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        graft.functions.MinHashSig
-          .bandHashes(words(col("text")), 3, Dedup.MinhashK, Dedup.Bands).as("bands"),
-        graft.functions.GramHashes(words(col("text")), 3).as("shs"))
-      // bands/shs are leaves before any explode — the measured
-      // ×Bands re-evaluation trap (see minhashBandCandidates)
-      .localCheckpoint()
+      graft.functions.MinHashSig
+        .bandHashes(words(col("text")), 3, Dedup.MinhashK, Dedup.Bands).as("bands"),
+      graft.functions.GramHashes(words(col("text")), 3).as("shs"))
+
+  private def signed(docs: DataFrame): DataFrame =
+    // bands/shs are leaves before any explode — the measured
+    // ×Bands re-evaluation trap (see minhashBandCandidates)
+    signedCols(docs).localCheckpoint()
 
   /** Ingest: sign the historical corpus once, write the primary store
     * and the banded index. */
@@ -87,6 +89,43 @@ object MinHashWarehouse {
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
     cand
       .join(in.select(col("doc_id").as("new_id"), col("shs").as("a_shs")), Seq("new_id"))
+      .join(spark.read.parquet(docsPath(path))
+        .select(col("doc_id").as("base_id"), col("shs").as("b_shs")), Seq("base_id"))
+      .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_shs")) + size(col("b_shs")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("new_id"), col("base_id"), roundx(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The crawl STREAM deduping against the warehouse in flight —
+    * `incrementalDedup`'s online twin: each arriving doc signs once,
+    * its banded rows stream-static-join the narrow index, survivors
+    * exact-verify against the at-rest shingle sets.  Every operator
+    * here is a STATELESS projection or stream-static equi-join — no
+    * watermark, no state store, nothing grows with stream length; the
+    * doc-level cross-batch dedup state problem stays with
+    * streamingDedupWithinWatermark, by design.
+    *
+    * The repartition barrier after signing stands in for the batch
+    * path's localCheckpoint (illegal on a streaming frame):
+    * CollapseProject cannot cross the exchange, so the MinHash loop
+    * runs once per doc, not once per band slot (the measured ×Bands
+    * trap), and past it bands/shs are plain attributes.  One narrow
+    * micro-batch-sized shuffle is the price.  (MinHashWarehouseSpec
+    * drives it from a MemoryStream across multiple batches and
+    * asserts exact agreement with the batch probe.) */
+  def streamingDedup(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    val banded = signedCols(docs)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("bands"), col("shs"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(spark.read.parquet(path).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
+      .select(col("a.doc_id").as("new_id"), col("a.shs").as("a_shs"),
+        col("b.doc_id").as("base_id"))
       .join(spark.read.parquet(docsPath(path))
         .select(col("doc_id").as("base_id"), col("shs").as("b_shs")), Seq("base_id"))
       .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))

@@ -54,6 +54,35 @@ class MinHashWarehouseSpec extends GraftSpec {
     assert(whScans.nonEmpty, "base side must be served from the warehouse")
   }
 
+  test("streaming probe across micro-batches equals the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val incoming = sources.Tables(s, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val out = MinHashWarehouse.streamingDedup(s, stream.toDF()
+      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), path)
+    val query = out.writeStream.format("memory")
+      .queryName("mhw_stream").outputMode("append").start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = s.table("mhw_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = MinHashWarehouse.incrementalDedup(s, Dir, path)
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("every emitted pair crosses the split, J >= 0.8, exactly once") {
     val rows = MinHashWarehouse.incrementalDedup(spark, Dir, path).collect()
     assert(rows.forall(r => r.getLong(0) % 10 >= 8 && r.getLong(1) % 10 < 8))
