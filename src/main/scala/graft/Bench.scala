@@ -44,7 +44,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the JSON line out of a
+    // bounded output tail — keep log volume near zero
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm the JVM/codegen once on the smallest SF so the measured pass
     // isn't dominated by first-query classloading
@@ -91,7 +93,15 @@ object Bench {
         System.err.println(s"[bench] stress probes failed: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress}""")
+    // Every BENCH_r1-r4 driver capture came back parsed: None with a
+    // log-tail full of Spark SHUTDOWN chatter — the JSON line was
+    // being pushed out of the driver's tail buffer by the logs that
+    // flush after main returns.  So: stop the session FIRST (its
+    // shutdown logs land before we print), then emit the JSON line as
+    // the process's final stdout act.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress}"""
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

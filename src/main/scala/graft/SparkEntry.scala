@@ -136,6 +136,11 @@ object SparkEntry {
     // loss, determinism) + the corpus-scale scoring pass it feeds
     "s_logreg" -> (Logreg.logregHistory _),
     "s_logreg_score" -> (Logreg.logregScore _),
+    // one-vs-rest multiclass: K classifiers advance jointly, one
+    // dims-group shuffle per GD iteration regardless of K (no oracle:
+    // iterative trainer; LogregOvrSpec pins accuracy vs the measured
+    // linear ceiling, argmax consistency, bit-determinism)
+    "s_logreg_ovr" -> (Logreg.logregOvr _),
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
@@ -147,6 +152,7 @@ object SparkEntry {
     "d_sample_split" -> (TrainPrep.sampleSplit _),
     "d_sample_stratified" -> ((s: SparkSession, d: String) => TrainPrep.sampleStratified(s, d)),
     "d_domain_mix" -> ((s: SparkSession, d: String) => TrainPrep.domainMix(s, d)),
+    "d_domain_cap" -> ((s: SparkSession, d: String) => TrainPrep.domainCap(s, d)),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
     // training set at rest: materialized once per (view, dir) per JVM
     // (the txVolFromRollup pattern), then served as a pure pruned read
@@ -174,6 +180,10 @@ object SparkEntry {
     // so no SQL oracle; BpeSpec pins it to the reference encode
     "t_bpe_encode" -> ((s: SparkSession, d: String) => CorpusStats.bpeEncode(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
+    // the GK-sketch production swap (no oracle: sketch internals not
+    // portably SQL-expressible — the HLL/Bloom class; rank-guarantee
+    // spec vs the exact distribution in EdgeSpec)
+    "d_corpus_stats_approx" -> (CorpusStats.corpusStatsApprox _),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
@@ -730,6 +740,17 @@ object SparkEntry {
     // mixture→rates arithmetic is all-integer at ppm scale (no double
     // division anywhere near the keep/drop boundary — the percentile
     // tie-class lesson); weights: src0 boosted 6× over everything else
+    // quality_score composes the hoisted t_quality body verbatim (the
+    // d_corpus_funnel composition rule); ordering is engine-stable
+    // because the score is rounded to 4 dp (exact ties), doc_id breaks
+    "d_domain_cap" ->
+      s"""WITH q AS ($TQualitySql)
+         |SELECT doc_id, source, rk, quality_score FROM (
+         |SELECT d.doc_id, d.source, q.quality_score,
+         |row_number() OVER (PARTITION BY d.source
+         |ORDER BY q.quality_score DESC, d.doc_id) AS rk
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id) t
+         |WHERE rk <= 20""".stripMargin,
     "d_domain_mix" ->
       """WITH d AS (SELECT doc_id, source, text,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -225,6 +225,37 @@ object CorpusStats {
         expr("(n_chars * 20000L + n_docs) DIV (2L * n_docs)").as("avg_chars_x10000"))
   }
 
+  /** d_corpus_stats' documented production swap, REGISTERED: the
+    * per-language length distribution via percentile_approx
+    * (Greenwald–Khanna sketch — mergeable, bounded memory) instead of
+    * the exact sorted-group buffer, which at corpus scale would
+    * collect every doc length of a language into one aggregation
+    * buffer.  The sketch returns actual data VALUES (BIGINT — the
+    * all-integer output discipline holds with no fixed-point scaling
+    * needed).  (No oracle — GK internals are not portably
+    * SQL-expressible, the HLL/Bloom class; the spec asserts the RANK
+    * guarantee: each approx percentile's true rank lands within the
+    * sketch tolerance of its target, plus exact agreement of the
+    * non-sketch columns with d_corpus_stats.) */
+  def corpusStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(words(col("text"))).cast("long")
+    Tables(spark, dir).documents
+      .select(col("lang"), nw.as("nw"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        min(col("nw")).as("min_tokens"),
+        max(col("nw")).as("max_tokens"),
+        percentile_approx(col("nw"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(1000)).as("pcts"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        element_at(col("pcts"), 1).as("p50_tokens"),
+        element_at(col("pcts"), 2).as("p90_tokens"),
+        element_at(col("pcts"), 3).as("p99_tokens"))
+  }
+
   /** Corpus-relative token rarity per doc — the distributional half
     * of an LM-based quality filter (CCNet-style pipelines score docs
     * by LM log-prob; the corpus-statistics analogue scores them by

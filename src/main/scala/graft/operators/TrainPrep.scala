@@ -145,6 +145,30 @@ object TrainPrep {
     * aggregate broadcast back over the 20-row rate dim (the
     * q_last_hour_ops pattern), then a broadcast join onto the corpus
     * scan — the fact table shuffles zero times. */
+  /** Per-domain document caps (the RefinedWeb/C4 curation rule: no
+    * single domain may dominate the corpus) — keep each source's top
+    * `cap` documents by quality score.  Complements d_domain_mix:
+    * mix RESAMPLES to a target token mixture, cap BOUNDS absolute
+    * per-domain document counts; production pipelines run both.
+    *
+    * Scale shape: the rank ≤ cap filter compiles to WindowGroupLimit
+    * (partial per-partition top-cap heaps BEFORE the source exchange,
+    * final limit after — the q_delegators_top pattern), so a
+    * dominant domain never funnels its full row set through one
+    * reducer: each map partition forwards at most `cap` rows per
+    * source.  Ordering is engine-stable: quality_score is roundx'd to
+    * 4 dp (exact ties in both engines), doc_id breaks ties. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val byQuality = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+      .withColumn("rk", row_number().over(byQuality).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"), col("quality_score"))
+  }
+
   def domainMix(spark: SparkSession, dir: String,
       targets: Map[String, Long] = Map("src0" -> 240L),
       defaultTarget: Long = 40L): DataFrame = {

@@ -71,4 +71,37 @@ class CorpusStatsSpec extends GraftSpec {
     assert(truth.except(flagged.select(col("doc_id"))).count() == 0)
     assert(flagged.count() > 0, "test data should contain cross-split near-dups")
   }
+
+  test("approx corpus stats: exact columns agree, percentiles meet the rank guarantee") {
+    val approx = CorpusStats.corpusStatsApprox(spark, Dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = CorpusStats.corpusStats(spark, Dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    // non-sketch columns are identical
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      assert((1 to 4).forall(i => a.getLong(i) == e.getLong(i)), s"$lang scalar mismatch")
+    }
+    // rank guarantee: each approx percentile is a real data value whose
+    // rank lands within the GK tolerance (1/accuracy = 0.1%) + the
+    // discreteness slack of its target rank
+    val lens = graft.sources.Tables(spark, Dir).documents
+      .select(col("lang"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.words(col("text"))).cast("long").as("nw"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    for ((lang, a) <- approx; (p, idx) <- Seq(0.5 -> 5, 0.9 -> 6, 0.99 -> 7)) {
+      val v = a.getLong(idx)
+      val arr = lens(lang)
+      assert(arr.contains(v), s"$lang p$p=$v is not a data value")
+      val below = arr.count(_ < v).toDouble
+      val atMost = arr.count(_ <= v).toDouble
+      val target = p * arr.length
+      val tol = arr.length * 0.001 + 1
+      assert(below - tol <= target && target <= atMost + tol,
+        s"$lang p$p=$v rank [$below,$atMost] misses target $target")
+    }
+  }
 }

@@ -188,4 +188,25 @@ class TrainPrepSpec extends GraftSpec {
     val again = TrainPrep.domainMix(spark, Dir)
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
+
+  test("domain cap keeps at most cap docs per source via WindowGroupLimit") {
+    val df = TrainPrep.domainCap(spark, Dir, cap = 20)
+    // the rank<=cap filter must push partial top-cap heaps BELOW the
+    // source exchange — a dominant domain never funnels all its rows
+    // through one reducer
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=cap should compile to WindowGroupLimit")
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 20))
+    assert(bySource.values.exists(_.length == 20), "some source should saturate the cap")
+    // within a source, kept docs are the quality-ranked prefix: ranks
+    // are dense 1..n and scores non-increasing in rank order
+    bySource.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to g.length).toSeq)
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
