@@ -144,6 +144,13 @@ object SparkEntry {
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
+    // two-stage serving: ADC shortlist -> exact re-rank.  NO oracle,
+    // refuted by measurement: shortlist coverage of the true top-10
+    // fails at any useful depth on this worst-case random corpus (a
+    // true #10 sat below ADC rank 500/1999 at sf0.1 — see the
+    // pqRefine Scaladoc); spec asserts exact stage-2 cosines, recall
+    // dominance over raw ADC, determinism
+    "s_knn_pq_refined" -> ((s: SparkSession, d: String) => Pq.pqRefine(s, d)),
     "s_knn_ivfpq" -> ((s: SparkSession, d: String) => Pq.ivfPqAnn(s, d)),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
@@ -163,6 +170,7 @@ object SparkEntry {
     "t_redact" -> (TrainPrep.redact _),
     "t_pack" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
+    "d_contamination_report" -> ((s: SparkSession, d: String) => TrainPrep.contaminationReport(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
@@ -694,6 +702,9 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // s_knn_pq_refined: deliberately NO oracle — the brute-SQL pairing
+    // was REFUTED BY MEASUREMENT (shortlist coverage fails on this
+    // worst-case corpus; see Pq.pqRefine's Scaladoc and PqSpec)
     "s_range_search" -> SRangeSearchSql,
     // the LSH plan's recall is 1.0 on the fixed corpus+seed
     // (RangeSearchSpec), so the banded path is held to the SAME exact
@@ -792,6 +803,16 @@ object SparkEntry {
         |tr AS (SELECT doc_id, gram FROM g WHERE bucket < 80),
         |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 90)
         |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams, count(DISTINCT eval_id) AS n_eval_docs
+        |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
+    // the same overlap, aggregated on the EVAL side
+    "d_contamination_report" ->
+      """WITH docs AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+        |string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT DISTINCT doc_id, bucket, array_to_string(a[i : i+7], ' ') AS gram
+        |FROM docs, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+        |tr AS (SELECT doc_id, gram FROM g WHERE bucket < 80),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 90)
+        |SELECT eval_id, count(DISTINCT gram) AS n_shared_grams, count(DISTINCT doc_id) AS n_train_docs
         |FROM tr JOIN ev USING (gram) GROUP BY 1""".stripMargin,
     // the funnel's gates are the per-signal oracle bodies verbatim
     // (hoisted vals above) — composition can't drift from the signals

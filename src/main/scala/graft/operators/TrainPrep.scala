@@ -122,29 +122,6 @@ object TrainPrep {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  /** Domain-mixture resampling — compute the keep RATES from a target
-    * mixture, the step upstream of `sampleStratified` (which takes
-    * rates as given): given relative target weights per `source`
-    * (e.g. boost a curated domain, flatten the web crawl), find the
-    * largest output corpus where no domain needs upsampling —
-    * M = min over sources of tokens(s)/weight(s) — and keep each
-    * source at p(s) = weight(s)·M / tokens(s).  Docs are then kept by
-    * the same content-hash bucketing as every sampler here (stable
-    * across runs/engines/partitionings; dup texts share a fate).
-    *
-    * The rate arithmetic is pure INTEGER math at parts-per-million
-    * scale — `tokens·10⁶ div weight` then `weight·M div tokens` — so
-    * the keep set is engine-exact (the percentile-tie lesson: never
-    * let two engines' double ULPs near a keep/drop boundary).  Long
-    * headroom bounds the ppm scale at ~9·10¹² tokens per source;
-    * beyond that (a >30 PB text corpus) drop to per-mille scale or
-    * DECIMAL(38) — documented, not silently lossy.
-    *
-    * Scale shape: one groupBy(source) over a token-count scan (partial
-    * agg; source cardinality is domains, not docs), a 1-row min
-    * aggregate broadcast back over the 20-row rate dim (the
-    * q_last_hour_ops pattern), then a broadcast join onto the corpus
-    * scan — the fact table shuffles zero times. */
   /** Per-domain document caps (the RefinedWeb/C4 curation rule: no
     * single domain may dominate the corpus) — keep each source's top
     * `cap` documents by quality score.  Complements d_domain_mix:
@@ -169,6 +146,30 @@ object TrainPrep {
       .select(col("doc_id"), col("source"), col("rk"), col("quality_score"))
   }
 
+
+  /** Domain-mixture resampling — compute the keep RATES from a target
+    * mixture, the step upstream of `sampleStratified` (which takes
+    * rates as given): given relative target weights per `source`
+    * (e.g. boost a curated domain, flatten the web crawl), find the
+    * largest output corpus where no domain needs upsampling —
+    * M = min over sources of tokens(s)/weight(s) — and keep each
+    * source at p(s) = weight(s)·M / tokens(s).  Docs are then kept by
+    * the same content-hash bucketing as every sampler here (stable
+    * across runs/engines/partitionings; dup texts share a fate).
+    *
+    * The rate arithmetic is pure INTEGER math at parts-per-million
+    * scale — `tokens·10⁶ div weight` then `weight·M div tokens` — so
+    * the keep set is engine-exact (the percentile-tie lesson: never
+    * let two engines' double ULPs near a keep/drop boundary).  Long
+    * headroom bounds the ppm scale at ~9·10¹² tokens per source;
+    * beyond that (a >30 PB text corpus) drop to per-mille scale or
+    * DECIMAL(38) — documented, not silently lossy.
+    *
+    * Scale shape: one groupBy(source) over a token-count scan (partial
+    * agg; source cardinality is domains, not docs), a 1-row min
+    * aggregate broadcast back over the 20-row rate dim (the
+    * q_last_hour_ops pattern), then a broadcast join onto the corpus
+    * scan — the fact table shuffles zero times. */
   def domainMix(spark: SparkSession, dir: String,
       targets: Map[String, Long] = Map("src0" -> 240L),
       defaultTarget: Long = 40L): DataFrame = {
@@ -260,6 +261,32 @@ object TrainPrep {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("hsh")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** The EVAL-SIDE view of the same overlap — the benchmark-health
+    * report (Dodge et al. 2021's C4 contamination audit direction):
+    * for each held-out doc, how many of its n-grams appear in the
+    * train split and how many distinct train docs carry them.  A
+    * benchmark item with high overlap is compromised no matter what
+    * the train side does about it — `decontaminate` tells the train
+    * pipeline what to DROP, this tells the eval owner what to
+    * DISTRUST.  Same join, transposed aggregation key: one
+    * primitive-key shuffle, eval side broadcast under the same size
+    * guard, train side never broadcast.  Fully oracled (the
+    * d_decontaminate SQL with the GROUP BY flipped). */
+  def contaminationReport(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        pmod(contentHash(col("text")), lit(100L)).as("bucket"),
+        graft.functions.GramHashes(words(col("text")), n).as("g"))
+    val train = docs.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("g")).as("hsh"))
+    val heldout = docs.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("eval_id"), explode(col("g")).as("hsh"))
+    train.join(PlanHints.broadcastIfSmall(heldout), Seq("hsh"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("hsh")).as("n_shared_grams"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
   }
 
   /** Bloom-filter decontamination — the production twin of

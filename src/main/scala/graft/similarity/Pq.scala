@@ -126,6 +126,62 @@ object Pq {
       .select(col("vec_id"), col("adc_cosine"), col("cid"))
   }
 
+  /** TWO-STAGE retrieval — the production ANN serving shape (Jégou et
+    * al. 2011 §VI: ADC shortlist, exact re-rank): stage 1 scans only
+    * the 8 B/vector PQ codes for an ADC top-`shortlist`, stage 2
+    * fetches just those `shortlist` full vectors from the primary
+    * store (a broadcast id-semijoin — at rest, IvfWarehouse/
+    * LshWarehouse-style point reads) and re-ranks them with the EXACT
+    * brute-force cosine, arithmetic mirrored expression-for-expression
+    * on Knn.bruteForce.  The corpus-scale float math is gone — 100
+    * exact dots instead of n — while the final ranking is
+    * quantization-error-free.
+    *
+    * Deliberately NO brute-force oracle — REFUTED BY MEASUREMENT (the
+    * d_dedup_simhash_verified precedent): pairing it with the exact
+    * brute SQL requires the shortlist to cover the true top-10, and
+    * on this corpus it cannot at any useful depth — a constant 100
+    * covered sf0.001's draw but missed sf0.01's, and at sf0.1 a true
+    * top-10 vector (vec 794, cosine 0.3108) sat BELOW ADC rank 500 of
+    * 1,999.  Random synthetic embeddings are PQ's worst case (the
+    * PqSpec recall caveat): 16-centroid subspace codebooks quantize
+    * noise, and the corpus's cosine race is so tight (top-20 span
+    * 0.37→0.24) that ADC's estimate error scatters true neighbors by
+    * hundreds of ranks.  Real embedding distributions + Ksub=256 run
+    * constant shortlists of 100–1000 at billion scale.  What IS
+    * guaranteed and spec-asserted: stage 2's cosines are EXACT (they
+    * mirror Knn.bruteForce expression-for-expression), refined
+    * recall@10 dominates raw ADC recall@10, and the output is
+    * bit-deterministic. */
+  def pqRefine(spark: SparkSession, dir: String, shortlist: Int = 250): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val eN = Kmeans.normalize(e)
+    val (codebook, codes) = codebookAndCodes(eN)
+    val qsub = subvectors(eN.filter(col("vec_id") === 0))
+      .select(col("m"), col("sv").as("qsv"))
+    val lut = codebook.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        dot(col("cv"), col("qsv")).as("part"))
+    val short = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sumx(col("part")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    e.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cos").as("cosine"))
+  }
+
   /** Registered query: top-10 ADC neighbors of vec_id 0. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -108,4 +108,29 @@ class PqSpec extends GraftSpec {
     val again = Pq.pqAnn(spark, Dir)
     assert(pq.except(again).count() == 0 && again.except(pq).count() == 0)
   }
+
+  test("two-stage refine: exact cosines, recall dominates raw ADC, deterministic") {
+    val brute = Knn.bruteForce(spark, Dir).collect()
+    val bruteIds = brute.map(_.getLong(0)).toSet
+    val bruteCos = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refined = Pq.pqRefine(spark, Dir).collect()
+    assert(refined.length == 10)
+    // stage-2 cosines are EXACT: any refined id that is also in the
+    // brute top-10 carries bit-identical cosine (same expression)
+    refined.filter(r => bruteCos.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(1) == bruteCos(r.getLong(0)),
+        s"refined cosine diverges from exact for vec ${r.getLong(0)}")
+    }
+    // re-ranking a 250-deep exact shortlist can only improve on the
+    // raw ADC cut
+    val adcIds = Pq.pqAnn(spark, Dir).collect().map(_.getLong(0)).toSet
+    val refinedIds = refined.map(_.getLong(0)).toSet
+    assert((refinedIds & bruteIds).size >= (adcIds & bruteIds).size,
+      "refined recall fell below raw ADC recall")
+    assert((refinedIds & bruteIds).size > (adcIds & bruteIds).size ||
+      refinedIds == bruteIds,
+      "refine should visibly improve the worst-case ADC ranking here")
+    val again = Pq.pqRefine(spark, Dir).collect()
+    assert(refined.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
