@@ -33,7 +33,11 @@ object Bench {
     // lands on the first timed pass's warehouse build — once per JVM —
     // so min-of-3 times the PROBE, the path that exists in production)
     // and the tokenizer application pass (train once per run + encode)
-    "d_dedup_incremental", "t_bpe_encode")
+    "d_dedup_incremental", "t_bpe_encode",
+    // two-stage serving, per-domain caps, eval-side contamination
+    // (s_logreg_ovr stays OUT: 40 eager GD rounds ≈ 47 s/run would
+    // dominate the suite for a trainer that s_logreg already tracks)
+    "s_knn_pq_refined", "d_domain_cap", "d_contamination_report")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

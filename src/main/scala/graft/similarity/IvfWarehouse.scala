@@ -51,6 +51,52 @@ object IvfWarehouse {
       .select(col("vec_id"), col("cos").as("cosine"), col("cid"))
   }
 
+  /** MAINTENANCE: re-fit the coarse quantizer to the index's CURRENT
+    * contents and rewrite the posting lists — the drift repair every
+    * IVF deployment schedules (FAISS re-trains when the ingest
+    * distribution wanders from the one the centroids were fit on;
+    * skewed posting lists are the symptom: probes over-read fat lists
+    * and recall sags on thin ones).
+    *
+    * Reads ONLY the warehouse (vectors already at rest — the source
+    * corpus is not re-scanned), runs `rounds` Lloyd refinements
+    * SEEDED FROM THE STORED CENTROIDS (warm start: drift repair, not
+    * re-training from scratch), rewrites lists + centroids in place.
+    * Per round: one broadcast-K assignment pass + one mean update
+    * bounded by K×dims groups — the coarseQuantizer shapes.  Returns
+    * (cost_before, cost_after) mean-assignment-distance telemetry —
+    * two driver scalars, the Kmeans-history pattern.
+    * (IvfWarehouseSpec asserts cost non-increase, row preservation,
+    * and that probes still prune after the rewrite.) */
+  def recluster(spark: SparkSession, path: String, rounds: Int = 2): (Double, Double) = {
+    val e = spark.read.parquet(path)
+      .select(col("vec_id"), col("v")).localCheckpoint() // eager: frees the path for overwrite
+    def assigned(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    var cents = spark.read.parquet(centroidsPath(path)).localCheckpoint()
+    val costBefore = assigned(cents).agg(avg(col("dist"))).head.getDouble(0)
+    for (_ <- 1 to rounds) {
+      cents = assigned(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cv"))
+        .localCheckpoint()
+    }
+    val fin = assigned(cents).localCheckpoint()
+    val costAfter = fin.agg(avg(col("dist"))).head.getDouble(0)
+    fin.select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    cents.write.mode("overwrite").parquet(centroidsPath(path))
+    (costBefore, costAfter)
+  }
+
   /** BATCHED probe — the serving path under load: a SET of queries
     * against the warehouse in ONE pruned scan.  Per query, its nprobe
     * nearest lists are chosen from the K-row centroid table (driver-

@@ -71,6 +71,30 @@ class ScaleSpec extends GraftSpec {
       inline.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq)
   }
 
+  test("IVF warehouse: recluster repairs cost, keeps rows, probes still prune") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfr_").toString + "/lists"
+    similarity.IvfWarehouse.materialize(spark, Dir, path)
+    val before = spark.read.parquet(path)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val (costBefore, costAfter) = similarity.IvfWarehouse.recluster(spark, path)
+    // Lloyd from a warm start must not worsen the mean assignment
+    // distance (fixed data; each round reassigns-then-recenters)
+    assert(costAfter <= costBefore + 1e-9,
+      s"recluster worsened cost: $costBefore -> $costAfter")
+    // every vector survives the rewrite
+    val after = spark.read.parquet(path)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(after == before)
+    // the rewritten layout still serves pruned probes
+    val qv = sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") === 0).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val probe = similarity.IvfWarehouse.probe(spark, path, qv, nprobe = 4, k = 10)
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"))
+    assert(probe.count() == 10)
+  }
+
   test("IVF warehouse: batched probe == per-query probe, one pruned union scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString + "/lists"
     similarity.IvfWarehouse.materialize(spark, Dir, path)
