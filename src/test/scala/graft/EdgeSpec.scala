@@ -100,6 +100,22 @@ class EdgeSpec extends GraftSpec {
     assert(similarity.Knn.rangeSearchLsh(spark, Dir, tau = 1.01).count() == 0)
   }
 
+  test("pq refine with a corpus-wide shortlist degenerates to exact brute force") {
+    // shortlist >= n makes stage 1 a no-op filter — the two-stage
+    // result must then equal brute force row for row, which pins the
+    // stage-2 arithmetic mirror end to end
+    val refined = similarity.Pq.pqRefine(spark, Dir, shortlist = 1000000)
+      .collect().map(_.toSeq).toSeq
+    val brute = similarity.Knn.bruteForce(spark, Dir)
+      .collect().map(_.toSeq).toSeq
+    assert(refined == brute)
+  }
+
+  test("domain cap larger than any source keeps every document") {
+    val n = sources.Tables(spark, Dir).documents.count()
+    assert(operators.TrainPrep.domainCap(spark, Dir, cap = 1000000).count() == n)
+  }
+
   test("domain mix with all weight on one source keeps exactly that source") {
     val out = operators.TrainPrep.domainMix(spark, Dir,
         targets = Map("src0" -> 1000L), defaultTarget = 0L)

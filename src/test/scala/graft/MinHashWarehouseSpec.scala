@@ -83,6 +83,22 @@ class MinHashWarehouseSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("an empty incoming batch probes to an empty result, not an error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = MinHashWarehouse.streamingDedup(s, stream.toDF()
+      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), path)
+    val query = out.writeStream.format("memory")
+      .queryName("mhw_empty").outputMode("append").start()
+    try {
+      query.processAllAvailable() // zero batches added
+      assert(s.table("mhw_empty").count() == 0)
+    } finally query.stop()
+  }
+
   test("every emitted pair crosses the split, J >= 0.8, exactly once") {
     val rows = MinHashWarehouse.incrementalDedup(spark, Dir, path).collect()
     assert(rows.forall(r => r.getLong(0) % 10 >= 8 && r.getLong(1) % 10 < 8))
