@@ -66,10 +66,31 @@ object StressBench {
       graft.dedup.Dedup.cosinePairsFrom(eRep, threshold = 0.95,
         bitsPerBand = 8, bands = 16).count()
     }
+    // INCREMENTAL dedup against the warehouse at rest on the same
+    // replicated corpus (base/incoming = doc_id mod 10 on the replica
+    // ids): a replica pair shares its text, hence its SIGNATURE, so
+    // every cross-split same-text pair is a certain candidate — no
+    // banding probability involved — and inc_pairs must cover
+    // inc_clique_pairs (cross-split replica pairs) exactly, plus
+    // whatever genuine J ≥ 0.8 near-dups cross the split.  Counts are
+    // the regression signal, as everywhere in this probe set.
+    val cliqueInc = docs
+      .select(pmod(col("doc_id"), lit(10)).as("m"), col("text"))
+      .groupBy(col("text"))
+      .agg(sum(when(col("m") < 8, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("m") >= 8, 1L).otherwise(0L)).as("ni"))
+      .agg(sum(col("nb") * col("ni")).as("s")).head.getLong(0)
+    val (nInc, tInc) = time {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-stress-mhw-").toString + "/index"
+      graft.dedup.MinHashWarehouse.materializeFrom(docs, p)
+      graft.dedup.MinHashWarehouse.incrementalDedupFrom(spark, docs, p).count()
+    }
     s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
       s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
       s""""minhash_cand":$nMinhashCand,"minhash_sec":$tMinhash,""" +
-      s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos}"""
+      s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos,""" +
+      s""""inc_pairs":$nInc,"inc_clique_pairs":$cliqueInc,"inc_sec":$tInc}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -58,8 +58,13 @@ object MinHashWarehouse {
 
   /** Ingest: sign the historical corpus once, write the primary store
     * and the banded index. */
-  def materialize(spark: SparkSession, dir: String, path: String): Unit = {
-    val base = signed(Tables(spark, dir).documents.filter(isBase))
+  def materialize(spark: SparkSession, dir: String, path: String): Unit =
+    materializeFrom(Tables(spark, dir).documents, path)
+
+  /** Frame-level ingest (docs = (doc_id, text, …)) — shared by the
+    * registered query and the stress probe's replicated corpus. */
+  def materializeFrom(docs: DataFrame, path: String): Unit = {
+    val base = signed(docs.filter(isBase))
     base.write.mode("overwrite").parquet(docsPath(path))
     base.select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
@@ -78,8 +83,13 @@ object MinHashWarehouse {
     * the candidate set covers the exact answer and the operator holds
     * a bit-exact SQL oracle (the naive cross join restricted to the
     * same split). */
-  def incrementalDedup(spark: SparkSession, dir: String, path: String): DataFrame = {
-    val in = signed(Tables(spark, dir).documents.filter(!isBase))
+  def incrementalDedup(spark: SparkSession, dir: String, path: String): DataFrame =
+    incrementalDedupFrom(spark, Tables(spark, dir).documents, path)
+
+  /** Frame-level probe — shared by the registered query and the
+    * stress probe. */
+  def incrementalDedupFrom(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    val in = signed(docs.filter(!isBase))
     val inBanded = in.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val cand = inBanded.as("a")
