@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-app stdout through UNPREFIXED: the default LoggedOutput
+// strategy prepends "[info] " to every child stdout line, which broke
+// the driver's parse of Bench's single JSON output line (BENCH_r05:
+// parsed=None despite the line surviving in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,7 +37,11 @@ object Bench {
     // two-stage serving, per-domain caps, eval-side contamination
     // (s_logreg_ovr stays OUT: 40 eager GD rounds ≈ 47 s/run would
     // dominate the suite for a trainer that s_logreg already tracks)
-    "s_knn_pq_refined", "d_domain_cap", "d_contamination_report")
+    "s_knn_pq_refined", "d_domain_cap", "d_contamination_report",
+    // round-6: the 5-round OvR cost probe — times the K-independent-
+    // one-shuffle-per-round claim at a cost linear in rounds, and the
+    // periodic registered-accounts series
+    "s_logreg_ovr5", "q_registered_accounts")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -97,15 +101,56 @@ object Bench {
         System.err.println(s"[bench] stress probes failed: ${e.getMessage}")
         "null"
       }
+    // ANN QUALITY, regression-tracked as driver-visible data (not just
+    // spec assertions at fixed corpora): recall@10 of each approximate
+    // retrieval path against the exact brute-force top-10, plus
+    // set-equality of the banded range search vs its brute baseline.
+    // All collects are ≤ a few hundred id rows — driver metadata.
+    // SPARK_GRAFT_STRESS=0 skips (same switch as the stress probes).
+    val ann =
+      if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") == "0") "null"
+      else try annQualityJson(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ann quality failed: ${e.getMessage}")
+        "null"
+      }
     // Every BENCH_r1-r4 driver capture came back parsed: None with a
     // log-tail full of Spark SHUTDOWN chatter — the JSON line was
     // being pushed out of the driver's tail buffer by the logs that
     // flush after main returns.  So: stop the session FIRST (its
     // shutdown logs land before we print), then emit the JSON line as
     // the process's final stdout act.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress,"ann":$ann}"""
     spark.stop()
     println(line)
     System.out.flush()
+  }
+
+  /** recall@10 per approximate single-query ANN path vs the exact
+    * brute top-10, plus banded-vs-brute range-search set comparison.
+    * Returns a JSON object string. */
+  private def annQualityJson(spark: SparkSession, sfDir: String): String = {
+    def ids(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = ids("s_knn_brute")
+    val recalls = Seq("s_knn_lsh", "s_knn_lsh_mp", "s_knn_ivf",
+        "s_knn_pq", "s_knn_pq_refined", "s_knn_ivfpq")
+      .map { n =>
+        val r = (ids(n) & brute).size.toDouble / brute.size
+        "\"" + n + "\":" + r
+      }
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rb = pairs("s_range_search")
+    val rl = pairs("s_range_search_lsh")
+    val rangeJ =
+      if (rb.isEmpty && rl.isEmpty) 1.0
+      else (rb & rl).size.toDouble / (rb | rl).size
+    (recalls ++ Seq(
+      "\"range_lsh_jaccard\":" + rangeJ,
+      "\"range_pairs\":" + rb.size)).mkString("{", ",", "}")
   }
 }

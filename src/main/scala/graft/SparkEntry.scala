@@ -38,6 +38,7 @@ object SparkEntry {
     // oracle -> rows-only check + spec vs exact within tolerance
     "q_active_accounts_approx" -> (Dashboard.activeAccountsApproxDaily _),
     "q_account_growth" -> (Dashboard.accountGrowth _),
+    "q_registered_accounts" -> (Dashboard.registeredAccounts _),
     "q_rewards_by_date_denom" -> (Dashboard.rewardsByDateDenom _),
     "q_block_rewards" -> (Dashboard.blockRewards _),
     "q_staking_return" -> (Dashboard.stakingReturn _),
@@ -141,6 +142,7 @@ object SparkEntry {
     // iterative trainer; LogregOvrSpec pins accuracy vs the measured
     // linear ceiling, argmax consistency, bit-determinism)
     "s_logreg_ovr" -> (Logreg.logregOvr _),
+    "s_logreg_ovr5" -> (Logreg.logregOvr5 _),
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
@@ -272,7 +274,7 @@ object SparkEntry {
       |SELECT query_id, vec_id,
       |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
       |FROM embeddings, q WHERE vec_id <> query_id
-      |AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.3""".stripMargin
+      |AND round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.3""".stripMargin
   private val DSampleStratifiedSql =
     """WITH h AS (SELECT doc_id, lang,
       |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
@@ -318,6 +320,19 @@ object SparkEntry {
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS date FROM events GROUP BY 1),
         |g AS (SELECT date, count(*) AS new_accounts FROM f GROUP BY 1)
         |SELECT date, new_accounts, CAST(sum(new_accounts) OVER (ORDER BY date) AS BIGINT) AS total_accounts FROM g""".stripMargin,
+    // periodic = total[i] − total[i−1] (index 0 against 0), both series
+    // slice(1) — getRegisteredAccounts.ts semantics; lag computed in the
+    // SAME level as rn so the diff sees the undropped first row
+    "q_registered_accounts" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS date FROM events GROUP BY 1),
+        |g AS (SELECT date, count(*) AS new_accounts FROM f GROUP BY 1),
+        |c AS (SELECT date,
+        |CAST(sum(new_accounts) OVER (ORDER BY date) AS BIGINT) AS total_accounts,
+        |row_number() OVER (ORDER BY date) AS rn FROM g),
+        |p AS (SELECT date, total_accounts,
+        |CAST(total_accounts - lag(total_accounts, 1, 0) OVER (ORDER BY date) AS BIGINT) AS periodic_accounts,
+        |rn FROM c)
+        |SELECT date, periodic_accounts, total_accounts FROM p WHERE rn > 1""".stripMargin,
     "q_rewards_by_date_denom" ->
       s"""WITH d AS ($DAILY)
          |SELECT date, denom, round(vol, 4) AS reward_sum, n AS reward_count, round(avg_value, 4) AS reward_avg FROM d""".stripMargin,
@@ -477,7 +492,7 @@ object SparkEntry {
       """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, round(value, 4) AS amount
         |FROM events WHERE user_id = 7 AND event_id < 800 ORDER BY event_id DESC LIMIT 20""".stripMargin,
     "q_txs_by_block" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, round(l_extendedprice, 2) AS price
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_suppkey, round(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
     "q_tx_point_lookup" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, round(o_totalprice, 2) AS o_totalprice,
@@ -487,7 +502,7 @@ object SparkEntry {
          |FROM lineitem GROUP BY 1)
          |SELECT s_suppkey, s_name, round(revenue, 2) AS revenue,
          |round(revenue / sum(revenue) OVER (), 8) AS voting_power_weight,
-         |CAST(rank() OVER (ORDER BY revenue DESC, l_suppkey) AS INTEGER) AS power_rank
+         |CAST(rank() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS power_rank
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "q_validator_return" ->
       s"""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS date,
@@ -502,7 +517,7 @@ object SparkEntry {
       s"""WITH pp AS (SELECT l_suppkey, o_custkey, ${SUMX("l_extendedprice * (1 - l_discount)")} AS delegated
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
          |r AS (SELECT l_suppkey, o_custkey, delegated,
-         |CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY delegated DESC, o_custkey) AS INTEGER) AS delegator_rank FROM pp)
+         |CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY delegated DESC, o_custkey) AS BIGINT) AS delegator_rank FROM pp)
          |SELECT l_suppkey, o_custkey, round(delegated, 2) AS delegated, delegator_rank
          |FROM r WHERE delegator_rank <= 5""".stripMargin,
     "q_richlist" ->
@@ -842,7 +857,7 @@ object SparkEntry {
     "d_corpus_stats" ->
       s"""WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
          |CAST(length(text) AS BIGINT) AS nc FROM documents),
-         |g AS (SELECT lang, count(*) AS n_docs, sum(nw) AS n_tokens,
+         |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
          |min(nw) AS min_tokens, max(nw) AS max_tokens,
          |list_sort(list(nw)) AS arr, sum(nc) AS n_chars
          |FROM x GROUP BY 1)
@@ -937,7 +952,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
         |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey DESC LIMIT 20""".stripMargin,
     "q_claims_page" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS date,
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(l_shipdate AS DATE) AS date,
         |round(l_extendedprice * l_discount, 4) AS claim_amount
         |FROM lineitem WHERE l_suppkey = 3 ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 15""".stripMargin,
     "q_validator_detail" ->

@@ -75,9 +75,19 @@ object VectorFunctions {
   def bandKeys(sig: Column, bitsPerBand: Int, bands: Int): Column = {
     require(bitsPerBand >= 1 && bitsPerBand <= 64 && 64 % bitsPerBand == 0,
       s"bitsPerBand=$bitsPerBand must divide the 64-bit signature words")
+    // the last band reads word ((bands-1)·bitsPerBand) div 64; an
+    // undersized signature would make element_at return NULL band keys
+    // in non-ANSI mode and SILENTLY drop candidates — fail loudly
+    // instead (one size() compare per row; negligible next to the
+    // nBits dot products that built the signature)
+    val wordsNeeded = ((bands * bitsPerBand) + 63) / 64
+    val guard = assert_true(size(sig) >= lit(wordsNeeded),
+      lit(s"bandKeys: signature shorter than $wordsNeeded words for " +
+        s"bands=$bands x bitsPerBand=$bitsPerBand — sign with nBits >= ${bands * bitsPerBand}"))
     val mask = -1L >>> (64 - bitsPerBand)
-    array((0 until bands).map(b =>
+    val keys = array((0 until bands).map(b =>
       shiftrightunsigned(element_at(sig, b * bitsPerBand / 64 + 1),
         (b * bitsPerBand) % 64).bitwiseAND(lit(mask))): _*)
+    when(guard.isNull, keys)
   }
 }

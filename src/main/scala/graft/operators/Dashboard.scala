@@ -153,6 +153,34 @@ object Dashboard {
       sum(col("new_accounts")).over(w).as("total_accounts"))
   }
 
+  /** /dashboard/registered_accounts: the cumulative series AND the
+    * per-interval lag-diff series fcd derives from it, first interval
+    * dropped (reference: src/service/dashboard/getRegisteredAccounts.ts:15-28
+    * — periodic[i] = total[i] − total[i−1], index 0 diffs against 0,
+    * then both series `.slice(1)`).  One more window column over the
+    * SAME calendar-bounded rollup as accountGrowth — the lag and the
+    * running sum share one single-partition sort (≤1 row/day, the
+    * documented post-agg calendar-series shape), so the route costs no
+    * extra shuffle over the cumulative-only variant. */
+  def registeredAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val firstSeen = t.events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("date"))
+    val perDay = firstSeen.groupBy(col("date")).agg(count(lit(1)).as("new_accounts"))
+    val w = Window.partitionBy(pmod(unix_date(col("date")), lit(1L))).orderBy(col("date"))
+    perDay
+      .select(col("date"),
+        sum(col("new_accounts")).over(w).as("total_accounts"),
+        row_number().over(w).as("rn"))
+      .select(col("date"),
+        (col("total_accounts") - lag(col("total_accounts"), 1, 0L).over(w))
+          .as("periodic_accounts"),
+        col("total_accounts"), col("rn"))
+      .filter(col("rn") > 1)
+      .select(col("date"), col("periodic_accounts"), col("total_accounts"))
+  }
+
   /** Rewards rollup by (date, denom) — multi-aggregate
     * (reference: src/collector/dashboard/rewardsInfo.ts:30 getRewardsSumByDateDenom). */
   def rewardsByDateDenom(spark: SparkSession, dir: String): DataFrame =

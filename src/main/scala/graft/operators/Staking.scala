@@ -41,7 +41,7 @@ object Staking {
       .select(col("s_suppkey"), col("s_name"),
         roundx(col("revenue"), 2).as("revenue"),
         roundx(col("revenue") / col("total_rev"), 8).as("voting_power_weight"),
-        rank().over(byRev).as("power_rank"))
+        rank().over(byRev).cast("long").as("power_rank"))
   }
 
   /** Composite per-account staking view: ONE account's delegations,
@@ -116,7 +116,8 @@ object Staking {
       .withColumn("delegator_rank", row_number().over(w))
       .filter(col("delegator_rank") <= 5)
       .select(col("l_suppkey"), col("o_custkey"),
-        roundx(col("delegated"), 2).as("delegated"), col("delegator_rank"))
+        roundx(col("delegated"), 2).as("delegated"),
+        col("delegator_rank").cast("long").as("delegator_rank"))
   }
 
   /** Richlist: top accounts by balance with share of total supply
@@ -176,7 +177,7 @@ object Staking {
   def claimsPage(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .filter(col("l_suppkey") === 3)
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         to_date(col("l_shipdate")).as("date"),
         roundx(col("l_extendedprice") * col("l_discount"), 4).as("claim_amount"))
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)

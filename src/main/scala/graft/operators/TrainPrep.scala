@@ -161,9 +161,13 @@ object TrainPrep {
     * scale — `tokens·10⁶ div weight` then `weight·M div tokens` — so
     * the keep set is engine-exact (the percentile-tie lesson: never
     * let two engines' double ULPs near a keep/drop boundary).  Long
-    * headroom bounds the ppm scale at ~9·10¹² tokens per source;
-    * beyond that (a >30 PB text corpus) drop to per-mille scale or
-    * DECIMAL(38) — documented, not silently lossy.
+    * headroom: src_tokens·10⁶ caps tokens/source at ~9·10¹², and the
+    * later target_w·m_scaled product tightens that by the max/min
+    * weight RATIO (m_scaled ≈ min(src_tokens·10⁶/w); ratio 6× at the
+    * default 240/40 map → ~1.5·10¹² tokens for the binding source);
+    * beyond that (still a multi-PB text corpus) drop to per-mille
+    * scale or route the product through DECIMAL(38,0) — documented,
+    * not silently lossy.
     *
     * Scale shape: one groupBy(source) over a token-count scan (partial
     * agg; source cardinality is domains, not docs), a 1-row min

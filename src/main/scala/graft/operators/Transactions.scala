@@ -34,8 +34,8 @@ object Transactions {
   def txsByBlock(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .filter(col("l_orderkey") === 1)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), roundx(col("l_extendedprice"), 2).as("price"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), roundx(col("l_extendedprice"), 2).as("price"))
       .orderBy(col("l_linenumber"))
 
   /** Block-at-height lookup: header plus a rollup of its txs

@@ -81,12 +81,27 @@ object IvfWarehouse {
     var cents = spark.read.parquet(centroidsPath(path)).localCheckpoint()
     val costBefore = assigned(cents).agg(avg(col("dist"))).head.getDouble(0)
     for (_ <- 1 to rounds) {
-      cents = assigned(cents)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      // SPHERICAL update: assignment above scores -cosine, so the
+      // minimizing centroid direction is the mean of the NORMALIZED
+      // members (Dhillon & Modha 2001), not the raw arithmetic mean —
+      // with the raw mean the two half-steps optimize different
+      // objectives and the cost-non-increase guarantee (asserted by
+      // IvfWarehouseSpec) would not be mathematical.  Cosine is scale-
+      // invariant in cv, so the mean direction needs no re-normalize.
+      val upd = assigned(cents)
+        .withColumn("nrm", norm(col("v")))
+        .filter(col("nrm") > 0)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")), col("nrm"))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x") / col("nrm")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cv"))
+        .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cv_new"))
+      // a cluster that lost all members keeps its previous centroid —
+      // the rewrite must not silently shrink K (probe-time nprobe math
+      // assumes the stored codebook size)
+      cents = cents.select(col("cid"), col("cv").as("cv_old"))
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
         .localCheckpoint()
     }
     val fin = assigned(cents).localCheckpoint()

@@ -101,9 +101,14 @@ object Knn {
       .withColumn("nrm", norm(col("v")))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      // gate on the 6-dp ROUNDED cosine (the same value emitted): a raw
+      // engine-computed double within 1 ULP of tau could be kept by one
+      // engine and dropped by the other — the keep/drop-boundary hazard
+      // the d_neardup_cosine discipline exists for; the oracle rounds
+      // identically before comparing against tau
+      .withColumn("cos", roundx(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .filter(col("cos") >= tau)
-      .select(col("query_id"), col("vec_id"), roundx(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"))
   }
 
   /** LSH-banded range search — rangeSearch's scale path: the corpus
@@ -161,9 +166,10 @@ object Knn {
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),
         Seq("query_id"))
       .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      // same tie-stable gate as rangeSearch: threshold the ROUNDED value
+      .withColumn("cos", roundx(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
       .filter(col("cos") >= tau)
-      .select(col("query_id"), col("vec_id"), roundx(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"))
   }
 
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer → posting

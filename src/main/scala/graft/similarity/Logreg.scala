@@ -24,11 +24,14 @@ import graft.sources.Tables
   *  - the driver holds dims+1 doubles and the loss scalar per round —
   *    K-row metadata, the Kmeans-history pattern, never data.
   *
-  * Determinism: per-row gradient/loss terms are rounded (roundx, 9 dp)
-  * and summed through the Exact DECIMAL route, so sums are independent
-  * of partitioning and the trained weights — hence every score — are
-  * bit-identical across runs and cluster layouts.  LogregSpec also
-  * pins one GD step against a single-machine reference computation.
+  * Determinism: per-row gradient/loss terms go through the Exact
+  * DECIMAL(30,6) sum route, whose cast QUANTIZES every term at 6 dp
+  * (the roundx(…, 9) upstream is belt-and-braces on the double, not
+  * the effective precision — sumx's 6-dp quantization is what lands in
+  * the sum).  Sums are therefore independent of partitioning and the
+  * trained weights — hence every score — are bit-identical across runs
+  * and cluster layouts.  LogregSpec also pins one GD step against a
+  * single-machine reference computation.
   *
   * Scale note: like the k-means/PQ codebooks, production training uses
   * a bounded labeled sample (a classifier is trained on 10⁴–10⁶ labels
@@ -138,9 +141,9 @@ object Logreg {
     * running K separate passes.  Driver state: K·(dims+1) doubles —
     * classifier metadata, the Kmeans-history pattern.
     *
-    * Same determinism route as the binary trainer (9-dp rounded terms
-    * through DECIMAL sums) — weights, hence every prediction, are
-    * bit-identical across runs and partitionings. */
+    * Same determinism route as the binary trainer (terms quantized at
+    * 6 dp by the DECIMAL(30,6) sumx cast) — weights, hence every
+    * prediction, are bit-identical across runs and partitionings. */
   def trainOvr(eN: DataFrame, labels: Seq[Long], dims: Int, iters: Int, lr: Double)
       : (Array[Array[Double]], Array[Double]) = {
     val n = eN.count().toDouble
@@ -182,11 +185,24 @@ object Logreg {
     * LogregSpec asserts argmax consistency, accuracy far above the
     * majority baseline on the separable synthetic clusters, and
     * bit-determinism.) */
-  def logregOvr(spark: SparkSession, dir: String): DataFrame = {
+  def logregOvr(spark: SparkSession, dir: String): DataFrame =
+    logregOvrIters(spark, dir, OvrIters)
+
+  /** Bench-trackable OvR variant at 5 GD rounds: per-round cost is the
+    * claim under test (ONE dims-group shuffle for ALL K classes — the
+    * shuffle count is K-independent), and cost is linear in rounds, so
+    * a 5-round run times the claim without the 40-round accuracy run's
+    * ~47 s dominating the bench suite.  Same code path, same
+    * determinism; only the accuracy differs (undertrained — this
+    * variant is a COST probe, s_logreg_ovr remains the quality run). */
+  def logregOvr5(spark: SparkSession, dir: String): DataFrame =
+    logregOvrIters(spark, dir, 5)
+
+  private def logregOvrIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val eN = preparedAll(spark, dir).localCheckpoint()
     val labels = eN.select(col("label")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq // K-row metadata
-    val (ws, bs) = trainOvr(eN, labels, Dims, OvrIters, OvrLr)
+    val (ws, bs) = trainOvr(eN, labels, Dims, iters, OvrLr)
     val scores = array(labels.indices.map(j => scoreCol(ws(j), bs(j))): _*)
     val labArr = array(labels.map(lit): _*)
     eN.select(col("vec_id"), col("label"), scores.as("s"))

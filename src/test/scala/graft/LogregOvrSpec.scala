@@ -33,4 +33,16 @@ class LogregOvrSpec extends GraftSpec {
     assert(out.count(_.getLong(4) == 1L) ==
       out.count(r => r.getLong(2) == r.getLong(1)), "correct flag inconsistent")
   }
+
+  // the 5-round bench cost probe rides the identical code path; it
+  // must classify the whole corpus deterministically (its accuracy is
+  // NOT asserted — undertrained by design, it exists to time the
+  // K-independent one-shuffle-per-round claim)
+  test("5-round cost probe classifies every vector deterministically") {
+    val probe = Logreg.logregOvr5(spark, Dir).collect()
+    assert(probe.length == out.length, "probe must cover the corpus")
+    assert(probe.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 9))
+    val again = Logreg.logregOvr5(spark, Dir).collect()
+    assert(probe.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }

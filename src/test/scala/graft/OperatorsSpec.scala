@@ -47,6 +47,20 @@ class OperatorsSpec extends GraftSpec {
     assert(lastTotal == users)
   }
 
+  test("registered accounts series is the lag-diff of the growth rollup, first interval dropped") {
+    val growth = operators.Dashboard.accountGrowth(spark, Dir)
+      .orderBy("date").collect()
+    val reg = operators.Dashboard.registeredAccounts(spark, Dir)
+      .orderBy("date").collect()
+    assert(reg.length == growth.length - 1, "slice(1): first rollup row must be absent")
+    reg.zip(growth.drop(1).zip(growth.dropRight(1))).foreach { case (r, (g, prev)) =>
+      assert(r.getAs[java.sql.Date]("date") == g.getAs[java.sql.Date]("date"))
+      assert(r.getAs[Long]("total_accounts") == g.getAs[Long]("total_accounts"))
+      assert(r.getAs[Long]("periodic_accounts") ==
+        g.getAs[Long]("total_accounts") - prev.getAs[Long]("total_accounts"))
+    }
+  }
+
   test("validators voting power weights sum to 1") {
     val s = operators.Staking.validatorsByPower(spark, Dir)
       .agg(sum("voting_power_weight")).head().getDouble(0)
