@@ -39,9 +39,10 @@ object Bench {
     // dominate the suite for a trainer that s_logreg already tracks)
     "s_knn_pq_refined", "d_domain_cap", "d_contamination_report",
     // round-6: the 5-round OvR cost probe — times the K-independent-
-    // one-shuffle-per-round claim at a cost linear in rounds, and the
-    // periodic registered-accounts series
-    "s_logreg_ovr5", "q_registered_accounts")
+    // one-shuffle-per-round claim at a cost linear in rounds, the
+    // periodic registered-accounts series, and the lexical+hybrid
+    // retrieval pair (inverted-index BM25, RRF fusion with knnBatch)
+    "s_logreg_ovr5", "q_registered_accounts", "s_bm25", "s_hybrid_rrf")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

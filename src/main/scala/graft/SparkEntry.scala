@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.{Kmeans, Knn, Logreg, Pq, SemDedup}
+import graft.similarity.{Bm25, Kmeans, Knn, Logreg, Pq, SemDedup}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -146,6 +146,8 @@ object SparkEntry {
     // sketch internals (k-means training / Bloom probes) are not
     // portably SQL-expressible -> rows-only checks + invariant specs
     "s_knn_pq" -> (Pq.pqAnn _),
+    "s_bm25" -> ((s: SparkSession, d: String) => Bm25.bm25(s, d)),
+    "s_hybrid_rrf" -> ((s: SparkSession, d: String) => Bm25.hybridRrf(s, d)),
     // two-stage serving: ADC shortlist -> exact re-rank.  NO oracle,
     // refuted by measurement: shortlist coverage of the true top-10
     // fails at any useful depth on this worst-case random corpus (a
@@ -275,6 +277,32 @@ object SparkEntry {
       |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
       |FROM embeddings, q WHERE vec_id <> query_id
       |AND round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.3""".stripMargin
+  // BM25 body hoisted so s_hybrid_rrf's oracle composes the SAME
+  // lexical leg it fuses (the d_corpus_funnel composition rule).
+  // Mirrors Bm25.bm25 token-for-token: ln's ≤1-ulp license is washed
+  // out by the 9-dp round + DECIMAL(30,6) quantization before summing;
+  // every other op is integer-derived IEEE-correctly-rounded; ordering
+  // and the top-k cut compare the ROUNDED score with doc_id tiebreak.
+  private val SBm25Sql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sl FROM dl),
+      |s AS (SELECT q.doc_id AS query_id, tf.doc_id AS doc_id,
+      |CAST(sum(CAST(round(
+      |  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |  ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.len / (CAST(st.sl AS DOUBLE) / st.n)))))
+      |, 9) AS DECIMAL(30,6))) AS DOUBLE) AS score
+      |FROM tf
+      |JOIN tf q ON tf.term = q.term AND q.doc_id < 10 AND tf.doc_id <> q.doc_id
+      |JOIN df ON tf.term = df.term
+      |JOIN dl ON tf.doc_id = dl.doc_id
+      |CROSS JOIN st
+      |GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
+      |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
+      |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin
   private val DSampleStratifiedSql =
     """WITH h AS (SELECT doc_id, lang,
       |('0x' || substring(md5(text), 1, 15))::BIGINT % 1000 AS bucket FROM documents)
@@ -720,6 +748,28 @@ object SparkEntry {
     // s_knn_pq_refined: deliberately NO oracle — the brute-SQL pairing
     // was REFUTED BY MEASUREMENT (shortlist coverage fails on this
     // worst-case corpus; see Pq.pqRefine's Scaladoc and PqSpec)
+    "s_bm25" -> SBm25Sql,
+    // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
+    // the exact knnBatch body at k=10; RRF arithmetic is all-rational
+    // (1.0/(60+rank)) through the DECIMAL route — engine-exact
+    "s_hybrid_rrf" ->
+      s"""WITH lex AS ($SBm25Sql),
+         |vq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |FROM embeddings WHERE vec_id < 10),
+         |vs AS (SELECT vq.query_id, e.vec_id AS doc_id,
+         |row_number() OVER (PARTITION BY vq.query_id
+         |ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], vq.qv), 6) DESC, e.vec_id) AS rnk
+         |FROM embeddings e, vq WHERE e.vec_id <> vq.query_id),
+         |vec AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk FROM vs WHERE rnk <= 10),
+         |u AS (SELECT query_id, doc_id, rnk FROM lex
+         |UNION ALL SELECT query_id, doc_id, rnk FROM vec),
+         |g AS (SELECT query_id, doc_id,
+         |CAST(sum(CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(30,6))) AS DOUBLE) AS score,
+         |CAST(count(*) AS BIGINT) AS n_legs
+         |FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, round(score, 6) AS rrf, n_legs,
+         |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rnk FROM g)
+         |SELECT query_id, doc_id, rrf, n_legs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
     "s_range_search" -> SRangeSearchSql,
     // the LSH plan's recall is 1.0 on the fixed corpus+seed
     // (RangeSearchSpec), so the banded path is held to the SAME exact

@@ -157,11 +157,14 @@ object Dashboard {
     * per-interval lag-diff series fcd derives from it, first interval
     * dropped (reference: src/service/dashboard/getRegisteredAccounts.ts:15-28
     * — periodic[i] = total[i] − total[i−1], index 0 diffs against 0,
-    * then both series `.slice(1)`).  One more window column over the
-    * SAME calendar-bounded rollup as accountGrowth — the lag and the
-    * running sum share one single-partition sort (≤1 row/day, the
-    * documented post-agg calendar-series shape), so the route costs no
-    * extra shuffle over the cumulative-only variant. */
+    * then both series `.slice(1)`).  fcd lag-diffs because its
+    * dashboard table stores only totals; here the rollup HAS the
+    * increments, and total[i]−total[i−1] of a running sum is exactly
+    * new_accounts[i] — so no lag() at all: the running sum and the
+    * row_number share ONE WindowSpec → one Window operator, one
+    * single-partition calendar sort (≤1 row/day, the documented
+    * post-agg series shape; the naive lag-over-the-sum formulation
+    * planned a SECOND Sort+Exchange, seen in explain). */
   def registeredAccounts(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val firstSeen = t.events
@@ -170,15 +173,12 @@ object Dashboard {
     val perDay = firstSeen.groupBy(col("date")).agg(count(lit(1)).as("new_accounts"))
     val w = Window.partitionBy(pmod(unix_date(col("date")), lit(1L))).orderBy(col("date"))
     perDay
-      .select(col("date"),
+      .select(col("date"), col("new_accounts"),
         sum(col("new_accounts")).over(w).as("total_accounts"),
         row_number().over(w).as("rn"))
-      .select(col("date"),
-        (col("total_accounts") - lag(col("total_accounts"), 1, 0L).over(w))
-          .as("periodic_accounts"),
-        col("total_accounts"), col("rn"))
       .filter(col("rn") > 1)
-      .select(col("date"), col("periodic_accounts"), col("total_accounts"))
+      .select(col("date"), col("new_accounts").as("periodic_accounts"),
+        col("total_accounts"))
   }
 
   /** Rewards rollup by (date, denom) — multi-aggregate
