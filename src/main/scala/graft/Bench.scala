@@ -42,7 +42,10 @@ object Bench {
     // one-shuffle-per-round claim at a cost linear in rounds, the
     // periodic registered-accounts series, and the lexical+hybrid
     // retrieval pair (inverted-index BM25, RRF fusion with knnBatch)
-    "s_logreg_ovr5", "q_registered_accounts", "s_bm25", "s_hybrid_rrf")
+    // s_bm25_probe: Materialized caches the index build per JVM, so
+    // min-of-3 times the PROBE — the d_dedup_incremental precedent
+    "s_logreg_ovr5", "q_registered_accounts", "s_bm25", "s_hybrid_rrf",
+    "s_bm25_probe")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.{Bm25, Kmeans, Knn, Logreg, Pq, SemDedup}
+import graft.similarity.{Bm25, Bm25Warehouse, Kmeans, Knn, Logreg, Pq, SemDedup}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -148,6 +148,10 @@ object SparkEntry {
     "s_knn_pq" -> (Pq.pqAnn _),
     "s_bm25" -> ((s: SparkSession, d: String) => Bm25.bm25(s, d)),
     "s_hybrid_rrf" -> ((s: SparkSession, d: String) => Bm25.hybridRrf(s, d)),
+    "s_bm25_probe" -> ((s: SparkSession, d: String) =>
+      Bm25Warehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bm25_warehouse", d)(
+          Bm25Warehouse.materialize(s, d, _)))),
     // two-stage serving: ADC shortlist -> exact re-rank.  NO oracle,
     // refuted by measurement: shortlist coverage of the true top-10
     // fails at any useful depth on this worst-case random corpus (a
@@ -770,6 +774,33 @@ object SparkEntry {
          |r AS (SELECT query_id, doc_id, round(score, 6) AS rrf, n_legs,
          |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rnk FROM g)
          |SELECT query_id, doc_id, rrf, n_legs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+    // the at-rest probe: same BM25 arithmetic, base/incoming split
+    // (doc_id mod 10, 8:2 — the MinHashWarehouse split) with the probe
+    // batch bounded at doc_id < 1000; df/N/avgdl are BASE-corpus stats
+    "s_bm25_probe" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |bt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bt GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |FROM documents WHERE doc_id % 10 < 8),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sl FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk
+        |WHERE doc_id % 10 >= 8 AND doc_id < 1000),
+        |s AS (SELECT q.query_id, bt.doc_id AS doc_id,
+        |CAST(sum(CAST(round(
+        |  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |  ((bt.tf * 2.2) / (bt.tf + 1.2 * (0.25 + 0.75 * (dl.len / (CAST(st.sl AS DOUBLE) / st.n)))))
+        |, 9) AS DECIMAL(30,6))) AS DOUBLE) AS score
+        |FROM bt
+        |JOIN q ON bt.term = q.term
+        |JOIN df ON bt.term = df.term
+        |JOIN dl ON bt.doc_id = dl.doc_id
+        |CROSS JOIN st
+        |GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
+        |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
+        |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
     "s_range_search" -> SRangeSearchSql,
     // the LSH plan's recall is 1.0 on the fixed corpus+seed
     // (RangeSearchSpec), so the banded path is held to the SAME exact

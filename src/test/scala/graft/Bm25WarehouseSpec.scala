@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.similarity.Bm25Warehouse
+
+/** The BM25 posting table at rest: the probe must match a from-scratch
+  * single-machine BM25 over the base/incoming split, tokenize ONLY the
+  * probe side (one documents scan in the plan), and prune term-bucket
+  * partitions for small term sets. */
+class Bm25WarehouseSpec extends GraftSpec {
+
+  private lazy val path = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-").toString + "/index"
+    Bm25Warehouse.materialize(spark, Dir, p)
+    p
+  }
+
+  private lazy val probed =
+    Bm25Warehouse.probeIncoming(spark, Dir, path)
+
+  test("probe matches a single-machine BM25 over the base/incoming split") {
+    val all = sources.Tables(spark, Dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val base = all.filter { case (id, _) => id % 10 < 8 }
+    val n = base.size
+    val avgdl = base.values.map(_.size).sum.toDouble / n
+    val tf = base.map { case (id, ws) => id -> ws.groupBy(identity).map { case (w, g) => w -> g.size } }
+    val df = base.values.flatMap(_.distinct).groupBy(identity).map { case (w, g) => w -> g.size }
+    def score(qTerms: Set[String], d: Long): Double = {
+      val parts = (qTerms & tf(d).keySet).toSeq.map { t =>
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        val x = idf * ((tf(d)(t) * 2.2) /
+          (tf(d)(t) + 1.2 * (0.25 + 0.75 * (base(d).size / avgdl))))
+        BigDecimal(math.floor(x * 1e9 + 0.5) / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      parts.sum.toDouble
+    }
+    val out = probed.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, d, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(q % 10 >= 8 && q < 1000, s"query $q outside the probe batch")
+      assert(d % 10 < 8, s"retrieved doc $d is not a base doc")
+      val want = math.floor(score(all(q).toSet, d) * 1e4 + 0.5) / 1e4
+      assert(got == want, s"bm25($q,$d): got $got want $want")
+    }
+  }
+
+  test("probe plan tokenizes only the query side: one documents scan") {
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) => f
+    }
+    assert(scans.length == 1,
+      s"expected exactly the probe-side documents scan, got ${scans.length}")
+  }
+
+  test("a small term set prunes term-bucket partitions") {
+    import spark.implicits._
+    val tiny = Bm25Warehouse.incomingTerms(spark, Dir)
+      .orderBy("query_id", "term").limit(3)
+    val df = Bm25Warehouse.probe(spark, path, tiny)
+    val scan = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.endsWith("index")) => f
+      }.headOption.getOrElse(fail("no index FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(allParts > 8, s"expected many term buckets at rest, got $allParts")
+    assert(pruned <= 3, s"3 terms probed $pruned of $allParts partitions")
+    assert(df.count() >= 0)
+  }
+}
