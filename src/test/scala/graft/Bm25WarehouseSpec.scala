@@ -59,6 +59,33 @@ class Bm25WarehouseSpec extends GraftSpec {
       s"expected exactly the probe-side documents scan, got ${scans.length}")
   }
 
+  test("streaming probe across micro-batches equals the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val incoming = sources.Tables(s, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8 && col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val query = Bm25Warehouse.streamingProbe(stream.toDF()
+        .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), path) {
+      batchOut => got ++= batchOut.collect().map(_.toSeq)
+    }
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+      val batch = probed.collect().map(_.toSeq).toSet
+      assert(got.nonEmpty)
+      assert(got.toSet == batch)
+    } finally query.stop()
+  }
+
   test("a small term set prunes term-bucket partitions") {
     import spark.implicits._
     val tiny = Bm25Warehouse.incomingTerms(spark, Dir)
