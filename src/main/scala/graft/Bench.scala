@@ -45,7 +45,12 @@ object Bench {
     // s_bm25_probe: Materialized caches the index build per JVM, so
     // min-of-3 times the PROBE — the d_dedup_incremental precedent
     "s_logreg_ovr5", "q_registered_accounts", "s_bm25", "s_hybrid_rrf",
-    "s_bm25_probe")
+    "s_bm25_probe",
+    // round-6: distribution-matching selection (hashed-bucket λ model,
+    // TakeOrderedAndProject top-k), unigram-LM quality scoring
+    // (vocab-bounded LM join — the s_bm25 df-side shape), and the
+    // group-atomic split (CC labels + one keyed join)
+    "d_dsir_sample", "t_perplexity", "d_split_leakage_safe")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

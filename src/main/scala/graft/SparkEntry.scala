@@ -180,6 +180,8 @@ object SparkEntry {
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
     "d_contamination_report" -> ((s: SparkSession, d: String) => TrainPrep.contaminationReport(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
+    "d_dsir_sample" -> ((s: SparkSession, d: String) => TrainPrep.dsirSample(s, d)),
+    "d_split_leakage_safe" -> (TrainPrep.leakageSafeSplit _),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
     // Misra-Gries summary: the guarantee (coverage above n/(k+1),
@@ -201,6 +203,7 @@ object SparkEntry {
     // spec vs the exact distribution in EdgeSpec)
     "d_corpus_stats_approx" -> (CorpusStats.corpusStatsApprox _),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
+    "t_perplexity" -> (CorpusStats.perplexity _),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
@@ -281,6 +284,27 @@ object SparkEntry {
       |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
       |FROM embeddings, q WHERE vec_id <> query_id
       |AND round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.3""".stripMargin
+  // CC body hoisted so d_split_leakage_safe's oracle composes the
+  // SAME group structure it assigns splits over (the composition rule)
+  private val DDedupGroupsSql =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+      |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |np AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |ngram_pairs AS (SELECT a_id, b_id FROM np JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM documents x
+      |JOIN documents y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+      |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+      |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1)
+      |SELECT doc_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM comp""".stripMargin
   // BM25 body hoisted so s_hybrid_rrf's oracle composes the SAME
   // lexical leg it fuses (the d_corpus_funnel composition rule).
   // Mirrors Bm25.bm25 token-for-token: ln's ≤1-ulp license is washed
@@ -722,24 +746,16 @@ object SparkEntry {
         |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.wpos = c.wpos
         |WHERE c.doc_id IS NULL GROUP BY 1""".stripMargin,
     "d_dedup_groups" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
-        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |np AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
-        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-        |ngram_pairs AS (SELECT a_id, b_id FROM np JOIN sizes sa ON sa.doc_id = a_id
-        |JOIN sizes sb ON sb.doc_id = b_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-        |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM documents x
-        |JOIN documents y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs),
-        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
-        |reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
-        |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |comp AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1)
-        |SELECT doc_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM comp""".stripMargin,
+      DDedupGroupsSql,
+    // composes the hoisted CC body: split rides the GROUP's canonical
+    // content hash, same 80/10/10 bucket rule as d_sample_split
+    "d_split_leakage_safe" ->
+      s"""WITH g AS ($DDedupGroupsSql),
+         |c AS (SELECT doc_id AS group_id,
+         |('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket FROM documents)
+         |SELECT g.doc_id, g.group_id, c.bucket,
+         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM g JOIN c USING (group_id)""".stripMargin,
     "d_neardup_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -830,6 +846,22 @@ object SparkEntry {
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h""".stripMargin,
     "d_sample_stratified" ->
       DSampleStratifiedSql,
+    // λ's ratio is a quotient of quotients of exact integers (no
+    // product form — nothing to overflow), ln through the s_bm25
+    // 9-dp + DECIMAL route; ordering/cut compare the 6-dp round
+    "d_dsir_sample" ->
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tb AS (SELECT doc_id, lang, ('0x' || substring(md5(term), 1, 15))::BIGINT % 1024 AS b FROM tk),
+        |bc AS (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cr FROM tb GROUP BY 1),
+        |st AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |lam AS (SELECT b, round(ln(((ct + 1.0) / CAST(st.nt + 1024 AS DOUBLE)) /
+        |((cr + 1.0) / CAST(st.nr + 1024 AS DOUBLE))), 9) AS lam FROM bc CROSS JOIN st),
+        |w AS (SELECT tb.doc_id, tb.lang, CAST(sum(CAST(lam AS DECIMAL(30,6))) AS DOUBLE) AS score
+        |FROM tb JOIN lam ON tb.b = lam.b WHERE tb.lang <> 'en' GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, round(score, 6) AS dsir,
+        |row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk FROM w)
+        |SELECT doc_id, lang, dsir, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 100""".stripMargin,
     "t_bpe_pairs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |p AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 2
@@ -954,6 +986,17 @@ object SparkEntry {
          |round(${AVGX("df")}, 4) AS mean_token_df,
          |round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS hapax_frac
          |FROM toks JOIN df USING (token) GROUP BY 1""".stripMargin,
+    // the unigram-LM numerator/denominator are exact integers, ln
+    // through the s_bm25 9-dp + DECIMAL route, final per-token
+    // division on a DECIMAL-exact sum — engine-stable at 6 dp
+    "t_perplexity" ->
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE doc_id % 10 < 8 GROUP BY 1),
+        |st AS (SELECT CAST(sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |CAST(count(DISTINCT term) AS BIGINT) AS v FROM tk)
+        |SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM tk LEFT JOIN lm ON tk.term = lm.term CROSS JOIN st GROUP BY 1, 2""".stripMargin,
     "t_repetition" ->
       TRepetitionSql,
     "t_langid" ->

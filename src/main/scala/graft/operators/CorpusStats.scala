@@ -344,4 +344,55 @@ object CorpusStats {
     (topFrac > 0.12 || dupFrac(w, 2) > 0.1 || dupFrac(w, 3) > 0.05)
       .cast("int").cast("long")
   }
+
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    * a unigram LM trained on the BASE split (doc_id mod 10 < 8 — the
+    * MinHashWarehouse convention) scores EVERY doc by average
+    * negative log-likelihood per token,
+    *   nll(d) = (1/|d|) Σ_t −ln p(t),  p(t) = (cnt_base(t)+1)/(n_base+V)
+    * (Laplace smoothing over V = full-corpus distinct terms, so
+    * held-out-only tokens get the +1 mass instead of −∞).  nll is
+    * monotone in perplexity (ppl = e^nll); emitting nll instead keeps
+    * `exp` — a transcendental with nothing downstream to wash its ulp
+    * — out of the compared output.  CCNet buckets a crawl by exactly
+    * this score (head/middle/tail); the keep-threshold is the
+    * caller's cut on an oracled column.
+    *
+    * Scale shape: the LM is the vocabulary-bounded (term, cnt) table —
+    * the s_bm25 df-side shape: one word-count shuffle to build it, and
+    * the scoring scan LEFT-joins it on the term key (AQE broadcasts it
+    * at test SF; at 100 TB it sort-merges on the term key the count
+    * aggregate already shuffled on) followed by one doc-keyed
+    * partial-agg shuffle.  n_base and V are driver scalars.
+    *
+    * Engine-exactness: p's numerator/denominator are exact integers
+    * < 2⁵³, the quotient is one correctly-rounded op, ln's ≤1-ulp
+    * license is washed by the 9-dp round + DECIMAL(30,6) sum
+    * (s_bm25's argument); the final per-token division is one
+    * correctly-rounded op on a DECIMAL-exact sum and an integer, then
+    * 6-dp rounded — transcendental-derived values don't sit on
+    * terminating-decimal rounding boundaries. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityOf(Tables(spark, dir).documents)
+
+  /** Frame-level LM-scoring entry (docs = (doc_id, lang, text); base
+    * split = doc_id mod 10 < 8) — shared by the registered query and
+    * the injected-frequency spec corpus. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))
+    val lm = toks.filter(pmod(col("doc_id"), lit(10L)) < 8)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val st = toks.agg(
+      sum(when(pmod(col("doc_id"), lit(10L)) < 8, 1L).otherwise(0L)),
+      count_distinct(col("term"))).head()
+    val denom = (st.getLong(0) + st.getLong(1)).toDouble
+    val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)
+    toks.join(lm, Seq("term"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(graft.functions.Exact.sumx(nll).as("nll_sum"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        roundx(col("nll_sum") / col("n_tokens"), 6).as("nll"))
+  }
 }

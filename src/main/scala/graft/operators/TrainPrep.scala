@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Exact.{roundx, sumx}
 import graft.functions.TextFunctions.words
 import graft.sources.Tables
 
@@ -394,5 +395,105 @@ object TrainPrep {
         org.apache.spark.sql.functions.size(
           regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_redacted"),
         regexp_replace(col("text"), pat, "<NUM>").as("redacted_text"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): pick
+    * raw-pool docs whose hashed-token distribution best matches a
+    * target corpus.  Target here = the `lang = 'en'` docs (the
+    * "match this high-quality slice" use case); raw pool = the rest.
+    *
+    * Model: tokens hash into `buckets` bins (contentHash — the
+    * engine-portable md5 route every selector here uses); each bin b
+    * gets a Laplace-smoothed log-likelihood ratio
+    *   λ(b) = ln( ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) )
+    * and a doc's importance weight is Σ_tokens λ(bucket(token)) — the
+    * bag-of-hashed-ngrams log importance weight.  Selection is the
+    * DETERMINISTIC top-`topK` by weight (doc_id tiebreak) — the
+    * reproducible variant of the paper's Gumbel-top-k sampling (a
+    * per-doc Gumbel perturbation would just add one hash-seeded
+    * column; determinism is what makes the oracle pairing possible).
+    *
+    * Scale shape: the "model" is B rows of doubles NO MATTER THE
+    * CORPUS SIZE — one conditional aggregate over a token scan builds
+    * both sides' bin counts in ONE shuffle (bucket key, B groups),
+    * nt/nr are two driver scalars off the B-row frame, and scoring is
+    * a second token scan broadcast-joined to the B-row λ table + one
+    * doc-keyed partial-agg shuffle.  The top-k filter compiles to
+    * WindowGroupLimit partial heaps (rank windows with empty
+    * partition spec get per-partition Partial limits before the
+    * single-partition Final — the TakeOrderedAndProject shape), so no
+    * executor ever sorts the full raw pool.
+    *
+    * Engine-exactness: λ's ratio is computed as a quotient of two
+    * correctly-rounded quotients of exactly-representable integers
+    * (each ≤ token count + B < 2⁵³ at any realistic corpus — no
+    * product form, so nothing overflows at 100 TB), ln is ≤1-ulp and
+    * feeds the 9-dp round + DECIMAL(30,6) quantization (the s_bm25
+    * license), ordering/cut compare the 6-dp rounded weight. */
+  def dsirSample(spark: SparkSession, dir: String,
+      buckets: Int = 1024, topK: Int = 100): DataFrame =
+    dsirSampleOf(Tables(spark, dir).documents, buckets, topK)
+
+  /** Frame-level DSIR entry (docs = (doc_id, lang, text); target =
+    * the `lang = 'en'` rows) — shared by the registered query and the
+    * injected-distribution spec corpus. */
+  def dsirSampleOf(docs: DataFrame,
+      buckets: Int = 1024, topK: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("term"))
+      .select(col("doc_id"), col("lang"),
+        pmod(contentHash(col("term")), lit(buckets.toLong)).as("b"))
+    val isT = (col("lang") === "en").cast("long")
+    val bins = toks.groupBy(col("b"))
+      .agg(sum(isT).as("ct"), sum(lit(1L) - isT).as("cr"))
+      .localCheckpoint() // B-row leaf: feeds the totals AND the λ join
+    val st = bins.agg(sum(col("ct")), sum(col("cr"))).head()
+    val (nt, nr) = (st.getLong(0), st.getLong(1))
+    val lam = bins.select(col("b"),
+      roundx(log(((col("ct") + lit(1.0)) / lit((nt + buckets).toDouble)) /
+        ((col("cr") + lit(1.0)) / lit((nr + buckets).toDouble))), 9).as("lam"))
+    val byW = Window.orderBy(col("dsir").desc, col("doc_id"))
+    toks.filter(col("lang") =!= "en")
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sumx(col("lam")).as("score"))
+      .withColumn("dsir", roundx(col("score"), 6))
+      .withColumn("rnk", row_number().over(byW))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("lang"), col("dsir"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Leakage-safe train/val/test split: assign the split to the
+    * near-dup GROUP, not the doc — every member of a connected
+    * component lands in the same split, so a training doc can never
+    * have a near-duplicate in the held-out set (the evaluation-
+    * contamination channel Lee et al. 2022 measure: dedup or co-assign,
+    * and a split that ignores near-dup structure silently does
+    * neither).  The group's split comes from the CANONICAL member's
+    * content hash (group_id IS the min doc_id, so its text is the
+    * group's stable fingerprint) with the same 80/10/10 bucket rule as
+    * d_sample_split — singleton groups (the overwhelming majority)
+    * therefore get exactly the split d_sample_split would give them,
+    * and the operator only MOVES docs whose group crosses a boundary.
+    *
+    * Scale shape: the CC labels are d_dedup_groups (banded candidates
+    * + pointer jumping, O(log diameter) rounds); the canonical-hash
+    * side is a plain projection of `documents`, and the assignment is
+    * ONE group_id-keyed join (sort-merge at scale; a pathological
+    * mega-cluster skews one key — AQE skew-join splits it, and the
+    * dedup pipeline upstream would have collapsed it anyway). */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val groups = graft.dedup.Dedup.dedupGroups(spark, dir)
+      .select(col("doc_id"), col("group_id"))
+    val canon = Tables(spark, dir).documents
+      .select(col("doc_id").as("group_id"),
+        pmod(contentHash(col("text")), lit(100L)).as("bucket"))
+    groups.join(canon, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("bucket"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
   }
 }

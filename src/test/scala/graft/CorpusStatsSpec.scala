@@ -104,4 +104,35 @@ class CorpusStatsSpec extends GraftSpec {
         s"$lang p$p=$v rank [$below,$atMost] misses target $target")
     }
   }
+
+  test("LM scoring: frequent-token docs beat rare-token docs, OOV worst") {
+    // the real corpus has ZERO held-out OOV (measured), so the LM
+    // ordering claim needs an INJECTED frequency profile.  Base split
+    // (doc_id mod 10 < 8) establishes "common" as high-probability;
+    // held-out docs then score by how typical their tokens are.
+    import spark.implicits._
+    val base = (0L until 40L).filter(_ % 10 < 8)
+      .map(i => (i, "en", Seq.fill(10)("common").mkString(" ") + s" rare$i"))
+    val held = Seq(
+      (8L, "en", Seq.fill(10)("common").mkString(" ")),   // all high-p tokens
+      (18L, "en", (0 until 10).map(j => s"rare$j").mkString(" ")), // all low-p
+      (28L, "en", (0 until 10).map(j => s"oov$j").mkString(" ")))  // unseen
+    val docs = (base ++ held).toDF("doc_id", "lang", "text")
+    val nll = graft.operators.CorpusStats.perplexityOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(nll(8L) < nll(18L), "frequent-token doc must score below rare-token doc")
+    assert(nll(18L) < nll(28L), "in-vocab rare tokens must score below OOV")
+    assert(nll.values.forall(_ > 0), "smoothed probabilities are < 1, so nll > 0")
+  }
+
+  test("perplexity registered query: coverage and token-count parity") {
+    val out = graft.operators.CorpusStats.perplexity(spark, Dir)
+    val docs = graft.sources.Tables(spark, Dir).documents
+    assert(out.count() == docs.count(), "every doc gets a score")
+    val mismatch = out.join(docs, Seq("doc_id"))
+      .filter(col("n_tokens") =!= org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.words(col("text"))).cast("long"))
+      .count()
+    assert(mismatch == 0, "n_tokens must equal the doc's word count")
+  }
 }

@@ -209,4 +209,62 @@ class TrainPrepSpec extends GraftSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("dsir ranks raw docs sharing the target vocabulary on top") {
+    // the real corpus has NO lang→token correlation (measured: en-marker
+    // rates are flat across langs), so the semantic claim needs an
+    // INJECTED distribution: target (en) docs speak pool A, raw docs
+    // split between pool A ("looks like target") and pool B.  All
+    // hashing is md5 → the test is fully deterministic.
+    import spark.implicits._
+    val poolA = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val poolB = Seq("omicron", "sigma", "tau", "upsilon", "phi", "chi")
+    def doc(pool: Seq[String], i: Int) =
+      (0 until 12).map(j => pool((i + j) % pool.size)).mkString(" ")
+    val rows =
+      (0L until 20L).map(i => (i, "en", doc(poolA, i.toInt))) ++       // target
+      (100L until 110L).map(i => (i, "es", doc(poolA, i.toInt))) ++    // target-like raw
+      (200L until 210L).map(i => (i, "de", doc(poolB, i.toInt)))       // off-target raw
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val out = TrainPrep.dsirSampleOf(docs, topK = 20).collect()
+    assert(out.length == 20)
+    val (top10, bottom10) = out.partition(_.getAs[Long]("rnk") <= 10)
+    assert(top10.forall(r => r.getAs[Long]("doc_id") < 200 && r.getAs[Double]("dsir") > 0),
+      "pool-A raw docs should fill the top ranks with positive weight")
+    assert(bottom10.forall(r => r.getAs[Long]("doc_id") >= 200 && r.getAs[Double]("dsir") < 0),
+      "pool-B raw docs should rank below with negative weight")
+  }
+
+  test("leakage-safe split: no near-dup group straddles a split boundary") {
+    val s = TrainPrep.leakageSafeSplit(spark, Dir)
+    // the property d_sample_split cannot give: group-atomic assignment
+    val straddlers = s.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddlers == 0, "a near-dup group crosses train/val/test")
+    // singleton groups (group_id == doc_id ∧ size 1) must get exactly
+    // the split d_sample_split gives — the operator only MOVES docs
+    // whose group crosses a boundary
+    val singles = s.groupBy(col("group_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1).select(col("group_id").as("doc_id"))
+    val diverged = s.join(singles, Seq("doc_id"))
+      .join(TrainPrep.sampleSplit(spark, Dir).withColumnRenamed("split", "plain"),
+        Seq("doc_id"))
+      .filter(col("split") =!= col("plain")).count()
+    assert(diverged == 0, "a singleton group diverged from the content-hash split")
+    // every doc is assigned, and all three splits are populated
+    assert(s.count() == graft.sources.Tables(spark, Dir).documents.count())
+    assert(s.select(col("split")).distinct().count() == 3)
+  }
+
+  test("dsir registered query: structure and determinism") {
+    val out = TrainPrep.dsirSample(spark, Dir).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 100L).toSeq)
+    assert(out.forall(_.getAs[String]("lang") != "en"), "target docs leaked into the selection")
+    // deterministic selection: the reproducibility property that makes
+    // a data-selection run auditable
+    val again = TrainPrep.dsirSample(spark, Dir).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
