@@ -50,7 +50,10 @@ object Bench {
     // TakeOrderedAndProject top-k), unigram-LM quality scoring
     // (vocab-bounded LM join — the s_bm25 df-side shape), and the
     // group-atomic split (CC labels + one keyed join)
-    "d_dsir_sample", "t_perplexity", "d_split_leakage_safe")
+    // t_perplexity_probe: Materialized caches the LM build per JVM,
+    // so min-of-3 times the PROBE — the s_bm25_probe precedent
+    "d_dsir_sample", "t_perplexity", "d_split_leakage_safe",
+    "t_perplexity_probe")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

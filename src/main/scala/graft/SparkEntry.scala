@@ -204,6 +204,10 @@ object SparkEntry {
     "d_corpus_stats_approx" -> (CorpusStats.corpusStatsApprox _),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_perplexity" -> (CorpusStats.perplexity _),
+    "t_perplexity_probe" -> ((s: SparkSession, d: String) =>
+      LmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("lm_warehouse", d)(
+          LmWarehouse.materialize(s, d, _)))),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
@@ -997,6 +1001,17 @@ object SparkEntry {
         |SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
         |FROM tk LEFT JOIN lm ON tk.term = lm.term CROSS JOIN st GROUP BY 1, 2""".stripMargin,
+    // the LM at rest: OPEN-vocab smoothing over v+1 classes (v = BASE
+    // vocab + shared UNK — an index cannot know future probes'
+    // vocabularies), base/incoming split + batch bound mirrored
+    "t_perplexity_probe" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 < 8),
+        |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT term) AS BIGINT) AS v FROM tk),
+        |pk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000)
+        |SELECT pk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v + 1 AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM pk LEFT JOIN lm ON pk.term = lm.term CROSS JOIN st GROUP BY 1""".stripMargin,
     "t_repetition" ->
       TRepetitionSql,
     "t_langid" ->

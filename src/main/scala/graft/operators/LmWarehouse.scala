@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.MinHashWarehouse.isBase
+import graft.functions.Exact.{roundx, sumx}
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+
+/** The unigram LM AT REST — quality scoring's member of the warehouse
+  * family (MinHashWarehouse: J-dedup, LshWarehouse: cosine,
+  * Ivf/PqWarehouse: ANN, Bm25Warehouse: term scoring, this: LM
+  * perplexity).  The production shape is CCNet-style crawl triage at
+  * the PB-vs-MB asymmetry: the LM is trained ONCE over the standing
+  * corpus, and every later probe — a crawl batch, a vendor drop, an
+  * ingest stream — is scored against the frozen model without ever
+  * re-reading corpus text.
+  *
+  * Layout (the Bm25Warehouse conventions):
+  *  - `<path>`: (term, cnt) rows partitioned by tb =
+  *    pmod(xxhash64(term), 64) — a probe's term set maps to a driver
+  *    bucket list that PRUNES partitions (spec-asserted via
+  *    listFiles); counts at rest are integers, floats exist only in
+  *    the probe's codegen.
+  *  - `<path>.stats`: one row (nb, v) — base token count and base
+  *    vocabulary size.
+  *
+  * Model: OPEN-vocabulary Laplace smoothing over v+1 classes (the v
+  * base terms + one UNK bucket every unseen term shares):
+  * p(t) = (cnt+1)/(nb+v+1), OOV ⇒ 1/(nb+v+1).  This differs
+  * deliberately from t_perplexity's closed full-corpus vocabulary —
+  * an index at rest cannot know future probes' vocabularies, so the
+  * UNK convention is the only one that serves unseen text (the
+  * registered probe and its oracle mirror it exactly).
+  *
+  * Probe: tokenize ONLY the probe batch (plan-asserted: one documents
+  * scan), LEFT-join the pruned LM on term, one doc-keyed partial agg;
+  * nll per token through the s_bm25 9-dp + DECIMAL ln license —
+  * oracled.  Scores are per-doc and batch-local, so the streaming
+  * twin runs stateless inside foreachBatch (no watermark, no state
+  * store — the Bm25Warehouse.streamingProbe stance).
+  */
+object LmWarehouse {
+
+  private val TermBuckets = 64
+
+  private def statsPath(path: String): String = s"$path.stats"
+
+  private def termBucket(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(TermBuckets.toLong))
+
+  /** Train once: write the bucket-partitioned (term, cnt) table and
+    * the 1-row (nb, v) stats side from the base split. */
+  def materialize(spark: SparkSession, dir: String, path: String): Unit = {
+    val toks = Tables(spark, dir).documents.filter(isBase)
+      .select(explode(words(col("text"))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one token pass feeds both the table and (nb, v)
+    lm.withColumn("tb", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+    lm.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Score `docs` = (doc_id, text) against the LM at rest: per-doc avg
+    * negative log-likelihood per token.  The probe's term buckets are
+    * ≤64 driver values and become the literal partition-pruning
+    * predicate (the Bm25Warehouse.probe pattern). */
+  def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val st = spark.read.parquet(statsPath(path)).head()
+    val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val buckets = toks.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val lm = spark.read.parquet(path)
+      .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+    val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)
+    toks.join(lm, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sumx(nll).as("nll_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        roundx(col("nll_sum") / col("n_tokens"), 6).as("nll"))
+  }
+
+  /** Registered probe: the bounded incoming batch against the LM at
+    * rest (base/incoming split + batch bound shared with
+    * Bm25Warehouse.probeIncoming). */
+  def probeIncoming(spark: SparkSession, dir: String, path: String): DataFrame =
+    probe(spark, path, Tables(spark, dir).documents
+      .filter(!isBase && col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")))
+
+  /** The probe's ONLINE twin — crawl triage in flight: each arriving
+    * micro-batch scores against the frozen LM inside foreachBatch.
+    * Per-doc nll depends only on the doc's own tokens and the index
+    * at rest, so nothing is cross-batch state.  (LmWarehouseSpec
+    * drives a MemoryStream and asserts exact agreement with the batch
+    * probe.) */
+  def streamingProbe(docs: DataFrame, path: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(probe(batch.sparkSession, path, batch))
+      }
+      .start()
+}

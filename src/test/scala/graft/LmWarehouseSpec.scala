@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.LmWarehouse
+
+/** The unigram LM at rest: the probe must match a from-scratch
+  * single-machine LM over the base/incoming split, tokenize ONLY the
+  * probe side (one documents scan in the plan), prune term-bucket
+  * partitions for small probes, score OOV text at exactly the UNK
+  * mass, and agree with its streaming twin. */
+class LmWarehouseSpec extends GraftSpec {
+
+  private lazy val path = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-lmw-").toString + "/index"
+    LmWarehouse.materialize(spark, Dir, p)
+    p
+  }
+
+  private lazy val probed =
+    LmWarehouse.probeIncoming(spark, Dir, path)
+
+  private lazy val (baseTf, nb, v) = {
+    val base = sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val tf = base.flatten.groupBy(identity).map { case (w, g) => w -> g.size }
+    (tf, base.map(_.size).sum.toLong, tf.size.toLong)
+  }
+
+  test("probe matches a single-machine LM over the base/incoming split") {
+    def nll(ws: Seq[String]): Double = {
+      val denom = (nb + v + 1).toDouble
+      val terms = ws.map { w =>
+        val p = (baseTf.getOrElse(w, 0) + 1.0) / denom
+        BigDecimal(math.floor(-math.log(p) * 1e9 + 0.5) / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val s = terms.sum.toDouble / ws.size
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    val incoming = sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8 && col("doc_id") < 1000)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val out = probed.collect()
+    assert(out.length == incoming.size, "every probe doc gets a score")
+    out.foreach { r =>
+      val (d, n, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(incoming.contains(d))
+      assert(n == incoming(d).size)
+      assert(got == nll(incoming(d)), s"nll($d): got $got want ${nll(incoming(d))}")
+    }
+  }
+
+  test("an all-OOV probe doc scores exactly the UNK mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "zzq1 zzq2 zzq3 zzq4")).toDF("doc_id", "text")
+    val out = LmWarehouse.probe(spark, path, docs).collect()
+    assert(out.length == 1)
+    val unk = -math.log(1.0 / (nb + v + 1).toDouble)
+    val want = math.floor(math.floor(unk * 1e9 + 0.5) / 1e9 * 1e6 + 0.5) / 1e6
+    assert(out(0).getDouble(2) == want,
+      s"OOV nll ${out(0).getDouble(2)} != UNK mass $want")
+  }
+
+  test("probe plan tokenizes only the probe side: one documents scan") {
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) => f
+    }
+    assert(scans.length == 1,
+      s"expected exactly the probe-side documents scan, got ${scans.length}")
+  }
+
+  test("a small probe prunes term-bucket partitions") {
+    import spark.implicits._
+    val one = sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(col("doc_id"), split(col("text"), " ")(0).as("text")).limit(1)
+    val df = LmWarehouse.probe(spark, path, one)
+    val scan = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.endsWith("index")) => f
+      }.headOption.getOrElse(fail("no index FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(allParts > 8, s"expected many term buckets at rest, got $allParts")
+    assert(pruned <= 1, s"1 term probed $pruned of $allParts partitions")
+  }
+
+  test("streaming probe across micro-batches equals the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val incoming = sources.Tables(s, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8 && col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val query = LmWarehouse.streamingProbe(stream.toDF()
+        .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), path) {
+      batchOut => got ++= batchOut.collect().map(_.toSeq)
+    }
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+      val batch = probed.collect().map(_.toSeq).toSet
+      assert(got.nonEmpty)
+      assert(got.toSet == batch)
+    } finally query.stop()
+  }
+}
