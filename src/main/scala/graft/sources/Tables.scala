@@ -26,13 +26,23 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — Spark has no ns type, so
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    * graft.GraftSession) and the loader converts epoch-nanos → a µs
-    * timestamp here (the data is µs-grained; `div` keeps it exact —
-    * a double division would lose precision above 2^53 ns). */
-  def events: DataFrame =
-    table("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as epoch-nanos LONG
+    * under spark.sql.legacy.parquet.nanosAsLong=true, see
+    * graft.GraftSession) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ).  Normalize both to a session-tz µs TIMESTAMP so
+    * every downstream plan sees one type: the LONG form via exact
+    * integer `div` (a double division would lose precision above 2^53
+    * ns), the NTZ form via cast (wall time == instant under the UTC
+    * session tz, matching what the DuckDB oracle reads). */
+  def events: DataFrame = {
+    val t = table("events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => t.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
