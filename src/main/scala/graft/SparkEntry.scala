@@ -106,6 +106,7 @@ object SparkEntry {
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
     "d_dedup_stream" -> (Dedup.dedupSurvivors _),
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "d_dedup_editdist" -> (graft.dedup.EditDist.editDistPairs _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
     "d_dedup_minhash_verified" -> (Dedup.minhashVerified _),
     // incremental dedup vs the MinHash index at rest: the warehouse
@@ -676,6 +677,16 @@ object SparkEntry {
         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // all-integer output; Spark and DuckDB both implement unit-cost
+    // Levenshtein, so the exact distance compares bit-free of floats.
+    // The naive oracle IS the declared semantics (the staged Ed-Join
+    // plan is an optimization, proven equal in EditDistSpec).
+    "d_dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |CAST(levenshtein(x.text, y.text) AS BIGINT) AS ed
+        |FROM d x JOIN d y ON x.doc_id < y.doc_id AND abs(x.L - y.L) <= 10
+        |WHERE levenshtein(x.text, y.text) <= 10""".stripMargin,
     // d_dedup_minhash / d_dedup_simhash / s_knn_lsh: hash-sketch internals are
     // not portably SQL-expressible -> rows-only check + ScalaTest specs.
     // d_dedup_minhash_verified runs the LSH candidates through the EXACT
