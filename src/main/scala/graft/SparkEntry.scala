@@ -101,6 +101,8 @@ object SparkEntry {
     "q5_local_supplier" -> (Olap.q5LocalSupplier _),
     "q_asof_join" -> (Olap.asofJoin _),
     "q_sessionize" -> (Olap.sessionize _),
+    "q_retention_cohort" -> (Olap.retentionCohort _),
+    "q_funnel_steps" -> (Olap.funnelSteps _),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -646,6 +648,30 @@ object SparkEntry {
         |s AS (SELECT user_id, ts_ms, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq FROM l)
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts_ms) AS session_start_ms,
         |max(ts_ms) - min(ts_ms) AS duration_ms FROM s GROUP BY 1, 2""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+        |c AS (SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset, count(*) AS n_active
+        |FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT c.cohort_day, day_offset, n_active, cohort_size,
+        |round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+        |FROM c JOIN s USING (cohort_day)""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |WHERE e.event_type = 'view' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 6 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY 1),
+        |u AS (SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+        |w AS (SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+        |lag(n_users) OVER (ORDER BY step) AS prev,
+        |first_value(n_users) OVER (ORDER BY step) AS f FROM u)
+        |SELECT step, event_type, n_users,
+        |round(CAST(n_users AS DOUBLE) / coalesce(prev, n_users), 4) AS conv_from_prev,
+        |round(CAST(n_users AS DOUBLE) / f, 4) AS conv_from_first FROM w""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // the t_chunk CTE + two windows over the chunk hash

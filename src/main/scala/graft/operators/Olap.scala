@@ -134,4 +134,77 @@ object Olap {
       .select(col("user_id"), col("session_seq"), col("n_events"),
         col("session_start_ms"), col("duration_ms"))
   }
+
+  /** Cohort retention matrix over purchase activity: users cohorted by
+    * first-purchase day, a cell per (cohort, day offset) with the
+    * distinct-active count and the retention rate vs cohort size — the
+    * dashboard complement of q_account_growth (which counts arrivals;
+    * this tracks whether they COME BACK).
+    *
+    * Scale shape: the fact scan collapses to distinct (user, day) rows
+    * first (map-side combined — days/user is bounded, so this is the
+    * only stage that sees raw events); first-seen and the activity join
+    * are both user-keyed, so AQE reuses one exchange side; the cohort
+    * matrix aggregate is calendar-bounded (cohorts × offsets), and the
+    * cohort-size join broadcasts.  No count-distinct over raw events
+    * anywhere — `p` is already distinct, so the matrix agg is count(1).
+    */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val f = p.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cells = p.join(f, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = f.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        roundx(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+  }
+
+  /** Windowed conversion funnel: first signup → first view within 6 h
+    * of it → first purchase within 24 h of that view, reported as
+    * per-step user counts with step-over-step and vs-first conversion
+    * rates.  The time windows are the point (the unwindowed funnel is
+    * degenerate — every active user eventually does everything); strict
+    * `>` + `<=` bounds are exact µs-integer timestamp compares in both
+    * engines.
+    *
+    * Scale shape: each step is a user-keyed min-aggregate joined to the
+    * previous step's (user, t) frame — three user-keyed shuffles over
+    * per-user-collapsed rows, never a window over raw events; the final
+    * 3-row union + lag is metadata-scale.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(step: String, prev: DataFrame, window: String): DataFrame =
+      ev.filter(col("event_type") === step)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr(s"INTERVAL $window"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val s2 = firstAfter("view", s1, "6 HOURS")
+    val s3 = firstAfter("purchase", s2, "24 HOURS")
+    def c(df: DataFrame, step: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("event_type"), col("n_users"))
+    val steps = c(s1, 1L, "signup").union(c(s2, 2L, "view"))
+      .union(c(s3, 3L, "purchase"))
+    val byStep = Window.orderBy(col("step")) // 3 rows — single partition is fine
+    steps
+      .withColumn("prev", lag(col("n_users"), 1).over(byStep))
+      .withColumn("first", first(col("n_users")).over(byStep))
+      .select(col("step"), col("event_type"), col("n_users"),
+        roundx(col("n_users").cast("double") /
+          coalesce(col("prev"), col("n_users")), 4).as("conv_from_prev"),
+        roundx(col("n_users").cast("double") / col("first"), 4)
+          .as("conv_from_first"))
+  }
 }

@@ -152,4 +152,39 @@ class OperatorsSpec extends GraftSpec {
     // the 30-day corpus with weekly tranches must leave SOME of both
     assert(unv > 0 && circ > 0)
   }
+
+  test("retention cohorts: offset-0 cell is the whole cohort, cells never exceed it") {
+    val rows = operators.Olap.retentionCohort(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (day, cells) =>
+      val size = cells.head.getAs[Long]("cohort_size")
+      val zero = cells.find(_.getAs[Long]("day_offset") == 0L)
+      assert(zero.isDefined, s"cohort $day missing its own first day")
+      // every member is active on its first day by construction
+      assert(zero.get.getAs[Long]("n_active") == size)
+      cells.foreach { c =>
+        assert(c.getAs[Long]("n_active") <= size)
+        assert(c.getAs[Double]("retention") <= 1.0)
+      }
+    }
+    // cohort sizes sum to the distinct purchasing-user population
+    val t = graft.sources.Tables(spark, Dir)
+    val buyers = t.events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum == buyers)
+  }
+
+  test("funnel steps are monotone non-increasing and windows bind") {
+    val rows = operators.Olap.funnelSteps(spark, Dir).orderBy("step").collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSeq ==
+      Seq("signup", "view", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    // the 6h/24h windows must actually exclude someone (the unwindowed
+    // funnel is degenerate on this corpus: everyone converts)
+    assert(ns(1) < ns(0))
+    assert(rows(0).getAs[Double]("conv_from_prev") == 1.0)
+    assert(rows(2).getAs[Double]("conv_from_first") <= ns(1).toDouble / ns(0))
+  }
 }
