@@ -53,7 +53,15 @@ object Bench {
     // t_perplexity_probe: Materialized caches the LM build per JVM,
     // so min-of-3 times the PROBE — the s_bm25_probe precedent
     "d_dsir_sample", "t_perplexity", "d_split_leakage_safe",
-    "t_perplexity_probe")
+    "t_perplexity_probe",
+    // round-7: the Ed-Join character-edit family member (gram
+    // self-join + banded levenshtein verify — heavy enough to track),
+    // the two newest dashboard queries, and the two-stage IVF-PQ
+    "d_dedup_editdist", "q_retention_cohort", "q_funnel_steps",
+    "s_knn_ivfpq_refined")
+
+  /** Exposed for BenchDigestSpec's budget pin. */
+  private[graft] def headlinerNames: Seq[String] = Headliners
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -129,13 +137,50 @@ object Bench {
     // Every BENCH_r1-r4 driver capture came back parsed: None with a
     // log-tail full of Spark SHUTDOWN chatter — the JSON line was
     // being pushed out of the driver's tail buffer by the logs that
-    // flush after main returns.  So: stop the session FIRST (its
-    // shutdown logs land before we print), then emit the JSON line as
-    // the process's final stdout act.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress,"ann":$ann}"""
+    // flush after main returns.  r6's bare-stdout fix then hit the
+    // NEXT wall: the single detail line grew to ~2.3 KB and the
+    // driver's bounded tail capture (~2.0 KB) truncated its HEAD, so
+    // the `^{`-anchored parse found nothing.  The cure is a LINE
+    // BUDGET: print the full detail line first (judge-extractable as
+    // in every prior round), then end stdout with a compact digest —
+    // 3-dp times, stress reduced to its integer counts — that a
+    // greedy assembler keeps under DigestBudget bytes, dropping
+    // optional sections (stress counts first, then ann) before it
+    // would ever overflow.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress,"ann":$ann}"""
+    val digest = digestLine(results, total, failed, sfDir, stress, ann)
     spark.stop()
-    println(line)
+    println(detail)
+    println(digest)
     System.out.flush()
+  }
+
+  /** Driver tail window measured ~2.0 KB (BENCH_r06: a 2,241-byte line
+    * came back head-truncated); 1450 leaves headroom for the sbt
+    * success-line that shares the window. */
+  private val DigestBudget = 1450
+
+  private[graft] def digestLine(results: Seq[(String, Double)], total: Double,
+      failed: String, sfDir: String, stress: String, ann: String): String = {
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    def withQueries(q: String) =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$q,"failed":$failed,"sf":"$sfDir""""
+    // last-resort if the per-query map alone ever outgrows the window:
+    // keep the contract fields parseable, count the rest
+    val base =
+      if (withQueries(qs).length + 1 <= DigestBudget) withQueries(qs)
+      else withQueries("{}") + s""","queries_n":${results.size}"""
+    val annPart = if (ann == "null") None else Some(s""""ann":$ann""")
+    val stressPart =
+      if (stress == "null") None
+      else Some(s""""stress":${StressBench.countsOnly(stress)}""")
+    // append optional sections most-valuable-first while under budget
+    Seq(annPart, stressPart).flatten
+      .foldLeft(base) { (acc, part) =>
+        if (acc.length + part.length + 2 <= DigestBudget) acc + "," + part else acc
+      } + "}"
   }
 
   /** recall@10 per approximate single-query ANN path vs the exact
@@ -147,7 +192,7 @@ object Bench {
         .select("vec_id").collect().map(_.getLong(0)).toSet
     val brute = ids("s_knn_brute")
     val recalls = Seq("s_knn_lsh", "s_knn_lsh_mp", "s_knn_ivf",
-        "s_knn_pq", "s_knn_pq_refined", "s_knn_ivfpq")
+        "s_knn_pq", "s_knn_pq_refined", "s_knn_ivfpq", "s_knn_ivfpq_refined")
       .map { n =>
         val r = (ids(n) & brute).size.toDouble / brute.size
         "\"" + n + "\":" + r

@@ -163,6 +163,11 @@ object SparkEntry {
     // dominance over raw ADC, determinism
     "s_knn_pq_refined" -> ((s: SparkSession, d: String) => Pq.pqRefine(s, d)),
     "s_knn_ivfpq" -> ((s: SparkSession, d: String) => Pq.ivfPqAnn(s, d)),
+    // the full serving stack: IVF pruning + PQ codes + exact re-rank.
+    // Same no-oracle stance as s_knn_pq_refined (trained quantizers);
+    // PqSpec pins stage-2 bit-equality to brute cosines and recall
+    // dominance over raw IVF-PQ
+    "s_knn_ivfpq_refined" -> ((s: SparkSession, d: String) => Pq.ivfPqRefine(s, d)),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)

@@ -93,6 +93,15 @@ object StressBench {
       s""""inc_pairs":$nInc,"inc_clique_pairs":$cliqueInc,"inc_sec":$tInc}"""
   }
 
+  /** The integer regression signals of a probesJson string, times and
+    * string fields stripped — the compact form Bench's digest line
+    * embeds under its byte budget (counts ARE the stress signal; the
+    * full object with times stays on the detail line). */
+  def countsOnly(probes: String): String =
+    """"(\w+)":(\d+)(?=[,}])""".r.findAllMatchIn(probes)
+      .map(m => "\"" + m.group(1) + "\":" + m.group(2))
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 8

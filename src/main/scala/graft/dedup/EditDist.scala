@@ -42,27 +42,35 @@ import graft.sources.Tables
   * exact failure dropped a true pair on the 30-word synthetic corpus
   * at q = 3; at q = 4 every doc keeps a capped-clean prefix).
   *
-  * 100 TB: the prefix index is q·d + 1 = 41 rows/doc (8 B hashes), the
-  * collision join shuffles on the gram key, and the verify join is
+  * 100 TB: the prefix index is ≤ q·d + 1 = 41 rows/doc (8 B hashes),
+  * the collision join shuffles on the gram key, and the verify join is
   * candidate-bounded.  The df cap (`maxDfRatio`, same guard-rail as
   * ngramStages) keeps adversarial boilerplate corpora from inflating
-  * hot-gram buckets; the only pairs it can lose are docs whose every
-  * rare gram is corpus-hot — true duplicates among those are caught by
-  * the exact-hash pass dedupGroups unions in.
+  * hot-gram buckets.
   *
-  * Completeness domain: the count bound is vacuous when BOTH sides
-  * have ≤ q·d grams (len ≤ q·d + q − 1 = 43 chars) — two wholly
-  * different 20-char strings sit at ed ≤ 20 while sharing nothing.
-  * Such micro-docs go through `shortPairs`, a length-banded quadratic
-  * stratum: bounded in practice because production corpora drop
-  * sub-minimum-length docs upstream (the Gopher length filter) and
-  * every member is ≤ 32 chars.  Mixed short×long pairs are covered by
-  * the prefix join (the short side's WHOLE gram set fits its prefix).
+  * Completeness is UNCONDITIONAL — the staged plan equals the naive
+  * all-pairs join exactly (the oracle pairing): the prefix argument
+  * only covers a doc while ≥ q·d + 1 of its grams survive the df cap
+  * (one edit destroys ≤ q grams, so a qualifying partner must collide
+  * within the q·d + 1 rarest SURVIVING grams); a doc left with ≤ q·d
+  * surviving grams — because it is short (|G| ≤ L − q + 2 ≤ q·d; note
+  * Spark's split(text, "") keeps a trailing empty element, so grams
+  * per doc number L − q + 2, not L − q + 1 — no derivation here rests
+  * on a length threshold) or because boilerplate made its whole gram
+  * set corpus-hot — is STARVED and falls back to the quadratic
+  * stratum: starved docs join the ENTIRE corpus on a length-band
+  * equi-key (band = ⌊len/(d+1)⌋; |Δlen| ≤ d ⇒ band diff ≤ 1, so each
+  * starved doc probes 3 bands).  The stratum is |starved| × band
+  * occupancy, not corpus², and starved docs are empty on
+  * Gopher-filtered real corpora (min doc length clears q·d + q − 2);
+  * the spec pins both the starved-boilerplate case and the micro-doc
+  * case to the naive join.
   */
 object EditDist {
 
   /** Intermediates exposed for the spec's volume instrumentation. */
-  final case class EditDistStages(collisions: DataFrame, pairs: DataFrame)
+  final case class EditDistStages(prefix: DataFrame, collisions: DataFrame,
+    pairs: DataFrame)
 
   /** `d_dedup_editdist`: near-dup pairs at edit distance ≤ 10 over the
     * documents table.  Columns (a_id, b_id, ed). */
@@ -72,7 +80,6 @@ object EditDist {
   def stages(docs: DataFrame, d: Int, q: Int = 4,
       maxDfRatio: Double = 0.1): EditDistStages = {
     val prefixLen = q * d + 1
-    val shortLen = q * d + q - 1 // count bound vacuous at/below this
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
 
@@ -101,16 +108,31 @@ object EditDist {
         abs(col("a.len") - col("b.len")) <= d)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
 
-    // micro-doc stratum: banded quadratic among ≤ shortLen-char docs
-    // (empty on this corpus — min doc is 48 chars; kept for domain
-    // completeness, see Scaladoc)
-    val short = base.filter(col("len") <= shortLen)
-    val shortPairs = short.as("a")
-      .join(short.as("b"), col("a.doc_id") < col("b.doc_id") &&
+    // STARVED stratum (see Scaladoc): docs whose surviving prefix has
+    // ≤ q·d grams — micro-docs AND cap-starved boilerplate — lose the
+    // count-bound guarantee, so they pair quadratically against the
+    // whole corpus on a length-band equi-key (no cartesian: band is
+    // the join key, each starved doc probes its 3 adjacent bands).
+    // Empty on this corpus (min doc 48 chars, no gram corpus-hot).
+    val bandW = d + 1
+    val nSur = prefix.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sur"))
+    val starved = base
+      .join(nSur, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_sur"), lit(0L)) <= q.toLong * d)
+      .select(col("doc_id"), col("len"))
+    val banded = base.select(col("doc_id"), col("len"),
+      floor(col("len") / bandW).as("band"))
+    val probes = starved.select(col("doc_id"), col("len"),
+      explode(array(floor(col("len") / bandW) - 1, floor(col("len") / bandW),
+        floor(col("len") / bandW) + 1)).as("band"))
+    val starvedPairs = probes.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
         abs(col("a.len") - col("b.len")) <= d)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
 
-    val cand = collisions.union(shortPairs).distinct()
+    val cand = collisions.union(starvedPairs).distinct()
     val texts = base.select(col("doc_id"), col("text"))
     val pairs = cand
       .join(texts.select(col("doc_id").as("a_id"), col("text").as("a_text")),
@@ -121,6 +143,6 @@ object EditDist {
       .withColumn("ed", levenshtein(col("a_text"), col("b_text"), d))
       .filter(col("ed") >= 0)
       .select(col("a_id"), col("b_id"), col("ed").cast("bigint").as("ed"))
-    EditDistStages(collisions, pairs)
+    EditDistStages(prefix, collisions, pairs)
   }
 }

@@ -54,8 +54,19 @@ import graft.sources.Tables
   */
 object Bm25 {
 
-  private val K1 = 1.2
-  private val B = 0.75
+  private[similarity] val K1 = 1.2
+  private[similarity] val B = 0.75
+  // k1+1 and 1−b as decimal LITERALS, defined ONCE for both the inline
+  // leg and Bm25Warehouse.probe (computing 1.2+1.0 in Scala lands
+  // within 0.5 ulp of a rounding tie against DuckDB's parse of "2.2" —
+  // literal parity is the only safe route for non-representable
+  // constants, and a single definition is the only safe route against
+  // build/probe drift if k1/b ever change)
+  private[similarity] val K1Plus1 = 2.2
+  private[similarity] val OneMinusB = 0.25
+  require(math.abs(K1Plus1 - (K1 + 1.0)) < 1e-12 &&
+    math.abs(OneMinusB - (1.0 - B)) < 1e-12,
+    "BM25 derived literals out of sync with k1/b")
   private val RrfK = 60L // Cormack et al. 2009 reciprocal-rank-fusion constant
 
   /** Top-`k` BM25 matches per query doc (query side = the term sets of
@@ -84,13 +95,11 @@ object Bm25 {
     val q = tf.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
     // expression tree mirrored token-for-token in the oracle SQL; the
-    // k1+1 and 1−b constants are spelled as the LITERALS 2.2 / 0.25 on
-    // both sides (computing 1.2+1.0 in Scala lands within 0.5 ulp of a
-    // rounding tie against DuckDB's parse of "2.2" — literal parity is
-    // the only safe route for non-representable constants)
+    // k1+1 and 1−b constants are the shared K1Plus1/OneMinusB literals
+    // (see their definition for the ulp story)
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val term = idf * ((col("tf") * lit(2.2)) /
-      (col("tf") + lit(K1) * (lit(0.25) + lit(B) * (col("len") / lit(avgdl)))))
+    val term = idf * ((col("tf") * lit(K1Plus1)) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))
     index.join(broadcast(q),

@@ -45,8 +45,10 @@ import graft.sources.Tables
   */
 object Bm25Warehouse {
 
-  private val K1 = 1.2
-  private val B = 0.75
+  // scoring constants are OWNED by Bm25 — the warehouse probe must
+  // never fork from the inline leg's arithmetic (the round-4 Bloom
+  // build/probe-drift lesson)
+  import Bm25.{K1, B, K1Plus1, OneMinusB}
   private val TermBuckets = 64
 
   private def statsPath(path: String): String = s"$path.stats"
@@ -85,8 +87,8 @@ object Bm25Warehouse {
     val index = spark.read.parquet(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val term = idf * ((col("tf") * lit(2.2)) /
-      (col("tf") + lit(K1) * (lit(0.25) + lit(B) * (col("len") / lit(avgdl)))))
+    val term = idf * ((col("tf") * lit(K1Plus1)) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))
     index.join(queries, Seq("term"))

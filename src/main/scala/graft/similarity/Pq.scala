@@ -182,6 +182,65 @@ object Pq {
       .select(col("vec_id"), col("cos").as("cosine"))
   }
 
+  /** IVF-PQ with the exact second stage — the FULL production serving
+    * stack (FAISS `IndexIVFPQ` + refine): stage 1 prunes to `nprobe`
+    * of `k` posting lists (at rest: cid partition pruning) and scans
+    * ONLY their 8 B/vector codes for an ADC top-`shortlist`; stage 2
+    * fetches just those full vectors (broadcast id-semijoin) and
+    * re-ranks with the exact cosine, expression-for-expression the
+    * Knn.bruteForce arithmetic.  Corpus cost: nprobe/k of the codes +
+    * `shortlist` float vectors — nothing else is touched.
+    *
+    * Restricting the shortlist race to the probed lists can only RAISE
+    * a probed vector's ADC rank versus the global pqRefine race, so
+    * wherever the coarse probe covers the true neighbors (measured
+    * ivf recall 1.0 on this corpus, BENCH ann key) refined IVF-PQ
+    * recall ≥ refined flat-PQ recall — the r06-measured 0.2 raw
+    * IVF-PQ floor was ADC rank scatter, which this second stage
+    * removes.  No SQL oracle (two trained quantizers — the ivfPqAnn
+    * stance); PqSpec pins stage-2 cosines bit-equal to brute force,
+    * probed-list containment, and recall domination over raw IVF-PQ. */
+  def ivfPqRefine(spark: SparkSession, dir: String, k: Int = 16,
+      nprobe: Int = 4, shortlist: Int = 250): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val eN = Kmeans.normalize(e)
+    val (cents, lists) = Knn.coarseQuantizer(e, k)
+    val (codebook, codes) = codebookAndCodes(eN)
+    val q = lists.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+    val probeCids = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (-dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qnrm"))).as("dist"))
+      .orderBy(col("dist"), col("cid")).limit(nprobe)
+      .select(col("cid"))
+    val probedIds = lists.join(broadcast(probeCids), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"))
+    val qsub = subvectors(eN.filter(col("vec_id") === 0))
+      .select(col("m"), col("sv").as("qsv"))
+    val lut = codebook.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        dot(col("cv"), col("qsv")).as("part"))
+    val short = codes.join(probedIds, Seq("vec_id"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sumx(col("part")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val qe = t.embeddings.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    e.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(qe))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cos").as("cosine"))
+  }
+
   /** Registered query: top-10 ADC neighbors of vec_id 0. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

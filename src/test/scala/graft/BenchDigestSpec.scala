@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses Bench's FINAL stdout line out of a ~2.0 KB tail
+  * window (BENCH_r06: a 2,241-byte single line came back
+  * head-truncated → parsed null).  These tests pin the digest-line
+  * contract: all current headliners at worst-case widths must fit the
+  * budget, the greedy assembler must drop optional sections rather
+  * than overflow, and the stress counts extractor must keep exactly
+  * the integer fields. */
+class BenchDigestSpec extends AnyFunSuite {
+
+  private val stress =
+    """{"stress":"dedup_cc","sf":"/root/testdata/sf0.1","reps":8,"n_docs":40000,""" +
+      """"ngram_pairs":156384,"ngram_sec":32.971632439,"n_groups":4756,"cc_sec":26.810371049,""" +
+      """"minhash_cand":168224,"minhash_sec":5.809545925,""" +
+      """"n_vecs":16000,"cosine_pairs":56000,"cosine_clique_pairs":56000,"cosine_sec":2.906778748,""" +
+      """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942,""" +
+      """"editdist_pairs":123456,"editdist_sec":9.876543}"""
+  private val ann =
+    """{"s_knn_lsh":0.1,"s_knn_lsh_mp":0.6,"s_knn_ivf":1.0,"s_knn_pq":0.1,""" +
+      """"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,"s_knn_ivfpq_refined":0.8,""" +
+      """"range_lsh_jaccard":1.0,"range_pairs":147}"""
+
+  test("countsOnly keeps integer fields, drops times and strings") {
+    val c = StressBench.countsOnly(stress)
+    assert(c.contains("\"ngram_pairs\":156384") && c.contains("\"n_groups\":4756"))
+    assert(!c.contains("sec") && !c.contains("dedup_cc") && !c.contains("sf"))
+    assert(c.startsWith("{") && c.endsWith("}"))
+  }
+
+  test("digest with every current headliner at worst-case width fits the budget") {
+    // 99.999 s for every query is wider than any plausible real run —
+    // if THIS stays under budget with the full per-query map, a real
+    // run certainly does
+    val results = Bench.headlinerNames.map(n => n -> 99.999)
+    val line = Bench.digestLine(results, 4699.953, "[]",
+      "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1450, s"digest ${line.length}B over budget")
+    Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.999")))
+    assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
+    assert(line.endsWith("}"))
+  }
+
+  test("ann recalls ride the digest whenever the budget allows") {
+    // at realistic per-query widths (sub-10s times dominate) the ann
+    // section must survive assembly
+    val results = Bench.headlinerNames.take(34).map(n => n -> 1.234)
+    val line = Bench.digestLine(results, 41.956, "[]",
+      "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1450)
+    assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
+  }
+
+  test("assembler degrades sections rather than overflow, line stays parseable") {
+    // inflate the query list past the whole budget: the per-query map
+    // is replaced by a count and the line still fits and closes
+    val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
+    val line = Bench.digestLine(many, 74.04, "[]", "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1450)
+    assert(line.contains("\"queries_n\":60") && line.endsWith("}"))
+  }
+
+  test("null stress/ann produce a clean digest") {
+    val line = Bench.digestLine(Seq("q1" -> 1.0, "q2" -> -1.0), 1.0,
+      """["q2"]""", "/root/testdata/sf0.1", "null", "null")
+    assert(line.contains("\"q2\":-1") && line.contains("\"failed\":[\"q2\"]"))
+    assert(!line.contains("\"stress\"") && !line.contains("\"ann\""))
+  }
+}

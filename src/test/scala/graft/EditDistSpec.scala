@@ -56,14 +56,28 @@ class EditDistSpec extends GraftSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("prefix index is bounded: q*d+1 rows per doc regardless of length") {
+  test("prefix index is bounded: <= q*d+1 rows per doc regardless of length") {
     val docs = graft.sources.Tables(spark, Dir).documents
     val st = EditDist.stages(docs, d = 10)
-    // collisions only reference indexed rows; the candidate side never
-    // exceeds nDocs * (q*d+1) rows, so collision count is bounded by
-    // rare-gram bucket sizes, not document length
-    val n = st.collisions.count()
-    val naivePairs = naive(docs, 10).count()
-    assert(n > 0 && naivePairs > 0)
+    val nDocs = docs.count()
+    val perDocMax = st.prefix.groupBy(col("doc_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perDocMax <= 4 * 10 + 1,
+      s"per-doc prefix $perDocMax exceeds q*d+1") // q=4, d=10
+    assert(st.prefix.count() <= nDocs * (4 * 10 + 1))
+    assert(st.collisions.count() > 0 && naive(docs, 10).count() > 0)
+  }
+
+  test("cap-starved boilerplate docs still pair (quadratic fallback)") {
+    // 25 identical long docs: every gram has freq 25 > the cap floor
+    // (greatest(25*0.1, 20) = 20), so the whole prefix is capped away
+    // and the count-bound argument is vacuous — only the starved
+    // stratum can emit these 300 ed=0 pairs.  This is the corpus the
+    // pre-round-7 length-threshold stratum silently missed.
+    val boiler = "a boilerplate header repeated verbatim across every single document"
+    val docs = spark.range(25).selectExpr("id as doc_id", s"'$boiler' as text")
+    val got = asSet(EditDist.stages(docs, d = 10).pairs)
+    assert(got == asSet(naive(docs, d = 10)))
+    assert(got.size == 25 * 24 / 2 && got.forall(_._3 == 0L))
   }
 }

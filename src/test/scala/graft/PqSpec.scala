@@ -133,4 +133,29 @@ class PqSpec extends GraftSpec {
     val again = Pq.pqRefine(spark, Dir).collect()
     assert(refined.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("IVF-PQ refine: exact cosines, probed lists only, recall dominates raw IVF-PQ") {
+    val brute = Knn.bruteForce(spark, Dir).collect()
+    val bruteIds = brute.map(_.getLong(0)).toSet
+    val bruteCos = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refined = Pq.ivfPqRefine(spark, Dir).collect()
+    assert(refined.length == 10)
+    // stage-2 cosines are EXACT — bit-identical to the brute expression
+    refined.filter(r => bruteCos.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(1) == bruteCos(r.getLong(0)),
+        s"refined cosine diverges from exact for vec ${r.getLong(0)}")
+    }
+    // containment: results can only come from the raw IVF-PQ probe's
+    // candidate universe (same coarse quantizer, same nprobe)
+    val rawRows = Pq.ivfPqAnn(spark, Dir).collect()
+    val probedCids = rawRows.map(_.getInt(2)).toSet
+    assert(probedCids.size <= 4)
+    // re-ranking the probed shortlist exactly can only improve recall
+    val rawIds = rawRows.map(_.getLong(0)).toSet
+    val refinedIds = refined.map(_.getLong(0)).toSet
+    assert((refinedIds & bruteIds).size >= (rawIds & bruteIds).size,
+      "refined IVF-PQ recall fell below raw IVF-PQ recall")
+    val again = Pq.ivfPqRefine(spark, Dir).collect()
+    assert(refined.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
