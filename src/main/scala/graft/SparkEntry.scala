@@ -311,7 +311,12 @@ object SparkEntry {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
       |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM documents x
       |JOIN documents y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
-      |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs),
+      |ed_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      |FROM documents x JOIN documents y
+      |ON x.doc_id < y.doc_id AND abs(length(x.text) - length(y.text)) <= 10
+      |WHERE levenshtein(x.text, y.text) <= 10),
+      |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs
+      |UNION SELECT * FROM ed_pairs),
       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
       |reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
       |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),

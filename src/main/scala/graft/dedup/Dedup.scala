@@ -547,9 +547,14 @@ object Dedup {
   }
 
   /** Dedup groups: connected components over the near-dup graph
-    * (exact-dup ∪ ngram-Jaccard≥0.8 edges), labels = min doc_id per
-    * component — the step that turns pairwise dedup into "keep one
-    * canonical doc per cluster".
+    * (exact-dup ∪ ngram-Jaccard≥0.8 ∪ edit-distance≤10 edges), labels
+    * = min doc_id per component — the step that turns pairwise dedup
+    * into "keep one canonical doc per cluster".  The editdist channel
+    * (EditDist — Ed-Join staged, exactly the naive semantics) closes
+    * the character-edit gap the token-level passes cannot see: an OCR/
+    * typo variant at ed ≤ 10 merges into its source's component even
+    * when no 3-word shingle survives the edits, so the leakage-safe
+    * split (d_split_leakage_safe) inherits the character channel too.
     *
     * Spark-first: iterative min-label propagation over DataFrames —
     * the standard distributed connected-components loop (cf. the
@@ -560,15 +565,22 @@ object Dedup {
     * — near-dup clusters are shallow, so a capped loop with a
     * convergence check is the right shape at 100 TB too.
     */
-  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"))
-    val hashed = t.documents.select(md5(col("text")).as("h"), col("doc_id"))
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    dedupGroupsFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the StressBench /
+    * spec entry point. */
+  def dedupGroupsFrom(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"))
+    val hashed = documents.select(md5(col("text")).as("h"), col("doc_id"))
     val exactPairs = hashed.as("x")
       .join(hashed.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    val pairs = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
-      .union(exactPairs).distinct()
+    val edPairs = EditDist.stages(documents, d = 10).pairs
+      .select(col("a_id"), col("b_id"))
+    val pairs = ngramStages(documents, maxDfRatio = 0.1).pairs
+      .select(col("a_id"), col("b_id"))
+      .union(exactPairs).union(edPairs).distinct()
     val labels = connectedComponents(docs, pairs)
     val sizes = Window.partitionBy(col("group_id"))
     labels.select(col("doc_id"), col("group_id"),

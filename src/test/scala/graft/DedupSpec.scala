@@ -275,6 +275,29 @@ class DedupSpec extends GraftSpec {
     assert(labels.map(_.getAs[Long]("group_id")).distinct.sameElements(Array(0L)))
   }
 
+  test("an ed<=10 pair merges two components the token-level edges cannot reach") {
+    val s = spark
+    import s.implicits._
+    // three character substitutions spread across words: ed = 3, but
+    // 7 of 8 word-3-gram shingles differ (Jaccard 1/15 << 0.8) and the
+    // texts are not exact dups — only the editdist channel links them
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a.replace("beta", "betq").replace("epsilon", "epsilqn")
+      .replace("iota", "iotq")
+    val docs = Seq((1L, a), (2L, b),
+      (3L, "a wholly unrelated document about completely different subject matter entirely"))
+      .toDF("doc_id", "text")
+    assert(dedup.Dedup.ngramStages(docs, maxDfRatio = 0.1).pairs
+      .filter((col("a_id") === 1 && col("b_id") === 2)).count() == 0,
+      "test premise broken: the ngram leg pairs the docs itself")
+    val g = dedup.Dedup.dedupGroupsFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[Long]("group_size"))).toMap
+    assert(g(1L) == ((1L, 2L)) && g(2L) == ((1L, 2L)),
+      s"ed<=10 pair did not merge: $g")
+    assert(g(3L) == ((3L, 1L)))
+  }
+
   test("chunk dedup: one survivor per distinct chunk, and it is the first occurrence") {
     val out = dedup.Dedup.dedupChunks(spark, Dir).localCheckpoint()
     val chunks = operators.TrainPrep.chunkDocs(spark, Dir)
