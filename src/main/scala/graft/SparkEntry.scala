@@ -117,6 +117,15 @@ object SparkEntry {
       graft.dedup.MinHashWarehouse.incrementalDedup(s, d,
         graft.sources.Materialized.pathFor("minhash_warehouse", d)(
           graft.dedup.MinHashWarehouse.materialize(s, d, _)))),
+    // the crawl loop CLOSED: generation A (doc_id ≡ 8 mod 10) dedups
+    // against the base index, its survivors FOLD INTO the index at
+    // rest (append-only refresh), generation B (≡ 9) probes the
+    // refreshed index — B-docs can match accepted A-docs, the pairs a
+    // probe-without-refresh pipeline silently loses
+    "d_dedup_refresh" -> ((s: SparkSession, d: String) =>
+      graft.dedup.MinHashWarehouse.refreshedDedup(s, d,
+        graft.sources.Materialized.pathFor("minhash_refresh", d)(
+          graft.dedup.MinHashWarehouse.materializeRefreshed(s, d, _)))),
     "d_dedup_simhash" -> (Dedup.simhash _),
     "d_dedup_simhash_verified" -> ((s: SparkSession, d: String) => Dedup.simhashVerified(s, d)),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
@@ -751,6 +760,28 @@ object SparkEntry {
         |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8 GROUP BY 1, 2)
         |SELECT new_id, base_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // the two-generation refresh: B (mod 9) vs base ∪ {A survivors},
+    // where A's survivors are mod-8 docs with no J>=0.8 base match —
+    // the same recall argument as d_dedup_incremental, applied twice
+    "d_dedup_refresh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pa AS (SELECT x.doc_id AS new_id, y.doc_id AS base_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 = 8 AND y.doc_id % 10 < 8 GROUP BY 1, 2),
+        |amatched AS (SELECT DISTINCT new_id FROM pa
+        |JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |base2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 8
+        |UNION ALL SELECT doc_id FROM documents WHERE doc_id % 10 = 8
+        |AND doc_id NOT IN (SELECT new_id FROM amatched)),
+        |pb AS (SELECT x.doc_id AS new_id, y.doc_id AS base_id, count(*) AS inter
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 = 9
+        |JOIN base2 ON y.doc_id = base2.doc_id GROUP BY 1, 2)
+        |SELECT new_id, base_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pb JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     // d_dedup_simhash_verified: deliberately NO oracle — the naive
     // J>=0.8 join is unsound for simhash banding (measured: true pairs

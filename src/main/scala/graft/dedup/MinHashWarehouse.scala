@@ -63,13 +63,56 @@ object MinHashWarehouse {
 
   /** Frame-level ingest (docs = (doc_id, text, …)) — shared by the
     * registered query and the stress probe's replicated corpus. */
-  def materializeFrom(docs: DataFrame, path: String): Unit = {
-    val base = signed(docs.filter(isBase))
+  def materializeFrom(docs: DataFrame, path: String): Unit =
+    materializeRaw(docs.filter(isBase), path)
+
+  private def materializeRaw(docs: DataFrame, path: String): Unit = {
+    val base = signed(docs)
     base.write.mode("overwrite").parquet(docsPath(path))
     base.select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
       .write.mode("overwrite").partitionBy("band").parquet(path)
   }
+
+  /** REFRESH — the missing last step of the crawl loop: fold an
+    * ACCEPTED batch into the index at rest.  The layout is append-safe
+    * by construction: every row in `.docs` and every banded index row
+    * depends ONLY on its own document (signatures carry no corpus
+    * statistics), so folding a batch is two appends — no standing row
+    * is read, rewritten, or invalidated, and a probe started before
+    * the refresh commits still sees a consistent (older) index.  Batch
+    * doc_ids must be new to the corpus (the crawl contract: survivors
+    * get fresh ids), exactly as a production ingest keyed by content
+    * hash would guarantee. */
+  def refresh(batch: DataFrame, path: String): Unit = {
+    val b = signed(batch)
+    b.write.mode("append").parquet(docsPath(path))
+    b.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .write.mode("append").partitionBy("band").parquet(path)
+  }
+
+  /** Two-generation crawl-loop builder for the registered
+    * `d_dedup_refresh` query: index the base split (doc_id ≡ 0..7 mod
+    * 10), dedup generation A (≡ 8) against it, fold A's SURVIVORS —
+    * the accepted docs — into the index.  Generation B (≡ 9) then
+    * probes the refreshed index; a B-doc can match a standing base doc
+    * OR an accepted A-doc, which is exactly the property a
+    * probe-without-refresh pipeline silently loses. */
+  def materializeRefreshed(spark: SparkSession, dir: String, path: String): Unit = {
+    materialize(spark, dir, path)
+    val batchA = Tables(spark, dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) === 8)
+    val dupsA = probeAgainst(spark, batchA, path)
+      .select(col("new_id").as("doc_id")).distinct()
+    refresh(batchA.join(dupsA, Seq("doc_id"), "left_anti"), path)
+  }
+
+  /** Registered `d_dedup_refresh`: generation B against the refreshed
+    * index (see materializeRefreshed). */
+  def refreshedDedup(spark: SparkSession, dir: String, path: String): DataFrame =
+    probeAgainst(spark, Tables(spark, dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) === 9), path)
 
   /** Dedup an incoming batch against the corpus at rest: banded
     * candidates (exactly-once via FirstEqualIndex), exact Jaccard
@@ -88,8 +131,12 @@ object MinHashWarehouse {
 
   /** Frame-level probe — shared by the registered query and the
     * stress probe. */
-  def incrementalDedupFrom(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
-    val in = signed(docs.filter(!isBase))
+  def incrementalDedupFrom(spark: SparkSession, docs: DataFrame, path: String): DataFrame =
+    probeAgainst(spark, docs.filter(!isBase), path)
+
+  /** Dedup an arbitrary batch frame against the index at `path`. */
+  private[graft] def probeAgainst(spark: SparkSession, batch: DataFrame, path: String): DataFrame = {
+    val in = signed(batch)
     val inBanded = in.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val cand = inBanded.as("a")

@@ -16,14 +16,19 @@ import graft.sources.Tables
   * ingest stream — is scored against the frozen model without ever
   * re-reading corpus text.
   *
-  * Layout (the Bm25Warehouse conventions):
-  *  - `<path>`: (term, cnt) rows partitioned by tb =
+  * Layout (the Bm25Warehouse conventions, APPEND-ONLY for refresh):
+  *  - `<path>`: (term, cnt) DELTA rows partitioned by tb =
   *    pmod(xxhash64(term), 64) — a probe's term set maps to a driver
   *    bucket list that PRUNES partitions (spec-asserted via
-  *    listFiles); counts at rest are integers, floats exist only in
-  *    the probe's codegen.
-  *  - `<path>.stats`: one row (nb, v) — base token count and base
-  *    vocabulary size.
+  *    listFiles), then sums deltas per term over the pruned slice
+  *    (vocabulary-bounded — metadata-scale), so `refresh` folds a
+  *    batch in by appending its term counts instead of rewriting the
+  *    model; counts at rest are integers, floats exist only in the
+  *    probe's codegen.
+  *  - `<path>.stats`: one row (nb, v) — corpus token count and
+  *    vocabulary size; refresh rewrites it from driver scalars (nb +=
+  *    batch tokens; v += batch terms not yet in the index, counted by
+  *    an anti-join against the PRUNED standing model — O(batch)).
   *
   * Model: OPEN-vocabulary Laplace smoothing over v+1 classes (the v
   * base terms + one UNK bucket every unseen term shares):
@@ -51,14 +56,48 @@ object LmWarehouse {
 
   /** Train once: write the bucket-partitioned (term, cnt) table and
     * the 1-row (nb, v) stats side from the base split. */
-  def materialize(spark: SparkSession, dir: String, path: String): Unit = {
-    val toks = Tables(spark, dir).documents.filter(isBase)
-      .select(explode(words(col("text"))).as("term"))
+  def materialize(spark: SparkSession, dir: String, path: String): Unit =
+    materializeFrom(Tables(spark, dir).documents.filter(isBase), path)
+
+  /** Frame-level ingest — also the refresh-equivalence spec's one-shot
+    * reference builder. */
+  def materializeFrom(docs: DataFrame, path: String): Unit = {
+    val toks = docs.select(explode(words(col("text"))).as("term"))
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // one token pass feeds both the table and (nb, v)
     lm.withColumn("tb", termBucket(col("term")))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
     lm.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** REFRESH — fold an accepted crawl batch into the LM at rest:
+    * append the batch's (term, cnt) deltas, bump (nb, v).  O(batch):
+    * tokenizes only the batch; the new-term count anti-joins the
+    * batch vocabulary against the standing model restricted to the
+    * batch's own term buckets (partition-pruned reads); no standing
+    * row is rewritten.  Batch doc_ids/terms need no uniqueness — the
+    * probe sums deltas per term. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val delta = batch.select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val buckets = delta.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val standing = spark.read.parquet(path)
+      .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .select(col("term")).distinct()
+    val newTerms = delta.join(standing, Seq("term"), "left_anti").count()
+    val batchTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
+    val st = spark.read.parquet(statsPath(path)).head()
+    // stats BEFORE the model append would also be correct (readers of
+    // the model sum deltas; stats only feed the smoothing denominator)
+    // but append-then-stats keeps a mid-refresh reader conservative
+    delta.withColumn("tb", termBucket(col("term")))
+      .write.mode("append").partitionBy("tb").parquet(path)
+    spark.range(1)
+      .select(lit(st.getLong(0) + batchTokens).as("nb"),
+        lit(st.getLong(1) + newTerms).as("v"))
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
@@ -72,8 +111,11 @@ object LmWarehouse {
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val buckets = toks.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
+    // sum delta rows per term over the pruned slice — the probe-side
+    // merge that keeps refresh append-only (vocabulary-bounded agg)
     val lm = spark.read.parquet(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
     val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)
     toks.join(lm, Seq("term"), "left")
       .groupBy(col("doc_id"))

@@ -17,17 +17,29 @@ import graft.sources.Tables
   * set, a dedup audit, a more-like-this batch — scores against the
   * index without ever re-reading corpus text.
   *
-  * Layout:
-  *  - `<path>`: posting rows (term, doc_id, tf, df, len) partitioned
-  *    by tb = pmod(xxhash64(term), 64) — term-hash buckets, so a probe
+  * Layout (APPEND-ONLY — every part either never rewrites standing
+  * rows or is a driver-scalar overwrite, so `refresh` can fold an
+  * accepted crawl batch into the index at rest without re-reading any
+  * historical text; the LSM/segment-merge stance):
+  *  - `<path>`: posting rows (term, doc_id, tf, len) partitioned by
+  *    tb = pmod(xxhash64(term), 64) — term-hash buckets, so a probe
   *    whose term set maps to few buckets PRUNES partitions (the
   *    single-eval-item serving path; spec-asserted via listFiles).
-  *    df/len ride each row: at probe time there is NO df join and NO
-  *    length join — integer stats at rest, floats only in the probe's
-  *    codegen (storing idf as a double would also work but integers
-  *    at rest dodge every canonicalization hazard).
+  *    len rides each row (per-doc, append-safe); df deliberately does
+  *    NOT — a denormalized df would be invalidated on every standing
+  *    row by any append (the build/probe-drift class).
+  *  - `<path>.df`: (term, dfd) DELTA rows, same tb partitioning — the
+  *    probe sums deltas per term over the pruned buckets, so a refresh
+  *    appends its batch's df contribution instead of rewriting the
+  *    vocabulary.  The probe-side sum is vocabulary-bounded ON THE
+  *    PROBED BUCKETS — metadata-scale.  (The alternative — one
+  *    (term, df) row kept current — needs an atomic swap of the whole
+  *    df table per refresh; delta rows trade a tiny probe agg for
+  *    pure appends.)
   *  - `<path>.stats`: one row (n, sl) — corpus size and total token
-  *    count, the two scalars BM25's length normalization needs.
+  *    count, the two scalars BM25's length normalization needs;
+  *    refresh rewrites it from driver scalars (read 1 row + add the
+  *    batch's two counts).
   *
   * Probe: query term sets join the pruned index ON term (Catalyst
   * picks broadcast for serving-batch-sized query sides, shuffle for
@@ -52,25 +64,60 @@ object Bm25Warehouse {
   private val TermBuckets = 64
 
   private def statsPath(path: String): String = s"$path.stats"
+  private def dfPath(path: String): String = s"$path.df"
 
   private def termBucket(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
-  /** Ingest: tokenize the base corpus once, write the stats-denormalized
-    * posting table partitioned by term bucket + the 1-row stats side. */
-  def materialize(spark: SparkSession, dir: String, path: String): Unit = {
-    val toks = Tables(spark, dir).documents.filter(isBase)
-      .select(col("doc_id"), words(col("text")).as("toks"))
+  /** One batch's contribution: (postings(term, doc_id, tf, len),
+    * dfDeltas(term, dfd), nDocs, sumLen). */
+  private def contribution(docs: DataFrame):
+      (DataFrame, DataFrame, Long, Long) = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("toks"))
     val lens = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("len"))
+      size(col("toks")).cast("long").as("len")).localCheckpoint()
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("term")).join(lens, Seq("doc_id"))
-      .withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(path)
-    lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+      .localCheckpoint()
+    val dfd = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
+    val st = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl")).head()
+    (tf.join(lens, Seq("doc_id")), dfd, st.getLong(0), st.getLong(1))
+  }
+
+  private def writeStats(spark: SparkSession, path: String, n: Long, sl: Long): Unit =
+    spark.range(1).select(lit(n).as("n"), lit(sl).as("sl"))
       .write.mode("overwrite").parquet(statsPath(path))
+
+  /** Ingest: tokenize the base corpus once, write the posting table,
+    * df delta side and 1-row stats side. */
+  def materialize(spark: SparkSession, dir: String, path: String): Unit =
+    materializeFrom(spark,
+      Tables(spark, dir).documents.filter(isBase), path)
+
+  /** Frame-level ingest — also the refresh-equivalence spec's one-shot
+    * reference builder. */
+  def materializeFrom(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val (postings, dfd, n, sl) = contribution(docs)
+    postings.withColumn("tb", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+    dfd.withColumn("tb", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
+    writeStats(spark, path, n, sl)
+  }
+
+  /** REFRESH — fold an accepted crawl batch into the index at rest:
+    * append the batch's posting rows and df deltas, bump the two stats
+    * scalars.  Cost is O(batch) — tokenizes ONLY the batch, reads only
+    * the 1-row stats side, touches no standing row.  Batch doc_ids
+    * must be new to the corpus (the crawl contract). */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val (postings, dfd, n, sl) = contribution(batch)
+    postings.withColumn("tb", termBucket(col("term")))
+      .write.mode("append").partitionBy("tb").parquet(path)
+    dfd.withColumn("tb", termBucket(col("term")))
+      .write.mode("append").partitionBy("tb").parquet(dfPath(path))
+    val st = spark.read.parquet(statsPath(path)).head()
+    writeStats(spark, path, st.getLong(0) + n, st.getLong(1) + sl)
   }
 
   /** Score `queries` = (query_id, term) rows against the index: top-`k`
@@ -84,8 +131,17 @@ object Bm25Warehouse {
     val avgdl = st.getLong(1).toDouble / n
     val buckets = queries.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
+    val bucketPred = (c: org.apache.spark.sql.Column) =>
+      c.isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*)
+    // df = sum of delta rows per term over the SAME pruned buckets —
+    // vocabulary-bounded on the probed slice, merged at probe time so
+    // refreshes stay append-only (see layout Scaladoc)
+    val dfSide = spark.read.parquet(dfPath(path))
+      .filter(bucketPred(col("tb")))
+      .groupBy(col("term")).agg(sum(col("dfd")).as("df"))
     val index = spark.read.parquet(path)
-      .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .filter(bucketPred(col("tb")))
+      .join(dfSide, Seq("term"))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
       (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
