@@ -56,9 +56,12 @@ object Bench {
     "t_perplexity_probe",
     // round-7: the Ed-Join character-edit family member (gram
     // self-join + banded levenshtein verify — heavy enough to track),
-    // the two newest dashboard queries, and the two-stage IVF-PQ
+    // the two newest dashboard queries, the two-stage IVF-PQ, and the
+    // refreshed-index probe (Materialized caches the two-generation
+    // build per JVM, so min-of-3 times the PROBE — the
+    // d_dedup_incremental precedent)
     "d_dedup_editdist", "q_retention_cohort", "q_funnel_steps",
-    "s_knn_ivfpq_refined")
+    "s_knn_ivfpq_refined", "d_dedup_refresh")
 
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners
@@ -165,8 +168,11 @@ object Bench {
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // sf as the basename only — the digest is byte-budgeted and the
+    // full path rides the detail line
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def withQueries(q: String) =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$q,"failed":$failed,"sf":"$sfDir""""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$q,"failed":$failed,"sf":"$sfShort""""
     // last-resort if the per-query map alone ever outgrows the window:
     // keep the contract fields parseable, count the rest
     val base =

@@ -86,7 +86,18 @@ object StressBench {
       graft.dedup.MinHashWarehouse.materializeFrom(docs, p)
       graft.dedup.MinHashWarehouse.incrementalDedupFrom(spark, docs, p).count()
     }
+    // edit-distance near-dup on the same 8-clique corpus: replica
+    // pairs are ed = 0 CERTAINTIES (identical text), so editdist_pairs
+    // must cover editdist_clique_pairs — the ngram clique-pair
+    // lower-bound argument transfers verbatim.  Prefix grams are the
+    // rarest per doc (freq ~1-8 at base, ×reps replicated — far below
+    // the 0.1·n cap), so no doc starves into the quadratic stratum.
+    val cliqueEd = (nDocs / reps) * (reps.toLong * (reps - 1) / 2)
+    val (nEd, tEd) = time {
+      graft.dedup.EditDist.stages(docs, d = 10).pairs.count()
+    }
     s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
+      s""""editdist_pairs":$nEd,"editdist_clique_pairs":$cliqueEd,"editdist_sec":$tEd,""" +
       s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
       s""""minhash_cand":$nMinhashCand,"minhash_sec":$tMinhash,""" +
       s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos,""" +
