@@ -139,15 +139,21 @@ object Bm25Warehouse {
     val dfSide = spark.read.parquet(dfPath(path))
       .filter(bucketPred(col("tb")))
       .groupBy(col("term")).agg(sum(col("dfd")).as("df"))
-    val index = spark.read.parquet(path)
+    // JOIN ORDER is the probe's cost model: restrict the posting scan
+    // to the query term sets FIRST (the posting-list-hits reduction —
+    // the only join the round-6 layout had), then attach df to the
+    // already-restricted hits (the delta agg is vocabulary-bounded and
+    // broadcasts; measured: df-before-queries doubled the probe by
+    // dragging the full posting slice through the df join)
+    val hits = spark.read.parquet(path)
       .filter(bucketPred(col("tb")))
-      .join(dfSide, Seq("term"))
+      .join(queries, Seq("term"))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
       (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))
-    index.join(queries, Seq("term"))
+    hits.join(dfSide, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sumx(roundx(term, 9)).as("score"))
       .withColumn("bm25", roundx(col("score"), 4))

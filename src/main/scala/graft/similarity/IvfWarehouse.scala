@@ -19,13 +19,28 @@ object IvfWarehouse {
   /** Ingest: assign every embedding to its coarse centroid and write
     * posting lists as cid-partitioned parquet; centroids land next to
     * the table (tiny — K rows) for probe-time list selection. */
-  def materialize(spark: SparkSession, dir: String, path: String, k: Int = 16): Unit = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+  def materialize(spark: SparkSession, dir: String, path: String, k: Int = 16): Unit =
+    materializeFrom(Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")), path, k)
+
+  /** Frame-level ingest (e = (vec_id, v)) — shared with the refresh
+    * specs. */
+  def materializeFrom(e: DataFrame, path: String, k: Int = 16): Unit = {
     val (centroids, lists) = Knn.coarseQuantizer(e, k)
     lists.write.mode("overwrite").partitionBy("cid").parquet(path)
     centroids.write.mode("overwrite").parquet(centroidsPath(path))
   }
+
+  /** REFRESH — fold new vectors into the posting lists at rest: assign
+    * the batch to the FROZEN stored centroids (bit-identical to the
+    * assignment that produced the standing lists) and append to the
+    * cid partitions.  This is FAISS's add-with-frozen-coarse-quantizer
+    * contract; distribution drift is the existing `recluster`
+    * maintenance pass's job, on its own schedule.  O(batch): K-row
+    * centroid broadcast, no standing row read or rewritten. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    Knn.assignTo(batch, spark.read.parquet(centroidsPath(path)))
+      .write.mode("append").partitionBy("cid").parquet(path)
 
   private def centroidsPath(path: String): String = s"$path.centroids"
 

@@ -188,20 +188,26 @@ object Knn {
     * Lloyd refinement, final assignment.  Returns (centroids(cid, cv),
     * postingLists(vec_id, v, cid)) — used inline by `ivfAnn` and as the
     * ingest-time layout by `IvfWarehouse.materialize`. */
+  /** Nearest-stored-centroid assignment of (vec_id, v) rows — the
+    * coarse quantizer's assignment step factored out so warehouse
+    * REFRESH paths assign new vectors with the FROZEN centroids at
+    * rest, bit-identical to the assignment that produced the standing
+    * lists (drift is the recluster maintenance pass's job, the FAISS
+    * add-then-retrain split).  Group by vec_id only — grouping by the
+    * full vector would shuffle 512 B of key per row; first(v) is
+    * deterministic (v functionally determined by vec_id); partial agg
+    * means each vector crosses the wire once per map partition. */
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+
   private[similarity] def coarseQuantizer(e: DataFrame, K: Int): (DataFrame, DataFrame) = {
     val seeds = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-    // group by vec_id ONLY — grouping by the full vector would shuffle
-    // 512 B of key per row; `first(v)` is deterministic here (v is
-    // functionally determined by vec_id) and partial aggregation means
-    // each vector crosses the wire once per map partition, not per
-    // centroid row
-    def nearestCid(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+    def nearestCid(cents: DataFrame): DataFrame = assignTo(e, cents)
 
     // one Lloyd refinement: element-wise mean of each centroid's members
     val refined = nearestCid(seeds)

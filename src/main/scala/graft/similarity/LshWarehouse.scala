@@ -35,18 +35,34 @@ object LshWarehouse {
   /** Ingest: signature + norm once per vector (the per-row math of
     * cosinePairsFrom), primary store + banded narrow index at rest. */
   def materialize(spark: SparkSession, dir: String, path: String,
-      bitsPerBand: Int = 2, bands: Int = 32): Unit = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      bitsPerBand: Int = 2, bands: Int = 32): Unit =
+    materializeFrom(Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      path, bitsPerBand, bands, overwrite = true)
+
+  /** Frame-level ingest (e = (vec_id, v)); `overwrite = false` is the
+    * REFRESH path — hyperplane signatures depend only on the row (no
+    * trained state, no corpus statistics), so folding a batch into the
+    * index at rest is two pure appends, the MinHashWarehouse stance. */
+  def materializeFrom(e0: DataFrame, path: String,
+      bitsPerBand: Int = 2, bands: Int = 32, overwrite: Boolean = true): Unit = {
+    val e = e0
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
       .localCheckpoint() // sig once per row, not once per band slot
-    e.write.mode("overwrite").parquet(vectorsPath(path))
+    val mode = if (overwrite) "overwrite" else "append"
+    e.write.mode(mode).parquet(vectorsPath(path))
     e.select(col("vec_id"), col("sig"),
         posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
       .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
-      .write.mode("overwrite").partitionBy("bb").parquet(path)
+      .write.mode(mode).partitionBy("bb").parquet(path)
   }
+
+  /** REFRESH — fold new vectors into the index at rest (see
+    * materializeFrom). */
+  def refresh(batch: DataFrame, path: String,
+      bitsPerBand: Int = 2, bands: Int = 32): Unit =
+    materializeFrom(batch, path, bitsPerBand, bands, overwrite = false)
 
   /** Radius probe over the warehouse: the query batch's band keys
     * become a literal partition-pruning predicate (|Q|·bands driver

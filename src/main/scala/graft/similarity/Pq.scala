@@ -51,6 +51,20 @@ object Pq {
   def encode(e: DataFrame): (DataFrame, DataFrame) =
     codebookAndCodes(Kmeans.normalize(e))
 
+  /** Encode vectors with a FROZEN codebook — the refresh path: new
+    * vectors must code against the codebook at rest, with the same
+    * L2-argmin arithmetic that produced the standing codes (drift is
+    * the recluster/retrain maintenance pass's job). */
+  private[graft] def encodeWith(e: DataFrame, codebook: DataFrame): DataFrame =
+    subvectors(Kmeans.normalize(e))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+
   /** Train the M per-subspace codebooks and encode every vector.
     * Returns (codebook(m, cid, cv), codes(vec_id, m, code)). */
   private def codebookAndCodes(eN: DataFrame): (DataFrame, DataFrame) = {

@@ -41,6 +41,23 @@ object PqWarehouse {
     cents.write.mode("overwrite").parquet(centroidsPath(path))
   }
 
+  /** REFRESH — fold new vectors into the code table at rest: coarse-
+    * assign the batch to the FROZEN stored centroids and PQ-encode it
+    * with the FROZEN stored codebook (both bit-identical to the
+    * arithmetic that produced the standing rows), append to the cid
+    * partitions.  The FAISS add-with-frozen-quantizers contract —
+    * quantizer drift is a retrain/recluster maintenance concern, not
+    * the ingest path's.  O(batch): K-row + 128-row broadcasts, no
+    * standing row read or rewritten; the KB-scale side tables are
+    * untouched. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val lists = Knn.assignTo(batch, spark.read.parquet(centroidsPath(path)))
+      .select(col("vec_id"), col("cid"))
+    Pq.encodeWith(batch, spark.read.parquet(codebookPath(path)))
+      .join(lists, Seq("vec_id"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Probe: rank stored centroids for the query (K-row metadata),
     * build the ADC LUT from the stored codebook (128-row metadata,
     * same sequential-fold arithmetic as the inline path so ADC scores
