@@ -61,7 +61,14 @@ object Bench {
     // build per JVM, so min-of-3 times the PROBE — the
     // d_dedup_incremental precedent)
     "d_dedup_editdist", "q_retention_cohort", "q_funnel_steps",
-    "s_knn_ivfpq_refined", "d_dedup_refresh")
+    "s_knn_ivfpq_refined", "d_dedup_refresh",
+    // round-7 late additions: the compacted-index probe (tracks the
+    // probe cost compaction buys back vs s_bm25_probe's delta-summing
+    // layout — build+refresh+compact amortize per JVM via Materialized,
+    // min-of-3 times the probe) and the incremental CC fold (the
+    // grouping leg of the crawl loop; edge-gen + base CC + fold, vs
+    // d_dedup_groups' full recompute over the same edges)
+    "s_bm25_probe_compacted", "d_dedup_groups_incremental")
 
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners
@@ -158,10 +165,11 @@ object Bench {
     System.out.flush()
   }
 
-  /** Driver tail window measured ~2.0 KB (BENCH_r06: a 2,241-byte line
-    * came back head-truncated); 1450 leaves headroom for the sbt
-    * success-line that shares the window. */
-  private val DigestBudget = 1450
+  /** Driver tail window measured EXACTLY 2000 chars (BENCH_r06's
+    * `tail` field), shared with the ~75-byte sbt success line and two
+    * newlines; 1800 leaves >120 bytes of margin while letting the full
+    * per-query map + ann + stress counts all ride at 50 headliners. */
+  private val DigestBudget = 1800
 
   private[graft] def digestLine(results: Seq[(String, Double)], total: Double,
       failed: String, sfDir: String, stress: String, ann: String): String = {

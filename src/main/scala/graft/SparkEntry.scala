@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -129,6 +130,11 @@ object SparkEntry {
     "d_dedup_simhash" -> (Dedup.simhash _),
     "d_dedup_simhash_verified" -> ((s: SparkSession, d: String) => Dedup.simhashVerified(s, d)),
     "d_dedup_groups" -> (Dedup.dedupGroups _),
+    // the crawl loop's GROUPING leg: standing labels at rest, the
+    // incoming 20% folds in via contracted CC + broadcast relabel —
+    // must be indistinguishable from the full recompute, so it holds
+    // d_dedup_groups' oracle verbatim
+    "d_dedup_groups_incremental" -> (Dedup.dedupGroupsIncremental _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
     "d_substring_spans" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -164,6 +170,21 @@ object SparkEntry {
       Bm25Warehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("bm25_warehouse", d)(
           Bm25Warehouse.materialize(s, d, _)))),
+    // the maintenance loop end-to-end: ingest 7/10 of the base, fold
+    // the last base slice in by refresh, COMPACT the delta side, then
+    // probe — index content equals the plain base build, so the probe
+    // holds s_bm25_probe's oracle verbatim while the bench row tracks
+    // the bought-back probe cost
+    "s_bm25_probe_compacted" -> ((s: SparkSession, d: String) =>
+      Bm25Warehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bm25_compacted", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          Bm25Warehouse.materializeFrom(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+          Bm25Warehouse.refresh(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+          Bm25Warehouse.compact(s, p)
+        })),
     // two-stage serving: ADC shortlist -> exact re-rank.  NO oracle,
     // refuted by measurement: shortlist coverage of the true top-10
     // fails at any useful depth on this worst-case random corpus (a
@@ -225,10 +246,27 @@ object SparkEntry {
       LmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("lm_warehouse", d)(
           LmWarehouse.materialize(s, d, _)))),
+    // ingest → refresh → COMPACT → probe (the s_bm25_probe_compacted
+    // maintenance-loop pairing; oracle shared with t_perplexity_probe)
+    "t_perplexity_probe_compacted" -> ((s: SparkSession, d: String) =>
+      LmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("lm_compacted", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          LmWarehouse.materializeFrom(
+            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+          LmWarehouse.refresh(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+          LmWarehouse.compact(s, p)
+        })),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
     "t_tokens" -> (TextAnalysis.tokens _),
+    // Gopher-style heuristic gate (rule flags + conjunction) and the
+    // unigram-entropy repetition signal — the two published-filter
+    // legs t_quality's composite score doesn't cover
+    "t_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "t_word_entropy" -> (TextAnalysis.wordEntropy _),
     "t_fingerprint" -> (TextAnalysis.fingerprint _),
     "m_multimodal" -> (Multimodal.features _),
     "m_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -305,6 +343,41 @@ object SparkEntry {
       |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
       |FROM embeddings, q WHERE vec_id <> query_id
       |AND round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.3""".stripMargin
+  // one SQL body for BOTH the refreshed and the refreshed+compacted
+  // warehouse probes: compaction merges delta rows without changing
+  // any sum, so the compacted index is held to the identical answer
+  private val SBm25ProbeSql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |bt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+      |WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bt GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |FROM documents WHERE doc_id % 10 < 8),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sl FROM dl),
+      |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk
+      |WHERE doc_id % 10 >= 8 AND doc_id < 1000),
+      |s AS (SELECT q.query_id, bt.doc_id AS doc_id,
+      |CAST(sum(CAST(round(
+      |  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |  ((bt.tf * 2.2) / (bt.tf + 1.2 * (0.25 + 0.75 * (dl.len / (CAST(st.sl AS DOUBLE) / st.n)))))
+      |, 9) AS DECIMAL(30,6))) AS DOUBLE) AS score
+      |FROM bt
+      |JOIN q ON bt.term = q.term
+      |JOIN df ON bt.term = df.term
+      |JOIN dl ON bt.doc_id = dl.doc_id
+      |CROSS JOIN st
+      |GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
+      |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
+      |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin
+  private val TPerplexityProbeSql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 < 8),
+      |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT term) AS BIGINT) AS v FROM tk),
+      |pk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000)
+      |SELECT pk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v + 1 AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+      |FROM pk LEFT JOIN lm ON pk.term = lm.term CROSS JOIN st GROUP BY 1""".stripMargin
   // CC body hoisted so d_split_leakage_safe's oracle composes the
   // SAME group structure it assigns splits over (the composition rule)
   private val DDedupGroupsSql =
@@ -829,6 +902,10 @@ object SparkEntry {
         |WHERE c.doc_id IS NULL GROUP BY 1""".stripMargin,
     "d_dedup_groups" ->
       DDedupGroupsSql,
+    // the incremental fold must equal the full recompute exactly —
+    // same oracle, same hash gate
+    "d_dedup_groups_incremental" ->
+      DDedupGroupsSql,
     // composes the hoisted CC body: split rides the GROUP's canonical
     // content hash, same 80/10/10 bucket rule as d_sample_split
     "d_split_leakage_safe" ->
@@ -876,29 +953,11 @@ object SparkEntry {
     // (doc_id mod 10, 8:2 — the MinHashWarehouse split) with the probe
     // batch bounded at doc_id < 1000; df/N/avgdl are BASE-corpus stats
     "s_bm25_probe" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |bt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
-        |WHERE doc_id % 10 < 8 GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bt GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-        |FROM documents WHERE doc_id % 10 < 8),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sl FROM dl),
-        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk
-        |WHERE doc_id % 10 >= 8 AND doc_id < 1000),
-        |s AS (SELECT q.query_id, bt.doc_id AS doc_id,
-        |CAST(sum(CAST(round(
-        |  ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-        |  ((bt.tf * 2.2) / (bt.tf + 1.2 * (0.25 + 0.75 * (dl.len / (CAST(st.sl AS DOUBLE) / st.n)))))
-        |, 9) AS DECIMAL(30,6))) AS DOUBLE) AS score
-        |FROM bt
-        |JOIN q ON bt.term = q.term
-        |JOIN df ON bt.term = df.term
-        |JOIN dl ON bt.doc_id = dl.doc_id
-        |CROSS JOIN st
-        |GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
-        |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
-        |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+      SBm25ProbeSql,
+    // compaction merges df delta rows without changing any per-term
+    // sum — the compacted index answers the identical SQL
+    "s_bm25_probe_compacted" ->
+      SBm25ProbeSql,
     "s_range_search" -> SRangeSearchSql,
     // the LSH plan's recall is 1.0 on the fixed corpus+seed
     // (RangeSearchSpec), so the banded path is held to the SAME exact
@@ -1083,19 +1142,42 @@ object SparkEntry {
     // vocab + shared UNK — an index cannot know future probes'
     // vocabularies), base/incoming split + batch bound mirrored
     "t_perplexity_probe" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 < 8),
-        |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT term) AS BIGINT) AS v FROM tk),
-        |pk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000)
-        |SELECT pk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v + 1 AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
-        |FROM pk LEFT JOIN lm ON pk.term = lm.term CROSS JOIN st GROUP BY 1""".stripMargin,
+      TPerplexityProbeSql,
+    // same merged-deltas argument as s_bm25_probe_compacted
+    "t_perplexity_probe_compacted" ->
+      TPerplexityProbeSql,
     "t_repetition" ->
       TRepetitionSql,
     "t_langid" ->
       TLangidSql,
     "t_quality" ->
       TQualitySql,
+    "t_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id,
+        |CAST(len(ws) AS BIGINT) AS n_words,
+        |round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 4) AS mean_word_len,
+        |round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+        |round(CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE) / len(ls), 4) AS bullet_frac,
+        |round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(ws), 4) AS alpha_frac,
+        |CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits
+        |FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, alpha_frac, stop_hits,
+        |CAST(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND alpha_frac >= 0.8
+        |AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+        |FROM m""".stripMargin,
+    "t_word_entropy" ->
+      """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |CAST(count(*) AS BIGINT) AS n_distinct,
+        |CAST(sum(CAST(round(-(c * ln(c)), 9) AS DECIMAL(30,6))) AS DOUBLE) AS clog
+        |FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |round(ln(n_tokens) + clog / n_tokens, 6) AS entropy FROM d""".stripMargin,
     "t_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,

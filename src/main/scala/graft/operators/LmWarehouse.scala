@@ -101,6 +101,21 @@ object LmWarehouse {
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
+  /** COMPACT — merge accumulated (term, cnt) delta rows back to ONE
+    * row per term in the same bucket layout (the Bm25Warehouse.compact
+    * segment-merge stance).  Stats are untouched — (nb, v) are already
+    * maintained exactly by refresh — and probes are bit-identical
+    * before/after (integer delta sums are order-free;
+    * WarehouseCompactSpec pins it).  The LM table is
+    * vocabulary-bounded, so the localCheckpoint pin before overwriting
+    * its own source is metadata-scale at any corpus size. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .groupBy(col("term"), col("tb")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").partitionBy("tb").parquet(path)
+  }
+
   /** Score `docs` = (doc_id, text) against the LM at rest: per-doc avg
     * negative log-likelihood per token.  The probe's term buckets are
     * ≤64 driver values and become the literal partition-pruning

@@ -78,6 +78,81 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars_computed"))
   }
 
+  /** Gopher-style quality rule flags (Rae et al. 2021 §A1.1: the
+    * repetition-free heuristic gate MassiveText applies before any
+    * model-based scoring).  Six measures, each with its published-
+    * style threshold, plus the conjunction — all single-pass HOF
+    * column math over one scan, codegen'd, no shuffle: at 100 TB this
+    * is the cheapest filter in the funnel and runs at scan speed.
+    * Ratios are roundx'd to 4 BEFORE thresholding so flag values are
+    * engine-stable (the qualityScoreCol convention). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the spec entry
+    * point. */
+  def gopherRulesOf(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("double")
+    val meanLen = roundx(
+      aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
+        (acc, x) => acc + x).cast("double") / nWords, 4)
+    val symbolRatio = roundx(
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("double") / nWords, 4)
+    val lines = split(col("text"), "\n")
+    val bulletFrac = roundx(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("double") / size(lines), 4)
+    val alphaFrac = roundx(
+      size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 4)
+    val stopHits = stopwordHits(col("text"), StopEn).cast("long")
+    val flags = Seq(
+      nWords >= 50 && nWords <= 100000,
+      meanLen >= 3 && meanLen <= 10,
+      symbolRatio <= 0.1,
+      bulletFrac <= 0.9,
+      alphaFrac >= 0.8,
+      stopHits >= 2)
+    documents.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      flags.reduce(_ && _).cast("long").as("gopher_pass"))
+  }
+
+  /** Per-document unigram word entropy in NATS — the information-
+    * theoretic repetition signal (a boilerplate page repeating one
+    * phrase scores near 0; natural prose scores near ln of its
+    * vocabulary).  One explode + two doc-keyed partial aggs; per-term
+    * contributions go through the 9-dp + DECIMAL route so the
+    * cross-partition sum is order-free, and the log is NATURAL on both
+    * sides — the ln ⇔ ln pairing t_perplexity's oracle already
+    * validated (log2 would risk cross-engine ULP drift at tie
+    * boundaries). */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame =
+    wordEntropyOf(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the spec entry
+    * point. */
+  def wordEntropyOf(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val byDoc = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        graft.functions.Exact.sumx(
+          roundx(-(col("c") * log(col("c"))), 9)).as("clog"))
+    // H = ln(n) − (Σ c·ln c)/n — one pass, no per-row p division
+    byDoc.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      roundx(log(col("n_tokens")) + col("clog") / col("n_tokens"), 6)
+        .as("entropy"))
+  }
+
   /** Document fingerprints: polynomial rolling hash (order-sensitive)
     * + bag-of-words md5 (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {

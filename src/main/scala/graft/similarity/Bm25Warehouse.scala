@@ -120,6 +120,30 @@ object Bm25Warehouse {
     writeStats(spark, path, st.getLong(0) + n, st.getLong(1) + sl)
   }
 
+  /** COMPACT — the segment-merge maintenance pass a refresh cadence
+    * needs: every refresh appends one (term, dfd) delta row per batch
+    * term, so the probe-side per-term delta sum (and the df table's
+    * file count) grows linearly with refreshes.  Compaction merges the
+    * deltas back to ONE row per term in the same bucket layout.  Probe
+    * results are BIT-identical before/after (integer sums are
+    * order-free; WarehouseCompactSpec pins it) — this pass buys back
+    * the probe cost the append-only layout pays, offline.
+    *
+    * 100 TB: the df side is vocabulary-bounded — metadata-scale next
+    * to the posting table — so pinning it with localCheckpoint before
+    * overwriting its own source directory is safe at any corpus size
+    * (production form: write a new segment directory and flip a
+    * manifest pointer).  The posting side needs no logical compaction
+    * — posting rows are per-(doc, term) facts that never supersede
+    * each other; its small-file hygiene is plain storage-layer
+    * coalescing with no read-path semantics. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(dfPath(path))
+      .groupBy(col("term"), col("tb")).agg(sum(col("dfd")).as("dfd"))
+      .localCheckpoint() // pin before overwriting the source dir
+    merged.write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
+  }
+
   /** Score `queries` = (query_id, term) rows against the index: top-`k`
     * base docs per query.  The bucket list of the query terms is ≤64
     * driver values (the IvfWarehouse.probeBatch unionCids pattern) and

@@ -2,13 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The driver parses Bench's FINAL stdout line out of a ~2.0 KB tail
-  * window (BENCH_r06: a 2,241-byte single line came back
-  * head-truncated → parsed null).  These tests pin the digest-line
-  * contract: all current headliners at worst-case widths must fit the
-  * budget, the greedy assembler must drop optional sections rather
-  * than overflow, and the stress counts extractor must keep exactly
-  * the integer fields. */
+/** The driver parses Bench's FINAL stdout line out of a tail window
+  * measured EXACTLY 2000 chars (BENCH_r06's `tail` field; its
+  * 2,241-byte single line came back head-truncated → parsed null),
+  * shared with the ~75-byte sbt success line.  These tests pin the
+  * digest-line contract: all current headliners at worst-case widths
+  * must fit the 1800-byte budget WITH the ann and stress-count
+  * sections riding, the greedy assembler must drop optional sections
+  * rather than overflow, and the stress counts extractor must keep
+  * exactly the integer fields. */
 class BenchDigestSpec extends AnyFunSuite {
 
   private val stress =
@@ -37,20 +39,15 @@ class BenchDigestSpec extends AnyFunSuite {
     val results = Bench.headlinerNames.map(n => n -> 99.999)
     val line = Bench.digestLine(results, 4699.953, "[]",
       "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1450, s"digest ${line.length}B over budget")
+    assert(line.length <= 1800, s"digest ${line.length}B over budget")
     Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.999")))
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
-  }
-
-  test("ann recalls ride the digest whenever the budget allows") {
-    // at realistic per-query widths (sub-10s times dominate) the ann
-    // section must survive assembly
-    val results = Bench.headlinerNames.take(34).map(n => n -> 1.234)
-    val line = Bench.digestLine(results, 41.956, "[]",
-      "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1450)
+    // at the 1800 budget both optional sections must ride even at
+    // worst-case query widths — the driver should see ann + stress
+    // counts as parsed data every round
     assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
+    assert(line.contains("\"stress\":{") && line.contains("\"ngram_pairs\":156384"))
   }
 
   test("assembler degrades sections rather than overflow, line stays parseable") {
@@ -58,7 +55,7 @@ class BenchDigestSpec extends AnyFunSuite {
     // is replaced by a count and the line still fits and closes
     val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
     val line = Bench.digestLine(many, 74.04, "[]", "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1450)
+    assert(line.length <= 1800)
     assert(line.contains("\"queries_n\":60") && line.endsWith("}"))
   }
 

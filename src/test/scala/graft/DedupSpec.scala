@@ -298,6 +298,48 @@ class DedupSpec extends GraftSpec {
     assert(g(3L) == ((3L, 1L)))
   }
 
+  test("foldIntoComponents: bridge via a new node merges standing components; untouched labels stay") {
+    val s = spark
+    import s.implicits._
+    // standing components {1,2}, {5,6}, {9} with canonical min labels
+    val standing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "group_id")
+    val newNodes = Seq(10L, 11L).toDF("doc_id")
+    // new node 10 touches BOTH standing components; 11 arrives edgeless
+    val delta = Seq((10L, 2L), (10L, 6L)).toDF("a_id", "b_id")
+    val out = dedup.Dedup.foldIntoComponents(standing, newNodes, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L,
+      9L -> 9L, 11L -> 11L), s"unexpected fold: $out")
+  }
+
+  test("foldIntoComponents: a new node with a smaller id becomes the canonical label") {
+    val s = spark
+    import s.implicits._
+    val standing = Seq((5L, 5L), (6L, 5L)).toDF("doc_id", "group_id")
+    val newNodes = Seq(2L).toDF("doc_id")
+    val delta = Seq((2L, 6L)).toDF("a_id", "b_id")
+    val out = dedup.Dedup.foldIntoComponents(standing, newNodes, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 5L -> 2L, 6L -> 2L), s"unexpected fold: $out")
+  }
+
+  test("incremental CC fold is indistinguishable from the full recompute") {
+    val docs = sources.Tables(spark, Dir).documents
+    val full = dedup.Dedup.dedupGroupsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = dedup.Dedup.dedupGroupsIncrementalFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full,
+      s"fold drift: only-inc=${(inc -- full).take(5)} only-full=${(full -- inc).take(5)}")
+    // the premise that makes the test non-vacuous: some delta edge
+    // actually crosses the base/incoming split on this corpus
+    val edges = dedup.Dedup.nearDupEdges(docs)
+    assert(edges.filter(pmod(col("a_id"), lit(10)) >= 8 ||
+      pmod(col("b_id"), lit(10)) >= 8).count() > 0,
+      "corpus has no cross-split or batch-side edges; fold untested")
+  }
+
   test("chunk dedup: one survivor per distinct chunk, and it is the first occurrence") {
     val out = dedup.Dedup.dedupChunks(spark, Dir).localCheckpoint()
     val chunks = operators.TrainPrep.chunkDocs(spark, Dir)

@@ -187,4 +187,42 @@ class OperatorsSpec extends GraftSpec {
     assert(rows(0).getAs[Double]("conv_from_prev") == 1.0)
     assert(rows(2).getAs[Double]("conv_from_first") <= ns(1).toDouble / ns(0))
   }
+
+  test("gopher rules: each measure and the conjunction behave on constructed docs") {
+    val s = spark
+    import s.implicits._
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short of a doc"),                   // < 50 words
+      (3L, (1 to 60).map(_ => "### ... ###").mkString(" ")), // symbols + no alpha
+      (4L, (1 to 60).map(i => s"- bullet$i").mkString("\n")) // all bullet lines
+    ).toDF("doc_id", "text")
+    val m = operators.TextAnalysis.gopherRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("gopher_pass") == 1L, s"good doc failed: ${m(1L)}")
+    assert(m(1L).getAs[Long]("n_words") == 60 && m(1L).getAs[Long]("stop_hits") == 8)
+    assert(m(2L).getAs[Long]("gopher_pass") == 0L)
+    assert(m(3L).getAs[Double]("symbol_ratio") > 0.1 &&
+      m(3L).getAs[Double]("alpha_frac") == 0.0 && m(3L).getAs[Long]("gopher_pass") == 0L)
+    assert(m(4L).getAs[Double]("bullet_frac") == 1.0 && m(4L).getAs[Long]("gopher_pass") == 0L)
+  }
+
+  test("word entropy: zero for constant docs, ln(n) for all-distinct, order-free") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 32).map(_ => "same").mkString(" ")),
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")),
+      (3L, "a a a a b b c d") // H = ln8 − (4ln4 + 2ln2)/8
+    ).toDF("doc_id", "text")
+    val m = operators.TextAnalysis.wordEntropyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy"))).toMap
+    assert(m(1L) == ((32L, 1L, 0.0)), s"constant doc: ${m(1L)}")
+    assert(m(2L)._3 == BigDecimal(math.log(32)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"distinct doc: ${m(2L)}")
+    val expected3 = math.log(8) - (4 * math.log(4) + 2 * math.log(2)) / 8
+    assert(math.abs(m(3L)._3 - expected3) < 1e-5, s"mixed doc: ${m(3L)}")
+  }
 }
