@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.similarity.{Bm25, Bm25Warehouse, Kmeans, Knn, Logreg, Pq, SemDedup}
+import graft.similarity.{Bm25, Bm25Warehouse, Kmeans, Knn, Logreg, Pca, Pq, SemDedup}
 import graft.streaming.StreamOps
 
 /** Driver contract — every operator in SURVEY.md §2, one entry each,
@@ -198,6 +198,23 @@ object SparkEntry {
     // PqSpec pins stage-2 bit-equality to brute cosines and recall
     // dominance over raw IVF-PQ
     "s_knn_ivfpq_refined" -> ((s: SparkSession, d: String) => Pq.ivfPqRefine(s, d)),
+    // the PCA family: the covariance statistic is exactly
+    // SQL-expressible (fixed-point integer moments) and carries the
+    // oracle; the eigensolver legs are no-oracle (iterative) with
+    // PcaSpec pinning the eigen-invariants and stage-2 bit-equality
+    "s_embed_cov" -> (Pca.embedCov _),
+    "s_pca" -> (Pca.pcaComponents _),
+    "s_knn_pca" -> (Pca.knnPca _),
+    // moments at rest: ingest(base) → refresh(incoming) → serve; the
+    // union covers the whole table, so the probe holds s_embed_cov's
+    // full-corpus oracle VERBATIM (associative integer moments — the
+    // strongest refresh contract in the warehouse matrix)
+    "s_embed_cov_probe" -> ((s: SparkSession, d: String) =>
+      graft.similarity.PcaWarehouse.covProbe(s, d,
+        graft.similarity.PcaWarehouse.builtPath(s, d))),
+    "s_pca_probe" -> ((s: SparkSession, d: String) =>
+      graft.similarity.PcaWarehouse.pcaProbe(s, d,
+        graft.similarity.PcaWarehouse.builtPath(s, d))),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)
@@ -242,6 +259,7 @@ object SparkEntry {
     "d_corpus_stats_approx" -> (CorpusStats.corpusStatsApprox _),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_perplexity" -> (CorpusStats.perplexity _),
+    "t_perplexity_bigram" -> (BigramLm.perplexityBigram _),
     "t_perplexity_probe" -> ((s: SparkSession, d: String) =>
       LmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("lm_warehouse", d)(
@@ -289,6 +307,20 @@ object SparkEntry {
     s"arr[CAST($lo+1 AS BIGINT)]*100 + " +
       s"(arr[CAST(least($lo+2, n_docs) AS BIGINT)] - arr[CAST($lo+1 AS BIGINT)])*($rem) AS $alias"
   }
+
+  // Shared by s_embed_cov (inline) and s_embed_cov_probe (warehouse):
+  // associative integer moments make the two bit-equal by construction.
+  private val SEmbedCovSql =
+    """WITH g AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+      |CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+      |FROM embeddings, range(1, 65) AS t(i)),
+      |s AS (SELECT i, sum(qx) AS sx FROM g GROUP BY 1),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.qx * b.qx) AS sxy
+      |FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+      |SELECT p.i, p.j,
+      |round(CAST(n.n * p.sxy - sa.sx * sb.sx AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n * 1e12), 9) AS cov
+      |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i CROSS JOIN n""".stripMargin
 
   // Hoisted oracle bodies reused by the d_corpus_funnel composition —
   // one definition, so funnel gates and per-signal queries can't drift.
@@ -927,6 +959,13 @@ object SparkEntry {
     // s_knn_pq_refined: deliberately NO oracle — the brute-SQL pairing
     // was REFUTED BY MEASUREMENT (shortlist coverage fails on this
     // worst-case corpus; see Pq.pqRefine's Scaladoc and PqSpec)
+    // the exact fixed-point moment identity n·Σxy − Σx·Σy: integer
+    // arithmetic end-to-end (BIGINT quantized elements, HUGEINT sums),
+    // one double division + 9-dp round — order-free, hash-stable
+    "s_embed_cov" -> SEmbedCovSql,
+    // base ∪ refreshed-in incoming = the full table; associative
+    // integer moments make the warehouse probe bit-equal to inline
+    "s_embed_cov_probe" -> SEmbedCovSql,
     "s_bm25" -> SBm25Sql,
     // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
     // the exact knnBatch body at k=10; RRF arithmetic is all-rational
@@ -1138,6 +1177,32 @@ object SparkEntry {
         |SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
         |FROM tk LEFT JOIN lm ON tk.term = lm.term CROSS JOIN st GROUP BY 1, 2""".stripMargin,
+    // stupid backoff: every branch is an integer/integer quotient (or
+    // α× one), ln washed by the same 9-dp + DECIMAL route; the branch
+    // condition is bigram-count NULL-ness — integer, engine-stable
+    "t_perplexity_bigram" ->
+      """WITH tk AS (SELECT doc_id,
+        |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |unnest(string_split(text, ' ')) AS w FROM documents),
+        |base AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM base GROUP BY 1),
+        |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
+        |FROM base a JOIN base b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+        |st AS (SELECT (SELECT count(*) FROM base) + (SELECT count(DISTINCT w) FROM tk) AS denom),
+        |sc AS (SELECT t.doc_id,
+        |CASE WHEN p.w IS NULL THEN round(-ln((coalesce(u.c1, 0) + 1.0) / st.denom), 9)
+        |WHEN b2.c2 IS NOT NULL THEN round(-ln(CAST(b2.c2 AS DOUBLE) / up.c1), 9)
+        |ELSE round(-ln(0.4 * (coalesce(u.c1, 0) + 1.0) / st.denom), 9) END AS nll_tok,
+        |CASE WHEN b2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |FROM tk t CROSS JOIN st
+        |LEFT JOIN tk p ON t.doc_id = p.doc_id AND p.pos = t.pos - 1
+        |LEFT JOIN c1 u ON t.w = u.w
+        |LEFT JOIN c1 up ON p.w = up.w
+        |LEFT JOIN c2 b2 ON p.w = b2.pw AND t.w = b2.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(hit) AS BIGINT) AS bigram_hits,
+        |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM sc GROUP BY 1""".stripMargin,
     // the LM at rest: OPEN-vocab smoothing over v+1 classes (v = BASE
     // vocab + shared UNK — an index cannot know future probes'
     // vocabularies), base/incoming split + batch bound mirrored
