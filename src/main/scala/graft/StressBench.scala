@@ -107,11 +107,18 @@ object StressBench {
   /** The integer regression signals of a probesJson string, times and
     * string fields stripped — the compact form Bench's digest line
     * embeds under its byte budget (counts ARE the stress signal; the
-    * full object with times stays on the detail line). */
-  def countsOnly(probes: String): String =
+    * full object with times stays on the detail line).  Also dropped
+    * here: run INPUTS (reps, n_docs, n_vecs — constants of the sf,
+    * nothing to drift) and the `*_clique_pairs` static lower bounds
+    * (deterministic functions of reps; the detail line keeps them) —
+    * the digest carries only counts that can MOVE. */
+  def countsOnly(probes: String): String = {
+    val inputs = Set("reps", "n_docs", "n_vecs")
     """"(\w+)":(\d+)(?=[,}])""".r.findAllMatchIn(probes)
+      .filter(m => !inputs(m.group(1)) && !m.group(1).endsWith("_clique_pairs"))
       .map(m => "\"" + m.group(1) + "\":" + m.group(2))
       .mkString("{", ",", "}")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

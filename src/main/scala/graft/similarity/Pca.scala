@@ -60,11 +60,18 @@ object Pca {
   def embedCov(spark: SparkSession, dir: String): DataFrame =
     covFrom(Tables(spark, dir).embeddings)
 
-  /** The three covariance MOMENT frames — (i, j, Σxixj), (i, Σxi),
-    * (n) — in exact quantized-integer DECIMAL(38,0) arithmetic.
-    * Moments are ASSOCIATIVE sums, which is what makes PcaWarehouse's
+  /** ALL covariance moments as ONE (i, j, m) frame from ONE corpus
+    * scan, in exact quantized-integer DECIMAL(38,0) arithmetic:
+    *   (i, j≥i, Σxixj)  the 2 080 triangle products,
+    *   (i, −1,  Σxi)    the 64 dimension sums,
+    *   (−1, −1, n)      the row count
+    * — sentinel rows instead of separate aggregations, because at
+    * 100 TB "three tiny side frames" would mean three more passes
+    * over the corpus (the first cut of this operator did exactly
+    * that; the formatted plan showed four parquet scans).  Moments
+    * are ASSOCIATIVE sums, which is what makes PcaWarehouse's
     * incremental refresh bit-equal to a one-shot rebuild. */
-  private[graft] def moments(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def moments(emb: DataFrame): DataFrame = {
     // quantized element k (1-based): the raw scan attribute is indexed
     // directly inside the lambdas — element_at on an attribute is O(1)
     // and safe under CollapseProject (a PRECOMPUTED q array reference
@@ -73,36 +80,35 @@ object Pca {
     def qx(arr: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
       floor(element_at(arr, (k + 1).cast("int")).cast("double") * Scale + 0.5)
 
-    val e = emb.select(col("vec_id"), col("embedding"))
-    // per-row upper-triangle products: 2080 structs, exploded then
-    // map-side partially aggregated — only the group frame shuffles
+    val e = emb.select(col("embedding"))
+    // per-row moment contributions: 2 080 + 64 + 1 structs, exploded
+    // then map-side partially aggregated — only the 2 145-group frame
+    // crosses the wire, independent of corpus size
     val tri = flatten(transform(sequence(lit(0), lit(Dims - 1)), i =>
       transform(sequence(i, lit(Dims - 1)), j =>
         struct(i.as("i"), j.as("j"),
           (qx(col("embedding"), i) * qx(col("embedding"), j)).as("p")))))
-    val sxy = e.select(explode(tri).as("t"))
+    val dims = transform(sequence(lit(0), lit(Dims - 1)), i =>
+      struct(i.as("i"), lit(-1).as("j"), qx(col("embedding"), i).cast("long").as("p")))
+    val one = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
+    e.select(explode(concat(tri, dims, one)).as("t"))
       .groupBy(col("t.i").cast("long").as("i"), col("t.j").cast("long").as("j"))
-      .agg(sum(col("t.p").cast("decimal(38,0)")).as("sxy"))
-    val dimSums = e
-      .select(posexplode(transform(col("embedding"),
-        x => floor(x.cast("double") * Scale + 0.5))).as(Seq("i", "qx")))
-      .groupBy(col("i").cast("long").as("i"))
-      .agg(sum(col("qx").cast("decimal(38,0)")).as("sx"))
-    val n = emb.agg(count(lit(1)).as("n"))
-    (sxy, dimSums, n)
+      .agg(sum(col("t.p").cast("decimal(38,0)")).as("m"))
   }
 
-  private[graft] def covFrom(emb: DataFrame): DataFrame = {
-    val (sxy, dimSums, n) = moments(emb)
-    covFromMoments(sxy, dimSums, n)
-  }
+  private[graft] def covFrom(emb: DataFrame): DataFrame =
+    // the checkpoint pins the 2 145-row aggregate (metadata-scale) so
+    // the three moment slices below don't re-run the corpus scan
+    covFromMoments(moments(emb).localCheckpoint())
 
-  /** Final covariance from (possibly delta-summed) moment frames. */
-  private[graft] def covFromMoments(sxy: DataFrame, dimSums: DataFrame,
-      n: DataFrame): DataFrame =
+  /** Final covariance from a (possibly delta-summed) moment frame. */
+  private[graft] def covFromMoments(m: DataFrame): DataFrame = {
+    val sxy = m.filter(col("j") >= 0).select(col("i"), col("j"), col("m").as("sxy"))
+    val dims = m.filter(col("j") === -1 && col("i") >= 0)
+    val n = m.filter(col("i") === -1).select(col("m").cast("long").as("n"))
     sxy
-      .join(broadcast(dimSums.select(col("i"), col("sx").as("sxi"))), Seq("i"))
-      .join(broadcast(dimSums.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .join(broadcast(dims.select(col("i"), col("m").as("sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("m").as("sxj"))), Seq("j"))
       .crossJoin(broadcast(n))
       // exact integer numerator n·Σxy − Σxi·Σxj, ONE double division,
       // one 9-dp roundx (the DuckDB-round mirror — Spark's own round
@@ -110,6 +116,7 @@ object Pca {
       .select(col("i"), col("j"),
         roundx((col("n") * col("sxy") - col("sxi") * col("sxj")).cast("double") /
           (col("n").cast("double") * col("n") * lit(Scale * Scale)), 9).as("cov"))
+  }
 
   /** Collected full symmetric covariance matrix — 64×64 doubles of
     * driver metadata (the PQ-codebook pattern). */

@@ -7,35 +7,31 @@ import graft.sources.Tables
 
 /** Covariance MOMENTS at rest — the PCA member of the warehouse
   * family, and the one with the strongest refresh contract in the
-  * matrix: the index state is (n, Σxi, Σxixj) in exact quantized-
-  * integer arithmetic, and integer sums are ASSOCIATIVE, so folding a
-  * batch in by appending its moment deltas is BIT-EQUAL to a one-shot
-  * rebuild over base ∪ batch — not "equivalent under the frozen-
-  * quantizer contract" (IVF/PQ), not "equal after a probe-side merge
+  * matrix: the index state is one (i, j, m) table of quantized-
+  * integer moment sums (triangle products, dimension sums as j = −1
+  * sentinel rows, the row count as (−1, −1) — see Pca.moments), and
+  * integer sums are ASSOCIATIVE, so folding a batch in by appending
+  * its moment deltas is BIT-EQUAL to a one-shot rebuild over
+  * base ∪ batch — not "equivalent under the frozen-quantizer
+  * contract" (IVF/PQ), not "equal after a probe-side merge
   * discipline" (BM25/LM): equal, row for row, to the last decimal
   * digit (PcaWarehouseSpec pins it).
   *
   * Production shape: a 100 TB corpus's embedding covariance — the
   * statistic PCA, whitening, OPQ rotation, and drift monitors all
-  * start from — is maintained by O(batch) appends at ingest; the
-  * eigensolve runs at PROBE time on the 64×64 driver-metadata matrix.
-  * Nothing ever re-reads standing vectors: the crawl loop's cost per
-  * batch is one scan of the batch.
+  * start from — is maintained by O(batch) appends at ingest (ONE scan
+  * of the batch per refresh); the eigensolve runs at PROBE time on
+  * the 64×64 driver-metadata matrix.  Nothing ever re-reads standing
+  * vectors.
   *
-  * Layout (append-only, the LmWarehouse conventions):
-  *  - `<path>`:       (i, j, sxy) triangle-moment DELTA rows;
-  *  - `<path>.dims`:  (i, sx) dimension-sum DELTA rows;
-  *  - `<path>.stats`: (n) row-count DELTA rows.
-  * Readers sum deltas per key; `compact` merges them back to one row
-  * per key (bit-identical probes — integer sums are order-free).  The
-  * whole index is ~2 KB at ANY corpus size — there is no pruning
-  * story because there is nothing to prune; the value is O(batch)
+  * Layout: a single append-only parquet of delta rows.  Readers sum
+  * deltas per (i, j); `compact` merges them back to one row per key
+  * (bit-identical probes — integer sums are order-free).  The whole
+  * index is ~2 KB at ANY corpus size — there is no pruning story
+  * because there is nothing to prune; the value is O(batch)
   * maintenance of a GLOBAL statistic.
   */
 object PcaWarehouse {
-
-  private def dimsPath(path: String): String = s"$path.dims"
-  private def statsPath(path: String): String = s"$path.stats"
 
   /** The embeddings-side base/incoming split (the MinHashWarehouse
     * doc_id convention, on vec_id). */
@@ -48,35 +44,20 @@ object PcaWarehouse {
   /** Frame-level ingest — also the refresh-equivalence spec's one-shot
     * reference builder. */
   def materializeFrom(emb: DataFrame, path: String): Unit =
-    write(emb, path, "overwrite")
+    Pca.moments(emb).write.mode("overwrite").parquet(path)
 
   /** REFRESH — fold a batch into the statistic at rest: append its
     * moment deltas.  O(batch); no standing row is read or rewritten. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    write(batch, path, "append")
-
-  private def write(emb: DataFrame, path: String, mode: String): Unit = {
-    val (sxy, dims, n) = Pca.moments(emb)
-    sxy.write.mode(mode).parquet(path)
-    dims.write.mode(mode).parquet(dimsPath(path))
-    n.write.mode(mode).parquet(statsPath(path))
-  }
+    Pca.moments(batch).write.mode("append").parquet(path)
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after; the localCheckpoint pin is ~2 KB. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val sxy = spark.read.parquet(path)
-      .groupBy(col("i"), col("j")).agg(sum(col("sxy")).as("sxy"))
+    val merged = spark.read.parquet(path)
+      .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m"))
       .localCheckpoint()
-    val dims = spark.read.parquet(dimsPath(path))
-      .groupBy(col("i")).agg(sum(col("sx")).as("sx"))
-      .localCheckpoint()
-    val n = spark.read.parquet(statsPath(path))
-      .agg(sum(col("n")).cast("long").as("n"))
-      .localCheckpoint()
-    sxy.write.mode("overwrite").parquet(path)
-    dims.write.mode("overwrite").parquet(dimsPath(path))
-    n.write.mode("overwrite").parquet(statsPath(path))
+    merged.write.mode("overwrite").parquet(path)
   }
 
   /** Covariance served from the index at rest: sum the deltas per key
@@ -84,15 +65,9 @@ object PcaWarehouse {
     * shared final-formula projection — the EXACT plan tail s_embed_cov
     * runs inline, so after base+batch ingest the probe holds
     * s_embed_cov's full-corpus DuckDB oracle verbatim. */
-  def cov(spark: SparkSession, path: String): DataFrame = {
-    val sxy = spark.read.parquet(path)
-      .groupBy(col("i"), col("j")).agg(sum(col("sxy")).as("sxy"))
-    val dims = spark.read.parquet(dimsPath(path))
-      .groupBy(col("i")).agg(sum(col("sx")).as("sx"))
-    val n = spark.read.parquet(statsPath(path))
-      .agg(sum(col("n")).cast("long").as("n"))
-    Pca.covFromMoments(sxy, dims, n)
-  }
+  def cov(spark: SparkSession, path: String): DataFrame =
+    Pca.covFromMoments(spark.read.parquet(path)
+      .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m")))
 
   /** Registered `s_embed_cov_probe`: ingest base → refresh incoming →
     * serve.  base ∪ incoming = the whole table, so the result equals

@@ -15,32 +15,36 @@ class BenchDigestSpec extends AnyFunSuite {
 
   private val stress =
     """{"stress":"dedup_cc","sf":"/root/testdata/sf0.1","reps":8,"n_docs":40000,""" +
+      """"editdist_pairs":123456,"editdist_clique_pairs":112000,"editdist_sec":9.876543211,""" +
       """"ngram_pairs":156384,"ngram_sec":32.971632439,"n_groups":4756,"cc_sec":26.810371049,""" +
       """"minhash_cand":168224,"minhash_sec":5.809545925,""" +
       """"n_vecs":16000,"cosine_pairs":56000,"cosine_clique_pairs":56000,"cosine_sec":2.906778748,""" +
-      """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942,""" +
-      """"editdist_pairs":123456,"editdist_sec":9.876543}"""
+      """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942}"""
   private val ann =
     """{"s_knn_lsh":0.1,"s_knn_lsh_mp":0.6,"s_knn_ivf":1.0,"s_knn_pq":0.1,""" +
       """"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,"s_knn_ivfpq_refined":0.8,""" +
-      """"range_lsh_jaccard":1.0,"range_pairs":147}"""
+      """"s_knn_pca":0.3,"range_lsh_jaccard":1.0,"range_pairs":147}"""
 
-  test("countsOnly keeps integer fields, drops times and strings") {
+  test("countsOnly keeps movable counts, drops times, strings, inputs, static bounds") {
     val c = StressBench.countsOnly(stress)
     assert(c.contains("\"ngram_pairs\":156384") && c.contains("\"n_groups\":4756"))
+    assert(c.contains("\"editdist_pairs\":123456") && c.contains("\"inc_pairs\":53192"))
     assert(!c.contains("sec") && !c.contains("dedup_cc") && !c.contains("sf"))
+    // inputs and deterministic lower bounds stay on the detail line only
+    assert(!c.contains("reps") && !c.contains("n_docs") && !c.contains("n_vecs"))
+    assert(!c.contains("clique"))
     assert(c.startsWith("{") && c.endsWith("}"))
   }
 
   test("digest with every current headliner at worst-case width fits the budget") {
-    // 99.999 s for every query is wider than any plausible real run —
-    // if THIS stays under budget with the full per-query map, a real
-    // run certainly does
-    val results = Bench.headlinerNames.map(n => n -> 99.999)
+    // 99.99 s for every query is wider than any plausible real run
+    // (current max ≈ 11 s) — if THIS stays under budget with the full
+    // per-query map, a real run certainly does
+    val results = Bench.headlinerNames.map(n => n -> 99.99)
     val line = Bench.digestLine(results, 4699.953, "[]",
       "/root/testdata/sf0.1", stress, ann)
     assert(line.length <= 1800, s"digest ${line.length}B over budget")
-    Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.999")))
+    Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
     // at the 1800 budget both optional sections must ride even at

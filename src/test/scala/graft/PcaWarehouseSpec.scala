@@ -28,7 +28,8 @@ class PcaWarehouseSpec extends GraftSpec {
     assert(got.size == 64 * 65 / 2 && want.size == got.size)
     assert(got == want, "warehouse cov diverged from one-shot")
     // delta layout really is append-only: two generations of rows
-    assert(spark.read.parquet(path).count() == 2 * 2080)
+    // (2080 triangle + 64 dim sentinels + 1 count row each)
+    assert(spark.read.parquet(path).count() == 2 * 2145)
   }
 
   test("pca probe equals the inline eigensolve over the full table") {
@@ -47,9 +48,7 @@ class PcaWarehouseSpec extends GraftSpec {
     PcaWarehouse.refresh(spark, e.filter(col("vec_id") % 2 === 1), path)
     val before = covMap(PcaWarehouse.cov(spark, path))
     PcaWarehouse.compact(spark, path)
-    assert(spark.read.parquet(path).count() == 2080)
-    assert(spark.read.parquet(path + ".dims").count() == 64)
-    assert(spark.read.parquet(path + ".stats").count() == 1)
+    assert(spark.read.parquet(path).count() == 2145)
     assert(covMap(PcaWarehouse.cov(spark, path)) == before)
     // idempotent
     PcaWarehouse.compact(spark, path)
