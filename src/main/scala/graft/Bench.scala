@@ -74,7 +74,11 @@ object Bench {
     // probe (two-generation build amortizes per JVM via Materialized —
     // min-of-3 times the delta-sum + final projection), and the
     // context-aware bigram LM (token self-join + two count joins)
-    "s_embed_cov", "s_knn_pca", "s_embed_cov_probe", "t_perplexity_bigram")
+    "s_embed_cov", "s_knn_pca", "s_embed_cov_probe", "t_perplexity_bigram",
+    // round-7 time-series legs: one (date, etype) shuffle each, then
+    // calendar×series metadata math — benched to keep the grid
+    // aggregation's cost visible
+    "q_ts_corr", "q_ts_window_search")
 
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners

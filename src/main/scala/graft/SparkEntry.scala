@@ -104,6 +104,11 @@ object SparkEntry {
     "q_sessionize" -> (Olap.sessionize _),
     "q_retention_cohort" -> (Olap.retentionCohort _),
     "q_funnel_steps" -> (Olap.funnelSteps _),
+    // time-series legs over the daily event grid (papers: streaming
+    // similarity search / top-k subsequence retrieval)
+    "q_ts_corr" -> (TimeSeries.tsCorr _),
+    "q_ts_window_search" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsWindowSearch(s, d)),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -215,6 +220,10 @@ object SparkEntry {
     "s_pca_probe" -> ((s: SparkSession, d: String) =>
       graft.similarity.PcaWarehouse.pcaProbe(s, d,
         graft.similarity.PcaWarehouse.builtPath(s, d))),
+    // the monitoring leg of the moments story: per-dim base-vs-incoming
+    // mean/variance comparison — the signal that schedules quantizer
+    // retraining (the IVF/PQ "recluster maintenance pass")
+    "d_embed_drift" -> (graft.similarity.EmbedDrift.embedDrift _),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)
@@ -488,6 +497,24 @@ object SparkEntry {
   private val DAILY =
     s"SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${SUMX("value")} AS vol, " +
       s"count(*) AS n, ${AVGX("value")} AS avg_value FROM events GROUP BY 1, 2"
+
+  // The zero-filled (date × event_type) daily grid both time-series
+  // oracles start from — DECIMAL-exact sums, 3-dp round (mirrors
+  // TimeSeries.dailyGrid; the grid must be DENSE so window offsets
+  // align).
+  private val TsGridSql =
+    s"""daily AS (SELECT CAST(ts AS DATE) AS date, event_type,
+       |round(${SUMX("value")}, 3) AS v FROM events GROUP BY 1, 2),
+       |grid AS (SELECT d.date, t.event_type, COALESCE(daily.v, 0.0) AS v
+       |FROM (SELECT DISTINCT date FROM daily) d
+       |CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+       |LEFT JOIN daily ON daily.date = d.date AND daily.event_type = t.event_type)""".stripMargin
+
+  // Explicit left-associative 7-term folds: SQL's binary + chains
+  // left, which is the identical IEEE sequence to Spark's sequential
+  // aggregate() fold (0 + t₁ + … ; 0 + t₁ == t₁ exactly).
+  private def fold7(term: Int => String): String =
+    (1 to 7).map(term).mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
@@ -796,6 +823,47 @@ object SparkEntry {
         |SELECT step, event_type, n_users,
         |round(CAST(n_users AS DOUBLE) / coalesce(prev, n_users), 4) AS conv_from_prev,
         |round(CAST(n_users AS DOUBLE) / f, 4) AS conv_from_first FROM w""".stripMargin,
+    // the s_embed_cov discipline at 1e-3 fixed point over the daily
+    // grid pair join; zero-variance series → NULL corr in both engines
+    "q_ts_corr" ->
+      s"""WITH $TsGridSql,
+         |g AS (SELECT date, event_type, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS q FROM grid),
+         |p AS (SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+         |CAST(count(*) AS BIGINT) AS n_days,
+         |sum(a.q) AS sa, sum(b.q) AS sb, sum(a.q * b.q) AS sab,
+         |sum(a.q * a.q) AS saa, sum(b.q * b.q) AS sbb
+         |FROM g a JOIN g b ON a.date = b.date AND a.event_type < b.event_type GROUP BY 1, 2)
+         |SELECT etype_a, etype_b, n_days,
+         |CASE WHEN (n_days * saa - sa * sa) > 0 AND (n_days * sbb - sb * sb) > 0
+         |THEN round(CAST(n_days * sab - sa * sb AS DOUBLE) /
+         |sqrt(CAST(n_days * saa - sa * sa AS DOUBLE) * CAST(n_days * sbb - sb * sb AS DOUBLE)), 6)
+         |END AS corr FROM p""".stripMargin,
+    // windows = 7-row ordered array_aggs on the dense grid; all folds
+    // explicit left-assoc (see fold7); flat (σ=0) windows excluded on
+    // both sides — z undefined, and NULL ordering differs by engine
+    "q_ts_window_search" ->
+      s"""WITH $TsGridSql,
+         |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
+         |FROM (SELECT DISTINCT date FROM grid)),
+         |gi AS (SELECT grid.*, di.dn FROM grid JOIN di USING (date)),
+         |w0 AS (SELECT a.event_type, a.date AS start_date,
+         |array_agg(b.v ORDER BY b.dn) AS arr
+         |FROM gi a JOIN gi b ON a.event_type = b.event_type
+         |AND b.dn BETWEEN a.dn AND a.dn + 6
+         |GROUP BY 1, 2 HAVING count(*) = 7),
+         |st AS (SELECT event_type, start_date, arr,
+         |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0),
+         |sd AS (SELECT event_type, start_date, arr, mu,
+         |sqrt((${fold7(i => s"(arr[$i] - mu) * (arr[$i] - mu)")}) / 7) AS sd FROM st),
+         |zw AS (SELECT event_type, start_date,
+         |list_transform(arr, x -> (x - mu) / sd) AS z FROM sd WHERE sd > 0),
+         |q AS (SELECT z AS qz, start_date AS qd FROM zw
+         |WHERE event_type = 'click' ORDER BY start_date LIMIT 1)
+         |SELECT w.event_type, w.start_date,
+         |round(sqrt(${fold7(i => s"(w.z[$i] - qz[$i]) * (w.z[$i] - qz[$i])")}), 6) AS dist
+         |FROM zw w CROSS JOIN q
+         |WHERE w.event_type <> 'click' OR w.start_date <> q.qd
+         |ORDER BY dist, w.event_type, w.start_date LIMIT 10""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // the t_chunk CTE + two windows over the chunk hash
@@ -966,6 +1034,27 @@ object SparkEntry {
     // base ∪ refreshed-in incoming = the full table; associative
     // integer moments make the warehouse probe bit-equal to inline
     "s_embed_cov_probe" -> SEmbedCovSql,
+    // the s_embed_cov exactness discipline on a split key: per-split
+    // integer moments, one division + roundx per statistic; drift_z is
+    // two correctly-rounded IEEE ops on already-rounded inputs
+    "d_embed_drift" ->
+      """WITH g AS (SELECT vec_id % 10 < 8 AS is_base, CAST(t.i - 1 AS BIGINT) AS i,
+        |CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+        |FROM embeddings, range(1, 65) AS t(i)),
+        |a AS (SELECT i, is_base, CAST(count(*) AS BIGINT) AS n, sum(qx) AS sx, sum(qx * qx) AS sxx
+        |FROM g GROUP BY 1, 2),
+        |b AS (SELECT i, n AS n_base,
+        |round(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 9) AS mean_base,
+        |round(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 9) AS var_base
+        |FROM a WHERE is_base),
+        |c AS (SELECT i, n AS n_inc,
+        |round(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 9) AS mean_inc,
+        |round(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 9) AS var_inc
+        |FROM a WHERE NOT is_base)
+        |SELECT b.i, n_base, n_inc, mean_base, mean_inc, var_base, var_inc,
+        |round(mean_inc - mean_base, 9) AS mean_delta,
+        |CASE WHEN var_base > 0 THEN round(abs(mean_inc - mean_base) / sqrt(var_base), 6) END AS drift_z
+        |FROM b JOIN c ON b.i = c.i""".stripMargin,
     "s_bm25" -> SBm25Sql,
     // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
     // the exact knnBatch body at k=10; RRF arithmetic is all-rational

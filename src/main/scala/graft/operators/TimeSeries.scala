@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.Exact.{roundx, sumx}
+import graft.sources.Tables
+
+/** Time-series analytics over the per-day event series — the
+  * similarity-search leg the retrieved streaming-similarity papers
+  * cover (time-series similarity search over distributed/streaming
+  * data; top-k subsequence retrieval).
+  *
+  * Both operators start from the same zero-filled (date × event_type)
+  * grid of daily value sums: DECIMAL-exact sums (sumx), 3-dp rounded
+  * — the grid is calendar-bounded metadata (days × series), tiny
+  * relative to the events it summarizes, so everything after the
+  * first aggregation is a small-frame computation at ANY event
+  * volume; the one corpus-scale stage is the (date, event_type)
+  * partial-aggregated shuffle.
+  */
+object TimeSeries {
+
+  /** 1e-3 fixed point: daily sums ~1e4 quantize to ~1e7, squares
+    * ~1e14, × days × n — well inside BIGINT/DECIMAL(38,0). */
+  private val Scale = 1e3
+
+  /** The zero-filled daily grid: (d dayIndex, date, event_type, v)
+    * with v the 3-dp-exact daily sum (0 for absent combinations —
+    * the grid must be DENSE for window positions to align). */
+  private[graft] def dailyGrid(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(roundx(sumx(col("value")), 3).as("v"))
+    val dates = daily.select(col("date")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    dates.crossJoin(types) // calendar × series — metadata-scale
+      .join(daily, Seq("date", "event_type"), "left")
+      .select(col("date"), col("event_type"),
+        coalesce(col("v"), lit(0.0)).as("v"))
+  }
+
+  /** `q_ts_corr`: Pearson correlation between every pair of
+    * event-type daily-volume series — "which metrics move together",
+    * the dashboard companion of the drift monitor.  The s_embed_cov
+    * exactness discipline at 1e-3 fixed point: quantized longs,
+    * DECIMAL moment sums over the date-aligned pair join, the
+    * n·Σab − Σa·Σb identity, ONE double division + sqrt + 6-dp
+    * roundx; a zero-variance series yields NULL (no engine-divergent
+    * 0/0).  ORACLED. */
+  def tsCorr(spark: SparkSession, dir: String): DataFrame =
+    tsCorrOf(Tables(spark, dir).events)
+
+  private[graft] def tsCorrOf(events: DataFrame): DataFrame = {
+    val g = dailyGrid(events)
+      .select(col("date"), col("event_type"),
+        floor(col("v") * Scale + 0.5).as("q"))
+    val pairs = g.as("a")
+      .join(g.as("b"), col("a.date") === col("b.date") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("etype_a"), col("b.event_type").as("etype_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.q").cast("decimal(38,0)")).as("sa"),
+        sum(col("b.q").cast("decimal(38,0)")).as("sb"),
+        sum((col("a.q") * col("b.q")).cast("decimal(38,0)")).as("sab"),
+        sum((col("a.q") * col("a.q")).cast("decimal(38,0)")).as("saa"),
+        sum((col("b.q") * col("b.q")).cast("decimal(38,0)")).as("sbb"))
+    def centered(sxx: Column, sx: Column) =
+      (col("n_days") * sxx - sx * sx).cast("double")
+    val cov = (col("n_days") * col("sab") - col("sa") * col("sb")).cast("double")
+    pairs.select(col("etype_a"), col("etype_b"), col("n_days"),
+      when(centered(col("saa"), col("sa")) > 0 && centered(col("sbb"), col("sb")) > 0,
+        roundx(cov / sqrt(centered(col("saa"), col("sa")) *
+          centered(col("sbb"), col("sb"))), 6)).as("corr"))
+  }
+
+  /** `q_ts_window_search`: top-k z-normalized subsequence similarity
+    * search — given a query window (the FIRST 7 days of the `click`
+    * series), find the nearest 7-day windows across ALL series and
+    * offsets (UCR-suite-style whole-window matching, the shape the
+    * retrieved top-k trajectory/streaming-similarity papers serve).
+    *
+    * Plan: the grid's per-series windows assemble via collect_list
+    * over a rowsBetween(0, 6) frame (frame order = sort order, so
+    * arrays are date-ordered); z-normalization and the distance are
+    * SEQUENTIAL array folds (0 + x₁ + x₂ + … — Spark's aggregate HOF
+    * and explicit left-associative SQL addition produce the same IEEE
+    * sequence, the VectorFunctions pairing), so the oracle matches to
+    * the 6-dp round.  Flat windows (σ = 0) are excluded on BOTH
+    * sides — z is undefined there, and NULL ordering differs between
+    * engines.  Windows per series = days − 6: the frame after the
+    * first aggregation is (series × offsets), metadata-scale; top-k
+    * compiles to TakeOrderedAndProject.  ORACLED. */
+  def tsWindowSearch(spark: SparkSession, dir: String,
+      w: Int = 7, k: Int = 10): DataFrame =
+    tsWindowSearchOf(Tables(spark, dir).events, w, k)
+
+  private[graft] def tsWindowSearchOf(events: DataFrame,
+      w: Int = 7, k: Int = 10): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))
+    val wins = dailyGrid(events)
+      .withColumn("arr", collect_list(col("v")).over(byType.rowsBetween(0, w - 1)))
+      .filter(size(col("arr")) === w)
+      .withColumn("mu", aggregate(col("arr"), lit(0.0), (a, x) => a + x) / w)
+      .withColumn("sd", sqrt(aggregate(col("arr"), lit(0.0),
+        (a, x) => a + (x - col("mu")) * (x - col("mu"))) / w))
+      .filter(col("sd") > 0)
+      .withColumn("z", transform(col("arr"),
+        x => (x - col("mu")) / col("sd")))
+      .select(col("event_type"), col("date").as("start_date"), col("z"))
+    val q = wins.filter(col("event_type") === "click")
+      .orderBy(col("start_date"))
+      .limit(1)
+      .select(col("z").as("qz"), col("start_date").as("qd"))
+    wins.crossJoin(broadcast(q))
+      .filter(col("event_type") =!= "click" || col("start_date") =!= col("qd"))
+      .withColumn("dist", roundx(sqrt(aggregate(
+        zip_with(col("z"), col("qz"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (a, x) => a + x)), 6))
+      .orderBy(col("dist"), col("event_type"), col("start_date"))
+      .limit(k)
+      .select(col("event_type"), col("start_date"), col("dist"))
+  }
+}

@@ -72,26 +72,16 @@ object Pca {
     * are ASSOCIATIVE sums, which is what makes PcaWarehouse's
     * incremental refresh bit-equal to a one-shot rebuild. */
   private[graft] def moments(emb: DataFrame): DataFrame = {
-    // quantized element k (1-based): the raw scan attribute is indexed
-    // directly inside the lambdas — element_at on an attribute is O(1)
-    // and safe under CollapseProject (a PRECOMPUTED q array reference
-    // would be re-inlined per element_at site, the measured
-    // cosinePairsFrom trap)
-    def qx(arr: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
-      floor(element_at(arr, (k + 1).cast("int")).cast("double") * Scale + 0.5)
-
-    val e = emb.select(col("embedding"))
-    // per-row moment contributions: 2 080 + 64 + 1 structs, exploded
-    // then map-side partially aggregated — only the 2 145-group frame
-    // crosses the wire, independent of corpus size
-    val tri = flatten(transform(sequence(lit(0), lit(Dims - 1)), i =>
-      transform(sequence(i, lit(Dims - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (qx(col("embedding"), i) * qx(col("embedding"), j)).as("p")))))
-    val dims = transform(sequence(lit(0), lit(Dims - 1)), i =>
-      struct(i.as("i"), lit(-1).as("j"), qx(col("embedding"), i).cast("long").as("p")))
-    val one = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
-    e.select(explode(concat(tri, dims, one)).as("t"))
+    // per-row moment contributions: 2 080 + 64 + 1 structs from the
+    // native CovMoments expression (one tight loop over the quantized
+    // vector — the HOF-lambda form was interpreted and measured 4 s /
+    // 5 000 vectors), exploded then map-side partially aggregated —
+    // only the 2 145-group frame crosses the wire, independent of
+    // corpus size
+    import org.apache.spark.sql.GraftBridge
+    val m = GraftBridge.column(graft.functions.CovMoments(
+      GraftBridge.expression(col("embedding")), Dims))
+    emb.select(explode(m).as("t"))
       .groupBy(col("t.i").cast("long").as("i"), col("t.j").cast("long").as("j"))
       .agg(sum(col("t.p").cast("decimal(38,0)")).as("m"))
   }

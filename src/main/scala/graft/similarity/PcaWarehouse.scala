@@ -97,4 +97,19 @@ object PcaWarehouse {
       materialize(spark, dir, p)
       refresh(spark, Tables(spark, dir).embeddings.filter(!isBaseVec), p)
     }
+
+  /** The refresh's ONLINE twin — the statistic maintained in flight:
+    * each arriving micro-batch of vectors folds its moment deltas into
+    * the index inside foreachBatch.  Associativity does all the work:
+    * any batching of the stream produces a bit-equal index state to
+    * the one-shot build over everything seen (PcaWarehouseSpec drives
+    * a MemoryStream in two batches and asserts it), so there is no
+    * cross-batch state, no watermark, no ordering requirement — the
+    * Bm25/Lm streamingProbe stance applied to the WRITE side. */
+  def streamingRefresh(vectors: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(batch.sparkSession, batch, path)
+      }
+      .start()
 }

@@ -54,4 +54,27 @@ class PcaWarehouseSpec extends GraftSpec {
     PcaWarehouse.compact(spark, path)
     assert(covMap(PcaWarehouse.cov(spark, path)) == before)
   }
+
+  test("streaming refresh: any batching folds to the one-shot index, bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val path = tmp("stream")
+    val e = graft.sources.Tables(s, Dir).embeddings
+    val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val query = PcaWarehouse.streamingRefresh(stream.toDF()
+      .withColumnRenamed("_1", "vec_id").withColumnRenamed("_2", "embedding"), path)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    // associativity is the whole contract: the streamed index must
+    // serve the identical covariance to the inline one-shot
+    assert(covMap(PcaWarehouse.cov(spark, path)) == covMap(Pca.covFrom(e)))
+  }
 }

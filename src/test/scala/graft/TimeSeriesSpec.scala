@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Time-series leg invariants: grid density/zero-fill, correlation
+  * sign and degenerate cases on planted series, and the subsequence
+  * search's contract on the real table.
+  */
+class TimeSeriesSpec extends GraftSpec {
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  test("daily grid is dense and zero-filled") {
+    import spark.implicits._
+    // type "b" missing entirely on day 2
+    val events = Seq(
+      (ts(1), "a", 1.0), (ts(1), "b", 2.0),
+      (ts(2), "a", 3.0)).toDF("ts", "event_type", "value")
+    val g = TimeSeries.dailyGrid(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    assert(g.size == 4) // 2 dates × 2 types
+    assert(g(("2024-01-02", "b")) == 0.0)
+    assert(g(("2024-01-02", "a")) == 3.0)
+  }
+
+  test("correlation: planted linear, anti-linear, and constant series") {
+    import spark.implicits._
+    // a: 1..5, b = 2a (corr 1), c = -a (corr -1 with a), k constant
+    val events = (1 to 5).flatMap { d =>
+      Seq((ts(d), "a", d.toDouble), (ts(d), "b", 2.0 * d),
+        (ts(d), "c", -d.toDouble), (ts(d), "k", 7.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.tsCorrOf(events).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r.size == 6)
+    assert(r(("a", "b")) == Some(1.0))
+    assert(r(("a", "c")) == Some(-1.0))
+    // constant series has zero variance → NULL, never NaN
+    assert(r(("a", "k")) == None && r(("b", "k")) == None && r(("c", "k")) == None)
+  }
+
+  test("window search: k rows, ascending, query window excluded, z-scale invariance") {
+    val r = TimeSeries.tsWindowSearch(spark, Dir).collect()
+    assert(r.length == 10)
+    val dists = r.map(_.getDouble(2))
+    assert(dists.sliding(2).forall(p => p(0) <= p(1)), "not ascending")
+    assert(dists.forall(d => d >= 0.0), "negative distance")
+    // the query window (first click window) must not match itself
+    val firstClick = TimeSeries.tsWindowSearch(spark, Dir, k = 1000).collect()
+      .filter(x => x.getString(0) == "click")
+      .map(_.getDate(1).toString).min
+    val minDate = graft.sources.Tables(spark, Dir).events
+      .agg(min(to_date(col("ts")))).head().getDate(0).toString
+    assert(firstClick > minDate,
+      s"query window (click @ $minDate) leaked into results")
+  }
+
+  test("z-normalization: scaling a series leaves its distances unchanged") {
+    import spark.implicits._
+    // two series with identical SHAPE at different scales plus a
+    // third distinct one: the scaled twin must sit at distance ~0
+    val base = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 6.0, 2.0)
+    val events = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((ts(i + 1), "click", v), (ts(i + 1), "twin", 100.0 + 10.0 * v),
+        (ts(i + 1), "other", base(base.length - 1 - i)))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.tsWindowSearchOf(events, w = 7, k = 100).collect()
+    val twinAtStart = r.find(x =>
+      x.getString(0) == "twin" && x.getDate(1).toString == "2024-01-01").get
+    assert(twinAtStart.getDouble(2) == 0.0,
+      s"affine twin at dist ${twinAtStart.getDouble(2)}, want 0")
+  }
+}
