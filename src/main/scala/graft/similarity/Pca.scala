@@ -50,10 +50,18 @@ object Pca {
   val Dims = 64
   /** Fixed-point quantization: 1e-6 resolution on elements in [-1, 1]. */
   private val Scale = 1e6
-  /** Retained components for the ANN path. */
-  private[graft] val R = 8
-  /** Shortlist width for the exact re-rank. */
-  private[graft] val Shortlist = 50
+  /** Retained components for the ANN path.  MEASURED recall@10 ladder
+    * on the worst-case random sf0.1 corpus (no low-rank structure —
+    * every extra component buys signal): (R=8, C=50) 0.1,
+    * (8, 250) 0.4, (16, 50) 0.3, (16, 250) 0.8, (24, 250) 1.0.
+    * Default (16, 250): pq_refined-parity recall with 16-dim L2 per
+    * shortlist candidate — 4× less per-pair math than the 64-dim
+    * brute dot — and the same 250-vector exact stage.  Real
+    * embedding distributions are low-rank and sit far above this
+    * floor at R=8. */
+  private[graft] val R = 16
+  /** Shortlist width for the exact re-rank (the pq_refined depth). */
+  private[graft] val Shortlist = 250
 
   /** `s_embed_cov`: upper-triangle (i ≤ j) population covariance of
     * the embedding dimensions.  Columns (i, j, cov); 2 080 rows. */
@@ -203,11 +211,15 @@ object Pca {
     * random corpus (no low-rank structure — PCA's worst case, the PQ
     * caveat verbatim) the 8-dim shortlist misses; recall@10 rides the
     * BENCH `ann` key like every other approximate path. */
-  def knnPca(spark: SparkSession, dir: String): DataFrame = {
+  def knnPca(spark: SparkSession, dir: String): DataFrame =
+    knnPcaWith(spark, dir, R, Shortlist)
+
+  private[graft] def knnPcaWith(spark: SparkSession, dir: String,
+      nComponents: Int, shortlist: Int): DataFrame = {
     val t = Tables(spark, dir)
     val cov = covMatrix(spark, dir)
     val (_, evecs) = jacobiEigen(cov)
-    val pcs = (0 until R).map(r => evecs(r).toSeq)
+    val pcs = (0 until nComponents).map(r => evecs(r).toSeq)
 
     val e = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -223,7 +235,7 @@ object Pca {
       .withColumn("d2", aggregate(zip_with(col("p"), col("qp"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
       .orderBy(col("d2"), col("vec_id"))
-      .limit(Shortlist)
+      .limit(shortlist)
       .select(col("vec_id"))
 
     e.join(broadcast(short), Seq("vec_id"))
