@@ -109,6 +109,8 @@ object SparkEntry {
     "q_ts_corr" -> (TimeSeries.tsCorr _),
     "q_ts_window_search" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsWindowSearch(s, d)),
+    "q_ts_anomaly" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsAnomaly(s, d)),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -864,6 +866,26 @@ object SparkEntry {
          |FROM zw w CROSS JOIN q
          |WHERE w.event_type <> 'click' OR w.start_date <> q.qd
          |ORDER BY dist, w.event_type, w.start_date LIMIT 10""".stripMargin,
+    // trailing-baseline z: same date-index ROW semantics and explicit
+    // left-assoc folds as q_ts_window_search; σ=0 baselines excluded
+    "q_ts_anomaly" ->
+      s"""WITH $TsGridSql,
+         |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
+         |FROM (SELECT DISTINCT date FROM grid)),
+         |gi AS (SELECT grid.*, di.dn FROM grid JOIN di USING (date)),
+         |w0 AS (SELECT a.event_type, a.date, a.v,
+         |array_agg(b.v ORDER BY b.dn) AS arr
+         |FROM gi a JOIN gi b ON a.event_type = b.event_type
+         |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
+         |GROUP BY 1, 2, 3 HAVING count(*) = 7),
+         |st AS (SELECT event_type, date, v, arr,
+         |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0),
+         |sd AS (SELECT event_type, date, v, mu,
+         |sqrt((${fold7(i => s"(arr[$i] - mu) * (arr[$i] - mu)")}) / 7) AS sd FROM st)
+         |SELECT event_type, date, v, round(mu, 6) AS baseline_mean,
+         |round((v - mu) / sd, 6) AS z
+         |FROM sd WHERE sd > 0
+         |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // the t_chunk CTE + two windows over the chunk hash

@@ -96,6 +96,38 @@ object TimeSeries {
       w: Int = 7, k: Int = 10): DataFrame =
     tsWindowSearchOf(Tables(spark, dir).events, w, k)
 
+  /** `q_ts_anomaly`: rolling z-score anomaly report — for every day
+    * with a full 7-day trailing baseline, how many baseline std devs
+    * the day sits from the baseline mean; top-k |z| across all
+    * series.  The operational alerting leg next to q_ts_corr's
+    * "move together" and the drift monitor's corpus-level view.
+    *
+    * Same machinery as tsWindowSearch: trailing window = collect_list
+    * over rowsBetween(−w, −1) (ROW semantics, date-ordered), mean/σ
+    * as sequential folds the oracle reproduces left-associatively,
+    * σ = 0 baselines excluded on both sides, 6-dp roundx, top-k =
+    * TakeOrderedAndProject.  ORACLED. */
+  def tsAnomaly(spark: SparkSession, dir: String,
+      w: Int = 7, k: Int = 10): DataFrame =
+    tsAnomalyOf(Tables(spark, dir).events, w, k)
+
+  private[graft] def tsAnomalyOf(events: DataFrame,
+      w: Int = 7, k: Int = 10): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))
+    dailyGrid(events)
+      .withColumn("arr", collect_list(col("v")).over(byType.rowsBetween(-w, -1)))
+      .filter(size(col("arr")) === w)
+      .withColumn("mu", aggregate(col("arr"), lit(0.0), (a, x) => a + x) / w)
+      .withColumn("sd", sqrt(aggregate(col("arr"), lit(0.0),
+        (a, x) => a + (x - col("mu")) * (x - col("mu"))) / w))
+      .filter(col("sd") > 0)
+      .select(col("event_type"), col("date"), col("v"),
+        roundx(col("mu"), 6).as("baseline_mean"),
+        roundx((col("v") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("date"))
+      .limit(k)
+  }
+
   private[graft] def tsWindowSearchOf(events: DataFrame,
       w: Int = 7, k: Int = 10): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))

@@ -31,6 +31,34 @@ class EmbedDriftSpec extends GraftSpec {
     assert(d1.isNullAt(8), "zero-variance base must yield NULL drift_z")
   }
 
+  test("streaming drift vs the moments index equals the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-driftwh-").toString + "/data"
+    graft.similarity.PcaWarehouse.materialize(spark, Dir, path)
+    val incoming = graft.sources.Tables(s, Dir).embeddings
+      .filter(pmod(col("vec_id"), lit(10L)) >= 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = graft.similarity.EmbedDrift.streamingDrift(stream.toDF()
+      .withColumnRenamed("_1", "vec_id").withColumnRenamed("_2", "embedding"), path) {
+      out => got ++= out.collect().map(_.toSeq)
+    }
+    try {
+      stream.addData(incoming.toIndexedSeq) // ONE batch = the full incoming split
+      query.processAllAvailable()
+    } finally query.stop()
+    val want = graft.similarity.EmbedDrift.embedDrift(spark, Dir)
+      .collect().map(_.toSeq)
+    assert(got.toSet == want.toSet,
+      "streamed drift diverged from the batch operator")
+    assert(got.size == 64)
+  }
+
   test("real table: 64 dims, split sizes add up, no spurious drift") {
     val t = graft.sources.Tables(spark, Dir)
     val total = t.embeddings.count()

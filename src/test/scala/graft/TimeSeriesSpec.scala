@@ -61,6 +61,33 @@ class TimeSeriesSpec extends GraftSpec {
       s"query window (click @ $minDate) leaked into results")
   }
 
+  test("anomaly: a planted spike dominates the report with the right z") {
+    import spark.implicits._
+    // series "a": constant 10 for 7 days then a spike; "b": constant
+    // (σ=0 baseline → excluded); "c": gentle alternation (nonzero σ)
+    val events = (1 to 8).flatMap { d =>
+      val a = if (d == 8) 100.0 else 10.0
+      Seq((ts(d), "a", a), (ts(d), "b", 5.0),
+        (ts(d), "c", if (d % 2 == 0) 4.0 else 6.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.tsAnomalyOf(events).collect()
+    // "a" day-8: baseline mean 10 σ 0? — constant baseline is σ=0 →
+    // excluded!  So plant variance into a's baseline too:
+    assert(r.forall(_.getString(0) != "b"), "σ=0 series leaked in")
+    val events2 = (1 to 8).flatMap { d =>
+      val a = if (d == 8) 100.0 else if (d % 2 == 0) 9.0 else 11.0
+      Seq((ts(d), "a", a), (ts(d), "c", if (d % 2 == 0) 4.0 else 6.0))
+    }.toDF("ts", "event_type", "value")
+    val r2 = TimeSeries.tsAnomalyOf(events2).collect()
+    val top = r2.head
+    assert(top.getString(0) == "a" && top.getDate(1).toString == "2024-01-08")
+    // baseline: 11,9,11,9,11,9,11 → mean 71/7, var = (4·(9−μ)²·3 + …)
+    val mu = (11.0 + 9 + 11 + 9 + 11 + 9 + 11) / 7
+    val sd = math.sqrt((1 to 7).map(d => math.pow((if (d % 2 == 0) 9.0 else 11.0) - mu, 2)).sum / 7)
+    assert(math.abs(top.getDouble(4) - (100.0 - mu) / sd) < 1e-4,
+      s"z ${top.getDouble(4)} vs expected ${(100.0 - mu) / sd}")
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
