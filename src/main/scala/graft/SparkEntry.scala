@@ -226,6 +226,12 @@ object SparkEntry {
     // mean/variance comparison — the signal that schedules quantizer
     // retraining (the IVF/PQ "recluster maintenance pass")
     "d_embed_drift" -> (graft.similarity.EmbedDrift.embedDrift _),
+    // projections at rest (frozen projector trained off the moments
+    // index): R-dim index scan + keyed exact re-rank.  No oracle
+    // (trained projector — the s_knn_pca stance; spec-pinned)
+    "s_knn_pca_probe" -> ((s: SparkSession, d: String) =>
+      graft.similarity.PcaWarehouse.annProbe(s, d,
+        graft.similarity.PcaWarehouse.builtAnnPath(s, d))),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)

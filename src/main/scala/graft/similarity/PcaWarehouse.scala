@@ -98,6 +98,104 @@ object PcaWarehouse {
       refresh(spark, Tables(spark, dir).embeddings.filter(!isBaseVec), p)
     }
 
+  // ---------------------------------------------------------------
+  // The ANN leg: projections at rest.  s_knn_pca's SURVEY row claims
+  // "at rest the projection is an ingest-time index column" — this is
+  // that claim made registered code.  Layout:
+  //   <path>.components : (r, dim, w) — the FROZEN projector, trained
+  //                       once from the moments index (KB-scale);
+  //   <path>.proj       : (vec_id, p array<double>) — one R-dim row
+  //                       per vector, appended at refresh with the
+  //                       frozen projector (the PqWarehouse frozen-
+  //                       quantizer contract; component drift is the
+  //                       d_embed_drift-scheduled retrain's job).
+  // A probe scans R doubles per vector instead of 64 floats and
+  // re-ranks `Shortlist` exact vectors fetched by id from the primary
+  // store — the production serving split (index scan + keyed lookup).
+  // ---------------------------------------------------------------
+
+  private def compPath(path: String) = s"$path.components"
+  private def projPath(path: String) = s"$path.proj"
+
+  /** Train the projector ONCE from the moments index at rest and
+    * store it beside the projections. */
+  def trainProjector(spark: SparkSession, path: String): Unit = {
+    val a = Array.ofDim[Double](Pca.Dims, Pca.Dims)
+    cov(spark, path).collect().foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (_, evecs) = Pca.jacobiEigen(a)
+    import spark.implicits._
+    (0 until Pca.R).flatMap(r => (0 until Pca.Dims).map(d => (r, d, evecs(r)(d))))
+      .toDF("r", "dim", "w")
+      .write.mode("overwrite").parquet(compPath(path))
+  }
+
+  /** The stored projector as driver metadata (R×64 doubles). */
+  private[graft] def projector(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(compPath(path)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    (0 until Pca.R).map(r => rows.filter(_._1 == r).sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /** Project a batch with the FROZEN stored components and append to
+    * the projection table — O(batch), bit-identical arithmetic to the
+    * rows already standing (spec-pinned). */
+  def refreshAnn(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    projectWith(batch, projector(spark, path))
+      .write.mode("append").parquet(projPath(path))
+
+  private[graft] def projectWith(batch: DataFrame, comps: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    batch
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), array(comps.map(w =>
+        dot(col("v"), typedLit(w).cast("array<double>"))): _*).as("p"))
+  }
+
+  /** `s_knn_pca_probe`: top-10 neighbors of vec 0 off the projection
+    * table — R-dim L2 shortlist over the index, exact cosine re-rank
+    * over `Shortlist` primary-store rows fetched by id (the
+    * s_knn_brute expression, bit-equal stage 2).  No oracle (trained
+    * projector — the s_knn_pca stance); PcaWarehouseSpec pins frozen-
+    * projection bit-equality, a planted duplicate at rank 1 /
+    * cosine 1.0 through the refreshed index, and stage-2 exactness. */
+  def annProbe(spark: SparkSession, dir: String, path: String): DataFrame = {
+    import graft.functions.Exact.roundx
+    import graft.functions.VectorFunctions._
+    val proj = spark.read.parquet(projPath(path))
+    val qp = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
+    val short = proj.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qp))
+      .withColumn("d2", aggregate(zip_with(col("p"), col("qp"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(Pca.Shortlist)
+      .select(col("vec_id"))
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+    e.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cos").as("cosine"))
+  }
+
+  /** Once-per-JVM ANN build: base moments → frozen projector → project
+    * base → refresh-project the incoming split. */
+  def builtAnnPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("pca_ann_warehouse", dir) { p =>
+      materialize(spark, dir, p)
+      trainProjector(spark, p)
+      refreshAnn(spark, Tables(spark, dir).embeddings.filter(isBaseVec), p)
+      refreshAnn(spark, Tables(spark, dir).embeddings.filter(!isBaseVec), p)
+    }
+
   /** The refresh's ONLINE twin — the statistic maintained in flight:
     * each arriving micro-batch of vectors folds its moment deltas into
     * the index inside foreachBatch.  Associativity does all the work:

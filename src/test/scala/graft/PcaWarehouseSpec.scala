@@ -55,6 +55,51 @@ class PcaWarehouseSpec extends GraftSpec {
     assert(covMap(PcaWarehouse.cov(spark, path)) == before)
   }
 
+  test("ANN leg: frozen projection bit-equality, dup at projection-distance 0, exact stage 2") {
+    import org.apache.spark.sql.functions.pmod
+    val path = tmp("ann")
+    val e = graft.sources.Tables(spark, Dir).embeddings
+    PcaWarehouse.materialize(spark, Dir, path)
+    PcaWarehouse.trainProjector(spark, path)
+    PcaWarehouse.refreshAnn(spark, e.filter(pmod(col("vec_id"), lit(10L)) < 8), path)
+    PcaWarehouse.refreshAnn(spark, e.filter(pmod(col("vec_id"), lit(10L)) >= 8), path)
+    // plant an exact duplicate of vec 0 as a refreshed-in newcomer:
+    // the frozen projector must map identical input to the identical
+    // projection (the index-level "duplicate sits at distance 0")
+    val dup = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 99999L).as("vec_id"), col("embedding"))
+    PcaWarehouse.refreshAnn(spark, dup, path)
+    val proj = spark.read.parquet(path + ".proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj(99999L) == proj(0L), "duplicate projection differs from original")
+
+    // standing refreshed rows are bit-equal to a frozen re-projection
+    val again = PcaWarehouse.projectWith(
+      e.filter(pmod(col("vec_id"), lit(10L)) >= 8),
+      PcaWarehouse.projector(spark, path)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    again.foreach { case (id, p) =>
+      assert(proj(id) == p, s"vec $id projection drifted from frozen") }
+
+    // stage 2 emits the EXACT rounded cosine for every id it returns
+    val r = PcaWarehouse.annProbe(spark, Dir, path).collect()
+    assert(r.length == 10 && r.map(_.getLong(0)).distinct.length == 10)
+    val exact = {
+      import graft.functions.Exact.roundx
+      import graft.functions.VectorFunctions._
+      import org.apache.spark.sql.functions.broadcast
+      val ev = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = ev.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+      ev.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6).as("cos"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    }
+    r.foreach(x => assert(exact(x.getLong(0)) == x.getDouble(1),
+      s"vec ${x.getLong(0)}: probe ${x.getDouble(1)} vs exact ${exact(x.getLong(0))}"))
+  }
+
   test("streaming refresh: any batching folds to the one-shot index, bit for bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
