@@ -96,12 +96,29 @@ object StressBench {
     val (nEd, tEd) = time {
       graft.dedup.EditDist.stages(docs, d = 10).pairs.count()
     }
+    // covariance REPLICATION INVARIANCE: exact duplication scales every
+    // moment by reps (n→8n, Σx→8Σx, Σxy→8Σxy), and the final statistic
+    // (n·Σxy − Σx·Σy)/n² cancels the factor — so the 8× corpus must
+    // serve the SAME 2 080 covariance entries as the 1× corpus at the
+    // 9-dp round.  A scale-family probe with an EXACT expected value,
+    // not just a lower bound: any drift in quantization, the moment
+    // identity, or the decimal route shows as cov_equal < 2080.
+    val (covEqual, tCov) = time {
+      val rawE = graft.sources.Tables(spark, sfDir).embeddings
+      val eRep8 = rawE.crossJoin(rep)
+        .select((col("vec_id") * reps + col("r")).as("vec_id"), col("embedding"))
+      val one = graft.similarity.Pca.covFrom(rawE).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      graft.similarity.Pca.covFrom(eRep8).collect()
+        .count(r => one((r.getLong(0), r.getLong(1))) == r.getDouble(2)).toLong
+    }
     s"""{"stress":"dedup_cc","sf":"$sfDir","reps":$reps,"n_docs":$nDocs,""" +
       s""""editdist_pairs":$nEd,"editdist_clique_pairs":$cliqueEd,"editdist_sec":$tEd,""" +
       s""""ngram_pairs":$nPairs,"ngram_sec":$tPairs,"n_groups":$nGroups,"cc_sec":$tCc,""" +
       s""""minhash_cand":$nMinhashCand,"minhash_sec":$tMinhash,""" +
       s""""n_vecs":$nVecs,"cosine_pairs":$nCos,"cosine_clique_pairs":$cliquePairs,"cosine_sec":$tCos,""" +
-      s""""inc_pairs":$nInc,"inc_clique_pairs":$cliqueInc,"inc_sec":$tInc}"""
+      s""""inc_pairs":$nInc,"inc_clique_pairs":$cliqueInc,"inc_sec":$tInc,""" +
+      s""""cov_equal":$covEqual,"cov_sec":$tCov}"""
   }
 
   /** The integer regression signals of a probesJson string, times and

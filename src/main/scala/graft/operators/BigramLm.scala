@@ -56,8 +56,16 @@ object BigramLm {
     perplexityBigramOf(Tables(spark, dir).documents)
 
   private[graft] def perplexityBigramOf(docs: DataFrame): DataFrame = {
+    // tokenize ONCE: the token frame feeds SIX consumers (the scored
+    // side, the shifted previous-token side, both bigram join sides,
+    // the unigram counts, the denominator scalars) — un-pinned, each
+    // re-runs the documents scan + Generate, a 6× tokenize at corpus
+    // scale.  localCheckpoint materializes the token table instead
+    // (the rangeSearchLsh corpus-frame precedent): its size is the
+    // same order as the shuffles the joins pay anyway.
     val toks = docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .localCheckpoint()
     val isBase: Column = pmod(col("doc_id"), lit(10L)) < 8
     val base = toks.filter(isBase)
 

@@ -30,9 +30,15 @@ object TimeSeries {
     * with v the 3-dp-exact daily sum (0 for absent combinations —
     * the grid must be DENSE for window positions to align). */
   private[graft] def dailyGrid(events: DataFrame): DataFrame = {
+    // the checkpoint pins the calendar×series aggregate (metadata-
+    // scale) so the grid's MANY consumers — dates, types, the join,
+    // both sides of the pair/window self-joins downstream — never
+    // re-run the one corpus-scale stage (each un-pinned reference
+    // would re-scan events; the Pca.covFrom lesson)
     val daily = events
       .groupBy(to_date(col("ts")).as("date"), col("event_type"))
       .agg(roundx(sumx(col("value")), 3).as("v"))
+      .localCheckpoint()
     val dates = daily.select(col("date")).distinct()
     val types = daily.select(col("event_type")).distinct()
     dates.crossJoin(types) // calendar × series — metadata-scale

@@ -84,8 +84,21 @@ object EmbedDrift {
     driftOf(Tables(spark, dir).embeddings)
 
   private[graft] def driftOf(emb: DataFrame): DataFrame = {
-    val isBase = pmod(col("vec_id"), lit(10L)) < 8
-    driftFrame(statsOf(emb.filter(isBase)), statsOf(emb.filter(!isBase)))
+    // ONE scan for both splits: aggregate on (is_base, i) — 128
+    // groups — then pin the metadata-scale result so the two side
+    // filters below don't re-run the corpus stage
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * Scale + 0.5))
+    val agg = emb.select(
+      (pmod(col("vec_id"), lit(10L)) < 8).as("is_base"),
+      posexplode(q).as(Seq("i", "qx")))
+      .groupBy(col("i").cast("long").as("i"), col("is_base"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast("decimal(38,0)")).as("sx"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("sxx"))
+      .localCheckpoint()
+    driftFrame(agg.filter(col("is_base")).drop("is_base"),
+      agg.filter(!col("is_base")).drop("is_base"))
   }
 
   /** Base-side stats straight off the PcaWarehouse moments index:

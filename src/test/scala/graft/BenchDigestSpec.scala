@@ -19,7 +19,8 @@ class BenchDigestSpec extends AnyFunSuite {
       """"ngram_pairs":156384,"ngram_sec":32.971632439,"n_groups":4756,"cc_sec":26.810371049,""" +
       """"minhash_cand":168224,"minhash_sec":5.809545925,""" +
       """"n_vecs":16000,"cosine_pairs":56000,"cosine_clique_pairs":56000,"cosine_sec":2.906778748,""" +
-      """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942}"""
+      """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942,""" +
+      """"cov_equal":2080,"cov_sec":3.123456789}"""
   private val ann =
     """{"s_knn_lsh":0.1,"s_knn_lsh_mp":0.6,"s_knn_ivf":1.0,"s_knn_pq":0.1,""" +
       """"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,"s_knn_ivfpq_refined":0.8,""" +
