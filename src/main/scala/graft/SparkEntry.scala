@@ -277,6 +277,12 @@ object SparkEntry {
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_perplexity" -> (CorpusStats.perplexity _),
     "t_perplexity_bigram" -> (BigramLm.perplexityBigram _),
+    // the context LM at rest: open-vocab stupid backoff against the
+    // frozen (c1, c2) index, batch-only tokenize, pruned buckets
+    "t_perplexity_bigram_probe" -> ((s: SparkSession, d: String) =>
+      BigramLmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bigram_lm_warehouse", d)(
+          BigramLmWarehouse.materialize(s, d, _)))),
     "t_perplexity_probe" -> ((s: SparkSession, d: String) =>
       LmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("lm_warehouse", d)(
@@ -1306,6 +1312,34 @@ object SparkEntry {
         |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
         |FROM base a JOIN base b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
         |st AS (SELECT (SELECT count(*) FROM base) + (SELECT count(DISTINCT w) FROM tk) AS denom),
+        |sc AS (SELECT t.doc_id,
+        |CASE WHEN p.w IS NULL THEN round(-ln((coalesce(u.c1, 0) + 1.0) / st.denom), 9)
+        |WHEN b2.c2 IS NOT NULL THEN round(-ln(CAST(b2.c2 AS DOUBLE) / up.c1), 9)
+        |ELSE round(-ln(0.4 * (coalesce(u.c1, 0) + 1.0) / st.denom), 9) END AS nll_tok,
+        |CASE WHEN b2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |FROM tk t CROSS JOIN st
+        |LEFT JOIN tk p ON t.doc_id = p.doc_id AND p.pos = t.pos - 1
+        |LEFT JOIN c1 u ON t.w = u.w
+        |LEFT JOIN c1 up ON p.w = up.w
+        |LEFT JOIN c2 b2 ON p.w = b2.pw AND t.w = b2.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(hit) AS BIGINT) AS bigram_hits,
+        |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM sc GROUP BY 1""".stripMargin,
+    // the context LM at rest: the t_perplexity_bigram branch structure
+    // under the OPEN-vocab convention (nb + v + 1, base-split v) with
+    // the probe's batch bound mirrored
+    "t_perplexity_bigram_probe" ->
+      """WITH tk AS (SELECT doc_id,
+        |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000),
+        |bt AS (SELECT doc_id,
+        |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 < 8),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bt GROUP BY 1),
+        |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
+        |FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+        |st AS (SELECT (SELECT count(*) FROM bt) + (SELECT count(DISTINCT w) FROM bt) + 1 AS denom),
         |sc AS (SELECT t.doc_id,
         |CASE WHEN p.w IS NULL THEN round(-ln((coalesce(u.c1, 0) + 1.0) / st.denom), 9)
         |WHEN b2.c2 IS NOT NULL THEN round(-ln(CAST(b2.c2 AS DOUBLE) / up.c1), 9)

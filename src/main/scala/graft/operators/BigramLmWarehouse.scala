@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.MinHashWarehouse.isBase
+import graft.functions.Exact.{roundx, sumx}
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+
+/** The BIGRAM LM AT REST — the context-aware member of the warehouse
+  * family, extending LmWarehouse's CCNet triage with
+  * t_perplexity_bigram's stupid-backoff scoring: the model trains
+  * ONCE over the standing corpus, and every later probe scores
+  * against the frozen context model without re-reading corpus text.
+  *
+  * Layout (the LmWarehouse conventions, APPEND-ONLY):
+  *  - `<path>.c1`: (w, cnt) unigram DELTA rows partitioned by
+  *    wb = pmod(xxhash64(w), 64);
+  *  - `<path>.c2`: (pw, w, cnt) bigram DELTA rows partitioned by
+  *    pwb = pmod(xxhash64(pw), 64) — keyed on the PRECEDING word,
+  *    because that is what a probe knows: its own token stream's
+  *    left-contexts prune the partition list;
+  *  - `<path>.stats`: one (nb, v) row.
+  * Probes sum deltas per key over the pruned slices (both tables are
+  * Zipf-bounded — vocabulary / observed-bigram scale, not corpus
+  * scale), which is what lets `refresh` fold a crawl batch in by
+  * appending its counts; `compact` merges delta rows back (probes
+  * bit-identical — integer sums).
+  *
+  * Model: stupid backoff (Brants et al. 2007) over the OPEN-vocab
+  * Laplace unigram (the LmWarehouse v+1-classes convention — an
+  * index cannot know future probes' vocabularies):
+  *   S(w | pw) = c2(pw, w)/c1(pw)          when the bigram was seen,
+  *             = α · (c1(w)+1)/(nb+v+1)    otherwise (α = 0.4);
+  * a doc's first token scores the unigram.  This deliberately
+  * differs from t_perplexity_bigram's closed full-corpus vocabulary
+  * exactly as t_perplexity_probe differs from t_perplexity — the
+  * registered probe and its oracle mirror the open convention.
+  *
+  * Probe plan: tokenize ONLY the batch, ONCE (a localCheckpoint pin —
+  * the token frame feeds the scored side, the shifted side, and two
+  * bucket lists); c1 prunes to the batch's word ∪ context buckets,
+  * c2 to its context buckets; one doc-keyed partial agg.  Scores are
+  * batch-local → the streaming twin is stateless foreachBatch.
+  */
+object BigramLmWarehouse {
+
+  private val TermBuckets = 64
+  private val Alpha = 0.4
+
+  private def c1Path(path: String) = s"$path.c1"
+  private def c2Path(path: String) = s"$path.c2"
+  private def statsPath(path: String) = s"$path.stats"
+
+  private def bucket(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(TermBuckets.toLong))
+
+  /** (doc_id, pos, w) tokens of a doc frame. */
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+
+  /** Unigram + bigram count frames of a token frame. */
+  private def counts(tk: DataFrame): (DataFrame, DataFrame) = {
+    val c1 = tk.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val c2 = tk.as("a")
+      .join(tk.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.w").as("pw"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+    (c1, c2)
+  }
+
+  /** Train once over the base split. */
+  def materialize(spark: SparkSession, dir: String, path: String): Unit =
+    materializeFrom(Tables(spark, dir).documents.filter(isBase), path)
+
+  def materializeFrom(docs: DataFrame, path: String): Unit = {
+    val tk = toks(docs).localCheckpoint() // one tokenize, three consumers
+    val (c1, c2) = counts(tk)
+    val c1p = c1.localCheckpoint() // vocabulary-bounded; feeds table + stats
+    c1p.withColumn("wb", bucket(col("w")))
+      .write.mode("overwrite").partitionBy("wb").parquet(c1Path(path))
+    c2.withColumn("pwb", bucket(col("pw")))
+      .write.mode("overwrite").partitionBy("pwb").parquet(c2Path(path))
+    c1p.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** REFRESH — append the batch's unigram/bigram deltas, bump (nb, v).
+    * O(batch): the new-term count anti-joins the batch vocabulary
+    * against the standing c1 restricted to the batch's own buckets. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val tk = toks(batch).localCheckpoint()
+    val (c1, c2) = counts(tk)
+    val delta1 = c1.localCheckpoint()
+    val buckets = delta1.select(bucket(col("w")).as("wb"))
+      .distinct().collect().map(_.getLong(0))
+    val standing = spark.read.parquet(c1Path(path))
+      .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .select(col("w")).distinct()
+    val newTerms = delta1.join(standing, Seq("w"), "left_anti").count()
+    val batchTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
+    val st = spark.read.parquet(statsPath(path)).head()
+    delta1.withColumn("wb", bucket(col("w")))
+      .write.mode("append").partitionBy("wb").parquet(c1Path(path))
+    c2.withColumn("pwb", bucket(col("pw")))
+      .write.mode("append").partitionBy("pwb").parquet(c2Path(path))
+    spark.range(1)
+      .select(lit(st.getLong(0) + batchTokens).as("nb"),
+        lit(st.getLong(1) + newTerms).as("v"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** COMPACT — merge both delta tables to one row per key; stats are
+    * already exact.  Probes bit-identical (integer delta sums). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m1 = spark.read.parquet(c1Path(path))
+      .groupBy(col("w"), col("wb")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    m1.write.mode("overwrite").partitionBy("wb").parquet(c1Path(path))
+    val m2 = spark.read.parquet(c2Path(path))
+      .groupBy(col("pw"), col("w"), col("pwb")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    m2.write.mode("overwrite").partitionBy("pwb").parquet(c2Path(path))
+  }
+
+  /** Score `docs` = (doc_id, text) against the bigram LM at rest.
+    * Columns (doc_id, n_tokens, bigram_hits, nll). */
+  def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val st = spark.read.parquet(statsPath(path)).head()
+    val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
+    val tk = toks(docs).localCheckpoint()
+    val wBuckets = tk.select(bucket(col("w")).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val c1 = spark.read.parquet(c1Path(path))
+      .filter(col("wb").isin(wBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+    val c2 = spark.read.parquet(c2Path(path))
+      .filter(col("pwb").isin(wBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("pw"), col("w")).agg(sum(col("cnt")).as("cnt2"))
+    val scored = tk
+      .join(tk.select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("w").as("pw")), Seq("doc_id", "pos"), "left")
+      .join(c1.select(col("w"), col("cnt").as("cw")), Seq("w"), "left")
+      .join(c1.select(col("w").as("pw"), col("cnt").as("cpw")), Seq("pw"), "left")
+      .join(c2.select(col("pw"), col("w"), col("cnt2")), Seq("pw", "w"), "left")
+    val laplace = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / lit(denom)
+    val nllTok = roundx(-log(
+      when(col("pw").isNull, laplace)
+        .when(col("cnt2").isNotNull,
+          col("cnt2").cast("double") / col("cpw").cast("double"))
+        .otherwise(lit(Alpha) * laplace)), 9)
+    scored.groupBy(col("doc_id"))
+      .agg(sumx(nllTok).as("nll_sum"), count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt2").isNotNull, 1L).otherwise(0L)).as("bigram_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("bigram_hits"),
+        roundx(col("nll_sum") / col("n_tokens"), 6).as("nll"))
+  }
+
+  /** Registered probe: the bounded incoming batch (the LmWarehouse
+    * probeIncoming split + bound). */
+  def probeIncoming(spark: SparkSession, dir: String, path: String): DataFrame =
+    probe(spark, path, Tables(spark, dir).documents
+      .filter(!isBase && col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")))
+
+  /** Stateless streaming twin (scores are per-doc and batch-local). */
+  def streamingProbe(docs: DataFrame, path: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(probe(batch.sparkSession, path, batch))
+      }
+      .start()
+}
