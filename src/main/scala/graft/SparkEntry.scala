@@ -155,6 +155,10 @@ object SparkEntry {
     // batched multi-probe serving shape (no oracle: spec vs the
     // single-query ranking per query)
     "s_knn_lsh_batch" -> ((s: SparkSession, d: String) => Knn.lshBatch(s, d)),
+    // the kNN GRAPH pair: exact baseline (oracled) + LSH-blocked scale
+    // path (spec: exactly-once, exact cosines, recall vs brute)
+    "s_knn_graph" -> ((s: SparkSession, d: String) => Knn.knnGraph(s, d)),
+    "s_knn_graph_lsh" -> ((s: SparkSession, d: String) => Knn.knnGraphLsh(s, d)),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
     // logistic-regression quality classifier: iterative GD trainer
@@ -1089,6 +1093,15 @@ object SparkEntry {
         |round(mean_inc - mean_base, 9) AS mean_delta,
         |CASE WHEN var_base > 0 THEN round(abs(mean_inc - mean_base) / sqrt(var_base), 6) END AS drift_z
         |FROM b JOIN c ON b.i = c.i""".stripMargin,
+    // tie-stable on the 6-dp rounded cosine then neighbor id; the
+    // LSH-blocked variant is deliberately no-oracle (bucket internals)
+    "s_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT vec_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
     "s_bm25" -> SBm25Sql,
     // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
     // the exact knnBatch body at k=10; RRF arithmetic is all-rational

@@ -295,6 +295,74 @@ object Knn {
         col("bucket"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** `s_knn_graph`: the kNN GRAPH — every vector's top-k cosine
+    * neighbors in ONE plan; the primitive under SemDeDup's
+    * cluster-internal sweeps, UMAP/HDBSCAN-style manifold builds, and
+    * graph-based dedup.  This is the exact BASELINE: all n² pairs
+    * score (one corpus side broadcasts — a few MB at test SF), and
+    * per-vector top-k rides a rank window that Spark rewrites to
+    * WindowGroupLimit partial heaps BELOW the exchange, so ~n·k rows
+    * shuffle, never the scored square.  At 100 TB the broadcast side
+    * does not fit — `knnGraphLsh` is the scale path and this the
+    * verify stage (the s_knn_brute / rangeSearch stance).  ORACLED
+    * (cross join + row_number in SQL; tie-stable on the 6-dp rounded
+    * cosine then neighbor id). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("anrm"))))
+      .filter(col("vec_id") =!= col("a_id"))
+      .withColumn("cos", roundx(dot(col("v"), col("av")) / (col("nrm") * col("anrm")), 6))
+      .withColumn("rnk", row_number().over(byA))
+      .filter(col("rnk") <= k)
+      .select(col("a_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** `s_knn_graph_lsh`: the graph's scale path — symmetric multi-probe
+    * blocking: every vector probes its own 4-bit hyperplane bucket
+    * plus the 4 one-bit flips (Lv et al. 2007 applied to a self-join),
+    * the corpus side joins ON BUCKET EQUALITY (each (a, b) pair
+    * matches at most once — b has ONE bucket and a's 5 probe buckets
+    * are distinct, so no dedup stage), exact cosine on collisions
+    * only, per-vector top-k via WindowGroupLimit.  At rest the bucket
+    * is an ingest-time column and the join prunes partitions; the
+    * scored volume is Σ (bucket × probed-bucket) collisions, not n².
+    * NO oracle (hash-bucket internals — the s_knn_lsh stance);
+    * KnnGraphSpec pins exactly-once emission, per-vector recall vs
+    * the brute graph, and that emitted cosines are bit-equal to the
+    * exact values. */
+  def knnGraphLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val NPlanes = 4
+    val t = Tables(spark, dir)
+    val sig = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneSignature(col("v"), NPlanes))
+      .localCheckpoint() // per-row sig once; feeds both join sides
+    val probes = sig
+      .select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("anrm"), col("bucket").as("abucket"))
+      .withColumn("pbucket",
+        explode(array(col("abucket") +:
+          (0 until NPlanes).map(b => col("abucket").bitwiseXOR(lit(1L << b))): _*)))
+    val byA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
+    sig.join(probes, col("bucket") === col("pbucket") &&
+        col("vec_id") =!= col("a_id"))
+      .withColumn("cos", roundx(dot(col("v"), col("av")) / (col("nrm") * col("anrm")), 6))
+      .withColumn("rnk", row_number().over(byA))
+      .filter(col("rnk") <= k)
+      .select(col("a_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
   private def lshAnnProbed(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val NPlanes = 4
     val t = Tables(spark, dir)

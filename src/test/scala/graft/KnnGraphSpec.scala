@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Knn
+
+/** kNN-graph invariants: the brute graph's shape and agreement with
+  * the single-query baseline; the LSH-blocked graph's exactly-once
+  * emission, bit-exact cosines, and measured recall floor.
+  */
+class KnnGraphSpec extends GraftSpec {
+
+  private lazy val brute = Knn.knnGraph(spark, Dir).collect()
+  private lazy val lsh = Knn.knnGraphLsh(spark, Dir).collect()
+
+  test("brute graph: k rows per vector, ranks dense, vec-0 slice equals s_knn_brute") {
+    val n = spark.read.parquet(s"$Dir/embeddings.parquet").count()
+    val byVec = brute.groupBy(_.getLong(0))
+    assert(byVec.size == n, "every vector gets a neighborhood")
+    byVec.foreach { case (v, rows) =>
+      assert(rows.length == 5, s"vec $v has ${rows.length} neighbors")
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L), s"vec $v ranks not dense")
+    }
+    val zero = brute.filter(_.getLong(0) == 0).sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val single = Knn.bruteForce(spark, Dir).collect().take(5)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(zero == single, "graph slice for vec 0 diverged from s_knn_brute")
+  }
+
+  test("lsh graph: exactly-once pairs, cosines bit-equal to exact, recall floor") {
+    // no (vec, neighbor) emitted twice — each pair can match at most
+    // one probe bucket by construction
+    val keys = lsh.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate graph edge emitted")
+    // emitted cosines are the exact rounded values (collect the small
+    // test corpus and recompute on the driver)
+    val vecs = spark.read.parquet(s"$Dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val x = d / (math.sqrt(na) * math.sqrt(nb))
+      math.signum(x) * (math.floor(math.abs(x) * 1e6 + 0.5)) / 1e6
+    }
+    lsh.foreach { r =>
+      val want = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - want) <= 1e-9,
+        s"edge (${r.getLong(0)},${r.getLong(1)}): ${r.getDouble(2)} vs $want")
+    }
+    // measured recall floor on the worst-case random corpus: blocked
+    // candidates are a strict subset, so per-vector recall < 1 is
+    // expected — but the multi-probe union must keep the MEAN above
+    // a degenerate floor (bucket collapse would send this to ~0)
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = keys.count(bruteSet.contains)
+    val recall = hit.toDouble / bruteSet.size
+    assert(recall >= 0.15, s"mean graph recall $recall collapsed")
+  }
+}
