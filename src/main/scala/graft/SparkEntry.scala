@@ -159,6 +159,9 @@ object SparkEntry {
     // path (spec: exactly-once, exact cosines, recall vs brute)
     "s_knn_graph" -> ((s: SparkSession, d: String) => Knn.knnGraph(s, d)),
     "s_knn_graph_lsh" -> ((s: SparkSession, d: String) => Knn.knnGraphLsh(s, d)),
+    "s_knn_graph_mutual" -> ((s: SparkSession, d: String) => Knn.knnGraphMutual(s, d)),
+    // iterative (8 fixed rounds) — no oracle, the s_kmeans stance
+    "s_graph_centrality" -> (graft.similarity.Centrality.graphCentrality _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
     // logistic-regression quality classifier: iterative GD trainer
@@ -1102,6 +1105,18 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT vec_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // the graph SQL + a swapped self-join; cosine symmetric, either
+    // side serves
+    "s_knn_graph_mutual" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p),
+        |g AS (SELECT vec_id, neighbor_id, cosine FROM r WHERE rnk <= 5)
+        |SELECT f.vec_id AS a_id, f.neighbor_id AS b_id, f.cosine
+        |FROM g f JOIN g b ON f.vec_id = b.neighbor_id AND f.neighbor_id = b.vec_id
+        |AND f.vec_id < f.neighbor_id""".stripMargin,
     "s_bm25" -> SBm25Sql,
     // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
     // the exact knnBatch body at k=10; RRF arithmetic is all-rational

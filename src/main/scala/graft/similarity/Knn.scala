@@ -325,6 +325,28 @@ object Knn {
         col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** `s_knn_graph_mutual`: the MUTUAL-kNN filter — keep an edge only
+    * when each endpoint ranks the other in its top-k (the standard
+    * denoising step between a kNN graph and clustering/manifold
+    * stages: asymmetric edges into hubs are the noise).  One
+    * self-join of the materialized graph on swapped endpoints; the
+    * localCheckpoint pins the graph so the n²-scored subtree runs
+    * once, not once per join side (the covFrom lesson).  Emitted as
+    * canonical a_id < b_id pairs; the cosine is symmetric (the same
+    * rounded expression both directions), so either side's value
+    * serves.  ORACLED (the s_knn_graph SQL + a swapped self-join). */
+  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val g = knnGraph(spark, dir, k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint()
+    g.as("f")
+      .join(g.as("b"), col("f.vec_id") === col("b.neighbor_id") &&
+        col("f.neighbor_id") === col("b.vec_id") &&
+        col("f.vec_id") < col("f.neighbor_id"))
+      .select(col("f.vec_id").as("a_id"), col("f.neighbor_id").as("b_id"),
+        col("f.cosine").as("cosine"))
+  }
+
   /** `s_knn_graph_lsh`: the graph's scale path — symmetric multi-probe
     * blocking: every vector probes its own 4-bit hyperplane bucket
     * plus the 4 one-bit flips (Lv et al. 2007 applied to a self-join),

@@ -57,4 +57,38 @@ class KnnGraphSpec extends GraftSpec {
     val recall = hit.toDouble / bruteSet.size
     assert(recall >= 0.15, s"mean graph recall $recall collapsed")
   }
+
+  test("mutual filter keeps exactly the reciprocated edges, canonical") {
+    val mutual = Knn.knnGraphMutual(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    assert(mutual == expect, "mutual set diverged from reciprocated-edge definition")
+    assert(mutual.nonEmpty, "no mutual edges on this corpus — filter untestable")
+  }
+
+  test("pagerank: cycle fixed point, star ordering, mass conservation, determinism") {
+    import spark.implicits._
+    val C = graft.similarity.Centrality
+    // directed 6-cycle with out-degree 1: uniform rank 1.0 is the
+    // exact fixed point (0.15 + 0.85·1 = 1) — every iterate stays there
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val cr = C.pageRank(spark, cycle, outDeg = 1).collect()
+    assert(cr.length == 6 && cr.forall(_.getDouble(1) == 1.0),
+      s"cycle ranks ${cr.map(_.getDouble(1)).toSeq}")
+    // star: leaves 1..5 all point at 0, hub points back at 1 (keeps
+    // out-degree 1 everywhere): the hub must dominate every leaf
+    val star = ((1L to 5L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val sr = C.pageRank(spark, star, outDeg = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((2L to 5L).forall(l => sr(0L) > sr(l)), s"hub not dominant: $sr")
+    // registered query: deterministic across runs, ranks positive,
+    // mass ≈ n (damped chains conserve up to the 9-dp round)
+    val a = C.graphCentrality(spark, Dir).collect()
+    val b = C.graphCentrality(spark, Dir).collect()
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(a.length == 20 && a.forall(_.getDouble(1) > 0))
+    assert(a.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
