@@ -245,6 +245,7 @@ object SparkEntry {
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
     "d_sample_split" -> (TrainPrep.sampleSplit _),
     "d_sample_stratified" -> ((s: SparkSession, d: String) => TrainPrep.sampleStratified(s, d)),
+    "d_sample_weighted" -> ((s: SparkSession, d: String) => TrainPrep.sampleWeighted(s, d)),
     "d_domain_mix" -> ((s: SparkSession, d: String) => TrainPrep.domainMix(s, d)),
     "d_domain_cap" -> ((s: SparkSession, d: String) => TrainPrep.domainCap(s, d)),
     "d_train_shards" -> ((s: SparkSession, d: String) => TrainPrep.trainShards(s, d)),
@@ -1177,6 +1178,20 @@ object SparkEntry {
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h""".stripMargin,
     "d_sample_stratified" ->
       DSampleStratifiedSql,
+    // exponential race: u is an exact rational from the md5-52-bit
+    // parse (the t_fingerprint pattern), ln 9-dp-licensed, weight the
+    // shared 4-dp quality expression, ties on doc_id
+    "d_sample_weighted" ->
+      """WITH x AS (SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
+        |FROM documents),
+        |r AS (SELECT doc_id,
+        |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS weight,
+        |(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1) / 4503599627370497.0 AS u
+        |FROM x)
+        |SELECT doc_id, weight, round(-ln(u) / weight, 9) AS race_key
+        |FROM r ORDER BY race_key, doc_id LIMIT 64""".stripMargin,
     // λ's ratio is a quotient of quotients of exact integers (no
     // product form — nothing to overflow), ln through the s_bm25
     // 9-dp + DECIMAL route; ordering/cut compare the 6-dp round

@@ -92,6 +92,36 @@ object TrainPrep {
     pmod(contentHash(col("text")), lit(1000L)) < rate
   }
 
+  /** `d_sample_weighted`: exact-k WEIGHTED sampling without
+    * replacement (Efraimidis & Spirakis 2006, the exponential-race
+    * form): each doc draws a hash-derived uniform u ∈ (0, 1) and
+    * races with key = −ln(u)/w — the k smallest keys ARE a weighted
+    * sample without replacement, here with w = the t_quality score,
+    * so high-quality docs win proportionally more seats.  The
+    * exact-k complement of d_dsir_sample's RATE-based selection
+    * (budgeted curation pulls "the best 64", not "about 6%").
+    *
+    * Determinism/oracle: u = (md5-52-bit + 1)/(2⁵² + 1) — an exact
+    * rational both engines compute identically (the t_fingerprint
+    * hash-parse pattern); ln through the engine-wide 9-dp license;
+    * w is the 4-dp-rounded shared quality expression; ties break on
+    * doc_id.  ORACLED.
+    *
+    * 100 TB: keys are per-row scan math; the cut is top-k =
+    * TakeOrderedAndProject (per-partition heaps — no global sort,
+    * no window). */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val md5hex = md5(col("doc_id").cast("string").cast("binary"))
+    val u = (conv(substring(md5hex, 1, 13), 16, 10).cast("long") + 1).cast("double") /
+      lit((1L << 52).toDouble + 1.0)
+    val w = graft.operators.TextAnalysis.qualityScoreCol(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), w.as("weight"),
+        graft.functions.Exact.roundx(-log(u) / w, 9).as("race_key"))
+      .orderBy(col("race_key"), col("doc_id"))
+      .limit(k)
+  }
+
   def sampleStratified(spark: SparkSession, dir: String,
       rates: Map[String, Int] = Map("en" -> 400),
       defaultRate: Int = 1000): DataFrame =

@@ -267,4 +267,34 @@ class TrainPrepSpec extends GraftSpec {
     val again = TrainPrep.dsirSample(spark, Dir).collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("weighted sample: exponential-race keys match the driver mirror, deterministic") {
+    val r = TrainPrep.sampleWeighted(spark, Dir).collect()
+    assert(r.length == 64)
+    assert(r.map(_.getLong(0)).distinct.length == 64)
+    val keys = r.map(_.getDouble(2))
+    assert(keys.sliding(2).forall(p => p(0) <= p(1)), "race keys not ascending")
+    // recompute each key from the md5-52-bit uniform and the emitted
+    // weight — pins the hash parse, the rational u, and the formula
+    def r9(x: Double) = {
+      val v = math.abs(x) * 1e9; val fl = math.floor(v)
+      math.signum(x) * (if (v - fl >= 0.5) fl + 1 else fl) / 1e9
+    }
+    r.foreach { row =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / ((1L << 52).toDouble + 1.0)
+      val want = r9(-math.log(u) / row.getDouble(1))
+      assert(row.getDouble(2) == want,
+        s"doc ${row.getLong(0)}: key ${row.getDouble(2)} vs mirror $want")
+    }
+    // weights must influence the draw: winners' mean weight exceeds
+    // the corpus mean (quality-weighted race on a quality-spread corpus)
+    val corpusMean = graft.operators.TextAnalysis.quality(spark, Dir)
+      .agg(org.apache.spark.sql.functions.avg("quality_score")).head().getDouble(0)
+    val winnersMean = r.map(_.getDouble(1)).sum / r.length
+    assert(winnersMean > corpusMean,
+      s"winners mean $winnersMean not above corpus mean $corpusMean")
+  }
 }
