@@ -33,7 +33,11 @@ object Centrality {
   private val Damping = 0.85
   private val Iters = 8
 
-  /** `s_graph_centrality`: top-20 PageRank hubs of the 5-NN graph. */
+  /** `s_graph_centrality`: top-20 PageRank hubs of the 5-NN graph.
+    * Edge source here is the exact graph (the registered baseline);
+    * pageRank itself is source-agnostic — at 100 TB the edge frame
+    * comes from s_knn_graph_lsh's blocked build instead, same plan
+    * downstream. */
   def graphCentrality(spark: SparkSession, dir: String): DataFrame = {
     val edges = Knn.knnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))

@@ -127,4 +127,26 @@ class ExpressionPropertySpec extends GraftSpec {
       coverage && under && got.size <= k
     })
   }
+
+  test("CovMoments == quantize-then-multiply reference on random vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dims = 8
+    val expr = graft.functions.CovMoments(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), dims)
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-1.0f, 1.0f))
+    holds(forAll(vecGen) { xs =>
+      val got = expr.compute(new GenericArrayData(xs.toArray))
+      val q = xs.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      val want =
+        (for (i <- 0 until dims; j <- i until dims) yield (i, j, q(i) * q(j))) ++
+          (0 until dims).map(i => (i, -1, q(i))) :+ ((-1, -1, 1L))
+      val rows = (0 until got.numElements()).map { n =>
+        val r = got.getStruct(n, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+      rows == want
+    })
+  }
 }
