@@ -159,6 +159,9 @@ object SparkEntry {
     // path (spec: exactly-once, exact cosines, recall vs brute)
     "s_knn_graph" -> ((s: SparkSession, d: String) => Knn.knnGraph(s, d)),
     "s_knn_graph_lsh" -> ((s: SparkSession, d: String) => Knn.knnGraphLsh(s, d)),
+    // incremental maintenance: standing graph + one ×batch scored pass;
+    // base ∪ batch = the whole table ⇒ the s_knn_graph oracle verbatim
+    "s_knn_graph_refresh" -> ((s: SparkSession, d: String) => Knn.knnGraphRefresh(s, d)),
     "s_knn_graph_mutual" -> ((s: SparkSession, d: String) => Knn.knnGraphMutual(s, d)),
     // iterative (8 fixed rounds) — no oracle, the s_kmeans stance
     "s_graph_centrality" -> (graft.similarity.Centrality.graphCentrality _),
@@ -338,6 +341,16 @@ object SparkEntry {
     s"arr[CAST($lo+1 AS BIGINT)]*100 + " +
       s"(arr[CAST(least($lo+2, n_docs) AS BIGINT)] - arr[CAST($lo+1 AS BIGINT)])*($rem) AS $alias"
   }
+
+  // Shared by s_knn_graph (direct build) and s_knn_graph_refresh
+  // (incremental fold): the merge property makes them row-identical.
+  private val SKnnGraphSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+      |SELECT vec_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin
 
   // Shared by s_embed_cov (inline) and s_embed_cov_probe (warehouse):
   // associative integer moments make the two bit-equal by construction.
@@ -1099,13 +1112,11 @@ object SparkEntry {
         |FROM b JOIN c ON b.i = c.i""".stripMargin,
     // tie-stable on the 6-dp rounded cosine then neighbor id; the
     // LSH-blocked variant is deliberately no-oracle (bucket internals)
-    "s_knn_graph" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
-        |SELECT vec_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "s_knn_graph" -> SKnnGraphSql,
+    // the incremental fold must be indistinguishable from the direct
+    // build — the whole-table SQL verbatim (the s_embed_cov_probe /
+    // d_dedup_groups_incremental stance)
+    "s_knn_graph_refresh" -> SKnnGraphSql,
     // the graph SQL + a swapped self-join; cosine symmetric, either
     // side serves
     "s_knn_graph_mutual" ->

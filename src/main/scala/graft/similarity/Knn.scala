@@ -312,6 +312,12 @@ object Knn {
     val e = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    knnGraphOf(e, k)
+  }
+
+  /** Frame-level graph build over (vec_id, v, nrm) rows — shared by
+    * the registered query and the refresh path's standing build. */
+  private[graft] def knnGraphOf(e: DataFrame, k: Int): DataFrame = {
     val byA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
     e.select(col("vec_id"), col("v"), col("nrm"))
@@ -323,6 +329,57 @@ object Knn {
       .filter(col("rnk") <= k)
       .select(col("a_id").as("vec_id"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** `s_knn_graph_refresh`: INCREMENTAL graph maintenance — fold a
+    * batch of new vectors into the standing kNN graph WITHOUT
+    * rescoring standing×standing.  The merge property does the work:
+    * a standing vector's true top-k over base ∪ batch is contained in
+    * (its base top-k) ∪ (its scores against the batch) — a base
+    * vector pushed out of the full top-k was a fortiori in the base
+    * top-k, so merging the k standing edges with the |batch|
+    * candidate edges and re-ranking is EXACT.  Cost per refresh:
+    * ONE (base ∪ batch) × batch scored pass (the batch side
+    * broadcasts) + a per-vector re-rank over ≤ k + |batch| rows —
+    * never the corpus square; the standing graph comes from the
+    * index at rest (here the one-time base build behind a
+    * localCheckpoint pin).  New vectors take their top-k from the
+    * same scored pass (batch × everything).  base ∪ batch = the
+    * whole table, so the result holds s_knn_graph's full-table
+    * oracle VERBATIM (the s_embed_cov_probe pattern); KnnGraphSpec
+    * additionally pins row-set equality against the direct build. */
+  def knnGraphRefresh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // one per-row math pass feeds three consumers
+    val isBatch = pmod(col("vec_id"), lit(10L)) >= 8
+    val standing = knnGraphOf(e.filter(!isBatch), k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint() // the graph at rest
+    // ONE scored pass: every vector × the broadcast batch
+    val batch = e.filter(isBatch)
+    val scored = e
+      .crossJoin(broadcast(batch.select(col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bnrm"))))
+      .filter(col("vec_id") =!= col("b_id"))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")), 6))
+      .localCheckpoint() // feeds both directions below
+    // batch neighborhoods: per-batch-vector top-k over ALL partners
+    val newSide = scored.select(col("b_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), col("cos").as("cosine"))
+    // standing upgrades: standing edges ∪ standing-vs-batch candidates
+    val updSide = standing.union(
+      scored.filter(!(pmod(col("vec_id"), lit(10L)) >= 8))
+        .select(col("vec_id"), col("b_id").as("neighbor_id"), col("cos").as("cosine")))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    updSide.union(newSide)
+      .withColumn("rnk", row_number().over(byVec))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** `s_knn_graph_mutual`: the MUTUAL-kNN filter — keep an edge only

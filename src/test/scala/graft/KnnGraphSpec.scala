@@ -58,6 +58,18 @@ class KnnGraphSpec extends GraftSpec {
     assert(recall >= 0.15, s"mean graph recall $recall collapsed")
   }
 
+  test("incremental refresh equals the direct build, row for row") {
+    val inc = Knn.knnGraphRefresh(spark, Dir).collect().map(_.toSeq).toSet
+    val full = brute.map(_.toSeq).toSet
+    assert(inc == full, "incremental graph diverged from the direct build")
+    // the fold must actually change neighborhoods vs the base-only
+    // graph (otherwise the merge path went untested): some standing
+    // vector must have picked up a batch neighbor
+    val batchNeighbor = inc.exists(r =>
+      r(0).asInstanceOf[Long] % 10 < 8 && r(1).asInstanceOf[Long] % 10 >= 8)
+    assert(batchNeighbor, "no standing neighborhood was upgraded by the batch")
+  }
+
   test("mutual filter keeps exactly the reciprocated edges, canonical") {
     val mutual = Knn.knnGraphMutual(spark, Dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
