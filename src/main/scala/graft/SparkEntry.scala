@@ -142,6 +142,13 @@ object SparkEntry {
     // must be indistinguishable from the full recompute, so it holds
     // d_dedup_groups' oracle verbatim
     "d_dedup_groups_incremental" -> (Dedup.dedupGroupsIncremental _),
+    // the grouping story's SCALE PATH: the J-channel from MinHash-LSH-
+    // verified pairs (banded candidates, exact verify) instead of the
+    // AllPairs prefix join — registered INLINE so the bench row prices
+    // the edge-generation swap itself; labels provably equal the full
+    // recompute on this corpus (banding recall 1.0), so it holds
+    // d_dedup_groups' oracle verbatim
+    "d_dedup_groups_lsh" -> (Dedup.dedupGroupsLsh _),
     "d_neardup_cosine" -> (Dedup.cosinePairs _),
     "d_substring_overlap" -> ((s: SparkSession, d: String) => Dedup.substringOverlap(s, d)),
     "d_substring_spans" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -294,6 +301,22 @@ object SparkEntry {
       BigramLmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("bigram_lm_warehouse", d)(
           BigramLmWarehouse.materialize(s, d, _)))),
+    // the bigram LM's maintenance loop end-to-end (the
+    // s_bm25_probe_compacted / t_perplexity_probe_compacted pairing):
+    // ingest 7/10 of the base, fold the last base slice in by refresh,
+    // COMPACT both delta tables, then probe — index content equals the
+    // plain base build, so the probe holds t_perplexity_bigram_probe's
+    // oracle verbatim
+    "t_perplexity_bigram_probe_compacted" -> ((s: SparkSession, d: String) =>
+      BigramLmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bigram_lm_compacted", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          BigramLmWarehouse.materializeFrom(
+            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+          BigramLmWarehouse.refresh(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+          BigramLmWarehouse.compact(s, p)
+        })),
     "t_perplexity_probe" -> ((s: SparkSession, d: String) =>
       LmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("lm_warehouse", d)(
@@ -368,17 +391,26 @@ object SparkEntry {
 
   // Hoisted oracle bodies reused by the d_corpus_funnel composition —
   // one definition, so funnel gates and per-signal queries can't drift.
-  private val TQualitySql =
-    """WITH x AS (SELECT doc_id,
+  // The (nw, sw) sub-select and the 4-dp weight expression are hoisted
+  // one level further: d_sample_weighted races on the SAME quality
+  // weight, so a change to TextAnalysis.qualityScoreCol's mirror must
+  // hit both oracles through one constant or not at all.
+  private val TQualityNwSwSql =
+    """SELECT doc_id,
       |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-      |CAST(length(text) AS DOUBLE) AS nc,
-      |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
-      |  - CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS np,
       |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
-      |FROM documents)
+      |FROM documents""".stripMargin
+  private val TQualityScoreExpr =
+    "round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4)"
+  private val TQualitySql =
+    s"""WITH x AS (SELECT q.doc_id AS doc_id, q.nw AS nw, q.sw AS sw,
+      |CAST(length(d.text) AS DOUBLE) AS nc,
+      |CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+      |  - CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS np
+      |FROM ($TQualityNwSwSql) q JOIN documents d ON q.doc_id = d.doc_id)
       |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(nc / nw, 4) AS avg_word_len,
       |np AS n_punct, round(sw / nw, 4) AS stopword_ratio,
-      |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS quality_score FROM x""".stripMargin
+      |$TQualityScoreExpr AS quality_score FROM x""".stripMargin
   private val TLangidSql =
     """WITH h AS (SELECT doc_id,
       |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS en_hits,
@@ -446,6 +478,36 @@ object SparkEntry {
       |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
       |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
       |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin
+  // one SQL body for BOTH the refreshed and the refreshed+compacted
+  // bigram-LM probes (the SBm25ProbeSql pairing): compaction merges
+  // delta rows under integer sums, so the compacted index is held to
+  // the identical answer
+  private val TPerplexityBigramProbeSql =
+    """WITH tk AS (SELECT doc_id,
+      |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000),
+      |bt AS (SELECT doc_id,
+      |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 < 8),
+      |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bt GROUP BY 1),
+      |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
+      |FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+      |st AS (SELECT (SELECT count(*) FROM bt) + (SELECT count(DISTINCT w) FROM bt) + 1 AS denom),
+      |sc AS (SELECT t.doc_id,
+      |CASE WHEN p.w IS NULL THEN round(-ln((coalesce(u.c1, 0) + 1.0) / st.denom), 9)
+      |WHEN b2.c2 IS NOT NULL THEN round(-ln(CAST(b2.c2 AS DOUBLE) / up.c1), 9)
+      |ELSE round(-ln(0.4 * (coalesce(u.c1, 0) + 1.0) / st.denom), 9) END AS nll_tok,
+      |CASE WHEN b2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |FROM tk t CROSS JOIN st
+      |LEFT JOIN tk p ON t.doc_id = p.doc_id AND p.pos = t.pos - 1
+      |LEFT JOIN c1 u ON t.w = u.w
+      |LEFT JOIN c1 up ON p.w = up.w
+      |LEFT JOIN c2 b2 ON p.w = b2.pw AND t.w = b2.w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |CAST(sum(hit) AS BIGINT) AS bigram_hits,
+      |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
+      |FROM sc GROUP BY 1""".stripMargin
+
   private val TPerplexityProbeSql =
     """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 < 8),
       |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
@@ -1061,6 +1123,12 @@ object SparkEntry {
     // same oracle, same hash gate
     "d_dedup_groups_incremental" ->
       DDedupGroupsSql,
+    // the LSH-edge scale path: both J-channels verify EXACTLY at
+    // J >= 0.8 and banding recall is 1.0 on this corpus (the
+    // minhashVerified oracle argument), so the edge set — and hence
+    // the labels — equal the full recompute's; same oracle, same gate
+    "d_dedup_groups_lsh" ->
+      DDedupGroupsSql,
     // composes the hoisted CC body: split rides the GROUP's canonical
     // content hash, same 80/10/10 bucket rule as d_sample_split
     "d_split_leakage_safe" ->
@@ -1191,18 +1259,20 @@ object SparkEntry {
       DSampleStratifiedSql,
     // exponential race: u is an exact rational from the md5-52-bit
     // parse (the t_fingerprint pattern), ln 9-dp-licensed, weight the
-    // shared 4-dp quality expression, ties on doc_id
+    // HOISTED 4-dp quality expression (TQualityScoreExpr — shared with
+    // TQualitySql so the two oracles can't desynchronize), ties on
+    // doc_id.  NULLS LAST pins the engine-divergent NULL sort default
+    // (DuckDB: last; Spark ASC: first) — mirrored by asc_nulls_last in
+    // TrainPrep.sampleWeighted so a degenerate null/empty text can
+    // never flip the top-k boundary between engines.
     "d_sample_weighted" ->
-      """WITH x AS (SELECT doc_id,
-        |CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-        |CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS sw
-        |FROM documents),
+      s"""WITH x AS ($TQualityNwSwSql),
         |r AS (SELECT doc_id,
-        |round(least(nw / 100.0, 1.0) * (0.5 + 0.5 * (sw / nw)), 4) AS weight,
+        |$TQualityScoreExpr AS weight,
         |(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1) / 4503599627370497.0 AS u
         |FROM x)
         |SELECT doc_id, weight, round(-ln(u) / weight, 9) AS race_key
-        |FROM r ORDER BY race_key, doc_id LIMIT 64""".stripMargin,
+        |FROM r ORDER BY race_key NULLS LAST, doc_id LIMIT 64""".stripMargin,
     // λ's ratio is a quotient of quotients of exact integers (no
     // product form — nothing to overflow), ln through the s_bm25
     // 9-dp + DECIMAL route; ordering/cut compare the 6-dp round
@@ -1384,30 +1454,13 @@ object SparkEntry {
     // under the OPEN-vocab convention (nb + v + 1, base-split v) with
     // the probe's batch bound mirrored
     "t_perplexity_bigram_probe" ->
-      """WITH tk AS (SELECT doc_id,
-        |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
-        |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000),
-        |bt AS (SELECT doc_id,
-        |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
-        |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 < 8),
-        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bt GROUP BY 1),
-        |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
-        |FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
-        |st AS (SELECT (SELECT count(*) FROM bt) + (SELECT count(DISTINCT w) FROM bt) + 1 AS denom),
-        |sc AS (SELECT t.doc_id,
-        |CASE WHEN p.w IS NULL THEN round(-ln((coalesce(u.c1, 0) + 1.0) / st.denom), 9)
-        |WHEN b2.c2 IS NOT NULL THEN round(-ln(CAST(b2.c2 AS DOUBLE) / up.c1), 9)
-        |ELSE round(-ln(0.4 * (coalesce(u.c1, 0) + 1.0) / st.denom), 9) END AS nll_tok,
-        |CASE WHEN b2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |FROM tk t CROSS JOIN st
-        |LEFT JOIN tk p ON t.doc_id = p.doc_id AND p.pos = t.pos - 1
-        |LEFT JOIN c1 u ON t.w = u.w
-        |LEFT JOIN c1 up ON p.w = up.w
-        |LEFT JOIN c2 b2 ON p.w = b2.pw AND t.w = b2.w)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |CAST(sum(hit) AS BIGINT) AS bigram_hits,
-        |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
-        |FROM sc GROUP BY 1""".stripMargin,
+      TPerplexityBigramProbeSql,
+    // same merged-deltas argument as s_bm25_probe_compacted /
+    // t_perplexity_probe_compacted: compaction merges (w) and (pw, w)
+    // delta rows without changing any integer sum, so the compacted
+    // index answers the identical SQL
+    "t_perplexity_bigram_probe_compacted" ->
+      TPerplexityBigramProbeSql,
     // the LM at rest: OPEN-vocab smoothing over v+1 classes (v = BASE
     // vocab + shared UNK — an index cannot know future probes'
     // vocabularies), base/incoming split + batch bound mirrored

@@ -89,7 +89,19 @@ object BigramLmWarehouse {
 
   /** REFRESH — append the batch's unigram/bigram deltas, bump (nb, v).
     * O(batch): the new-term count anti-joins the batch vocabulary
-    * against the standing c1 restricted to the batch's own buckets. */
+    * against the standing c1 restricted to the batch's own buckets.
+    *
+    * Durability contract: the stats overwrite goes through a
+    * write-to-temp + rename swap (`writeStatsAtomic`), so a crash can
+    * never leave the stats row ABSENT or partially written — the old
+    * row stays readable until the new one replaces it in a metadata
+    * rename.  Cross-TABLE atomicity (appended counts visible before
+    * the swapped stats) would need a transactional table format, which
+    * this environment does not ship (287 jars, no Delta/Iceberg/Hudi —
+    * the parquetUpsertSink stance); the refresh contract is therefore
+    * SINGLE-WRITER with no concurrent probe mid-refresh, the same
+    * assumption every non-stats warehouse in this family already
+    * makes implicitly for its multi-file appends. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val tk = toks(batch).localCheckpoint()
     val (c1, c2) = counts(tk)
@@ -106,10 +118,28 @@ object BigramLmWarehouse {
       .write.mode("append").partitionBy("wb").parquet(c1Path(path))
     c2.withColumn("pwb", bucket(col("pw")))
       .write.mode("append").partitionBy("pwb").parquet(c2Path(path))
-    spark.range(1)
-      .select(lit(st.getLong(0) + batchTokens).as("nb"),
-        lit(st.getLong(1) + newTerms).as("v"))
-      .write.mode("overwrite").parquet(statsPath(path))
+    writeStatsAtomic(spark, path,
+      st.getLong(0) + batchTokens, st.getLong(1) + newTerms)
+  }
+
+  /** Swap-in stats write: the new (nb, v) row lands in a sibling temp
+    * directory first, then replaces the live one via filesystem
+    * renames — the stats row is never absent or torn mid-overwrite
+    * (a plain `mode("overwrite")` deletes before it writes, so a
+    * crash there would leave NO stats and every probe failing). */
+  private def writeStatsAtomic(spark: SparkSession, path: String,
+      nb: Long, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stats = new Path(statsPath(path))
+    val next = new Path(statsPath(path) + ".next")
+    val old = new Path(statsPath(path) + ".old")
+    spark.range(1).select(lit(nb).as("nb"), lit(v).as("v"))
+      .write.mode("overwrite").parquet(next.toString)
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(stats)) fs.rename(stats, old)
+    fs.rename(next, stats)
+    fs.delete(old, true)
   }
 
   /** COMPACT — merge both delta tables to one row per key; stats are

@@ -115,10 +115,17 @@ object TrainPrep {
     val u = (conv(substring(md5hex, 1, 13), 16, 10).cast("long") + 1).cast("double") /
       lit((1L << 52).toDouble + 1.0)
     val w = graft.operators.TextAnalysis.qualityScoreCol(col("text"))
+    // asc_nulls_last (mirrored by NULLS LAST in the oracle): a null
+    // text yields null weight/race_key, and Spark's ASC default puts
+    // NULLs FIRST while DuckDB's puts them LAST — left unpinned, the
+    // two engines would select different top-k sets on degenerate
+    // rows.  Pinning the sort (rather than filtering) keeps the row
+    // semantics total: degenerate docs lose the race instead of
+    // silently disappearing.
     Tables(spark, dir).documents
       .select(col("doc_id"), w.as("weight"),
         graft.functions.Exact.roundx(-log(u) / w, 9).as("race_key"))
-      .orderBy(col("race_key"), col("doc_id"))
+      .orderBy(col("race_key").asc_nulls_last, col("doc_id"))
       .limit(k)
   }
 

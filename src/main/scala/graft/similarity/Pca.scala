@@ -22,9 +22,12 @@ import graft.sources.Tables
   *    deterministic Jacobi on the driver; the DATA pass is the
   *    covariance aggregation above.
   *  - `s_knn_pca`: brute KNN behind a PCA shortlist — project to the
-  *    top R=8 components (a contraction, so projected L2 distance
-  *    lower-bounds true L2 distance), take the C=50 nearest in the
-  *    reduced space, re-rank those exactly.  The third ANN family
+  *    top `R` components (a contraction, so projected L2 distance
+  *    lower-bounds true L2 distance), take the `Shortlist` nearest in
+  *    the reduced space, re-rank those exactly.  (The constants'
+  *    values and the measured recall ladder live on their definitions
+  *    below — the doc stays parameter-agnostic so it can't drift.)
+  *    The third ANN family
   *    (alongside LSH buckets and IVF/PQ): dimension reduction rather
   *    than space partitioning or code compression.
   *
@@ -209,7 +212,8 @@ object Pca {
     * Recall is heuristic, not bounded: the projection contracts L2
     * (‖P(a−b)‖ ≤ ‖a−b‖) but the final metric is cosine, and on a
     * random corpus (no low-rank structure — PCA's worst case, the PQ
-    * caveat verbatim) the 8-dim shortlist misses; recall@10 rides the
+    * caveat verbatim) an R-dim shortlist misses some true neighbors
+    * (the measured ladder on `R`'s definition); recall@10 rides the
     * BENCH `ann` key like every other approximate path. */
   def knnPca(spark: SparkSession, dir: String): DataFrame =
     knnPcaWith(spark, dir, R, Shortlist)

@@ -1,0 +1,51 @@
+package graft
+
+/** The shared dup-pair edge warehouse and the LSH-edge grouping path.
+  *
+  *  - warehouse-served edges must be BIT-FOR-BIT the inline
+  *    `nearDupEdges` set (the d_dedup_groups / _incremental /
+  *    d_split_leakage_safe contract: sharing one materialization must
+  *    be invisible to every consumer);
+  *  - `dedupGroupsLsh` (exact ∪ minhashVerified ∪ ed edges) must
+  *    produce exactly `dedupGroups`' labels on this corpus — the
+  *    banding-recall-1.0 argument that licenses its shared oracle.
+  */
+class EdgeWarehouseSpec extends GraftSpec {
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+
+  test("warehouse-served edges equal inline nearDupEdges bit-for-bit") {
+    val docs = sources.Tables(spark, Dir).documents
+    val inline = edgeSet(dedup.Dedup.nearDupEdges(docs))
+    val atRest = dedup.EdgeWarehouse.edges(spark, Dir)
+    val rest = edgeSet(atRest)
+    assert(rest == inline,
+      s"extra=${rest -- inline} missing=${inline -- rest}")
+    // distinct() upstream means set equality implies row equality,
+    // but pin the row count too — an at-rest duplicate would silently
+    // double CC edge weight (harmless for min-label, wrong at rest)
+    assert(atRest.count() == inline.size)
+  }
+
+  test("LSH-edge grouping labels equal the exact recompute row-for-row") {
+    val exact = dedup.Dedup.dedupGroups(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"), r.getAs[Long]("group_size")))
+      .toSet
+    val lsh = dedup.Dedup.dedupGroupsLsh(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"), r.getAs[Long]("group_size")))
+      .toSet
+    assert(lsh == exact,
+      s"label diff: lshOnly=${(lsh -- exact).take(5)} exactOnly=${(exact -- lsh).take(5)}")
+  }
+
+  test("the LSH edge set itself matches the exact tri-channel set on this corpus") {
+    // stronger than label equality: banding recall 1.0 here means the
+    // EDGES agree, not just the components they induce
+    val docs = sources.Tables(spark, Dir).documents
+    val exact = edgeSet(dedup.Dedup.nearDupEdges(docs))
+    val lsh = edgeSet(dedup.Dedup.nearDupEdgesLsh(docs))
+    assert(lsh == exact,
+      s"extra=${(lsh -- exact).take(5)} missing=${(exact -- lsh).take(5)}")
+  }
+}
