@@ -354,12 +354,26 @@ object Knn {
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint() // one per-row math pass feeds three consumers
     val isBatch = pmod(col("vec_id"), lit(10L)) >= 8
-    val standing = knnGraphOf(e.filter(!isBatch), k)
+    val e0 = e.filter(!isBatch)
+    val standing = knnGraphOf(e0, k)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
       .localCheckpoint() // the graph at rest
-    // ONE scored pass: every vector × the broadcast batch
-    val batch = e.filter(isBatch)
-    val scored = e
+    foldGraphBatch(e0, standing, e.filter(isBatch), k)
+  }
+
+  /** ONE merge-property fold step, shared by the batch refresh above
+    * and the streaming twin (StreamingKnnGraph): given standing
+    * vectors `e0` (vec_id, v, nrm), their standing graph `g0`
+    * (vec_id, neighbor_id, cosine), and a `batch` of new vectors,
+    * return the EXACT top-k graph over e0 ∪ batch.  One
+    * (e0 ∪ batch) × broadcast-batch scored pass feeds both the new
+    * vectors' neighborhoods and the standing upgrades; the final
+    * re-rank window sees ≤ k + |batch| rows per vector. */
+  private[graft] def foldGraphBatch(e0: DataFrame, g0: DataFrame,
+      batch: DataFrame, k: Int): DataFrame = {
+    val all = e0.withColumn("is_new", lit(false))
+      .union(batch.withColumn("is_new", lit(true)))
+    val scored = all
       .crossJoin(broadcast(batch.select(col("vec_id").as("b_id"),
         col("v").as("bv"), col("nrm").as("bnrm"))))
       .filter(col("vec_id") =!= col("b_id"))
@@ -370,8 +384,8 @@ object Knn {
     val newSide = scored.select(col("b_id").as("vec_id"),
       col("vec_id").as("neighbor_id"), col("cos").as("cosine"))
     // standing upgrades: standing edges ∪ standing-vs-batch candidates
-    val updSide = standing.union(
-      scored.filter(!(pmod(col("vec_id"), lit(10L)) >= 8))
+    val updSide = g0.union(
+      scored.filter(!col("is_new"))
         .select(col("vec_id"), col("b_id").as("neighbor_id"), col("cos").as("cosine")))
     val byVec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
@@ -442,6 +456,12 @@ object Knn {
         col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Prep a raw (vec_id, embedding) frame into the (vec_id, v, nrm)
+    * shape the graph fold consumes. */
+  private[graft] def graphVecs(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
   private def lshAnnProbed(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val NPlanes = 4
     val t = Tables(spark, dir)
@@ -465,4 +485,51 @@ object Knn {
       .limit(10)
       .select(col("vec_id"), col("cos").as("cosine"), col("bucket"))
   }
+}
+
+/** STREAMING twin of `Knn.knnGraphRefresh` — the kNN graph maintained
+  * ONLINE as vectors arrive, the last warehouse-family member to gain
+  * a streaming form (BM25/LM/MinHash/moments already have foreachBatch
+  * twins).  The merge property is BATCHING-INVARIANT: folding a set of
+  * new vectors in any micro-batch split produces the same top-k graph
+  * — a vector's true top-k over base ∪ b₁ ∪ b₂ is contained in
+  * (top-k over base ∪ b₁) ∪ (its b₂ scores) by the same a-fortiori
+  * argument that makes one fold exact — so the stream's final graph
+  * equals the one-shot batch refresh row for row (KnnGraphSpec drives
+  * a two-micro-batch MemoryStream and pins exactly that, plus
+  * split-invariance).
+  *
+  * State = the standing vectors + the standing graph, held as
+  * localCheckpoint-pinned frames (the graph "at rest"; a production
+  * deployment writes them to the warehouse path per fold — the
+  * parquetUpsertSink stance).  Each micro-batch pays ONE
+  * (standing ∪ batch) × broadcast-batch scored pass — O(|corpus|·|batch|)
+  * work per batch, never a standing×standing rescore; state grows
+  * only by the arriving vectors themselves. */
+final class StreamingKnnGraph(initialVecs: DataFrame, k: Int = 5) {
+  private var vecs = initialVecs.localCheckpoint()
+  private var graph = Knn.knnGraphOf(vecs, k)
+    .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+    .localCheckpoint()
+
+  /** The current graph (vec_id, neighbor_id, cosine, rnk). */
+  def snapshot: DataFrame = synchronized(graph)
+
+  /** Fold one batch of (vec_id, v, nrm) rows into the standing state. */
+  private[graft] def fold(batch: DataFrame): Unit = synchronized {
+    val b = batch.localCheckpoint()
+    graph = Knn.foldGraphBatch(vecs,
+      graph.select(col("vec_id"), col("neighbor_id"), col("cosine")), b, k)
+      .localCheckpoint()
+    vecs = vecs.union(b).localCheckpoint()
+  }
+
+  /** Attach to a (vec_id, embedding) vector stream; every micro-batch
+    * folds in via the merge property. */
+  def start(raw: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) fold(Knn.graphVecs(batch))
+      }
+      .start()
 }

@@ -70,6 +70,34 @@ class KnnGraphSpec extends GraftSpec {
     assert(batchNeighbor, "no standing neighborhood was upgraded by the batch")
   }
 
+  test("streaming graph refresh: two micro-batches equal the one-shot fold row for row") {
+    // the merge property is batching-invariant: the 20% incoming split
+    // arrives as TWO micro-batches here but ONE fold in
+    // knnGraphRefresh — the final graphs must still agree exactly
+    // (which also transitively pins the streamed graph to the direct
+    // build via the refresh-equality test above)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val raw = s.read.parquet(s"$Dir/embeddings.parquet")
+    val g = new graft.similarity.StreamingKnnGraph(
+      Knn.graphVecs(raw.filter(col("vec_id") % 10 < 8)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val query = g.start(stream.toDF().toDF("vec_id", "embedding"))
+    try {
+      def batch(m: Int) = raw.filter(col("vec_id") % 10 === m).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      stream.addData(batch(8))
+      query.processAllAvailable()
+      stream.addData(batch(9))
+      query.processAllAvailable()
+      val streamed = g.snapshot.collect().map(_.toSeq).toSet
+      val oneFold = Knn.knnGraphRefresh(spark, Dir).collect().map(_.toSeq).toSet
+      assert(streamed == oneFold,
+        "streamed graph diverged from the one-fold batch refresh")
+    } finally query.stop()
+  }
+
   test("mutual filter keeps exactly the reciprocated edges, canonical") {
     val mutual = Knn.knnGraphMutual(spark, Dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
