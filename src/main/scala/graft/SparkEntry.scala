@@ -250,6 +250,13 @@ object SparkEntry {
       graft.similarity.PcaWarehouse.annProbe(s, d,
         graft.similarity.PcaWarehouse.builtAnnPath(s, d))),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
+    // SemDeDup AT REST: the incoming batch assigns to the IVF
+    // warehouse's frozen centroids and sweeps ONLY the cid partitions
+    // it lands in (listFiles-asserted pruning).  No oracle — trained
+    // coarse quantizer (the s_knn_ivf stance); spec pins probe ==
+    // inline sweep under the same frozen codebook
+    "d_semdedup_probe" -> ((s: SparkSession, d: String) =>
+      SemDedup.semDedupProbe(s, d, SemDedup.ivfPath(s, d))),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
     // training-data preparation (chunking, split, shards, scrub)
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),

@@ -44,6 +44,12 @@ object IvfWarehouse {
 
   private def centroidsPath(path: String): String = s"$path.centroids"
 
+  /** The frozen coarse codebook at rest — shared with the SemDeDup
+    * probe (cluster-pruned sweeps assign against exactly the centroids
+    * that produced the standing posting lists). */
+  private[graft] def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
   /** Probe: rank centroids against the query vector, then top-k exact
     * cosine over ONLY the nprobe nearest posting lists.  Selecting the
     * lists is driver-side METADATA work (bounded by K centroids, like

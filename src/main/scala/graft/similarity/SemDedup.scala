@@ -58,4 +58,104 @@ object SemDedup {
       .select(col("vec_id"), col("cid"),
         when(col("dropped").isNull, 1L).otherwise(0L).as("kept"))
   }
+
+  /** `d_semdedup_probe`: SemDeDup AT REST — the incoming crawl batch
+    * swept against the IVF warehouse's FROZEN coarse centroids and
+    * standing posting lists, the production shape the inline query's
+    * per-run k-means re-train stands in for: clusters are trained at
+    * ingest (IvfWarehouse stores the codebook; refresh assigns with it
+    * — FAISS's add-with-frozen-coarse-quantizer contract), and a sweep
+    * over a batch reads ONLY the cid partitions the batch lands in.
+    *
+    * Plan: the batch assigns to the frozen centroids (broadcast
+    * argmin — Knn.assignTo, bit-identical to the assignment that
+    * produced the lists); its distinct cids become a literal `isin`
+    * predicate, so the posting-list scan PRUNES partitions
+    * (SemDedupSpec listFiles-asserts ≤ |batch cids| of K); the pair
+    * stage joins (standing ∪ batch) × batch ON cid — never corpus ×
+    * corpus, and never a list the batch doesn't touch.  Survivor rule
+    * unchanged (min-id): an incoming vector is kept iff NO lower-id
+    * same-cluster vector — standing or incoming — sits at cosine ≥
+    * tau.  Output = (vec_id, cid, kept) for the batch only.
+    *
+    * NO oracle (trained coarse quantizer — the s_knn_ivf stance);
+    * SemDedupSpec pins probe == `semDedupWithCentroids` (the inline
+    * full-corpus sweep under the SAME frozen codebook) restricted to
+    * the batch, plus the partition pruning.
+    *
+    * 100 TB: per crawl batch this reads |batch cids|/K of the index
+    * and scores Σ|touched list| × |batch-in-list| pairs; within-list
+    * growth composes with the cosinePairs banding (band WITHIN cid)
+    * exactly as the inline query's Scaladoc describes. */
+  def semDedupProbe(spark: SparkSession, dir: String, path: String,
+      tau: Double = 0.4): DataFrame = {
+    val incoming = Tables(spark, dir).embeddings
+      .filter(pmod(col("vec_id"), lit(10L)) >= 8)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val assigned = Knn.assignTo(incoming, IvfWarehouse.centroids(spark, path))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // feeds cid list, pair side, and output rows
+    // driver-side METADATA (≤ K ints) — what builds the pruning literal
+    val batchCids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getAs[Int]("cid"))
+    val standing = standingLists(spark, path, batchCids)
+    keptFlags(
+      standing.unionByName(assigned.select(col("vec_id"), col("v"), col("cid"), col("nrm"))),
+      assigned, tau)
+  }
+
+  /** The pruned posting-list read (exposed so the spec can assert the
+    * pruned file listing on exactly the frame the probe scans). */
+  private[graft] def standingLists(spark: SparkSession, path: String,
+      cids: Array[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cid").isin(cids.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("v"), col("cid"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Inline parity baseline: the FULL corpus swept under a FROZEN
+    * codebook (assignment and cosine arithmetic exactly the probe's).
+    * Restricted to the batch ids, this must equal `semDedupProbe` row
+    * for row — every lower-id candidate of a batch vector shares its
+    * cid, and the probe's pool contains that cid's full membership. */
+  private[graft] def semDedupWithCentroids(e: DataFrame, cents: DataFrame,
+      tau: Double): DataFrame = {
+    val assigned = Knn.assignTo(e, cents)
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    keptFlags(assigned, assigned, tau)
+  }
+
+  /** The survivor sweep shared by the probe and its parity baseline:
+    * `targets` are flagged kept/dropped against lower-id same-cid
+    * neighbors drawn from `pool` (pool ⊇ targets).  Cosine is the
+    * engine-standard rounded dot/(‖a‖·‖b‖) — one arithmetic form on
+    * both paths, so parity is bit-exact. */
+  private def keptFlags(pool: DataFrame, targets: DataFrame,
+      tau: Double): DataFrame = {
+    val pairs = pool
+      .select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(targets.select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(roundx(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= tau)
+    val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    targets.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** The Materialized warehouse path the registered probe serves from:
+    * IVF layout over the BASE split (vec_id ≡ 0..7 mod 10 — the
+    * warehouse family's split), built once per JVM per source dir. */
+  def ivfPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("ivf_semdedup", dir) { p =>
+      IvfWarehouse.materializeFrom(
+        Tables(spark, dir).embeddings
+          .filter(pmod(col("vec_id"), lit(10L)) < 8)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+        p, k = 16)
+    }
 }

@@ -48,4 +48,50 @@ class SemDedupSpec extends GraftSpec {
     val b = SemDedup.semDedup(spark, Dir)
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("at-rest probe equals the inline sweep under the frozen codebook") {
+    val path = SemDedup.ivfPath(spark, Dir)
+    val probe = SemDedup.semDedupProbe(spark, Dir, path).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Long]("kept")))
+      .toSet
+    // parity baseline: the FULL corpus swept with the warehouse's own
+    // frozen centroids (same assignment, same cosine arithmetic),
+    // restricted to the incoming ids the probe reports
+    val e = graft.sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val inline = SemDedup.semDedupWithCentroids(e,
+        graft.similarity.IvfWarehouse.centroids(spark, path), 0.4)
+      .filter(col("vec_id") % 10 >= 8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Long]("kept")))
+      .toSet
+    assert(probe == inline,
+      s"probeOnly=${(probe -- inline).take(5)} inlineOnly=${(inline -- probe).take(5)}")
+    assert(probe.nonEmpty && probe.exists(_._3 == 0L),
+      "no incoming vector was dropped — the sweep path went unexercised")
+  }
+
+  test("the probe's posting-list scan prunes to exactly the batch's cid partitions") {
+    val path = SemDedup.ivfPath(spark, Dir)
+    val assigned = graft.similarity.Knn.assignTo(
+        graft.sources.Tables(spark, Dir).embeddings
+          .filter(col("vec_id") % 10 >= 8)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+        graft.similarity.IvfWarehouse.centroids(spark, path))
+    val batchCids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getAs[Int]("cid"))
+    val df = SemDedup.standingLists(spark, path, batchCids)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(allParts > 1, s"expected a cid-partitioned layout, got $allParts")
+    assert(pruned == batchCids.length && pruned <= allParts,
+      s"scan read $pruned of $allParts partitions for ${batchCids.length} batch cids")
+    // the pruning is only meaningful if a probe CAN skip lists: on a
+    // tiny batch the assertion below degrades gracefully (documented)
+    if (batchCids.length == allParts)
+      info("batch touches every list at this SF — pruning exercised structurally only")
+  }
 }
