@@ -77,8 +77,13 @@ object Bench {
     "s_embed_cov", "s_knn_pca", "s_embed_cov_probe", "t_perplexity_bigram",
     // round-7 time-series legs: one (date, etype) shuffle each, then
     // calendar×series metadata math — benched to keep the grid
-    // aggregation's cost visible
-    "q_ts_corr", "q_ts_window_search")
+    // aggregation's cost visible; q_ts_anomaly completes the trio
+    // (round-8: it was the only oracled operator not drift-tracked)
+    "q_ts_corr", "q_ts_window_search", "q_ts_anomaly",
+    // round-8: the grouping scale path — CC over exact + LSH-verified +
+    // ed edges (vs d_dedup_groups' exact AllPairs channel); benched so
+    // the exact-vs-banded cost gap is driver-visible round-over-round
+    "d_dedup_groups_lsh")
 
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners
@@ -111,6 +116,11 @@ object Bench {
     // only SUCCESSFUL runs are timed; a query that fails every round is
     // reported as -1, not as its (fast) failure duration
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // every successful run's wall ms, in round order — the detail-line
+    // drift decomposer: a stable min with inflated later rounds is host
+    // drift, not a plan change (so the next flat +25% uplift is
+    // attributable from data instead of re-reading every plan)
+    val runs = scala.collection.mutable.Map.empty[String, Vector[Long]]
     for (_ <- 1 to 3; name <- Headliners) {
       val t0 = System.nanoTime()
       val ok =
@@ -123,7 +133,10 @@ object Bench {
           false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      if (ok) times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+      if (ok) {
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+        runs(name) = runs.getOrElse(name, Vector.empty) :+ math.round(t * 1e3)
+      }
     }
     val results = Headliners.map(n => n -> times.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -167,7 +180,24 @@ object Bench {
     // greedy assembler keeps under DigestBudget bytes, dropping
     // optional sections (stress counts first, then ann) before it
     // would ever overflow.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","stress":$stress,"ann":$ann}"""
+    // DETAIL-ONLY drift decomposers (the digest stays byte-budgeted):
+    // all three per-run wall-ms per query, plus the process's JVM
+    // uptime and cumulative GC time — a broad flat uplift with stable
+    // per-query mins and a fat GC share is host/JVM noise; a moved min
+    // is a plan change
+    val runsMs = Headliners.map { n =>
+      "\"" + n + "\":" + runs.getOrElse(n, Vector.empty).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val jvm = {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.ManagementFactory
+      val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      val gcMs = gcs.map(_.getCollectionTime).filter(_ >= 0).sum
+      val gcN = gcs.map(_.getCollectionCount).filter(_ >= 0).sum
+      val up = ManagementFactory.getRuntimeMXBean.getUptime
+      s"""{"uptime_ms":$up,"gc_ms":$gcMs,"gc_count":$gcN}"""
+    }
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"stress":$stress,"ann":$ann}"""
     val digest = digestLine(results, total, failed, sfDir, stress, ann)
     spark.stop()
     println(detail)
@@ -177,9 +207,12 @@ object Bench {
 
   /** Driver tail window measured EXACTLY 2000 chars (BENCH_r06's
     * `tail` field), shared with the ~75-byte sbt success line and two
-    * newlines; 1800 leaves >120 bytes of margin while letting the full
-    * per-query map + ann + stress counts all ride at 50 headliners. */
-  private val DigestBudget = 1800
+    * newlines; the digest's head stays inside the window iff it is
+    * ≤ ~1920 B, so 1860 leaves ~60 bytes of margin while letting the
+    * full per-query map + ann + stress counts all ride at 58
+    * headliners (worst-case widths measured 1,848 B —
+    * BenchDigestSpec pins it). */
+  private val DigestBudget = 1860
 
   private[graft] def digestLine(results: Seq[(String, Double)], total: Double,
       failed: String, sfDir: String, stress: String, ann: String): String = {

@@ -111,6 +111,7 @@ object SparkEntry {
       TimeSeries.tsWindowSearch(s, d)),
     "q_ts_anomaly" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsAnomaly(s, d)),
+    "q_ts_seasonal" -> (TimeSeries.tsSeasonal _),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -348,7 +349,13 @@ object SparkEntry {
     // unigram-entropy repetition signal — the two published-filter
     // legs t_quality's composite score doesn't cover
     "t_gopher_rules" -> (TextAnalysis.gopherRules _),
+    // C4's line-shaped heuristics (Raffel et al. 2020 §2.2) — the
+    // published-filter sibling of the word-shaped Gopher gate
+    "t_c4_rules" -> (TextAnalysis.c4Rules _),
     "t_word_entropy" -> (TextAnalysis.wordEntropy _),
+    // per-source keyword report: top-k tf-idf terms per corpus slice
+    "t_tfidf_terms" -> ((s: SparkSession, d: String) =>
+      CorpusStats.tfidfTerms(s, d)),
     "t_fingerprint" -> (TextAnalysis.fingerprint _),
     "m_multimodal" -> (Multimodal.features _),
     "m_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -988,6 +995,21 @@ object SparkEntry {
          |round((v - mu) / sd, 6) AS z
          |FROM sd WHERE sd > 0
          |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin,
+    // dow index over the dense grid: DECIMAL-exact dow sums, then two
+    // IEEE multiplies + one divide on exactly-rounded inputs; DuckDB
+    // dayofweek is 0-based (Sunday=0) vs Spark's 1-based → +1
+    "q_ts_seasonal" ->
+      s"""WITH $TsGridSql,
+         |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+         |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
+         |FROM grid GROUP BY 1, 2),
+         |ov AS (SELECT event_type, sum(n_days) AS tot_days,
+         |round(${SUMX("sum_v")}, 3) AS tot_v FROM bd GROUP BY 1)
+         |SELECT bd.event_type, dow, n_days,
+         |round(sum_v / n_days, 6) AS dow_mean,
+         |CASE WHEN tot_v <> 0 THEN round((sum_v * tot_days) / (n_days * tot_v), 6)
+         |END AS seasonal_idx
+         |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // the t_chunk CTE + two windows over the chunk hash
@@ -1498,6 +1520,38 @@ object SparkEntry {
         |AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND alpha_frac >= 0.8
         |AND stop_hits >= 2 AS BIGINT) AS gopher_pass
         |FROM m""".stripMargin,
+    // C4 line-and-page heuristics — list_filter over chr(10) lines,
+    // page flags as 0/1 BIGINTs, ratio rounded before any consumer
+    "t_c4_rules" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
+        |m AS (SELECT doc_id,
+        |CAST(len(ls) AS BIGINT) AS n_lines,
+        |CAST(len(list_filter(ls, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"') AND len(string_split(l, ' ')) >= 5)) AS BIGINT) AS n_kept,
+        |CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+        |CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+        |CAST(contains(text, '{') AS BIGINT) AS has_brace
+        |FROM w)
+        |SELECT doc_id, n_lines, n_kept,
+        |round(CAST(n_kept AS DOUBLE) / n_lines, 4) AS kept_frac,
+        |n_sentences, has_lorem, has_brace,
+        |CAST(n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0 AND n_kept >= 1 AS BIGINT) AS c4_pass
+        |FROM m""".stripMargin,
+    // per-source tf-idf top-k: idf rounded BEFORE the score multiply
+    // (both engines see ln ∘ divide on identical inputs), rank a
+    // total order via the term tie-break
+    "t_tfidf_terms" ->
+      """WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf),
+        |sc AS (SELECT tf.source, tf.term, tf.tf, df.df,
+        |round(ln(CAST(n_sources AS DOUBLE) / df.df), 6) AS idf
+        |FROM tf JOIN df USING (term) CROSS JOIN s),
+        |rk AS (SELECT source, term, tf, df, idf, round(tf * idf, 6) AS score,
+        |CAST(row_number() OVER (PARTITION BY source ORDER BY round(tf * idf, 6) DESC, term) AS BIGINT) AS rank
+        |FROM sc)
+        |SELECT source, term, tf, df, idf, score, rank FROM rk WHERE rank <= 10""".stripMargin,
     "t_word_entropy" ->
       """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

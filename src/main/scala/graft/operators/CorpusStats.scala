@@ -56,6 +56,51 @@ object CorpusStats {
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("token"), col("h.est").as("est_count"))
 
+  /** Per-source top-k tf-idf terms — "what characterizes each slice
+    * of the corpus", the keyword-report leg of the profiling pass
+    * (and the classical cluster-labeling step once docs carry a
+    * group key; `source` is this corpus's standing one).
+    *
+    * tf = term occurrences within the source; df = number of DISTINCT
+    * sources containing the term; idf = ln(S/df) with S the source
+    * count.  Exactness: idf is one divide + ln + 6-dp roundx, the
+    * score one multiply + 6-dp roundx on already-rounded idf — both
+    * engines see identical IEEE sequences; rank = row_number over
+    * (score DESC, term ASC), a total order, so top-k is
+    * engine-stable.  ORACLED.
+    *
+    * Shape at 100 TB: one explode + (source, term) partial-aggregated
+    * shuffle (the word-count shape), a vocab-scale term-keyed df
+    * aggregation and join — NEVER corpus-scale after the first
+    * shuffle — S rides as a broadcast 1-row panel, and the per-source
+    * top-k compiles to WindowGroupLimit (per-partition heaps), not a
+    * global sort. */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    tfidfTermsOf(Tables(spark, dir).documents, k)
+
+  private[graft] def tfidfTermsOf(documents: DataFrame, k: Int): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // vocab-scale; feeds df, S, and the join
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSrc = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nSrc)) // 1-row panel
+      .withColumn("idf",
+        roundx(log(col("n_sources").cast("double") / col("df")), 6))
+      .withColumn("score", roundx(col("tf") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("idf"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** BPE merge-candidate scan — the inner step of byte-pair-encoding
     * tokenizer training (Sennrich et al. 2016: count all ADJACENT
     * symbol pairs, merge the most frequent, repeat): corpus-wide

@@ -125,6 +125,44 @@ object TextAnalysis {
       flags.reduce(_ && _).cast("long").as("gopher_pass"))
   }
 
+  /** C4-style quality rule flags (Raffel et al. 2020 §2.2: the
+    * line-and-page heuristics applied to Common Crawl before any
+    * dedup) — the LINE-shaped sibling of the word-shaped
+    * `gopherRules`: a line is retained iff it ends in terminal
+    * punctuation AND has ≥ 5 words; a page passes iff it has ≥ 3
+    * sentences, at least one retained line, no "lorem ipsum", and no
+    * curly brace (the code-page signal).  Same execution contract as
+    * gopherRules: single-pass HOF column math, codegen'd, zero
+    * shuffle — scan-speed at 100 TB; the ratio is roundx'd to 4
+    * before any consumer thresholds it.  ORACLED. */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOf(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the spec entry
+    * point. */
+  def c4RulesOf(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && size(split(l, " ")) >= 5)
+    val nLines = size(lines).cast("long")
+    val nKept = size(kept).cast("long")
+    val nSent = size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+      .cast("long")
+    val hasLorem = lower(col("text")).contains("lorem ipsum").cast("long")
+    val hasBrace = col("text").contains("{").cast("long")
+    documents.select(
+      col("doc_id"),
+      nLines.as("n_lines"),
+      nKept.as("n_kept"),
+      roundx(nKept.cast("double") / nLines, 4).as("kept_frac"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= 3 && hasLorem === 0 && hasBrace === 0 && nKept >= 1)
+        .cast("long").as("c4_pass"))
+  }
+
   /** Per-document unigram word entropy in NATS — the information-
     * theoretic repetition signal (a boilerplate page repeating one
     * phrase scores near 0; natural prose scores near ln of its

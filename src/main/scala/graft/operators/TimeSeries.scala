@@ -134,6 +134,39 @@ object TimeSeries {
       .limit(k)
   }
 
+  /** `q_ts_seasonal`: day-of-week seasonal decomposition of every
+    * daily-volume series — the seasonal index (dow mean over series
+    * mean) that turns q_ts_anomaly's flat trailing baseline into a
+    * weekday-aware one, and the classical first step of an STL-style
+    * decomposition.  Starts from the same dense grid as the other
+    * three ts operators (one corpus-scale (date, event_type) shuffle;
+    * everything after is calendar×series metadata): dow sums are
+    * DECIMAL-exact over the 3-dp grid values, and the index is two
+    * IEEE multiplies + one divide on exactly-rounded inputs
+    * ((Σ_dow · days_total) / (days_dow · Σ_total)), so both engines
+    * see the identical float sequence.  An all-zero series yields
+    * NULL indexes (no engine-divergent 0/0).  ORACLED. */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
+    tsSeasonalOf(Tables(spark, dir).events)
+
+  private[graft] def tsSeasonalOf(events: DataFrame): DataFrame = {
+    // Spark dayofweek: 1=Sunday..7=Saturday (the oracle mirrors
+    // DuckDB's 0-based dayofweek with +1)
+    val byDow = dailyGrid(events)
+      .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
+      .localCheckpoint() // metadata-scale (series × 7); feeds both legs
+    val overall = byDow.groupBy(col("event_type"))
+      .agg(sum(col("n_days")).as("tot_days"),
+        roundx(sumx(col("sum_v")), 3).as("tot_v"))
+    byDow.join(overall, Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        roundx(col("sum_v") / col("n_days"), 6).as("dow_mean"),
+        when(col("tot_v") =!= 0.0,
+          roundx((col("sum_v") * col("tot_days")) /
+            (col("n_days") * col("tot_v")), 6)).as("seasonal_idx"))
+  }
+
   private[graft] def tsWindowSearchOf(events: DataFrame,
       w: Int = 7, k: Int = 10): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * 2,241-byte single line came back head-truncated → parsed null),
   * shared with the ~75-byte sbt success line.  These tests pin the
   * digest-line contract: all current headliners at worst-case widths
-  * must fit the 1800-byte budget WITH the ann and stress-count
+  * must fit the 1860-byte budget WITH the ann and stress-count
   * sections riding, the greedy assembler must drop optional sections
   * rather than overflow, and the stress counts extractor must keep
   * exactly the integer fields. */
@@ -44,11 +44,11 @@ class BenchDigestSpec extends AnyFunSuite {
     val results = Bench.headlinerNames.map(n => n -> 99.99)
     val line = Bench.digestLine(results, 4699.953, "[]",
       "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1800, s"digest ${line.length}B over budget")
+    assert(line.length <= 1860, s"digest ${line.length}B over budget")
     Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
-    // at the 1800 budget both optional sections must ride even at
+    // at the 1860 budget both optional sections must ride even at
     // worst-case query widths — the driver should see ann + stress
     // counts as parsed data every round
     assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
@@ -60,7 +60,7 @@ class BenchDigestSpec extends AnyFunSuite {
     // is replaced by a count and the line still fits and closes
     val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
     val line = Bench.digestLine(many, 74.04, "[]", "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1800)
+    assert(line.length <= 1860)
     assert(line.contains("\"queries_n\":60") && line.endsWith("}"))
   }
 

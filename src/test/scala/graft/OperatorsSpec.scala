@@ -208,6 +208,57 @@ class OperatorsSpec extends GraftSpec {
     assert(m(4L).getAs[Double]("bullet_frac") == 1.0 && m(4L).getAs[Long]("gopher_pass") == 0L)
   }
 
+  test("c4 rules: line retention, sentence gate, lorem/brace flags on constructed docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 3 lines, each ending '.', each 5 words, 3 sentences → passes
+      (1L, "this is a good line.\nhere is another fine line.\nand a third sentence line."),
+      // case-insensitive lorem match → fails on the page flag alone
+      (2L, "Lorem Ipsum dolor sit amet line.\nmore filler text in this line.\nthird sentence to clear gates."),
+      // code page: curly brace
+      (3L, "function f() { return 1; }\nthis doc looks like code overall.\nyes it does truly now then."),
+      // < 3 sentences
+      (4L, "only one sentence here friend."),
+      // 3 sentences but NO retained line (one unterminated, one short)
+      (5L, "no terminal punctuation on this line what. so. ever\nshort line.")
+    ).toDF("doc_id", "text")
+    val m = operators.TextAnalysis.c4RulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("c4_pass") == 1L, s"good doc failed: ${m(1L)}")
+    assert(m(1L).getAs[Long]("n_lines") == 3 && m(1L).getAs[Long]("n_kept") == 3 &&
+      m(1L).getAs[Double]("kept_frac") == 1.0 && m(1L).getAs[Long]("n_sentences") == 3)
+    assert(m(2L).getAs[Long]("has_lorem") == 1L && m(2L).getAs[Long]("c4_pass") == 0L)
+    assert(m(3L).getAs[Long]("has_brace") == 1L && m(3L).getAs[Long]("c4_pass") == 0L)
+    assert(m(4L).getAs[Long]("n_sentences") == 1L && m(4L).getAs[Long]("c4_pass") == 0L)
+    assert(m(5L).getAs[Long]("n_sentences") == 3L && m(5L).getAs[Long]("n_kept") == 0L &&
+      m(5L).getAs[Long]("c4_pass") == 0L)
+  }
+
+  test("tf-idf terms: planted two-source corpus yields the textbook scores and ranks") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana", "A"),
+      (2L, "banana cherry cherry cherry", "B")
+    ).toDF("doc_id", "text", "source")
+    val m = operators.CorpusStats.tfidfTermsOf(docs, k = 10).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("term")) -> r).toMap
+    // S=2; df(apple)=1, df(banana)=2, df(cherry)=1 → idf ln2, 0, ln2
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("A", "apple")).getAs[Double]("idf") == ln2)
+    assert(m(("A", "banana")).getAs[Double]("idf") == 0.0)
+    assert(m(("A", "apple")).getAs[Long]("tf") == 2 &&
+      m(("A", "apple")).getAs[Long]("df") == 1)
+    // rank: the shared term scores 0 and sinks below the exclusive one
+    assert(m(("A", "apple")).getAs[Long]("rank") == 1L &&
+      m(("A", "banana")).getAs[Long]("rank") == 2L)
+    assert(m(("B", "cherry")).getAs[Long]("rank") == 1L &&
+      m(("B", "banana")).getAs[Long]("rank") == 2L)
+    assert(m(("B", "cherry")).getAs[Double]("score") ==
+      BigDecimal(3 * ln2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("word entropy: zero for constant docs, ln(n) for all-distinct, order-free") {
     val s = spark
     import s.implicits._

@@ -88,6 +88,30 @@ class TimeSeriesSpec extends GraftSpec {
       s"z ${top.getDouble(4)} vs expected ${(100.0 - mu) / sd}")
   }
 
+  test("seasonal: planted Sunday spike yields the textbook index; zero series → NULL") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; days 7 and 14 are the two Sundays.
+    // "a": 7.0 on Sundays, 1.0 otherwise → Σ=26 over 14 days;
+    // "z": all-zero (tot_v = 0 → NULL indexes, never 0/0)
+    val events = (1 to 14).flatMap { d =>
+      Seq((ts(d), "a", if (d % 7 == 0) 7.0 else 1.0), (ts(d), "z", 0.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.tsSeasonalOf(events).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r.size == 14) // 2 series × 7 dows, every dow present
+    val sun = r(("a", 1L)) // Spark dayofweek: Sunday = 1
+    assert(sun.getAs[Long]("n_days") == 2 && sun.getAs[Double]("dow_mean") == 7.0)
+    // idx = (Σ_dow · days_total)/(days_dow · Σ_total) = (14·14)/(2·26)
+    assert(sun.getAs[Double]("seasonal_idx") ==
+      BigDecimal(196.0 / 52.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val mon = r(("a", 2L))
+    assert(mon.getAs[Double]("dow_mean") == 1.0 &&
+      mon.getAs[Double]("seasonal_idx") ==
+        BigDecimal(28.0 / 52.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    (1L to 7L).foreach(d => assert(r(("z", d)).isNullAt(
+      r(("z", d)).fieldIndex("seasonal_idx")), s"zero series dow $d not NULL"))
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
