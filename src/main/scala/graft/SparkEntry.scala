@@ -112,6 +112,11 @@ object SparkEntry {
     "q_ts_anomaly" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsAnomaly(s, d)),
     "q_ts_seasonal" -> (TimeSeries.tsSeasonal _),
+    // the alerting leg off the daily rollup AT REST (TsWarehouse:
+    // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
+    // never rescans events (plan-asserted in TsWarehouseSpec)
+    "q_ts_anomaly_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.anomalyProbe(s, d, TsWarehouse.builtPath(s, d))),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -627,6 +632,27 @@ object SparkEntry {
   private def fold7(term: Int => String): String =
     (1 to 7).map(term).mkString(" + ")
 
+  // Hoisted q_ts_anomaly body, shared VERBATIM by the rollup-served
+  // q_ts_anomaly_probe (TsWarehouse: refresh bit-equal to rebuild).
+  private lazy val QTsAnomalySql =
+    s"""WITH $TsGridSql,
+       |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
+       |FROM (SELECT DISTINCT date FROM grid)),
+       |gi AS (SELECT grid.*, di.dn FROM grid JOIN di USING (date)),
+       |w0 AS (SELECT a.event_type, a.date, a.v,
+       |array_agg(b.v ORDER BY b.dn) AS arr
+       |FROM gi a JOIN gi b ON a.event_type = b.event_type
+       |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
+       |GROUP BY 1, 2, 3 HAVING count(*) = 7),
+       |st AS (SELECT event_type, date, v, arr,
+       |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0),
+       |sd AS (SELECT event_type, date, v, mu,
+       |sqrt((${fold7(i => s"(arr[$i] - mu) * (arr[$i] - mu)")}) / 7) AS sd FROM st)
+       |SELECT event_type, date, v, round(mu, 6) AS baseline_mean,
+       |round((v - mu) / sd, 6) AS z
+       |FROM sd WHERE sd > 0
+       |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
       s"""WITH d AS ($DAILY)
@@ -977,24 +1003,11 @@ object SparkEntry {
          |ORDER BY dist, w.event_type, w.start_date LIMIT 10""".stripMargin,
     // trailing-baseline z: same date-index ROW semantics and explicit
     // left-assoc folds as q_ts_window_search; σ=0 baselines excluded
-    "q_ts_anomaly" ->
-      s"""WITH $TsGridSql,
-         |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
-         |FROM (SELECT DISTINCT date FROM grid)),
-         |gi AS (SELECT grid.*, di.dn FROM grid JOIN di USING (date)),
-         |w0 AS (SELECT a.event_type, a.date, a.v,
-         |array_agg(b.v ORDER BY b.dn) AS arr
-         |FROM gi a JOIN gi b ON a.event_type = b.event_type
-         |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
-         |GROUP BY 1, 2, 3 HAVING count(*) = 7),
-         |st AS (SELECT event_type, date, v, arr,
-         |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0),
-         |sd AS (SELECT event_type, date, v, mu,
-         |sqrt((${fold7(i => s"(arr[$i] - mu) * (arr[$i] - mu)")}) / 7) AS sd FROM st)
-         |SELECT event_type, date, v, round(mu, 6) AS baseline_mean,
-         |round((v - mu) / sd, 6) AS z
-         |FROM sd WHERE sd > 0
-         |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin,
+    "q_ts_anomaly" -> QTsAnomalySql,
+    // the rollup-served probe: refresh is bit-equal to rebuild
+    // (DECIMAL-sum associativity) and base ∪ incoming = all events,
+    // so the probe holds the inline query's oracle VERBATIM
+    "q_ts_anomaly_probe" -> QTsAnomalySql,
     // dow index over the dense grid: DECIMAL-exact dow sums, then two
     // IEEE multiplies + one divide on exactly-rounded inputs; DuckDB
     // dayofweek is 0-based (Sunday=0) vs Spark's 1-based → +1

@@ -35,10 +35,18 @@ object TimeSeries {
     // both sides of the pair/window self-joins downstream — never
     // re-run the one corpus-scale stage (each un-pinned reference
     // would re-scan events; the Pca.covFrom lesson)
-    val daily = events
+    densify(events
       .groupBy(to_date(col("ts")).as("date"), col("event_type"))
       .agg(roundx(sumx(col("value")), 3).as("v"))
-      .localCheckpoint()
+      .localCheckpoint())
+  }
+
+  /** Zero-fill a sparse (date, event_type, v) frame over its own
+    * calendar × series key space — shared by the inline grid and the
+    * rollup served from TsWarehouse at rest (the merged delta rows
+    * carry exactly the key pairs present in the events, so the
+    * densified grids are identical). */
+  private[graft] def densify(daily: DataFrame): DataFrame = {
     val dates = daily.select(col("date")).distinct()
     val types = daily.select(col("event_type")).distinct()
     dates.crossJoin(types) // calendar × series — metadata-scale
@@ -118,9 +126,15 @@ object TimeSeries {
     tsAnomalyOf(Tables(spark, dir).events, w, k)
 
   private[graft] def tsAnomalyOf(events: DataFrame,
+      w: Int = 7, k: Int = 10): DataFrame =
+    anomalyOfGrid(dailyGrid(events), w, k)
+
+  /** The anomaly tail over an already-built dense grid — shared by
+    * the inline query and TsWarehouse's rollup-served probe. */
+  private[graft] def anomalyOfGrid(grid: DataFrame,
       w: Int = 7, k: Int = 10): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))
-    dailyGrid(events)
+    grid
       .withColumn("arr", collect_list(col("v")).over(byType.rowsBetween(-w, -1)))
       .filter(size(col("arr")) === w)
       .withColumn("mu", aggregate(col("arr"), lit(0.0), (a, x) => a + x) / w)

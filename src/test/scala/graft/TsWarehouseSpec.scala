@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeSeries, TsWarehouse}
+import graft.sources.Tables
+
+/** The daily-rollup warehouse contract: refresh == one-shot rebuild
+  * bit-for-bit (DECIMAL-sum associativity), the rollup-served anomaly
+  * probe equals the inline query row-for-row (what backs the verbatim
+  * oracle share), the probe plan never rescans events, compaction is
+  * probe-invariant, and the streaming twin folds micro-batches to the
+  * same grid.
+  */
+class TsWarehouseSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-tsw-$tag").resolve("idx").toString
+
+  private def rowsOf(path: String): Set[(String, String, java.math.BigDecimal)] =
+    spark.read.parquet(path)
+      .groupBy(col("date"), col("event_type")).agg(sum(col("vsum")).as("vsum"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDecimal(2))).toSet
+
+  test("refresh equals the one-shot rebuild bit-for-bit") {
+    val e = Tables(spark, Dir).events
+    val a = tmp("refresh")
+    TsWarehouse.materializeFrom(e.filter(TsWarehouse.isBaseEvent), a)
+    TsWarehouse.refresh(spark, e.filter(!TsWarehouse.isBaseEvent), a)
+    val b = tmp("oneshot")
+    TsWarehouse.materializeFrom(e, b)
+    assert(rowsOf(a) == rowsOf(b), "refreshed index diverges from rebuild")
+  }
+
+  test("rollup-served anomaly probe equals the inline query row-for-row") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+    val probe = TsWarehouse.anomalyProbe(spark, Dir, path).collect().map(key).toSeq
+    val inline = TimeSeries.tsAnomaly(spark, Dir).collect().map(key).toSeq
+    assert(probe == inline, s"probe=$probe inline=$inline")
+    assert(probe.nonEmpty)
+  }
+
+  test("the probe-side merge scans ONLY the warehouse — zero events scans") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    val scans = TsWarehouse.mergedDaily(spark, path)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a warehouse scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.forall(r => r.contains(path)), s"unexpected scan roots: $roots")
+    assert(!roots.exists(_.contains("events")), "probe merge re-reads raw events")
+  }
+
+  test("compaction is probe-bit-invariant and leaves one row per key") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("compact")
+    TsWarehouse.materializeFrom(e.filter(TsWarehouse.isBaseEvent), p)
+    TsWarehouse.refresh(spark, e.filter(!TsWarehouse.isBaseEvent), p)
+    val before = rowsOf(p)
+    val preCount = spark.read.parquet(p).count()
+    TsWarehouse.compact(spark, p)
+    val after = rowsOf(p)
+    val postCount = spark.read.parquet(p).count()
+    assert(before == after, "compaction changed the merged statistic")
+    assert(postCount == after.size && postCount < preCount,
+      s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
+  }
+
+  test("streaming refresh across micro-batches equals the one-shot fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables(spark, Dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+      .limit(200).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val p = tmp("stream")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = TsWarehouse.streamingRefresh(
+      mem.toDF().toDF("ts", "event_type", "value"), p)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = tmp("stream-ref")
+    TsWarehouse.materializeFrom(
+      rows.toIndexedSeq.toDF("ts", "event_type", "value"), oneShot)
+    assert(rowsOf(p) == rowsOf(oneShot), "streamed fold diverges from one-shot")
+  }
+}
