@@ -305,6 +305,11 @@ object SparkEntry {
     // portably SQL-expressible — the HLL/Bloom class; rank-guarantee
     // spec vs the exact distribution in EdgeSpec)
     "d_corpus_stats_approx" -> (CorpusStats.corpusStatsApprox _),
+    // the profile served from the length-histogram AT REST
+    // (StatsWarehouse): integer counts, bit-equal refresh, EXACT
+    // reconstruction — shares d_corpus_stats' oracle verbatim
+    "d_corpus_stats_probe" -> ((s: SparkSession, d: String) =>
+      StatsWarehouse.statsProbe(s, d, StatsWarehouse.builtPath(s, d))),
     "t_token_rarity" -> (CorpusStats.tokenRarity _),
     "t_perplexity" -> (CorpusStats.perplexity _),
     "t_perplexity_bigram" -> (BigramLm.perplexityBigram _),
@@ -631,6 +636,22 @@ object SparkEntry {
   // aggregate() fold (0 + t₁ + … ; 0 + t₁ == t₁ exactly).
   private def fold7(term: Int => String): String =
     (1 to 7).map(term).mkString(" + ")
+
+  // Hoisted d_corpus_stats body, shared VERBATIM by the
+  // histogram-served d_corpus_stats_probe (StatsWarehouse: integer
+  // counts at rest reconstruct the exact distribution).
+  private lazy val DCorpusStatsSql =
+    s"""WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+       |CAST(length(text) AS BIGINT) AS nc FROM documents),
+       |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |min(nw) AS min_tokens, max(nw) AS max_tokens,
+       |list_sort(list(nw)) AS arr, sum(nc) AS n_chars
+       |FROM x GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, min_tokens, max_tokens,
+       |${PCTX(50, "p50_x100")},
+       |${PCTX(90, "p90_x100")},
+       |${PCTX(99, "p99_x100")},
+       |CAST((n_chars*20000 + n_docs)//(2*n_docs) AS BIGINT) AS avg_chars_x10000 FROM g""".stripMargin
 
   // Hoisted q_ts_anomaly body, shared VERBATIM by the rollup-served
   // q_ts_anomaly_probe (TsWarehouse: refresh bit-equal to rebuild).
@@ -1436,18 +1457,12 @@ object SparkEntry {
     // double interpolation order differs from Spark's percentile by
     // up to one ULP and flipped round(…,4) on a tie in one
     // environment (the round-3 red row)
-    "d_corpus_stats" ->
-      s"""WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-         |CAST(length(text) AS BIGINT) AS nc FROM documents),
-         |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
-         |min(nw) AS min_tokens, max(nw) AS max_tokens,
-         |list_sort(list(nw)) AS arr, sum(nc) AS n_chars
-         |FROM x GROUP BY 1)
-         |SELECT lang, n_docs, n_tokens, min_tokens, max_tokens,
-         |${PCTX(50, "p50_x100")},
-         |${PCTX(90, "p90_x100")},
-         |${PCTX(99, "p99_x100")},
-         |CAST((n_chars*20000 + n_docs)//(2*n_docs) AS BIGINT) AS avg_chars_x10000 FROM g""".stripMargin,
+    "d_corpus_stats" -> DCorpusStatsSql,
+    // the histogram-served probe: integer (lang, nw) counts are
+    // associative (refresh bit-equal to rebuild) and reconstruct the
+    // EXACT distribution, so the probe holds the inline oracle
+    // VERBATIM — no sketch approximation at rest
+    "d_corpus_stats_probe" -> DCorpusStatsSql,
     "t_token_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)

@@ -237,7 +237,12 @@ object CorpusStats {
     * any engine, any version.  (The round-3 verdict itself offered
     * this out: "output p50/p90/p99 as the two bracketing values + the
     * fraction, sidestepping double interpolation entirely".) */
-  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsOf(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text, lang) frame — the
+    * StatsWarehouse parity spec's entry point. */
+  private[graft] def corpusStatsOf(documents: DataFrame): DataFrame = {
     val nw = size(words(col("text"))).cast("long")
     // bracketing-rank percentile numerator over the sorted group
     // values: all integer math (idx ≤ 99·n stays far below 2^53, so
@@ -251,7 +256,7 @@ object CorpusStats {
       val vHi = element_at(col("arr"), least(lo + lit(2L), n).cast("int"))
       vLo * lit(100L) + (vHi - vLo) * rem
     }
-    Tables(spark, dir).documents
+    documents
       .select(col("lang"), nw.as("nw"), length(col("text")).cast("long").as("nc"))
       .groupBy(col("lang"))
       .agg(
