@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.HllWarehouse
+import graft.sources.Tables
+
+/** The HLL sketch warehouse contract: probe estimates off the
+  * refreshed index equal the one-shot build's (max-register merge is
+  * associative), daily and trailing-7-day estimates track the exact
+  * distinct counts within the sketch tolerance, compaction is
+  * probe-invariant, the probe plan never rescans events, and the
+  * streaming twin folds to probe-identical estimates.
+  */
+class HllWarehouseSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-hll-$tag").resolve("idx").toString
+
+  private def estimates(path: String): Map[String, (Long, Long)] =
+    HllWarehouse.probe(spark, Dir, path).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+
+  test("refreshed index probes identically to the one-shot build") {
+    val e = Tables(spark, Dir).events
+    val a = tmp("refresh")
+    HllWarehouse.materializeFrom(e.filter(HllWarehouse.isBaseEvent), a)
+    HllWarehouse.refresh(spark, e.filter(!HllWarehouse.isBaseEvent), a)
+    val b = tmp("oneshot")
+    HllWarehouse.materializeFrom(e, b)
+    assert(estimates(a) == estimates(b),
+      "union of generation sketches diverges from the one-shot registers")
+  }
+
+  test("daily and trailing-7d estimates track exact distincts within 2%") {
+    val path = HllWarehouse.builtPath(spark, Dir)
+    val est = estimates(path)
+    val e = Tables(spark, Dir).events
+      .select(to_date(col("ts")).as("date"), col("user_id"))
+    val exactDaily = e.groupBy(col("date"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact7d = e.select(col("date").as("d0")).distinct()
+      .join(e, datediff(col("d0"), col("date")).between(0, 6))
+      .groupBy(col("d0"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet == exactDaily.keySet)
+    for ((d, (daily, w)) <- est) {
+      assert(math.abs(daily - exactDaily(d)).toDouble / exactDaily(d) <= 0.02,
+        s"$d daily est $daily vs exact ${exactDaily(d)}")
+      assert(math.abs(w - exact7d(d)).toDouble / exact7d(d) <= 0.02,
+        s"$d 7d est $w vs exact ${exact7d(d)}")
+      assert(w >= daily - (0.02 * w).toLong,
+        s"$d trailing actives $w below daily $daily beyond tolerance")
+    }
+  }
+
+  test("compaction is probe-invariant and leaves one sketch per day") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("compact")
+    HllWarehouse.materializeFrom(e.filter(HllWarehouse.isBaseEvent), p)
+    HllWarehouse.refresh(spark, e.filter(!HllWarehouse.isBaseEvent), p)
+    val before = estimates(p)
+    val preCount = spark.read.parquet(p).count()
+    HllWarehouse.compact(spark, p)
+    val after = estimates(p)
+    val postCount = spark.read.parquet(p).count()
+    assert(before == after, "compaction changed probe estimates")
+    assert(postCount == after.size && postCount < preCount,
+      s"compact left $postCount rows for ${after.size} days (pre $preCount)")
+  }
+
+  test("the probe-side merge scans ONLY the warehouse — zero events scans") {
+    val path = HllWarehouse.builtPath(spark, Dir)
+    val scans = HllWarehouse.mergedDaily(spark, path)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a warehouse scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.forall(_.contains(path)), s"unexpected scan roots: $roots")
+    assert(!roots.exists(_.contains("events")), "probe merge re-reads raw events")
+  }
+
+  test("streaming refresh across micro-batches probes identically to one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables(spark, Dir).events
+      .select(col("ts"), col("user_id"))
+      .limit(300).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val p = tmp("stream")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = HllWarehouse.streamingRefresh(
+      mem.toDF().toDF("ts", "user_id"), p)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = tmp("stream-ref")
+    HllWarehouse.materializeFrom(
+      rows.toIndexedSeq.toDF("ts", "user_id"), oneShot)
+    def ests(path: String): Map[String, Long] =
+      HllWarehouse.mergedDaily(spark, path)
+        .select(col("date"), expr("hll_sketch_estimate(sk)").as("n")).collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(ests(p) == ests(oneShot), "streamed fold diverges from one-shot")
+  }
+}
