@@ -50,7 +50,8 @@ object HllWarehouse {
 
   /** COMPACT — union delta sketches to one per day.  Probe-invariant:
     * the max-register merge is associative, so re-unioning the
-    * compacted sketch reaches the same registers. */
+    * compacted sketch reaches the same registers.  Single-writer
+    * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("date")).agg(expr("hll_union_agg(sk)").as("sk"))

@@ -55,7 +55,10 @@ object TsWarehouse {
     deltas(batch).write.mode("append").parquet(path)
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
-    * before/after. */
+    * before/after.  Like every compaction in the matrix this assumes
+    * the single-writer maintenance window (no probe is served while
+    * the overwrite is in flight — the BigramLmWarehouse refresh
+    * contract). */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("date"), col("event_type")).agg(sum(col("vsum")).as("vsum"))
