@@ -270,6 +270,12 @@ object SparkEntry {
     "d_semdedup_probe" -> ((s: SparkSession, d: String) =>
       SemDedup.semDedupProbe(s, d, SemDedup.ivfPath(s, d))),
     "d_bloom_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.bloomDecontaminate(s, d)),
+    // the eval filter AT REST (BloomWarehouse): benchmark generations
+    // fold in as OR-mergeable delta filters at a fixed layout; train
+    // ingest probes without ever rescanning eval docs.  No oracle
+    // (Bloom FP class — the inline query's stance); BloomWarehouseSpec
+    "d_bloom_decontaminate_probe" -> ((s: SparkSession, d: String) =>
+      BloomWarehouse.probe(s, d, BloomWarehouse.builtPath(s, d))),
     // training-data preparation (chunking, split, shards, scrub)
     "t_chunk" -> ((s: SparkSession, d: String) => TrainPrep.chunkDocs(s, d)),
     "d_sample_split" -> (TrainPrep.sampleSplit _),
