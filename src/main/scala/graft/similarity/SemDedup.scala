@@ -88,10 +88,19 @@ object SemDedup {
     * growth composes with the cosinePairs banding (band WITHIN cid)
     * exactly as the inline query's Scaladoc describes. */
   def semDedupProbe(spark: SparkSession, dir: String, path: String,
-      tau: Double = 0.4): DataFrame = {
-    val incoming = Tables(spark, dir).embeddings
-      .filter(pmod(col("vec_id"), lit(10L)) >= 8)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      tau: Double = 0.4): DataFrame =
+    probeBatch(spark,
+      Tables(spark, dir).embeddings
+        .filter(pmod(col("vec_id"), lit(10L)) >= 8)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      path, tau)
+
+  /** The sweep for an arbitrary incoming (vec_id, v) batch — also the
+    * planted-corpus pruning spec's entry point (the registered split's
+    * batch touches every list at test SF, so genuine skipping is
+    * exercised on a constructed well-separated layout). */
+  private[graft] def probeBatch(spark: SparkSession, incoming: DataFrame,
+      path: String, tau: Double): DataFrame = {
     val assigned = Knn.assignTo(incoming, IvfWarehouse.centroids(spark, path))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint() // feeds cid list, pair side, and output rows

@@ -70,6 +70,43 @@ class SemDedupSpec extends GraftSpec {
       "no incoming vector was dropped — the sweep path went unexercised")
   }
 
+  test("planted well-separated corpus: the batch genuinely SKIPS untouched lists") {
+    import spark.implicits._
+    // three axis-aligned clusters, 10 base vectors each; the batch
+    // draws from cluster 0 ONLY, so a correct probe must read 1 of
+    // the 3 cid partitions (the registered split's batch touches
+    // every list at test SF — this is where skipping is exercised)
+    def vec(axis: Int, jitter: Double): Seq[Double] =
+      (0 until 8).map(d => if (d == axis) 10.0 + jitter else jitter / 10)
+    val base = (0 until 30).map(i => (i.toLong, vec(i % 3, (i / 3).toDouble / 10)))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-semdedup-planted").resolve("idx").toString
+    graft.similarity.IvfWarehouse.materializeFrom(
+      base.toDF("vec_id", "v"), path, k = 3)
+    val batch = Seq((101L, vec(0, 0.0)), (102L, vec(0, 0.35)))
+      .toDF("vec_id", "v")
+    val out = SemDedup.probeBatch(spark, batch, path, tau = 0.4).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(101L, 102L))
+    // in-cluster cosine ≈ 1 ≥ τ against lower-id base members → dropped
+    assert(out.forall(_.getAs[Long]("kept") == 0L),
+      s"batch vectors survived against same-cluster base members: ${out.toSeq}")
+    // the pruning: the batch's one cid of three
+    val assigned = graft.similarity.Knn.assignTo(batch,
+      graft.similarity.IvfWarehouse.centroids(spark, path))
+    val cids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getAs[Int]("cid"))
+    assert(cids.length == 1, s"planted batch scattered over cids ${cids.toSeq}")
+    val df = SemDedup.standingLists(spark, path, cids)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(allParts == 3 && pruned == 1,
+      s"scan read $pruned of $allParts partitions for a 1-cluster batch")
+  }
+
   test("the probe's posting-list scan prunes to exactly the batch's cid partitions") {
     val path = SemDedup.ivfPath(spark, Dir)
     val assigned = graft.similarity.Knn.assignTo(
