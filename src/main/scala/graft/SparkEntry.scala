@@ -118,6 +118,10 @@ object SparkEntry {
     "q_ts_anomaly" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsAnomaly(s, d)),
     "q_ts_seasonal" -> (TimeSeries.tsSeasonal _),
+    // seasonal-trend-residual split of every series (the step after
+    // the seasonal index — what a weekday-aware alerter scores)
+    "q_ts_decompose" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsDecompose(s, d)),
     // the alerting leg off the daily rollup AT REST (TsWarehouse:
     // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
     // never rescans events (plan-asserted in TsWarehouseSpec)
@@ -127,6 +131,9 @@ object SparkEntry {
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
     "d_dedup_stream" -> (Dedup.dedupSurvivors _),
+    // cross-doc line dedup (the C4/Dolma paragraph channel): shared-
+    // line fraction per doc + the <= 0.3 boilerplate gate
+    "d_dedup_lines" -> (Dedup.dedupLines _),
     "d_dedup_ngram" -> (Dedup.ngramJaccard _),
     "d_dedup_editdist" -> (graft.dedup.EditDist.editDistPairs _),
     "d_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -1056,8 +1063,47 @@ object SparkEntry {
          |CASE WHEN tot_v <> 0 THEN round((sum_v * tot_days) / (n_days * tot_v), 6)
          |END AS seasonal_idx
          |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin,
+    // seasonal-adjusted trend/residual: adjusted rounds BEFORE the
+    // trailing fold (both engines fold identical inputs); same
+    // date-index ROW semantics + left-assoc folds as q_ts_anomaly
+    "q_ts_decompose" ->
+      s"""WITH $TsGridSql,
+         |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+         |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
+         |FROM grid GROUP BY 1, 2),
+         |adj AS (SELECT g.date, g.event_type, g.v,
+         |round(sum_v / n_days, 6) AS dow_mean,
+         |round(g.v - round(sum_v / n_days, 6), 6) AS adj
+         |FROM grid g JOIN bd ON bd.event_type = g.event_type
+         |AND bd.dow = dayofweek(g.date) + 1),
+         |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
+         |FROM (SELECT DISTINCT date FROM adj)),
+         |gi AS (SELECT adj.*, di.dn FROM adj JOIN di USING (date)),
+         |w0 AS (SELECT a.event_type, a.date, a.v, a.dow_mean, a.adj,
+         |array_agg(b.adj ORDER BY b.dn) AS arr
+         |FROM gi a JOIN gi b ON a.event_type = b.event_type
+         |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
+         |GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 7),
+         |st AS (SELECT event_type, date, v, dow_mean, adj,
+         |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)
+         |SELECT event_type, date, v, dow_mean, adj AS adjusted,
+         |round(mu, 6) AS trend, round(adj - mu, 6) AS residual FROM st""".stripMargin,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    // cross-doc line dedup: docs_with counts DISTINCT docs per line
+    // hash, so a line repeated only within its own doc is NOT flagged
+    "d_dedup_lines" ->
+      """WITH l AS (SELECT doc_id, md5(line) AS h
+        |FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)),
+        |dw AS (SELECT h, CAST(count(*) AS BIGINT) AS docs_with
+        |FROM (SELECT DISTINCT doc_id, h FROM l) GROUP BY 1),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |CAST(sum(CAST(docs_with >= 2 AS BIGINT)) AS BIGINT) AS n_shared_lines
+        |FROM l JOIN dw USING (h) GROUP BY 1)
+        |SELECT doc_id, n_lines, n_shared_lines,
+        |round(CAST(n_shared_lines AS DOUBLE) / n_lines, 4) AS shared_line_frac,
+        |CAST(round(CAST(n_shared_lines AS DOUBLE) / n_lines, 4) <= 0.3 AS BIGINT) AS para_keep
+        |FROM g""".stripMargin,
     // the t_chunk CTE + two windows over the chunk hash
     "d_dedup_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -66,6 +66,47 @@ object Dedup {
         (row_number().over(firstSeen) === 1).cast("long").as("kept"))
   }
 
+  /** Line-granularity CROSS-DOC dedup report (the C4/Dolma paragraph
+    * dedup, adapted to lines since this corpus is line-structured):
+    * per doc, how many of its line occurrences carry a line shared
+    * with AT LEAST ONE OTHER doc — the boilerplate signal (navbars,
+    * footers, license headers) that document dedup cannot see and
+    * chunk dedup only catches when the repeat aligns with a 64/48
+    * window.  A line repeated only WITHIN its own doc is NOT flagged
+    * (docs_with = 1) — within-doc repetition is t_repetition's and
+    * t_word_entropy's job; this operator is strictly the cross-doc
+    * channel.  para_keep applies the published-style ≤ 0.3 shared-
+    * line-fraction gate (4-dp rounded before thresholding — the
+    * qualityScoreCol convention).
+    *
+    * Scale shape: one explode (lines — narrow, scan-speed) then ONE
+    * shuffle keyed by the line md5 (uniform, no skew — the `exact`
+    * key property) for the distinct-doc counts; the join back is
+    * hash-keyed against a vocabulary-of-lines-sized side (the
+    * d_dedup_ngram df rule: unhinted, AQE picks broadcast when it
+    * fits), one doc-keyed aggregate.  ORACLED. */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame =
+    dedupLinesOf(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the spec entry
+    * point. */
+  private[graft] def dedupLinesOf(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("h"))
+    val docsWith = lines.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with"))
+    lines.join(docsWith, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("docs_with") >= 2).cast("long")).as("n_shared_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_shared_lines"),
+        roundx(col("n_shared_lines").cast("double") / col("n_lines"), 4)
+          .as("shared_line_frac"),
+        (roundx(col("n_shared_lines").cast("double") / col("n_lines"), 4) <= 0.3)
+          .cast("long").as("para_keep"))
+  }
+
   /** Streaming-shaped dedup, batch entry: the SURVIVORS of first-seen
     * exact dedup — one row per distinct content, the smallest doc_id
     * kept (what a dedup stage forwards downstream, vs `exact` above

@@ -181,6 +181,41 @@ object TimeSeries {
             (col("n_days") * col("tot_v")), 6)).as("seasonal_idx"))
   }
 
+  /** `q_ts_decompose`: the classical seasonal-trend-residual split of
+    * every daily series — the step AFTER q_ts_seasonal, and the input
+    * a weekday-aware anomaly detector actually alerts on: adjusted =
+    * v − dow_mean (the seasonal component removed), trend = trailing
+    * 7-day mean of the ADJUSTED series, residual = adjusted − trend.
+    * Same machinery as q_ts_anomaly (rowsBetween trailing window,
+    * sequential folds the oracle reproduces left-associatively);
+    * adjusted is 6-dp rounded BEFORE the trend fold so both engines
+    * fold identical inputs; days without a full baseline are
+    * excluded.  One corpus-scale grid shuffle, then series × calendar
+    * metadata.  ORACLED. */
+  def tsDecompose(spark: SparkSession, dir: String, w: Int = 7): DataFrame =
+    tsDecomposeOf(Tables(spark, dir).events, w)
+
+  private[graft] def tsDecomposeOf(events: DataFrame, w: Int = 7): DataFrame = {
+    val grid = dailyGrid(events).localCheckpoint() // feeds dow means + windows
+    val byDow = grid
+      .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
+    val adjusted = grid
+      .withColumn("dow", dayofweek(col("date")).cast("long"))
+      .join(byDow, Seq("event_type", "dow"))
+      .withColumn("dow_mean", roundx(col("sum_v") / col("n_days"), 6))
+      .withColumn("adj", roundx(col("v") - col("dow_mean"), 6))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))
+    adjusted
+      .withColumn("arr", collect_list(col("adj")).over(byType.rowsBetween(-w, -1)))
+      .filter(size(col("arr")) === w)
+      .withColumn("mu", aggregate(col("arr"), lit(0.0), (a, x) => a + x) / w)
+      .select(col("event_type"), col("date"), col("v"),
+        col("dow_mean"), col("adj").as("adjusted"),
+        roundx(col("mu"), 6).as("trend"),
+        roundx(col("adj") - col("mu"), 6).as("residual"))
+  }
+
   private[graft] def tsWindowSearchOf(events: DataFrame,
       w: Int = 7, k: Int = 10): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))

@@ -362,6 +362,27 @@ class DedupSpec extends GraftSpec {
     assert(out.filter(col("kept") === 0).count() > 0)
   }
 
+  test("line dedup: cross-doc shared lines flagged, within-doc repeats are not") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "shared footer\nunique one"),
+      (2L, "shared footer\nunique two"),
+      (3L, "only unique here\nrepeat\nrepeat") // within-doc only
+    ).toDF("doc_id", "text")
+    val m = dedup.Dedup.dedupLinesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_lines") == 2 &&
+      m(1L).getAs[Long]("n_shared_lines") == 1 &&
+      m(1L).getAs[Double]("shared_line_frac") == 0.5 &&
+      m(1L).getAs[Long]("para_keep") == 0L) // 0.5 > 0.3 gate
+    assert(m(2L).getAs[Long]("n_shared_lines") == 1)
+    // 'repeat' appears twice but only in doc 3 → docs_with = 1 → clean
+    assert(m(3L).getAs[Long]("n_lines") == 3 &&
+      m(3L).getAs[Long]("n_shared_lines") == 0 &&
+      m(3L).getAs[Long]("para_keep") == 1L)
+  }
+
   test("fingerprints: identical text => identical fingerprints") {
     val docs = sources.Tables(spark, Dir).documents
     val fps = operators.TextAnalysis.fingerprint(spark, Dir)

@@ -112,6 +112,28 @@ class TimeSeriesSpec extends GraftSpec {
       r(("z", d)).fieldIndex("seasonal_idx")), s"zero series dow $d not NULL"))
   }
 
+  test("decompose: constant series is all-zero; a pure dow pattern leaves ~zero residuals") {
+    import spark.implicits._
+    // "c": constant 5 → dow_mean 5, adjusted 0, trend 0, residual 0;
+    // "a": pure weekly pattern (7 on Sundays, 1 otherwise) → the
+    // seasonal adjustment removes it entirely, so adjusted, trend and
+    // residual are all 0 too — over 21 days each dow repeats 3×
+    val events = (1 to 21).flatMap { d =>
+      Seq((ts(d), "a", if (d % 7 == 0) 7.0 else 1.0), (ts(d), "c", 5.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.tsDecomposeOf(events).collect()
+    assert(r.nonEmpty)
+    // only days with a full 7-day baseline appear: 21 − 7 per series
+    assert(r.length == 2 * (21 - 7), s"got ${r.length} rows")
+    r.foreach { x =>
+      assert(x.getDouble(4) == 0.0, s"adjusted nonzero: $x")
+      assert(x.getDouble(5) == 0.0, s"trend nonzero: $x")
+      assert(x.getDouble(6) == 0.0, s"residual nonzero: $x")
+    }
+    val c = r.filter(_.getString(0) == "c")
+    assert(c.forall(_.getDouble(3) == 5.0), "constant dow_mean drifted")
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
