@@ -75,6 +75,31 @@ class StatsWarehouseSpec extends GraftSpec {
         s"$lang.$c: hist=${hist(lang).getAs[Long](c)} inline=${inline(lang).getAs[Long](c)}")
   }
 
+  test("randomized corpora: rank reconstruction equals the sorted-array path (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    for (trial <- 1 to 5) {
+      // skew knobs per trial: few/many docs, heavy ties, 1-3 langs
+      val langs = Seq("aa", "bb", "cc").take(1 + rnd.nextInt(3))
+      val docs = (1L to (1 + rnd.nextInt(40)).toLong).map { i =>
+        val nw = 1 + rnd.nextInt(if (trial % 2 == 0) 4 else 30) // ties vs spread
+        (i, Seq.fill(nw)("w").mkString(" "), langs(rnd.nextInt(langs.size)))
+      }
+      val df = docs.toDF("doc_id", "text", "lang")
+      val inline = CorpusStats.corpusStatsOf(df).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val hist = StatsWarehouse.statsOfHist(
+        df.select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("nw"),
+            length(col("text")).cast("long").as("nc"))
+          .groupBy(col("lang"), col("nw"))
+          .agg(count(lit(1)).as("cnt"), sum(col("nc")).as("ncs")))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(hist == inline, s"trial $trial: hist=$hist inline=$inline")
+    }
+  }
+
   test("the probe-side merge scans ONLY the warehouse — zero documents scans") {
     val path = StatsWarehouse.builtPath(spark, Dir)
     val scans = StatsWarehouse.mergedHist(spark, path)
