@@ -127,6 +127,12 @@ object SparkEntry {
     // never rescans events (plan-asserted in TsWarehouseSpec)
     "q_ts_anomaly_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.anomalyProbe(s, d, TsWarehouse.builtPath(s, d))),
+    // the other two registered grid consumers off the same rollup —
+    // each holds its inline oracle verbatim (bit-equal grid)
+    "q_ts_corr_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.corrProbe(s, d, TsWarehouse.builtPath(s, d))),
+    "q_ts_seasonal_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.seasonalProbe(s, d, TsWarehouse.builtPath(s, d))),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -672,6 +678,36 @@ object SparkEntry {
        |${PCTX(99, "p99_x100")},
        |CAST((n_chars*20000 + n_docs)//(2*n_docs) AS BIGINT) AS avg_chars_x10000 FROM g""".stripMargin
 
+  // Hoisted q_ts_corr / q_ts_seasonal bodies, each shared VERBATIM by
+  // its rollup-served probe (TsWarehouse: refresh bit-equal to
+  // rebuild ⇒ every grid consumer holds its inline oracle).
+  private lazy val QTsCorrSql =
+    s"""WITH $TsGridSql,
+       |g AS (SELECT date, event_type, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS q FROM grid),
+       |p AS (SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+       |CAST(count(*) AS BIGINT) AS n_days,
+       |sum(a.q) AS sa, sum(b.q) AS sb, sum(a.q * b.q) AS sab,
+       |sum(a.q * a.q) AS saa, sum(b.q * b.q) AS sbb
+       |FROM g a JOIN g b ON a.date = b.date AND a.event_type < b.event_type GROUP BY 1, 2)
+       |SELECT etype_a, etype_b, n_days,
+       |CASE WHEN (n_days * saa - sa * sa) > 0 AND (n_days * sbb - sb * sb) > 0
+       |THEN round(CAST(n_days * sab - sa * sb AS DOUBLE) /
+       |sqrt(CAST(n_days * saa - sa * sa AS DOUBLE) * CAST(n_days * sbb - sb * sb AS DOUBLE)), 6)
+       |END AS corr FROM p""".stripMargin
+
+  private lazy val QTsSeasonalSql =
+    s"""WITH $TsGridSql,
+       |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+       |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
+       |FROM grid GROUP BY 1, 2),
+       |ov AS (SELECT event_type, sum(n_days) AS tot_days,
+       |round(${SUMX("sum_v")}, 3) AS tot_v FROM bd GROUP BY 1)
+       |SELECT bd.event_type, dow, n_days,
+       |round(sum_v / n_days, 6) AS dow_mean,
+       |CASE WHEN tot_v <> 0 THEN round((sum_v * tot_days) / (n_days * tot_v), 6)
+       |END AS seasonal_idx
+       |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin
+
   // Hoisted q_ts_anomaly body, shared VERBATIM by the rollup-served
   // q_ts_anomaly_probe (TsWarehouse: refresh bit-equal to rebuild).
   private lazy val QTsAnomalySql =
@@ -1002,19 +1038,9 @@ object SparkEntry {
         |round(CAST(n_users AS DOUBLE) / f, 4) AS conv_from_first FROM w""".stripMargin,
     // the s_embed_cov discipline at 1e-3 fixed point over the daily
     // grid pair join; zero-variance series → NULL corr in both engines
-    "q_ts_corr" ->
-      s"""WITH $TsGridSql,
-         |g AS (SELECT date, event_type, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS q FROM grid),
-         |p AS (SELECT a.event_type AS etype_a, b.event_type AS etype_b,
-         |CAST(count(*) AS BIGINT) AS n_days,
-         |sum(a.q) AS sa, sum(b.q) AS sb, sum(a.q * b.q) AS sab,
-         |sum(a.q * a.q) AS saa, sum(b.q * b.q) AS sbb
-         |FROM g a JOIN g b ON a.date = b.date AND a.event_type < b.event_type GROUP BY 1, 2)
-         |SELECT etype_a, etype_b, n_days,
-         |CASE WHEN (n_days * saa - sa * sa) > 0 AND (n_days * sbb - sb * sb) > 0
-         |THEN round(CAST(n_days * sab - sa * sb AS DOUBLE) /
-         |sqrt(CAST(n_days * saa - sa * sa AS DOUBLE) * CAST(n_days * sbb - sb * sb AS DOUBLE)), 6)
-         |END AS corr FROM p""".stripMargin,
+    "q_ts_corr" -> QTsCorrSql,
+    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    "q_ts_corr_probe" -> QTsCorrSql,
     // windows = 7-row ordered array_aggs on the dense grid; all folds
     // explicit left-assoc (see fold7); flat (σ=0) windows excluded on
     // both sides — z undefined, and NULL ordering differs by engine
@@ -1051,18 +1077,9 @@ object SparkEntry {
     // dow index over the dense grid: DECIMAL-exact dow sums, then two
     // IEEE multiplies + one divide on exactly-rounded inputs; DuckDB
     // dayofweek is 0-based (Sunday=0) vs Spark's 1-based → +1
-    "q_ts_seasonal" ->
-      s"""WITH $TsGridSql,
-         |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
-         |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
-         |FROM grid GROUP BY 1, 2),
-         |ov AS (SELECT event_type, sum(n_days) AS tot_days,
-         |round(${SUMX("sum_v")}, 3) AS tot_v FROM bd GROUP BY 1)
-         |SELECT bd.event_type, dow, n_days,
-         |round(sum_v / n_days, 6) AS dow_mean,
-         |CASE WHEN tot_v <> 0 THEN round((sum_v * tot_days) / (n_days * tot_v), 6)
-         |END AS seasonal_idx
-         |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin,
+    "q_ts_seasonal" -> QTsSeasonalSql,
+    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    "q_ts_seasonal_probe" -> QTsSeasonalSql,
     // seasonal-adjusted trend/residual: adjusted rounds BEFORE the
     // trailing fold (both engines fold identical inputs); same
     // date-index ROW semantics + left-assoc folds as q_ts_anomaly

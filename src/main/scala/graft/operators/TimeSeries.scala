@@ -66,8 +66,13 @@ object TimeSeries {
   def tsCorr(spark: SparkSession, dir: String): DataFrame =
     tsCorrOf(Tables(spark, dir).events)
 
-  private[graft] def tsCorrOf(events: DataFrame): DataFrame = {
-    val g = dailyGrid(events)
+  private[graft] def tsCorrOf(events: DataFrame): DataFrame =
+    corrOfGrid(dailyGrid(events))
+
+  /** The correlation tail over an already-built dense grid — shared
+    * by the inline query and TsWarehouse's rollup-served probe. */
+  private[graft] def corrOfGrid(grid: DataFrame): DataFrame = {
+    val g = grid
       .select(col("date"), col("event_type"),
         floor(col("v") * Scale + 0.5).as("q"))
     val pairs = g.as("a")
@@ -163,10 +168,15 @@ object TimeSeries {
   def tsSeasonal(spark: SparkSession, dir: String): DataFrame =
     tsSeasonalOf(Tables(spark, dir).events)
 
-  private[graft] def tsSeasonalOf(events: DataFrame): DataFrame = {
+  private[graft] def tsSeasonalOf(events: DataFrame): DataFrame =
+    seasonalOfGrid(dailyGrid(events))
+
+  /** The seasonal tail over an already-built dense grid — shared by
+    * the inline query and TsWarehouse's rollup-served probe. */
+  private[graft] def seasonalOfGrid(grid: DataFrame): DataFrame = {
     // Spark dayofweek: 1=Sunday..7=Saturday (the oracle mirrors
     // DuckDB's 0-based dayofweek with +1)
-    val byDow = dailyGrid(events)
+    val byDow = grid
       .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
       .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
       .localCheckpoint() // metadata-scale (series × 7); feeds both legs

@@ -90,6 +90,18 @@ object TsWarehouse {
   def anomalyProbe(spark: SparkSession, dir: String, path: String): DataFrame =
     TimeSeries.anomalyOfGrid(grid(spark, path))
 
+  /** Registered `q_ts_corr_probe` / `q_ts_seasonal_probe`: the other
+    * two registered grid consumers, served from the same rollup —
+    * what makes "every grid consumer holds its inline oracle
+    * VERBATIM" registered code rather than prose (window search
+    * stays inline-only: it is parameterized by an ad-hoc query
+    * window, the one leg probes don't serve from a standing form). */
+  def corrProbe(spark: SparkSession, dir: String, path: String): DataFrame =
+    TimeSeries.corrOfGrid(grid(spark, path))
+
+  def seasonalProbe(spark: SparkSession, dir: String, path: String): DataFrame =
+    TimeSeries.seasonalOfGrid(grid(spark, path))
+
   /** The once-per-JVM two-generation build (the Materialized
     * pattern): rollup of the base split, then ONE refresh folding in
     * the incoming split. */

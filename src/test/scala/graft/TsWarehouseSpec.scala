@@ -47,6 +47,17 @@ class TsWarehouseSpec extends GraftSpec {
     assert(probe.nonEmpty)
   }
 
+  test("corr and seasonal probes equal their inline queries row-for-row") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(TsWarehouse.corrProbe(spark, Dir, path)) ==
+      rows(TimeSeries.tsCorr(spark, Dir)), "corr probe diverges")
+    assert(rows(TsWarehouse.seasonalProbe(spark, Dir, path)) ==
+      rows(TimeSeries.tsSeasonal(spark, Dir)), "seasonal probe diverges")
+    assert(TsWarehouse.corrProbe(spark, Dir, path).count() > 0)
+  }
+
   test("the probe-side merge scans ONLY the warehouse — zero events scans") {
     val path = TsWarehouse.builtPath(spark, Dir)
     val scans = TsWarehouse.mergedDaily(spark, path)
