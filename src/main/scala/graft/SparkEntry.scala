@@ -35,14 +35,14 @@ object SparkEntry {
     "q_txvol_from_rollup" -> (Dashboard.txVolFromRollup _),
     "q_txvol_cumulative" -> (Dashboard.txVolCumulative _),
     "q_active_accounts_daily" -> (Dashboard.activeAccountsDaily _),
-    // production distinct-count path; HLL++ sketch has no portable SQL
-    // oracle -> rows-only check + spec vs exact within tolerance
     // daily actives + trailing-7-day actives off the HLL sketch index
     // at rest (HllWarehouse) — the window-distinct capability no
     // count rollup has; no oracle (sketch class; accuracy + probe
     // equality spec'd in HllWarehouseSpec)
     "q_active_accounts_probe" -> ((s: SparkSession, d: String) =>
       HllWarehouse.probe(s, d, HllWarehouse.builtPath(s, d))),
+    // production distinct-count path; HLL++ sketch has no portable SQL
+    // oracle -> rows-only check + spec vs exact within tolerance
     "q_active_accounts_approx" -> (Dashboard.activeAccountsApproxDaily _),
     "q_account_growth" -> (Dashboard.accountGrowth _),
     "q_registered_accounts" -> (Dashboard.registeredAccounts _),
