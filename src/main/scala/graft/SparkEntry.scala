@@ -85,6 +85,9 @@ object SparkEntry {
     "q_delegators_top" -> (Staking.delegatorsTop _),
     "q_richlist" -> (Staking.richlist _),
     "q_richlist_denom" -> ((s: SparkSession, d: String) => Staking.richlistByDenom(s, d)),
+    // per-denom wealth concentration: histogram-computed Gini; the
+    // row_number oracle is equal by the tie-block identity
+    "q_richlist_gini" -> (Staking.richlistGini _),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
@@ -959,6 +962,21 @@ object SparkEntry {
          |top AS (SELECT * FROM mem ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
          |SELECT c_custkey, c_name, 'NATION_7' AS denom, round(c_acctbal, 2) AS balance,
          |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
+    // Gini: the NAIVE row_number formula — equal to the registered
+    // histogram plan's integers by the tie-block identity
+    "q_richlist_gini" ->
+      """WITH q AS (SELECT n_name AS denom, c_custkey,
+        |CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT denom, q,
+        |CAST(row_number() OVER (PARTITION BY denom ORDER BY q, c_custkey) AS BIGINT) AS i FROM q),
+        |g AS (SELECT denom, CAST(count(*) AS BIGINT) AS n_accounts,
+        |sum(CAST(q AS DECIMAL(38,0))) AS sq,
+        |sum(CAST(i * q AS DECIMAL(38,0))) AS siq FROM r GROUP BY 1)
+        |SELECT denom, n_accounts, CAST(sq AS BIGINT) AS total_bal_x100,
+        |CASE WHEN sq <> 0 THEN round(CAST(2 * siq - (n_accounts + 1) * sq AS DOUBLE) /
+        |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
+        |FROM g""".stripMargin,
     "q_total_supply" ->
       s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
          |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,

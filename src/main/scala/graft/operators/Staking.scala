@@ -161,6 +161,60 @@ object Staking {
         roundx(col("c_acctbal") / col("total_bal"), 8).as("share"))
   }
 
+  /** `q_richlist_gini`: per-denom wealth concentration — the Gini
+    * coefficient over member balances, the summary statistic the
+    * richlist family reports next to its top-k (concentration
+    * monitoring: a rising Gini is the alert, the richlist is the
+    * drill-down).  G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over ascending
+    * balances.
+    *
+    * Exactness: balances quantize to integer cents (floor(x·100+0.5)
+    * — the s_embed_cov fixed-point discipline), every sum rides
+    * DECIMAL(38,0), ONE double division + 6-dp roundx at the end; an
+    * all-zero denom yields NULL.  Rank ties are a non-issue by
+    * construction: equal values contribute q·Σ(ranks of the block)
+    * regardless of intra-block order.
+    *
+    * Scale: the naive form ranks every account inside ~25 denom
+    * partitions — a skewed giant window.  This plan instead
+    * aggregates to the (denom, cents) VALUE HISTOGRAM first (one
+    * uniform shuffle; the StatsWarehouse trick), then computes the
+    * rank-block identity Σᵢ i·xᵢ = Σ_v q_v·(c_v·cum_{<v} +
+    * c_v(c_v+1)/2) over histogram rows — metadata-scale after the
+    * first aggregation at ANY account count.  The ORACLE is the
+    * naive row_number formula; the two are equal integers by the
+    * tie-block identity (spec also pins a shuffled-input invariance
+    * and textbook planted values). */
+  def richlistGini(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Tables(spark, dir).customer
+      .join(broadcast(Tables(spark, dir).nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("denom"), col("c_acctbal").as("bal")))
+
+  /** Same, over an arbitrary (denom, bal) frame — the spec entry
+    * point. */
+  private[graft] def giniOf(balances: DataFrame): DataFrame = {
+    val hist = balances
+      .select(col("denom"), floor(col("bal") * 100 + 0.5).cast("long").as("q"))
+      .groupBy(col("denom"), col("q")).agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy(col("denom")).orderBy(col("q"))
+    val cum = hist
+      .withColumn("cum_before", sum(col("c")).over(byVal) - col("c"))
+      // all-LONG rank-block sum: c(c+1) is even, so DIV 2 is exact —
+      // a Column `/` here would detour through double
+      .withColumn("rank_sum",
+        expr("c * cum_before + (c * (c + 1)) DIV 2"))
+    val g = cum.groupBy(col("denom")).agg(
+      sum(col("c")).as("n_accounts"),
+      sum((col("q") * col("c")).cast("decimal(38,0)")).as("sq"),
+      sum((col("q") * col("rank_sum")).cast("decimal(38,0)")).as("siq"))
+    g.select(col("denom"), col("n_accounts"),
+      col("sq").cast("long").as("total_bal_x100"),
+      when(col("sq") =!= 0,
+        roundx((lit(2) * col("siq") - (col("n_accounts") + 1) * col("sq")).cast("double") /
+          (col("n_accounts") * col("sq")).cast("double"), 6)).as("gini"))
+  }
+
   /** Total supply per denom (nation)
     * (reference: src/service/treasury/getTotalSupply.ts:8). */
   def totalSupply(spark: SparkSession, dir: String): DataFrame = {

@@ -188,6 +188,50 @@ class OperatorsSpec extends GraftSpec {
     assert(rows(2).getAs[Double]("conv_from_first") <= ns(1).toDouble / ns(0))
   }
 
+  test("gini: textbook planted values, zero-total NULL, input-order invariance") {
+    val s = spark
+    import s.implicits._
+    val bals = Seq(
+      ("A", 1.0), ("A", 1.0), ("A", 1.0), ("A", 1.0), // equality → 0
+      ("B", 0.0), ("B", 0.0), ("B", 0.0), ("B", 0.04), // one holder → 0.75
+      ("C", 0.0), ("C", 0.0)) // zero total → NULL
+    val m = operators.Staking.giniOf(bals.toDF("denom", "bal")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("A").getAs[Double]("gini") == 0.0)
+    assert(m("A").getAs[Long]("n_accounts") == 4 &&
+      m("A").getAs[Long]("total_bal_x100") == 400)
+    // (2·16 − 5·4)/(4·4) = 0.75 — the single-holder concentration
+    assert(m("B").getAs[Double]("gini") == 0.75)
+    assert(m("C").isNullAt(m("C").fieldIndex("gini")))
+    // histogram identity: input order cannot matter
+    val shuffled = operators.Staking.giniOf(
+      new scala.util.Random(7).shuffle(bals).toDF("denom", "bal")).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(shuffled == m.map { case (k, v) => k -> v.toSeq })
+    // and the registered query agrees with a row_number reference
+    val reg = operators.Staking.richlistGini(spark, Dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("denom")).orderBy(col("q"), col("c_custkey"))
+    val t = sources.Tables(spark, Dir)
+    val naive = t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("denom"), col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("q"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("denom")).agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("i") * col("q")).cast("decimal(38,0)")).as("siq"))
+      .select(col("denom"),
+        graft.functions.Exact.roundx(
+          (lit(2) * col("siq") - (col("n") + 1) * col("sq")).cast("double") /
+            (col("n") * col("sq")).cast("double"), 6).as("gini"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(reg == naive, s"histogram vs row_number: $reg vs $naive")
+    assert(reg.values.forall(g => g >= 0.0 && g < 1.0))
+  }
+
   test("gopher rules: each measure and the conjunction behave on constructed docs") {
     val s = spark
     import s.implicits._
