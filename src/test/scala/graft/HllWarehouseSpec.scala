@@ -60,6 +60,27 @@ class HllWarehouseSpec extends GraftSpec {
     }
   }
 
+  test("planted overlap: trailing-window union counts distinct users exactly at low cardinality") {
+    val s = spark
+    import s.implicits._
+    // day 1: users 1-10; day 2: users 6-15 (5 overlap); day 9: users 1-5.
+    // HLL at lgK 14 is exact at these cardinalities, so the window
+    // union must be the true distinct count — and day 9's window must
+    // NOT include days 1-2 (outside the trailing 7)
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    val rows = (1L to 10L).map(u => (t(1), u)) ++
+      (6L to 15L).map(u => (t(2), u)) ++ (1L to 5L).map(u => (t(9), u))
+    val p = tmp("planted")
+    HllWarehouse.materializeFrom(rows.toDF("ts", "user_id"), p)
+    val est = HllWarehouse.probe(spark, Dir, p).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est("2024-03-01") == ((10L, 10L)))
+    // day 2's trailing window spans days 1-2: 15 distinct users
+    assert(est("2024-03-02") == ((10L, 15L)))
+    // day 9's window spans days 3-9 only: just its own 5 users
+    assert(est("2024-03-09") == ((5L, 5L)))
+  }
+
   test("compaction is probe-invariant and leaves one sketch per day") {
     val e = Tables(spark, Dir).events
     val p = tmp("compact")
