@@ -40,7 +40,13 @@ object SparkEntry {
     // count rollup has; no oracle (sketch class; accuracy + probe
     // equality spec'd in HllWarehouseSpec)
     "q_active_accounts_probe" -> ((s: SparkSession, d: String) =>
-      HllWarehouse.probe(s, d, HllWarehouse.builtPath(s, d))),
+      HllWarehouse.probe(s, HllWarehouse.builtPath(s, d))),
+    // ANY ad-hoc window's actives from that window's sketches at rest
+    // (fixed test window Jan 8–21) — the statistic no additive rollup
+    // serves; no oracle (sketch class; accuracy + zero-events-scan
+    // pruning spec'd in HllWarehouseSpec)
+    "q_active_accounts_window" -> ((s: SparkSession, d: String) =>
+      HllWarehouse.windowProbe(s, HllWarehouse.builtPath(s, d))),
     // production distinct-count path; HLL++ sketch has no portable SQL
     // oracle -> rows-only check + spec vs exact within tolerance
     "q_active_accounts_approx" -> (Dashboard.activeAccountsApproxDaily _),
@@ -129,13 +135,17 @@ object SparkEntry {
     // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
     // never rescans events (plan-asserted in TsWarehouseSpec)
     "q_ts_anomaly_probe" -> ((s: SparkSession, d: String) =>
-      TsWarehouse.anomalyProbe(s, d, TsWarehouse.builtPath(s, d))),
-    // the other two registered grid consumers off the same rollup —
-    // each holds its inline oracle verbatim (bit-equal grid)
+      TsWarehouse.anomalyProbe(s, TsWarehouse.builtPath(s, d))),
+    // the other three registered grid consumers off the same rollup —
+    // each holds its inline oracle verbatim (bit-equal grid); with
+    // decompose the standing-form consumer set is COMPLETE (window
+    // search stays inline-only by design: ad-hoc query window)
     "q_ts_corr_probe" -> ((s: SparkSession, d: String) =>
-      TsWarehouse.corrProbe(s, d, TsWarehouse.builtPath(s, d))),
+      TsWarehouse.corrProbe(s, TsWarehouse.builtPath(s, d))),
     "q_ts_seasonal_probe" -> ((s: SparkSession, d: String) =>
-      TsWarehouse.seasonalProbe(s, d, TsWarehouse.builtPath(s, d))),
+      TsWarehouse.seasonalProbe(s, TsWarehouse.builtPath(s, d))),
+    "q_ts_decompose_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.decomposeProbe(s, TsWarehouse.builtPath(s, d))),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -732,6 +742,31 @@ object SparkEntry {
        |FROM sd WHERE sd > 0
        |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin
 
+  // Hoisted q_ts_decompose body, shared VERBATIM by the rollup-served
+  // q_ts_decompose_probe (bit-equal grid — the QTsAnomalySql pairing).
+  private lazy val QTsDecomposeSql =
+    s"""WITH $TsGridSql,
+       |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+       |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
+       |FROM grid GROUP BY 1, 2),
+       |adj AS (SELECT g.date, g.event_type, g.v,
+       |round(sum_v / n_days, 6) AS dow_mean,
+       |round(g.v - round(sum_v / n_days, 6), 6) AS adj
+       |FROM grid g JOIN bd ON bd.event_type = g.event_type
+       |AND bd.dow = dayofweek(g.date) + 1),
+       |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
+       |FROM (SELECT DISTINCT date FROM adj)),
+       |gi AS (SELECT adj.*, di.dn FROM adj JOIN di USING (date)),
+       |w0 AS (SELECT a.event_type, a.date, a.v, a.dow_mean, a.adj,
+       |array_agg(b.adj ORDER BY b.dn) AS arr
+       |FROM gi a JOIN gi b ON a.event_type = b.event_type
+       |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
+       |GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 7),
+       |st AS (SELECT event_type, date, v, dow_mean, adj,
+       |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)
+       |SELECT event_type, date, v, dow_mean, adj AS adjusted,
+       |round(mu, 6) AS trend, round(adj - mu, 6) AS residual FROM st""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
       s"""WITH d AS ($DAILY)
@@ -1101,28 +1136,9 @@ object SparkEntry {
     // seasonal-adjusted trend/residual: adjusted rounds BEFORE the
     // trailing fold (both engines fold identical inputs); same
     // date-index ROW semantics + left-assoc folds as q_ts_anomaly
-    "q_ts_decompose" ->
-      s"""WITH $TsGridSql,
-         |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
-         |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
-         |FROM grid GROUP BY 1, 2),
-         |adj AS (SELECT g.date, g.event_type, g.v,
-         |round(sum_v / n_days, 6) AS dow_mean,
-         |round(g.v - round(sum_v / n_days, 6), 6) AS adj
-         |FROM grid g JOIN bd ON bd.event_type = g.event_type
-         |AND bd.dow = dayofweek(g.date) + 1),
-         |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
-         |FROM (SELECT DISTINCT date FROM adj)),
-         |gi AS (SELECT adj.*, di.dn FROM adj JOIN di USING (date)),
-         |w0 AS (SELECT a.event_type, a.date, a.v, a.dow_mean, a.adj,
-         |array_agg(b.adj ORDER BY b.dn) AS arr
-         |FROM gi a JOIN gi b ON a.event_type = b.event_type
-         |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
-         |GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 7),
-         |st AS (SELECT event_type, date, v, dow_mean, adj,
-         |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)
-         |SELECT event_type, date, v, dow_mean, adj AS adjusted,
-         |round(mu, 6) AS trend, round(adj - mu, 6) AS residual FROM st""".stripMargin,
+    "q_ts_decompose" -> QTsDecomposeSql,
+    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    "q_ts_decompose_probe" -> QTsDecomposeSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line

@@ -124,9 +124,18 @@ object BigramLmWarehouse {
 
   /** Swap-in stats write: the new (nb, v) row lands in a sibling temp
     * directory first, then replaces the live one via filesystem
-    * renames — the stats row is never absent or torn mid-overwrite
-    * (a plain `mode("overwrite")` deletes before it writes, so a
-    * crash there would leave NO stats and every probe failing). */
+    * renames — never torn mid-overwrite (a plain `mode("overwrite")`
+    * deletes before it writes, so a crash there would leave NO stats
+    * at all).  Two honest caveats on the contract: HDFS-style
+    * filesystems signal rename failure by RETURNING FALSE, not
+    * throwing, so each rename's return value is checked and a false
+    * fails loudly instead of leaving probes on stale stats; and there
+    * remains a crash WINDOW between rename(stats→old) and
+    * rename(next→stats) during which the live row is absent — the old
+    * row stays recoverable from `.old` (and the new one from `.next`),
+    * but a reader hitting exactly that window sees a missing path.
+    * Closing the window for real needs a table format's atomic commit
+    * (none ships in this environment — the MERGE-sink stance). */
   private def writeStatsAtomic(spark: SparkSession, path: String,
       nb: Long, v: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -136,9 +145,12 @@ object BigramLmWarehouse {
     spark.range(1).select(lit(nb).as("nb"), lit(v).as("v"))
       .write.mode("overwrite").parquet(next.toString)
     val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"stats swap: rename $src -> $dst returned false")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(stats)) fs.rename(stats, old)
-    fs.rename(next, stats)
+    if (fs.exists(stats)) renameOrThrow(stats, old)
+    renameOrThrow(next, stats)
     fs.delete(old, true)
   }
 

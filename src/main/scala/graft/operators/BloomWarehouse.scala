@@ -39,13 +39,21 @@ object BloomWarehouse {
   val Capacity: Long = 1L << 20
   val Fpp: Double = 1e-6
 
-  /** One generation's delta filter: the bit array over the batch's
-    * distinct 8-gram hashes at the SHARED layout. */
-  private[graft] def deltaFilter(evalDocs: DataFrame, n: Int): BloomFilter =
-    evalDocs
+  /** One generation's delta filter over the batch's distinct 8-gram
+    * hashes at the SHARED layout, WITH the inserted distinct-gram
+    * count: the FP bound only holds while total insertions stay under
+    * Capacity, and a silently over-filled filter degrades toward
+    * all-positives with no false-negative signal to catch it — so the
+    * count is recorded next to the bytes and enforced at every
+    * refresh/compact (a review finding: over-capacity must be an
+    * ERROR, not quiet over-flagging). */
+  private[graft] def deltaFilter(evalDocs: DataFrame, n: Int): (BloomFilter, Long) = {
+    val grams = evalDocs
       .select(explode(graft.functions.GramHashes(words(col("text")), n)).as("hsh"))
       .distinct()
-      .stat.bloomFilter("hsh", Capacity, Fpp)
+      .localCheckpoint() // feeds both the count and the filter build
+    (grams.stat.bloomFilter("hsh", Capacity, Fpp), grams.count())
+  }
 
   private def bytesOf(bf: BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -53,23 +61,43 @@ object BloomWarehouse {
     bos.toByteArray
   }
 
-  private def writeRow(spark: SparkSession, bf: BloomFilter, path: String,
-      mode: String): Unit = {
+  private def writeRow(spark: SparkSession, bf: BloomFilter, nGrams: Long,
+      path: String, mode: String): Unit = {
     import spark.implicits._
-    Seq(bytesOf(bf)).toDF("bf").repartition(1).write.mode(mode).parquet(path)
+    Seq((bytesOf(bf), nGrams)).toDF("bf", "n_grams")
+      .repartition(1).write.mode(mode).parquet(path)
   }
+
+  /** Generations' recorded insertion counts summed — an UPPER bound on
+    * the union's distinct grams (cross-generation repeats double-count;
+    * Bloom insertion of a present item is a no-op, so the bound is
+    * conservative in the safe direction for the FP guarantee). */
+  private def cumulativeGrams(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).agg(sum(col("n_grams"))).head().getLong(0)
+
+  private def assertUnderCapacity(total: Long): Unit =
+    require(total <= Capacity,
+      s"BloomWarehouse over capacity: $total inserted grams > $Capacity — " +
+        "the FP bound no longer holds; raise Capacity (a new layout) and rebuild")
 
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder. */
   def materializeFrom(spark: SparkSession, evalDocs: DataFrame, path: String,
-      n: Int = 8): Unit =
-    writeRow(spark, deltaFilter(evalDocs, n), path, "overwrite")
+      n: Int = 8): Unit = {
+    val (bf, cnt) = deltaFilter(evalDocs, n)
+    assertUnderCapacity(cnt)
+    writeRow(spark, bf, cnt, path, "overwrite")
+  }
 
   /** REFRESH — append the new eval generation's delta filter.
-    * O(batch); no standing row is read or rewritten. */
+    * O(batch); no standing row is read or rewritten.  Fails loudly if
+    * the cumulative inserted-gram count would exceed Capacity. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String,
-      n: Int = 8): Unit =
-    writeRow(spark, deltaFilter(batch, n), path, "append")
+      n: Int = 8): Unit = {
+    val (bf, cnt) = deltaFilter(batch, n)
+    assertUnderCapacity(cumulativeGrams(spark, path) + cnt)
+    writeRow(spark, bf, cnt, path, "append")
+  }
 
   /** The probe-side OR-fold: read every generation's bytes (KB-scale
     * driver metadata — the codebook/centroid collect class) and merge.
@@ -80,10 +108,16 @@ object BloomWarehouse {
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf"))))
       .reduce { (a, b) => a.mergeInPlace(b); a }
 
-  /** COMPACT — merge generation rows to one.  Probe-byte-identical. */
+  /** COMPACT — merge generation rows to one.  Probe-byte-identical.
+    * The recorded count carries the generations' SUM (the conservative
+    * upper bound — see cumulativeGrams), re-checked against Capacity
+    * so a compact over an over-filled index fails like a refresh
+    * would. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val total = cumulativeGrams(spark, path)
+    assertUnderCapacity(total)
     val merged = mergedFilter(spark, path)
-    writeRow(spark, merged, path, "overwrite")
+    writeRow(spark, merged, total, path, "overwrite")
   }
 
   /** Registered `d_bloom_decontaminate_probe`: the TRAIN split probed

@@ -70,8 +70,10 @@ object HllWarehouse {
     * leg is the capability the sketch buys — it unions each day's
     * trailing window of daily sketches (a calendar-bounded range
     * self-join: days × ≤7 rows, metadata-scale at any corpus size);
-    * no count-based rollup could produce it. */
-  def probe(spark: SparkSession, dir: String, path: String): DataFrame = {
+    * no count-based rollup could produce it.  (spark, path) only —
+    * the probe reads NOTHING but the warehouse (a review finding: a
+    * dead `dir` param suggested otherwise). */
+  def probe(spark: SparkSession, path: String): DataFrame = {
     val daily = mergedDaily(spark, path).localCheckpoint()
     val est = daily.select(col("date"),
       expr("hll_sketch_estimate(sk)").as("active_accounts"))
@@ -83,6 +85,27 @@ object HllWarehouse {
       .select(col("date"), expr("hll_sketch_estimate(wsk)").as("active_7d"))
     est.join(trailing, Seq("date"))
   }
+
+  /** Registered `q_active_accounts_window`: the warehouse doc's
+    * headline claim made registered code — ANY ad-hoc date window's
+    * distinct actives from unioning exactly that window's daily
+    * sketches, the statistic no additive rollup can serve (Σ daily
+    * actives ≠ window actives when users repeat).  Parameterized by
+    * [start, end] and registered at fixed test constants (the
+    * q_ts_window_search stance on parameterization: the driver needs
+    * a deterministic result, production binds the dates).  Plan: a
+    * pushed-down date-range filter on the KB-scale sketch table, one
+    * union-agg, one estimate — zero events scans at ANY corpus size
+    * (HllWarehouseSpec pins pruning and ≤2% accuracy vs the exact
+    * windowed distinct). */
+  def windowProbe(spark: SparkSession, path: String,
+      start: String = "2024-01-08", end: String = "2024-01-21"): DataFrame =
+    mergedDaily(spark, path)
+      .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
+      .agg(count(lit(1)).as("n_days"), expr("hll_union_agg(sk)").as("wsk"))
+      .select(lit(start).cast("date").as("start_date"),
+        lit(end).cast("date").as("end_date"), col("n_days"),
+        expr("hll_sketch_estimate(wsk)").as("active_window"))
 
   /** The once-per-JVM two-generation build (the Materialized
     * pattern). */

@@ -205,8 +205,16 @@ object TimeSeries {
   def tsDecompose(spark: SparkSession, dir: String, w: Int = 7): DataFrame =
     tsDecomposeOf(Tables(spark, dir).events, w)
 
-  private[graft] def tsDecomposeOf(events: DataFrame, w: Int = 7): DataFrame = {
-    val grid = dailyGrid(events).localCheckpoint() // feeds dow means + windows
+  private[graft] def tsDecomposeOf(events: DataFrame, w: Int = 7): DataFrame =
+    decomposeOfGrid(dailyGrid(events), w)
+
+  /** The decompose tail over an already-built dense grid — shared by
+    * the inline query and TsWarehouse's rollup-served probe (the
+    * corrOfGrid/anomalyOfGrid/seasonalOfGrid pattern, completing
+    * "every grid consumer holds its inline oracle verbatim" for the
+    * fourth and last standing-form consumer). */
+  private[graft] def decomposeOfGrid(grid0: DataFrame, w: Int = 7): DataFrame = {
+    val grid = grid0.localCheckpoint() // feeds dow means + windows
     val byDow = grid
       .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
       .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))

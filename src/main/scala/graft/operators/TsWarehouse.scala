@@ -85,22 +85,28 @@ object TsWarehouse {
 
   /** Registered `q_ts_anomaly_probe`: the alerting leg off the
     * refreshed rollup.  base ∪ incoming = all events, so the result
-    * equals q_ts_anomaly bit for bit and shares its oracle
-    * VERBATIM. */
-  def anomalyProbe(spark: SparkSession, dir: String, path: String): DataFrame =
+    * equals q_ts_anomaly bit for bit and shares its oracle VERBATIM.
+    * (spark, path) only — no source-dir parameter, because the probe
+    * reads NOTHING but the warehouse (a review finding: a dead `dir`
+    * param suggested otherwise). */
+  def anomalyProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.anomalyOfGrid(grid(spark, path))
 
-  /** Registered `q_ts_corr_probe` / `q_ts_seasonal_probe`: the other
-    * two registered grid consumers, served from the same rollup —
-    * what makes "every grid consumer holds its inline oracle
-    * VERBATIM" registered code rather than prose (window search
-    * stays inline-only: it is parameterized by an ad-hoc query
-    * window, the one leg probes don't serve from a standing form). */
-  def corrProbe(spark: SparkSession, dir: String, path: String): DataFrame =
+  /** Registered `q_ts_corr_probe` / `q_ts_seasonal_probe` /
+    * `q_ts_decompose_probe`: the other registered grid consumers,
+    * served from the same rollup — what makes "every grid consumer
+    * holds its inline oracle VERBATIM" registered code rather than
+    * prose (window search stays inline-only: it is parameterized by
+    * an ad-hoc query window, the one leg probes don't serve from a
+    * standing form). */
+  def corrProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.corrOfGrid(grid(spark, path))
 
-  def seasonalProbe(spark: SparkSession, dir: String, path: String): DataFrame =
+  def seasonalProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.seasonalOfGrid(grid(spark, path))
+
+  def decomposeProbe(spark: SparkSession, path: String): DataFrame =
+    TimeSeries.decomposeOfGrid(grid(spark, path))
 
   /** The once-per-JVM two-generation build (the Materialized
     * pattern): rollup of the base split, then ONE refresh folding in

@@ -61,6 +61,39 @@ class BloomWarehouseSpec extends GraftSpec {
     assert(bytesAt(p).size == 1)
   }
 
+  test("generations record their inserted gram counts; over-capacity refresh fails loudly") {
+    val s = spark
+    import s.implicits._
+    val d = docsWithBucket
+    val p = tmp("capacity")
+    BloomWarehouse.materializeFrom(spark,
+      d.filter(col("bucket") >= 90 && col("bucket") < 95), p)
+    // the recorded count is the generation's exact distinct gram count
+    val recorded = spark.read.parquet(p).select(col("n_grams")).head().getLong(0)
+    val exact = d.filter(col("bucket") >= 90 && col("bucket") < 95)
+      .select(explode(graft.functions.GramHashes(words(col("text")), 8)).as("h"))
+      .distinct().count()
+    assert(recorded == exact, s"recorded $recorded grams, exact $exact")
+    // plant a generation row claiming MORE than Capacity: refresh and
+    // compact must fail the FP-bound guard instead of silently
+    // degrading the filter toward all-positives
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(BloomWarehouse.Capacity, BloomWarehouse.Fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val full = tmp("over")
+    Seq((bos.toByteArray, BloomWarehouse.Capacity + 1)).toDF("bf", "n_grams")
+      .write.mode("overwrite").parquet(full)
+    val batch = Seq((1L, "eight distinct words are needed for one gram here"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      BloomWarehouse.refresh(spark, batch, full)
+    }
+    intercept[IllegalArgumentException] {
+      BloomWarehouse.compact(spark, full)
+    }
+  }
+
   test("probe has no false negatives vs exact gram membership, FPs within bound") {
     val path = BloomWarehouse.builtPath(spark, Dir)
     val flagged = BloomWarehouse.probe(spark, Dir, path).collect()

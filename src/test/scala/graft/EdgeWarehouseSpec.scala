@@ -28,6 +28,28 @@ class EdgeWarehouseSpec extends GraftSpec {
     assert(atRest.count() == inline.size)
   }
 
+  test("GUARD: banded J-channel recall is 1.0 on this corpus — the precondition of the shared oracle") {
+    // d_dedup_groups_lsh holds d_dedup_groups' exact oracle ONLY while
+    // 32-band MinHash banding recalls every true J >= 0.8 pair on the
+    // CURRENT fixed corpus (escape p ≈ 5e-8/pair).  This guard asserts
+    // that recall directly, so a regenerated corpus with a borderline
+    // pair that flips all bands produces THIS targeted failure instead
+    // of an opaque oracle hash mismatch downstream (a review finding).
+    val docs = sources.Tables(spark, Dir).documents
+    val exactJ = edgeSet(dedup.Dedup.ngramStages(docs, maxDfRatio = 0.1).pairs
+      .select(org.apache.spark.sql.functions.col("a_id"),
+        org.apache.spark.sql.functions.col("b_id")))
+    val bandedJ = edgeSet(dedup.Dedup.minhashVerifiedOf(docs)
+      .select(org.apache.spark.sql.functions.col("a_id"),
+        org.apache.spark.sql.functions.col("b_id")))
+    val missed = exactJ -- bandedJ
+    assert(missed.isEmpty,
+      s"banding recall < 1.0 on this corpus: ${missed.take(5)} escaped all 32 bands. " +
+        "This is the fixed-data precondition of d_dedup_groups_lsh's shared exact " +
+        "oracle failing (likely regenerated test data with a borderline J≈0.8 pair), " +
+        "NOT an LSH operator bug — see Dedup.nearDupEdgesLsh's Scaladoc.")
+  }
+
   test("LSH-edge grouping labels equal the exact recompute row-for-row") {
     val exact = dedup.Dedup.dedupGroups(spark, Dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"), r.getAs[Long]("group_size")))

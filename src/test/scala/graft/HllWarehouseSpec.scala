@@ -21,7 +21,7 @@ class HllWarehouseSpec extends GraftSpec {
     Files.createTempDirectory(s"graft-hll-$tag").resolve("idx").toString
 
   private def estimates(path: String): Map[String, (Long, Long)] =
-    HllWarehouse.probe(spark, Dir, path).collect()
+    HllWarehouse.probe(spark, path).collect()
       .map(r => r.getDate(0).toString ->
         (r.getLong(1), r.getLong(2))).toMap
 
@@ -72,13 +72,50 @@ class HllWarehouseSpec extends GraftSpec {
       (6L to 15L).map(u => (t(2), u)) ++ (1L to 5L).map(u => (t(9), u))
     val p = tmp("planted")
     HllWarehouse.materializeFrom(rows.toDF("ts", "user_id"), p)
-    val est = HllWarehouse.probe(spark, Dir, p).collect()
+    val est = HllWarehouse.probe(spark, p).collect()
       .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
     assert(est("2024-03-01") == ((10L, 10L)))
     // day 2's trailing window spans days 1-2: 15 distinct users
     assert(est("2024-03-02") == ((10L, 15L)))
     // day 9's window spans days 3-9 only: just its own 5 users
     assert(est("2024-03-09") == ((5L, 5L)))
+  }
+
+  test("ad-hoc window probe: within 2% of the exact windowed distinct, zero events scans") {
+    val path = HllWarehouse.builtPath(spark, Dir)
+    val probe = HllWarehouse.windowProbe(spark, path)
+    val row = probe.collect().head
+    val (start, end) = (row.getDate(0).toString, row.getDate(1).toString)
+    assert(start == "2024-01-08" && end == "2024-01-21")
+    assert(row.getLong(2) == 14L, s"expected 14 days in window, got ${row.getLong(2)}")
+    val exact = Tables(spark, Dir).events
+      .filter(to_date(col("ts")).between(lit(start), lit(end)))
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    val est = row.getLong(3)
+    assert(math.abs(est - exact).toDouble / exact <= 0.02,
+      s"window est $est vs exact $exact")
+    // the probe's only scan is the warehouse — never raw events
+    val scans = probe.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.contains(path)),
+      s"unexpected scan roots: $roots")
+  }
+
+  test("ad-hoc window probe is exact on a planted low-cardinality corpus") {
+    val s = spark
+    import s.implicits._
+    // users repeat across days INSIDE the window: additive rollups
+    // would report 3×10, the sketch union must report 15 distinct
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val rows = (1L to 10L).map(u => (t(8), u)) ++
+      (6L to 15L).map(u => (t(10), u)) ++ (1L to 10L).map(u => (t(20), u)) ++
+      (100L to 120L).map(u => (t(3), u)) // outside the window — must not leak in
+    val p = tmp("window")
+    HllWarehouse.materializeFrom(rows.toDF("ts", "user_id"), p)
+    val est = HllWarehouse.windowProbe(spark, p).collect().head
+    assert(est.getLong(2) == 3L, s"3 sketch days expected, got ${est.getLong(2)}")
+    assert(est.getLong(3) == 15L, s"window distinct 15 expected, got ${est.getLong(3)}")
   }
 
   test("compaction is probe-invariant and leaves one sketch per day") {

@@ -41,7 +41,7 @@ class TsWarehouseSpec extends GraftSpec {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getDate(1).toString, r.getDouble(2),
         r.getDouble(3), r.getDouble(4))
-    val probe = TsWarehouse.anomalyProbe(spark, Dir, path).collect().map(key).toSeq
+    val probe = TsWarehouse.anomalyProbe(spark, path).collect().map(key).toSeq
     val inline = TimeSeries.tsAnomaly(spark, Dir).collect().map(key).toSeq
     assert(probe == inline, s"probe=$probe inline=$inline")
     assert(probe.nonEmpty)
@@ -51,11 +51,21 @@ class TsWarehouseSpec extends GraftSpec {
     val path = TsWarehouse.builtPath(spark, Dir)
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toString).toSet
-    assert(rows(TsWarehouse.corrProbe(spark, Dir, path)) ==
+    assert(rows(TsWarehouse.corrProbe(spark, path)) ==
       rows(TimeSeries.tsCorr(spark, Dir)), "corr probe diverges")
-    assert(rows(TsWarehouse.seasonalProbe(spark, Dir, path)) ==
+    assert(rows(TsWarehouse.seasonalProbe(spark, path)) ==
       rows(TimeSeries.tsSeasonal(spark, Dir)), "seasonal probe diverges")
-    assert(TsWarehouse.corrProbe(spark, Dir, path).count() > 0)
+    assert(TsWarehouse.corrProbe(spark, path).count() > 0)
+  }
+
+  test("decompose probe equals the inline query row-for-row — the fourth grid consumer") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val probe = rows(TsWarehouse.decomposeProbe(spark, path))
+    assert(probe == rows(TimeSeries.tsDecompose(spark, Dir)),
+      "decompose probe diverges from inline")
+    assert(probe.nonEmpty)
   }
 
   test("the probe-side merge scans ONLY the warehouse — zero events scans") {
