@@ -62,6 +62,11 @@ object SparkEntry {
     "q_airdrop_avg_return" -> (Dashboard.airdropAvgReturn _),
     "q_txvol_grains" -> (Dashboard.txVolGrains _),
     "q_dormant_accounts" -> (Dashboard.dormantAccounts _),
+    // the explicit hot-key mitigation as a registered query: two-phase
+    // salted aggregate, oracle = the UNSALTED single groupBy — equal
+    // bit-for-bit by DECIMAL-sum order freedom (salt invariance as an
+    // oracle-checked demonstration, not prose)
+    "q_txvol_salted" -> ((s: SparkSession, d: String) => Skew.saltedVolume(s, d)),
     "q_general_info" -> (Dashboard.generalInfo _),
     // market (reference: src/service/market/)
     "q_price_hourly" -> (Market.priceHourly _),
@@ -94,6 +99,12 @@ object SparkEntry {
     // per-denom wealth concentration: histogram-computed Gini; the
     // row_number oracle is equal by the tie-block identity
     "q_richlist_gini" -> (Staking.richlistGini _),
+    // the concentration alert at rest (BalanceWarehouse): the same
+    // (denom, cents) histogram maintained by O(batch) integer-delta
+    // appends, served through the identical giniOfHist tail — holds
+    // q_richlist_gini's oracle verbatim
+    "q_richlist_gini_probe" -> ((s: SparkSession, d: String) =>
+      BalanceWarehouse.giniProbe(s, BalanceWarehouse.builtPath(s, d))),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
@@ -106,6 +117,12 @@ object SparkEntry {
     "q_vote_tally_latest" -> (Governance.voteTallyLatest _),
     "q_proposals_summary" -> (Governance.proposalsSummary _),
     "q_proposal_deposits" -> (Governance.proposalDeposits _),
+    // the /proposals/:id composite payload: point row + latest-vote
+    // per-option tally + deposit rollup, broadcast-1-row-joined (the
+    // q_general_info composition pattern); oracle composes the hoisted
+    // vote/deposit SQL bodies verbatim
+    "q_proposal_detail" -> ((s: SparkSession, d: String) =>
+      Governance.proposalDetail(s, d)),
     // treasury (reference: src/service/treasury/)
     "q_circulating_supply" -> (Treasury.circulatingSupply _),
     "q_vesting_supply" -> (Treasury.vestingSupply _),
@@ -742,6 +759,36 @@ object SparkEntry {
        |FROM sd WHERE sd > 0
        |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin
 
+  // Hoisted q_vote_tally_latest body and the one-proposal deposit rows,
+  // composed VERBATIM by q_proposal_detail (the corpus-funnel hoisting
+  // discipline: a leg change must hit every composition or none).
+  private lazy val QVoteTallyLatestSql =
+    s"""WITH v AS (SELECT o_orderpriority, o_orderstatus, o_totalprice,
+       |row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+       |ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+       |SELECT o_orderpriority AS proposal, o_orderstatus AS "option", count(*) AS votes,
+       |round(${SUMX("o_totalprice")}, 2) AS voting_power FROM v WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  private lazy val QProposalDepositRowsSql =
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  // Hoisted q_richlist_gini body (the naive row_number formula),
+  // shared VERBATIM by the histogram-served q_richlist_gini_probe
+  // (BalanceWarehouse: value-multiset-preserving integer histogram).
+  private lazy val QRichlistGiniSql =
+    """WITH q AS (SELECT n_name AS denom, c_custkey,
+      |CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (SELECT denom, q,
+      |CAST(row_number() OVER (PARTITION BY denom ORDER BY q, c_custkey) AS BIGINT) AS i FROM q),
+      |g AS (SELECT denom, CAST(count(*) AS BIGINT) AS n_accounts,
+      |sum(CAST(q AS DECIMAL(38,0))) AS sq,
+      |sum(CAST(i * q AS DECIMAL(38,0))) AS siq FROM r GROUP BY 1)
+      |SELECT denom, n_accounts, CAST(sq AS BIGINT) AS total_bal_x100,
+      |CASE WHEN sq <> 0 THEN round(CAST(2 * siq - (n_accounts + 1) * sq AS DOUBLE) /
+      |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
+      |FROM g""".stripMargin
+
   // Hoisted q_ts_decompose body, shared VERBATIM by the rollup-served
   // q_ts_decompose_probe (bit-equal grid — the QTsAnomalySql pairing).
   private lazy val QTsDecomposeSql =
@@ -844,6 +891,11 @@ object SparkEntry {
          |CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
          |round(${SUMX("value")}, 4) AS tx_volume, count(*) AS n
          |FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)""".stripMargin,
+    // the salted two-phase aggregate vs the naive single groupBy:
+    // DECIMAL partials make them hash-identical at any salt count
+    "q_txvol_salted" ->
+      s"""SELECT event_type AS denom, round(${SUMX("value")}, 4) AS tx_volume,
+         |count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
     "q_dormant_accounts" ->
       """WITH c AS (SELECT max(epoch_ms(ts)) - 86400000 AS cutoff_ms FROM events),
         |st AS (SELECT user_id, epoch_ms(ts) AS ts_ms, cutoff_ms FROM events, c),
@@ -859,12 +911,24 @@ object SparkEntry {
         |FROM orders WHERE o_orderpriority = '1-URGENT')
         |SELECT voter, "option", vote_date, vote_id FROM v WHERE rn = 1
         |ORDER BY vote_id DESC LIMIT 25""".stripMargin,
-    "q_vote_tally_latest" ->
-      s"""WITH v AS (SELECT o_orderpriority, o_orderstatus, o_totalprice,
-         |row_number() OVER (PARTITION BY o_orderpriority, o_custkey
-         |ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
-         |SELECT o_orderpriority AS proposal, o_orderstatus AS "option", count(*) AS votes,
-         |round(${SUMX("o_totalprice")}, 2) AS voting_power FROM v WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    "q_vote_tally_latest" -> QVoteTallyLatestSql,
+    // the /proposals/:id composite: the hoisted latest-vote tally and
+    // deposit-rows bodies composed verbatim, one broadcast-joined row
+    "q_proposal_detail" ->
+      s"""WITH tl AS ($QVoteTallyLatestSql),
+         |votes AS (SELECT proposal,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'F'), 0) AS BIGINT) AS votes_f,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'O'), 0) AS BIGINT) AS votes_o,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'P'), 0) AS BIGINT) AS votes_p,
+         |round(${SUMX("voting_power")}, 2) AS voting_power
+         |FROM tl WHERE proposal = '1-URGENT' GROUP BY 1),
+         |d AS ($QProposalDepositRowsSql),
+         |dep AS (SELECT count(*) AS n_deposits,
+         |round(${SUMX("deposit")}, 2) AS total_deposit,
+         |min(date) AS first_deposit_date, max(date) AS last_deposit_date FROM d)
+         |SELECT proposal, votes_f, votes_o, votes_p, voting_power,
+         |n_deposits, total_deposit, first_deposit_date, last_deposit_date
+         |FROM votes, dep""".stripMargin,
     "q_general_info" ->
       s"""WITH m AS (SELECT max(ts) AS max_ts FROM events),
          |r AS (SELECT event_type, value, ts, event_id FROM events, m
@@ -999,19 +1063,11 @@ object SparkEntry {
          |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
     // Gini: the NAIVE row_number formula — equal to the registered
     // histogram plan's integers by the tie-block identity
-    "q_richlist_gini" ->
-      """WITH q AS (SELECT n_name AS denom, c_custkey,
-        |CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey),
-        |r AS (SELECT denom, q,
-        |CAST(row_number() OVER (PARTITION BY denom ORDER BY q, c_custkey) AS BIGINT) AS i FROM q),
-        |g AS (SELECT denom, CAST(count(*) AS BIGINT) AS n_accounts,
-        |sum(CAST(q AS DECIMAL(38,0))) AS sq,
-        |sum(CAST(i * q AS DECIMAL(38,0))) AS siq FROM r GROUP BY 1)
-        |SELECT denom, n_accounts, CAST(sq AS BIGINT) AS total_bal_x100,
-        |CASE WHEN sq <> 0 THEN round(CAST(2 * siq - (n_accounts + 1) * sq AS DOUBLE) /
-        |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
-        |FROM g""".stripMargin,
+    "q_richlist_gini" -> QRichlistGiniSql,
+    // histogram-served: base ∪ incoming = all accounts and the
+    // histogram preserves the value multiset ⇒ the inline oracle
+    // VERBATIM (the d_corpus_stats_probe stance)
+    "q_richlist_gini_probe" -> QRichlistGiniSql,
     "q_total_supply" ->
       s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
          |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
@@ -1769,8 +1825,7 @@ object SparkEntry {
       s"""SELECT CAST(l_shipdate AS DATE) AS date, round(${SUMX("l_extendedprice * l_tax")}, 4) AS tax_proceeds,
          |count(*) AS n_items FROM lineitem GROUP BY 1""".stripMargin,
     "q_proposal_deposits" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
-        |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey DESC LIMIT 20""".stripMargin,
+      s"""$QProposalDepositRowsSql ORDER BY o_orderkey DESC LIMIT 20""",
     "q_claims_page" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(l_shipdate AS DATE) AS date,
         |round(l_extendedprice * l_discount, 4) AS claim_amount

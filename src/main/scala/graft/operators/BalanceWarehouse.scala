@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** The per-denom balance VALUE HISTOGRAM at rest — concentration
+  * monitoring as a warehouse member: q_richlist_gini already
+  * aggregates account balances to the (denom, cents) histogram before
+  * any rank math (the one uniform shuffle in its plan), and that
+  * histogram is exactly a StatsWarehouse-class state — integer counts
+  * per key, so refresh-by-append is BIT-EQUAL to a one-shot rebuild
+  * (associative sums; BalanceWarehouseSpec pins it) and the Gini tail
+  * (the rank-block identity over cumulative counts) reconstructs the
+  * inline query's integers EXACTLY.  The alert a rising Gini feeds
+  * becomes O(batch)-maintained like every other standing statistic:
+  * account-balance deltas fold in as histogram increments at ingest,
+  * the probe reads denoms × distinct-cents metadata and never rescans
+  * the accounts table (plan-asserted).
+  *
+  * fcd analogue: the richlist collector materializes per-denom
+  * holdings nightly (reference: src/collector/richlist.ts:20) —
+  * this member keeps the derived concentration statistic standing
+  * instead of recomputing it from raw balances per request.
+  *
+  * Layout: a single append-only parquet of (denom, q, c) delta rows
+  * (q = integer cents — the s_embed_cov fixed-point discipline).
+  * Readers sum per key; `compact` merges to one row per key
+  * (probe-bit-identical — integer sums are order-free).
+  *
+  * NOTE on refresh semantics: deltas are HISTOGRAM increments, i.e.
+  * the batch contributes its accounts' value counts.  A balance
+  * UPDATE in production arrives as (-1 at old value, +1 at new) —
+  * counts stay integers and the fold stays associative; the test
+  * split (c_custkey mod 10, 8:2) models the append case the driver
+  * data admits.
+  */
+object BalanceWarehouse {
+
+  /** The customer-side base/incoming split (the warehouse family's
+    * mod-10 convention, on c_custkey). */
+  private[graft] def isBaseCust = pmod(col("c_custkey"), lit(10L)) < 8
+
+  /** Per-key integer counts of a batch — the delta rows.  Input is
+    * (denom, bal); quantization to cents happens HERE, once, so every
+    * generation agrees on the key space. */
+  private[graft] def deltas(balances: DataFrame): DataFrame =
+    balances
+      .select(col("denom"), floor(col("bal") * 100 + 0.5).cast("long").as("q"))
+      .groupBy(col("denom"), col("q")).agg(count(lit(1)).as("c"))
+
+  /** The (denom, bal) frame of a customer-table slice — the inline
+    * query's join, paid at INGEST time instead of probe time. */
+  private def balancesOf(spark: SparkSession, dir: String,
+      slice: DataFrame): DataFrame =
+    slice.join(broadcast(Tables(spark, dir).nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("denom"), col("c_acctbal").as("bal"))
+
+  /** Ingest — also the refresh-equivalence spec's one-shot reference
+    * builder. */
+  def materializeFrom(balances: DataFrame, path: String): Unit =
+    deltas(balances).write.mode("overwrite").parquet(path)
+
+  /** REFRESH — fold a batch in at rest: append its histogram deltas.
+    * O(batch); no standing row is read or rewritten. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    deltas(batch).write.mode("append").parquet(path)
+
+  /** COMPACT — merge delta rows to one per key.  Probes bit-identical
+    * before/after (integer-sum order freedom); single-writer
+    * maintenance window assumed, as everywhere in the matrix. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** The delta-merge read — exposed un-checkpointed so the spec can
+    * assert its plan scans ONLY the warehouse (zero customer/nation
+    * scans). */
+  private[graft] def mergedHist(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+
+  /** Registered `q_richlist_gini_probe`: the concentration report
+    * served from the histogram at rest.  base ∪ incoming = all
+    * accounts and the histogram preserves the per-denom value
+    * multiset, so the result equals q_richlist_gini row for row and
+    * shares its oracle VERBATIM (the shared Staking.giniOfHist
+    * tail — identical all-LONG rank-block arithmetic). */
+  def giniProbe(spark: SparkSession, path: String): DataFrame =
+    Staking.giniOfHist(mergedHist(spark, path).localCheckpoint())
+
+  /** The once-per-JVM two-generation build (the Materialized
+    * pattern). */
+  def builtPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("balance_warehouse", dir) { p =>
+      val c = Tables(spark, dir).customer
+      materializeFrom(balancesOf(spark, dir, c.filter(isBaseCust)), p)
+      refresh(spark, balancesOf(spark, dir, c.filter(!isBaseCust)), p)
+    }
+
+  /** The refresh's ONLINE twin: each arriving micro-batch of (denom,
+    * bal) rows folds its histogram deltas inside foreachBatch —
+    * associativity means any batching serves a bit-equal histogram
+    * (spec-pinned); no state store, no watermark. */
+  def streamingRefresh(balances: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    balances.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(batch.sparkSession, batch, path)
+      }
+      .start()
+}

@@ -86,17 +86,63 @@ object Governance {
       .agg(count(lit(1)).as("votes"),
         roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
 
+  /** One proposal's deposit rows — the shared body: the deposits page
+    * wraps it with newest-first top-k, the proposal-detail composite
+    * aggregates it (and the oracle composes the SAME hoisted SQL, so
+    * the two registrations cannot drift). */
+  private def depositRows(t: Tables, proposal: String): DataFrame =
+    t.orders
+      .filter(col("o_orderpriority") === proposal)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("date"),
+        roundx(col("o_totalprice"), 2).as("deposit"))
+
   /** Deposits of one proposal, recent-first
     * (reference: src/service/governance/getDeposits.ts:14 — deposit
     * list for a proposal id, paginated newest-first). */
   def proposalDeposits(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).orders
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_custkey"),
-        to_date(col("o_orderdate")).as("date"),
-        roundx(col("o_totalprice"), 2).as("deposit"))
+    depositRows(Tables(spark, dir), "1-URGENT")
       .orderBy(col("o_orderkey").desc)
       .limit(20)
+
+  /** `q_proposal_detail`: the `/proposals/:proposalId` composite — the
+    * one reference route whose ingredients were all registered but
+    * never COMPOSED (reference: src/service/governance/getProposals.ts
+    * getProposal + helper/voteSummary.ts:12 build exactly this
+    * payload: the proposal's own row, the per-option vote summary
+    * under uniqBy-voter latest-vote semantics, and the deposit
+    * rollup).  Composition is the q_general_info pattern
+    * (Dashboard.generalInfo): each leg collapses to a single row, the
+    * final join is a broadcast 1-row cross join — no shuffle joins
+    * anywhere above the leg aggregates.
+    *
+    * Exactness: vote counts are integers; voting_power sums the
+    * per-option 2-dp-rounded powers through DECIMAL (both engines add
+    * the identical doubles); the deposit rollup sums the 2-dp-rounded
+    * deposit column the page query emits — the oracle composes the
+    * hoisted vote-tally and deposit-rows SQL bodies VERBATIM, so a
+    * drift in either leg breaks both registrations at once. */
+  def proposalDetail(spark: SparkSession, dir: String,
+      proposal: String = "1-URGENT"): DataFrame = {
+    val t = Tables(spark, dir)
+    val votes = voteTallyLatest(spark, dir)
+      .filter(col("proposal") === proposal)
+      .groupBy(col("proposal"))
+      .agg(
+        coalesce(sum(when(col("option") === "F", col("votes"))), lit(0L))
+          .cast("long").as("votes_f"),
+        coalesce(sum(when(col("option") === "O", col("votes"))), lit(0L))
+          .cast("long").as("votes_o"),
+        coalesce(sum(when(col("option") === "P", col("votes"))), lit(0L))
+          .cast("long").as("votes_p"),
+        roundx(sumx(col("voting_power")), 2).as("voting_power"))
+    val dep = depositRows(t, proposal)
+      .agg(count(lit(1)).as("n_deposits"),
+        roundx(sumx(col("deposit")), 2).as("total_deposit"),
+        min(col("date")).as("first_deposit_date"),
+        max(col("date")).as("last_deposit_date"))
+    votes.crossJoin(broadcast(dep))
+  }
 
   /** Proposal summary per status: counts, sums, date range
     * (reference: src/service/governance/getProposals.ts:15). */

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.roundx
+import graft.sources.Tables
 
 /** Skew-mitigation utilities — the explicit versions of what AQE's
   * skew-join handles adaptively, for when a hot key is known ahead of
@@ -49,6 +52,27 @@ object Skew {
       .agg(sum(valueCol).as("partial"), count(lit(1)).as("n_partial"))
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("total"), sum(col("n_partial")).as("n"))
+
+  /** Registered `q_txvol_salted`: per-denom total volume through the
+    * TWO-PHASE SALTED aggregate — the explicit hot-key mitigation
+    * registered as a query so its oracle DEMONSTRATES salt invariance
+    * rather than asserting it in prose: partial sums ride
+    * DECIMAL(30,6) (Exact.sumx's route), and decimal addition is
+    * associative and commutative, so re-aggregating the salted
+    * partials is HASH-IDENTICAL to the single groupBy the oracle
+    * runs — any salts count, any partitioning, bit for bit.  This is
+    * the production shape when one denom carries most of the volume
+    * (the fcd skew case this file documents): phase 1 spreads the hot
+    * key over `salts` reducers, phase 2 folds a salts×denoms rollup.
+    * ScaleSpec additionally pins equality against the unsalted plan
+    * and across salt counts. */
+  def saltedVolume(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    saltedSum(
+      Tables(spark, dir).events.select(col("event_type"), col("value")),
+      col("event_type"), col("value").cast("decimal(30,6)"), salts)
+      .select(col("key").as("denom"),
+        roundx(col("total").cast("double"), 4).as("tx_volume"),
+        col("n").as("n_events"))
 
   /** Salted equi-join of a skewed big side against a small side:
     * big rows get a content-derived salt, small rows are replicated

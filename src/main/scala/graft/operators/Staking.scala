@@ -193,10 +193,16 @@ object Staking {
 
   /** Same, over an arbitrary (denom, bal) frame — the spec entry
     * point. */
-  private[graft] def giniOf(balances: DataFrame): DataFrame = {
-    val hist = balances
+  private[graft] def giniOf(balances: DataFrame): DataFrame =
+    giniOfHist(balances
       .select(col("denom"), floor(col("bal") * 100 + 0.5).cast("long").as("q"))
-      .groupBy(col("denom"), col("q")).agg(count(lit(1)).as("c"))
+      .groupBy(col("denom"), col("q")).agg(count(lit(1)).as("c")))
+
+  /** The Gini tail over an already-built (denom, q, c) value
+    * histogram — shared by the inline query and BalanceWarehouse's
+    * histogram-served probe (the TsWarehouse corrOfGrid pattern:
+    * identical tail ⇒ the probe holds the inline oracle verbatim). */
+  private[graft] def giniOfHist(hist: DataFrame): DataFrame = {
     val byVal = Window.partitionBy(col("denom")).orderBy(col("q"))
     val cum = hist
       .withColumn("cum_before", sum(col("c")).over(byVal) - col("c"))

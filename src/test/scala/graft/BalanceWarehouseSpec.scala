@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BalanceWarehouse, Staking}
+import graft.sources.Tables
+
+/** The balance-histogram warehouse contract: refresh == one-shot
+  * rebuild bit-for-bit (integer-count associativity), the
+  * histogram-served Gini probe equals the inline query row-for-row
+  * (what backs the verbatim oracle share), the probe plan never
+  * rescans the accounts table, compaction is probe-invariant, and the
+  * streaming twin folds micro-batches to the same histogram.
+  */
+class BalanceWarehouseSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-balw-$tag").resolve("idx").toString
+
+  private def balances = Tables(spark, Dir).customer
+    .join(broadcast(Tables(spark, Dir).nation),
+      col("c_nationkey") === col("n_nationkey"))
+    .select(col("c_custkey"), col("n_name").as("denom"),
+      col("c_acctbal").as("bal"))
+
+  private def histOf(path: String): Set[(String, Long, Long)] =
+    BalanceWarehouse.mergedHist(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("refresh equals the one-shot rebuild bit-for-bit") {
+    val b = balances
+    val base = b.filter(pmod(col("c_custkey"), lit(10L)) < 8)
+    val inc = b.filter(pmod(col("c_custkey"), lit(10L)) >= 8)
+    val a = tmp("refresh")
+    BalanceWarehouse.materializeFrom(base, a)
+    BalanceWarehouse.refresh(spark, inc, a)
+    val one = tmp("oneshot")
+    BalanceWarehouse.materializeFrom(b, one)
+    assert(histOf(a) == histOf(one), "refreshed histogram diverges from rebuild")
+  }
+
+  test("histogram-served Gini probe equals the inline query row-for-row") {
+    val path = BalanceWarehouse.builtPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val probe = rows(BalanceWarehouse.giniProbe(spark, path))
+    assert(probe == rows(Staking.richlistGini(spark, Dir)),
+      "gini probe diverges from inline")
+    assert(probe.nonEmpty)
+  }
+
+  test("the probe-side merge scans ONLY the warehouse — zero customer scans") {
+    val path = BalanceWarehouse.builtPath(spark, Dir)
+    val scans = BalanceWarehouse.mergedHist(spark, path)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a warehouse scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.forall(_.contains(path)), s"unexpected scan roots: $roots")
+    assert(!roots.exists(r => r.contains("customer") || r.contains("nation")),
+      "probe merge re-reads raw account tables")
+  }
+
+  test("compaction is probe-bit-invariant and leaves one row per key") {
+    val b = balances
+    val p = tmp("compact")
+    BalanceWarehouse.materializeFrom(
+      b.filter(pmod(col("c_custkey"), lit(10L)) < 8), p)
+    BalanceWarehouse.refresh(spark,
+      b.filter(pmod(col("c_custkey"), lit(10L)) >= 8), p)
+    val before = histOf(p)
+    val preCount = spark.read.parquet(p).count()
+    BalanceWarehouse.compact(spark, p)
+    val after = histOf(p)
+    val postCount = spark.read.parquet(p).count()
+    assert(before == after, "compaction changed the merged histogram")
+    assert(postCount == after.size && postCount <= preCount,
+      s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
+  }
+
+  test("streaming refresh across micro-batches equals the one-shot fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = balances.select(col("denom"), col("bal"))
+      .limit(300).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val p = tmp("stream")
+    val mem = MemoryStream[(String, Double)]
+    val q = BalanceWarehouse.streamingRefresh(
+      mem.toDF().toDF("denom", "bal"), p)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = tmp("stream-ref")
+    BalanceWarehouse.materializeFrom(
+      rows.toIndexedSeq.toDF("denom", "bal"), oneShot)
+    assert(histOf(p) == histOf(oneShot), "streamed fold diverges from one-shot")
+  }
+}

@@ -16,6 +16,23 @@ class ScaleSpec extends GraftSpec {
     assert(salted == direct)
   }
 
+  test("q_txvol_salted: bit-equal to the unsalted plan, invariant across salt counts") {
+    // the registered salted twin's whole point: DECIMAL partials make
+    // the two-phase rollup hash-identical to one groupBy at ANY salts
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val t = sources.Tables(spark, Dir)
+    val unsalted = rows(t.events
+      .groupBy(col("event_type").as("denom"))
+      .agg(graft.functions.Exact.roundx(
+          sum(col("value").cast("decimal(30,6)")).cast("double"), 4).as("tx_volume"),
+        count(lit(1)).as("n_events")))
+    val salted8 = rows(operators.Skew.saltedVolume(spark, Dir, salts = 8))
+    val salted3 = rows(operators.Skew.saltedVolume(spark, Dir, salts = 3))
+    assert(salted8 == unsalted, "salted(8) diverges from the unsalted aggregate")
+    assert(salted3 == unsalted, "salted(3) diverges from the unsalted aggregate")
+  }
+
   test("salted join equals direct join") {
     val t = sources.Tables(spark, Dir)
     val small = t.nation.select(col("n_nationkey").as("c_nationkey"), col("n_name"))
