@@ -88,6 +88,34 @@ object Bench {
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners
 
+  /** At-rest probe drift tracking (round-8 VERDICT ask): every
+    * warehouse-served probe plus the two round-8 non-probe additions
+    * that had no bench row, each min-of-3 — carried in the DETAIL
+    * line's `probes` map only, so the byte-budgeted digest is
+    * untouched.  A probe-path regression (pruning lost, a probe
+    * silently rescanning its corpus) becomes driver-visible data
+    * instead of a SURVEY one-shot. */
+  private val Probes = Seq(
+    "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
+    "q_ts_decompose_probe", "d_corpus_stats_probe", "q_active_accounts_probe",
+    "q_active_accounts_window", "d_bloom_decontaminate_probe",
+    "d_semdedup_probe", "q_richlist_gini_probe",
+    "d_dedup_lines", "q_ts_decompose")
+
+  /** Measurement-boundary documentation (ADVICE r08): queries whose
+    * min-of-3 times an AT-REST read after a once-per-JVM warehouse
+    * build (the first rep pays the build, the min drops it).  Carried
+    * in the detail line so round-over-round drift analysis can tell a
+    * warehouse-read speedup from a plan-level one. */
+  private val Warehoused = Seq(
+    "d_dedup_groups", "d_dedup_groups_incremental", "d_split_leakage_safe",
+    "d_dedup_incremental", "d_dedup_refresh", "s_bm25_probe",
+    "s_bm25_probe_compacted", "t_perplexity_probe", "s_embed_cov_probe",
+    "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
+    "q_ts_decompose_probe", "d_corpus_stats_probe", "q_active_accounts_probe",
+    "q_active_accounts_window", "d_bloom_decontaminate_probe",
+    "d_semdedup_probe", "q_richlist_gini_probe")
+
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
   // the output so round comparisons know the ceiling.
@@ -138,6 +166,29 @@ object Bench {
         runs(name) = runs.getOrElse(name, Vector.empty) :+ math.round(t * 1e3)
       }
     }
+    // at-rest probe timings: same interleaved min-of-3 shape, AFTER
+    // the headliner rounds (the builds their first reps trigger are
+    // per-JVM, so headliner timings are unaffected)
+    val probeTimes = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; name <- Probes) {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] probe $name failed: ${e.getMessage}")
+          false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (ok) probeTimes(name) =
+        math.min(probeTimes.getOrElse(name, Double.MaxValue), t)
+    }
+    val probesJson = Probes.map(n =>
+      "\"" + n + "\":" + probeTimes.getOrElse(n, -1.0)).mkString("{", ",", "}")
+    val warehousedJson = Warehoused.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val results = Headliners.map(n => n -> times.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
@@ -197,7 +248,7 @@ object Bench {
       val up = ManagementFactory.getRuntimeMXBean.getUptime
       s"""{"uptime_ms":$up,"gc_ms":$gcMs,"gc_count":$gcN}"""
     }
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"stress":$stress,"ann":$ann}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
     val digest = digestLine(results, total, failed, sfDir, stress, ann)
     spark.stop()
     println(detail)

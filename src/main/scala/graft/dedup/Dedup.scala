@@ -811,32 +811,35 @@ object Dedup {
     restand.union(fresh)
   }
 
-  /** Registered crawl-loop grouping: standing labels over the base
-    * split (doc_id ≡ 0..7 mod 10 — the warehouse family's split),
-    * then the incoming 20% folds in via foldIntoComponents.  Edge
-    * generation runs ONCE over the full frame and splits by endpoint
-    * membership — in production the delta edges arrive from the
-    * refreshed-index probes at O(batch) (d_dedup_refresh), and the
-    * base labels sit at rest from prior crawls; what this query times
-    * and oracles is the FOLD.  Output (and DuckDB oracle) are exactly
+  /** Registered crawl-loop grouping — since round 9 the FULL at-rest
+    * shape: standing labels AND delta edges both come from the
+    * maintained EdgeWarehouse (ingest(base) → refresh(incoming), once
+    * per JVM via Materialized), where the deltas were assembled at
+    * O(batch) by the index probes (MinHash banded J-channel, exact-
+    * hash equi-join, frozen-order Ed-Join — see EdgeWarehouse's
+    * Scaladoc), NOT by splitting a corpus-wide generation run.  The
+    * registered query therefore reads two parquet tables and runs
+    * ONLY the contracted fold — the plan a crawl pipeline actually
+    * executes per batch.  Output (and DuckDB oracle) are exactly
     * d_dedup_groups': the incremental path must be indistinguishable
-    * from the full recompute. */
-  def dedupGroupsIncremental(spark: SparkSession, dir: String): DataFrame =
-    dedupGroupsIncrementalWith(Tables(spark, dir).documents,
-      EdgeWarehouse.edges(spark, dir))
+    * from the full recompute (EdgeWarehouseSpec pins base ∪ delta ==
+    * nearDupEdges(corpus) bit-for-bit, which is what licenses the
+    * verbatim oracle). */
+  def dedupGroupsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val path = EdgeWarehouse.builtPath(spark, dir)
+    withGroupSizes(foldIntoComponents(
+      EdgeWarehouse.standingLabels(spark, path),
+      Tables(spark, dir).documents
+        .filter(!graft.dedup.MinHashWarehouse.isBase).select(col("doc_id")),
+      EdgeWarehouse.deltaEdges(spark, path)))
+  }
 
-  /** Same, over an arbitrary (doc_id, text) frame with inline edge
-    * generation — the spec entry point. */
-  def dedupGroupsIncrementalFrom(documents: DataFrame): DataFrame =
-    dedupGroupsIncrementalWith(documents,
-      nearDupEdges(documents).localCheckpoint())
-
-  /** The fold itself, over any edge source — the registered query
-    * feeds it warehouse edges at rest (shared with d_dedup_groups /
-    * d_split_leakage_safe; no localCheckpoint needed, the files ARE
-    * the pin), the spec entry feeds it inline edges. */
-  private def dedupGroupsIncrementalWith(documents: DataFrame,
-      edges: DataFrame): DataFrame = {
+  /** Same fold semantics over an arbitrary (doc_id, text) frame with
+    * inline edge generation split by endpoint membership — the spec
+    * entry point (pins fold == full recompute without any at-rest
+    * state). */
+  def dedupGroupsIncrementalFrom(documents: DataFrame): DataFrame = {
+    val edges = nearDupEdges(documents).localCheckpoint()
     val inBase = graft.dedup.MinHashWarehouse.isBase
     val baseTest = pmod(col("a_id"), lit(10)) < 8 && pmod(col("b_id"), lit(10)) < 8
     val standing = connectedComponents(

@@ -1,42 +1,92 @@
 package graft.dedup
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.{Materialized, Tables}
 
 /** The dup-pair EDGE SET at rest — the shared input of the whole
-  * connected-components family.
+  * connected-components family — in TWO forms:
   *
-  * `d_dedup_groups`, `d_dedup_groups_incremental` and
-  * `d_split_leakage_safe` all consume the same near-dup edge set
-  * (exact-hash ∪ ngram-Jaccard≥0.8 ∪ editdist≤10 pairs,
-  * `Dedup.nearDupEdges`).  Rebuilt inline, each of the three paid the
-  * full tri-channel generation from raw text — ~19 s of the round-7
-  * bench, three times the cost of the thing actually being measured
-  * (the CC fold / the split join) — and the opposite of the
-  * production story this repo's warehouses tell: at 100 TB the edges
-  * ARRIVE from the refreshed-index probes (MinHash/LSH/Ed-Join
-  * warehouses emit candidate pairs at O(batch) per crawl), and the
-  * grouping legs read them at rest.
+  *  1. the once-per-JVM shared materialization (`edges`) that
+  *     `d_dedup_groups` and `d_split_leakage_safe` read (the
+  *     Materialized pattern — fcd's collector-writes-once /
+  *     services-read contract, reference: src/collector/dashboard/
+  *     collectDashboard.ts);
+  *  2. the MAINTAINED warehouse (`ingest`/`refresh`/`compact`) that
+  *     closes the crawl loop's grouping leg: delta edges are NOT
+  *     derived by re-running corpus-wide generation and splitting the
+  *     result — they are assembled at O(batch) from the SAME probe
+  *     machinery the index warehouses already serve (MinHash banded
+  *     probe for the Jaccard channel, the exact-hash equi-join, and a
+  *     frozen-order Ed-Join probe for the character channel), exactly
+  *     as the Scaladoc here has claimed production does since round 8.
+  *     `d_dedup_groups_incremental` reads STANDING LABELS + DELTA
+  *     EDGES at rest and runs only the contracted fold.
   *
-  * The Materialized once-per-process pattern (fcd's collector-writes-
-  * once / services-read contract — reference: src/collector/dashboard/
-  * collectDashboard.ts) applies verbatim: the first CC-family request
-  * generates the edges into a process-unique parquet directory, every
-  * later request — including the other two family members and every
-  * bench repetition after the first — is a pure columnar read of
-  * (a_id, b_id) pairs.  `EdgeWarehouseSpec` pins the at-rest set
-  * bit-for-bit against inline `Dedup.nearDupEdges` (row-set equality,
-  * both directions), so the oracles — which recompute the naive edge
-  * SQL — are untouched.
+  * Maintained layout at `path`:
+  *  - `<path>`          — (a_id, b_id) edge rows partitioned by `gen`
+  *                        (gen=0 ingest, gen≥1 one per refresh);
+  *  - `<path>.labels`   — standing CC labels over the ingested base;
+  *  - `<path>.mh`       — the MinHash-LSH index of standing docs
+  *                        (MinHashWarehouse layout, refreshed per
+  *                        batch so later batches match earlier ones);
+  *  - `<path>.txt`      — (doc_id, len, band, h, text): md5 for the
+  *                        exact channel, length band for the Ed
+  *                        starved stratum, text for Ed verification
+  *                        (the `.docs` stance: warehouses may hold
+  *                        standing content at rest; what a probe never
+  *                        does is re-read or re-derive it from the
+  *                        SOURCE corpus);
+  *  - `<path>.edpfx`    — standing Ed-Join prefix rows (doc_id, len,
+  *                        hsh): each doc's q·d+1 rarest surviving
+  *                        char-4-gram hashes under the FROZEN order;
+  *  - `<path>.edstarved`— standing docs with ≤ q·d surviving prefix
+  *                        grams (the unconditional-completeness
+  *                        fallback population);
+  *  - `<path>.edfreq` / `<path>.edmeta` — the FROZEN char-gram
+  *                        frequency table and its df cap.
   *
-  * Scale: the edge table is PAIRS-sized (near-dup density × corpus,
-  * orders of magnitude below corpus row count), written as plain
-  * parquet; the CC loop's first join repartitions it by endpoint
-  * anyway, so no layout cleverness is warranted beyond columnar
-  * at-rest storage.
+  * The FROZEN-ORDER Ed-Join argument (the piece that makes the
+  * character channel batch-vs-standing instead of corpus-rescan):
+  * AllPairs/Ed-Join completeness needs only that both docs rank their
+  * grams by the SAME total order (EditDist's Scaladoc: "ANY consistent
+  * global order") — it does not need that order to reflect current
+  * corpus frequencies.  So the order (freq, hsh) is FROZEN at ingest
+  * (the PQ/IVF frozen-quantizer stance): standing prefix rows are
+  * computed once when a doc enters, a batch's prefix rows attach
+  * frozen freqs (unseen grams → freq 0, i.e. rarest — consistent on
+  * both sides because a gram's frozen freq is a pure table lookup),
+  * and the candidate join is batch-prefix ⋈ standing-prefix on the
+  * 8 B gram hash with the |Δlen| ≤ d filter inside.  The df cap uses
+  * the frozen threshold on both sides, so capped-ness agrees; capped
+  * grams sort last (freq order), so the smallest COMMON gram of a
+  * qualifying pair is uncapped and inside both 41-row prefixes —
+  * the EditDist.stages argument verbatim, under the frozen order.
+  * Docs left with ≤ q·d surviving grams fall back to the length-band
+  * stratum against the whole other side (band = ⌊len/(d+1)⌋, 3 bands
+  * probed — ed ≤ d ⇒ band diff ≤ 1), the same unconditional fallback
+  * the inline operator carries.  Every candidate is verified with
+  * banded levenshtein, so any complete candidate superset yields
+  * IDENTICAL final pairs — which is why refresh == one-shot
+  * `nearDupEdges(base ∪ batch)` holds bit-for-bit (EdgeWarehouseSpec
+  * pins it, multi-generation included; the J channel's share of that
+  * claim is the banding-recall-1.0 guard the spec asserts first).
+  *
+  * Scale: a refresh costs O(batch) signing/gramming + equi-joins
+  * against narrow at-rest indexes (banded rows, 41-row prefixes, a
+  * one-row-per-doc hash/band table) — never a corpus rescan, never an
+  * all-pairs stage.  The edge table is PAIRS-sized; the labels table
+  * is corpus-rows × 16 bytes.  The starved stratum is empty on
+  * Gopher-filtered corpora (min doc length clears q·d + q − 2).
   */
 object EdgeWarehouse {
+
+  // ---------------------------------------------------------------
+  // Form 1: the shared once-per-JVM materialization (d_dedup_groups /
+  // d_split_leakage_safe — unchanged consumers, unchanged contract).
+  // ---------------------------------------------------------------
 
   /** Generate-and-write: the tri-channel edge set of `dir`'s
     * `documents`, as (a_id, b_id) parquet at `path`. */
@@ -49,4 +99,202 @@ object EdgeWarehouse {
   def edges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(
       Materialized.pathFor("dup_edges", dir)(materialize(spark, dir, _)))
+
+  // ---------------------------------------------------------------
+  // Form 2: the maintained warehouse (ingest → refresh → compact).
+  // ---------------------------------------------------------------
+
+  private val Q = 4 // char-gram width (EditDist's q)
+  private val D = 10 // edit budget
+  private val PrefixLen = Q * D + 1 // 41
+  private val BandW = D + 1
+  private val MaxDfRatio = 0.1
+
+  private def labelsPath(p: String) = s"$p.labels"
+  private def mhPath(p: String) = s"$p.mh"
+  private def txtPath(p: String) = s"$p.txt"
+  private def pfxPath(p: String) = s"$p.edpfx"
+  private def starvedPath(p: String) = s"$p.edstarved"
+  private def freqPath(p: String) = s"$p.edfreq"
+  private def metaPath(p: String) = s"$p.edmeta"
+
+  private def charGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("len"),
+      explode(graft.functions.GramHashes(split(col("text"), ""), Q)).as("hsh"))
+
+  private def txtRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("len"),
+      floor(length(col("text")) / BandW).as("band"),
+      md5(col("text")).as("h"), col("text"))
+
+  /** Prefix rows + starved docs of `docs` under the frozen order.
+    * rn is assigned over ALL grams (capped included — they sort last,
+    * so surviving positions match EditDist.stages' prefix-then-cap
+    * sequencing), then the frozen df cap filters. */
+  private def edPrefixAndStarved(docs: DataFrame, freq: DataFrame,
+      capFreq: Double): (DataFrame, DataFrame) = {
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("hsh"))
+    val pfx = charGrams(docs)
+      .join(freq, Seq("hsh"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= PrefixLen && col("freq") <= capFreq)
+      .select(col("doc_id"), col("len"), col("hsh"))
+      .localCheckpoint() // feeds the store write + the starved derivation
+    val nSur = pfx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sur"))
+    val starved = docs
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .join(nSur, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_sur"), lit(0L)) <= Q.toLong * D)
+      .select(col("doc_id"), col("len"))
+    (pfx, starved)
+  }
+
+  /** INGEST: base edges (the inline tri-channel generation — the
+    * one-time cost when the corpus is first indexed), standing labels,
+    * and every probe-side index the refreshes will equi-join. */
+  def ingest(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val base = docs.localCheckpoint() // feeds edges + labels + 4 indexes
+    Dedup.nearDupEdges(base).withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen").parquet(path)
+    Dedup.connectedComponents(
+        base.select(col("doc_id")),
+        spark.read.parquet(path).select(col("a_id"), col("b_id")))
+      .write.mode("overwrite").parquet(labelsPath(path))
+    MinHashWarehouse.materializeAll(base, mhPath(path))
+    txtRows(base).write.mode("overwrite").parquet(txtPath(path))
+    // freeze the char-gram frequency order + df cap at ingest
+    val freq = charGrams(base).groupBy(col("hsh")).agg(count(lit(1)).as("freq"))
+    freq.write.mode("overwrite").parquet(freqPath(path))
+    val nDocs = base.count()
+    val capFreq = math.max(nDocs * MaxDfRatio, 20.0)
+    spark.range(1).select(lit(capFreq).as("cap_freq"), lit(nDocs).as("n_docs"))
+      .write.mode("overwrite").parquet(metaPath(path))
+    val (pfx, starved) = edPrefixAndStarved(base,
+      spark.read.parquet(freqPath(path)), capFreq)
+    pfx.write.mode("overwrite").parquet(pfxPath(path))
+    starved.write.mode("overwrite").parquet(starvedPath(path))
+  }
+
+  /** REFRESH: assemble the batch's delta edges from the probe
+    * machinery (no corpus rescan, no generation re-run), append them
+    * as a new generation, then fold the batch into the standing
+    * indexes so the NEXT batch matches this one.  Batch doc_ids must
+    * be new to the corpus (the crawl contract). */
+  def refresh(spark: SparkSession, batch0: DataFrame, path: String): Unit = {
+    val batch = batch0.select(col("doc_id"), col("text")).localCheckpoint()
+    val bTxt = txtRows(batch).localCheckpoint()
+    val standingTxt = spark.read.parquet(txtPath(path))
+
+    // J channel: banded probe against the index at rest (cross) +
+    // banded-verified generation within the batch
+    val jCross = MinHashWarehouse.probeAgainst(spark, batch, mhPath(path))
+      .select(col("new_id").as("x"), col("base_id").as("y"))
+    val jWithin = Dedup.minhashVerifiedOf(batch)
+      .select(col("a_id"), col("b_id"))
+
+    // exact channel: md5 equi-join against the at-rest hash column
+    val exCross = bTxt.select(col("doc_id").as("x"), col("h"))
+      .join(standingTxt.select(col("doc_id").as("y"), col("h")), Seq("h"))
+      .select(col("x"), col("y"))
+    val exWithin = bTxt.as("p")
+      .join(bTxt.as("q"), col("p.h") === col("q.h") &&
+        col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"))
+
+    // Ed channel: frozen-order prefix collision (cross) + the
+    // length-band starved strata in BOTH directions + EditDist's
+    // full staged plan within the batch
+    val meta = spark.read.parquet(metaPath(path)).head()
+    val capFreq = meta.getDouble(0)
+    val (bPfx, bStarved) = edPrefixAndStarved(batch,
+      spark.read.parquet(freqPath(path)), capFreq)
+    val sPfx = spark.read.parquet(pfxPath(path))
+    val pfxCross = bPfx.as("a")
+      .join(sPfx.as("b"), col("a.hsh") === col("b.hsh") &&
+        abs(col("a.len") - col("b.len")) <= D)
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+    def bandProbes(starvedDocs: DataFrame): DataFrame =
+      starvedDocs.select(col("doc_id"), col("len"),
+        explode(array(floor(col("len") / BandW) - 1, floor(col("len") / BandW),
+          floor(col("len") / BandW) + 1)).as("band"))
+    val sStarved = spark.read.parquet(starvedPath(path))
+    val starvedCross =
+      bandProbes(bStarved).as("a")
+        .join(standingTxt.as("b"), col("a.band") === col("b.band") &&
+          abs(col("a.len") - col("b.len")) <= D)
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .union(
+        bandProbes(sStarved).as("a")
+          .join(bTxt.as("b"), col("a.band") === col("b.band") &&
+            abs(col("a.len") - col("b.len")) <= D)
+          .select(col("b.doc_id").as("x"), col("a.doc_id").as("y")))
+    val edCross = pfxCross.union(starvedCross).distinct()
+      .join(bTxt.select(col("doc_id").as("x"), col("text").as("x_text")), Seq("x"))
+      .join(standingTxt.select(col("doc_id").as("y"), col("text").as("y_text")), Seq("y"))
+      .filter(levenshtein(col("x_text"), col("y_text"), D) >= 0)
+      .select(col("x"), col("y"))
+    val edWithin = EditDist.stages(batch, d = D).pairs
+      .select(col("a_id"), col("b_id"))
+
+    val cross = jCross.union(exCross).union(edCross)
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"))
+    val delta = cross.union(jWithin).union(exWithin).union(edWithin).distinct()
+    val nextGen = spark.read.parquet(path)
+      .agg(max(col("gen"))).head().getInt(0) + 1
+    delta.withColumn("gen", lit(nextGen))
+      .write.mode("append").partitionBy("gen").parquet(path)
+
+    // fold the batch into the standing indexes (all append-only)
+    MinHashWarehouse.refresh(batch, mhPath(path))
+    bTxt.write.mode("append").parquet(txtPath(path))
+    bPfx.write.mode("append").parquet(pfxPath(path))
+    bStarved.write.mode("append").parquet(starvedPath(path))
+  }
+
+  /** The standing labels and the delta generations at rest — what the
+    * registered incremental fold reads (nothing else). */
+  def standingLabels(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(labelsPath(path))
+
+  def deltaEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(col("gen") >= 1)
+      .select(col("a_id"), col("b_id"))
+
+  def allEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("a_id"), col("b_id"))
+
+  /** COMPACT: dedup edge rows across generations into gen 0 and fold
+    * every delta generation into the standing labels (the contracted
+    * CC + broadcast relabel — foldIntoComponents' machinery), so a
+    * post-compact incremental read (labels + zero deltas) serves the
+    * identical labels.  New standing nodes come from the `.txt` store
+    * (every doc ever ingested or refreshed), never from the source
+    * corpus.  Single-writer maintenance window assumed. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val standing = standingLabels(spark, path).localCheckpoint()
+    val deltas = deltaEdges(spark, path).localCheckpoint()
+    val newNodes = spark.read.parquet(txtPath(path)).select(col("doc_id"))
+      .join(standing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val folded = Dedup.foldIntoComponents(standing, newNodes, deltas)
+      .localCheckpoint()
+    val merged = allEdges(spark, path).distinct()
+      .withColumn("gen", lit(0)).localCheckpoint()
+    merged.write.mode("overwrite").partitionBy("gen").parquet(path)
+    folded.write.mode("overwrite").parquet(labelsPath(path))
+  }
+
+  /** The once-per-JVM two-generation build for the registered
+    * incremental query: ingest the base split, refresh the incoming
+    * split — after which standing labels cover the base and one delta
+    * generation sits at rest. */
+  def builtPath(spark: SparkSession, dir: String): String =
+    Materialized.pathFor("edge_warehouse", dir) { p =>
+      val docs = Tables(spark, dir).documents
+      ingest(spark, docs.filter(MinHashWarehouse.isBase), p)
+      refresh(spark, docs.filter(!MinHashWarehouse.isBase), p)
+    }
 }

@@ -66,6 +66,13 @@ object MinHashWarehouse {
   def materializeFrom(docs: DataFrame, path: String): Unit =
     materializeRaw(docs.filter(isBase), path)
 
+  /** Unfiltered ingest over an arbitrary standing frame — the
+    * EdgeWarehouse maintenance loop's J-channel index (its standing
+    * set is defined by ITS ingest/refresh history, not the mod-10
+    * test split). */
+  private[dedup] def materializeAll(docs: DataFrame, path: String): Unit =
+    materializeRaw(docs, path)
+
   private def materializeRaw(docs: DataFrame, path: String): Unit = {
     val base = signed(docs)
     base.write.mode("overwrite").parquet(docsPath(path))

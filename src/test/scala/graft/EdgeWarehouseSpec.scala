@@ -70,4 +70,65 @@ class EdgeWarehouseSpec extends GraftSpec {
     assert(lsh == exact,
       s"extra=${(lsh -- exact).take(5)} missing=${(exact -- lsh).take(5)}")
   }
+
+  // ---- the MAINTAINED warehouse (ingest → refresh → compact) ----
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-edgew-$tag")
+      .resolve("edges").toString
+
+  test("refresh == one-shot nearDupEdges(base ∪ batch) bit-for-bit, multi-generation") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables(spark, Dir).documents
+    val p = tmp("refresh")
+    // THREE generations: base (mod < 8), then two separate refreshes —
+    // the second probes a standing set that already contains the
+    // first's fold, pinning the index-refresh consistency claim
+    dedup.EdgeWarehouse.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), p)
+    dedup.EdgeWarehouse.refresh(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 8), p)
+    dedup.EdgeWarehouse.refresh(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 9), p)
+    val atRest = edgeSet(dedup.EdgeWarehouse.allEdges(spark, p))
+    val oneShot = edgeSet(dedup.Dedup.nearDupEdges(docs))
+    assert(atRest == oneShot,
+      s"extra=${(atRest -- oneShot).take(5)} missing=${(oneShot -- atRest).take(5)}")
+    // generations never duplicate a pair (a cross pair lands in the
+    // later endpoint's generation, exactly once)
+    assert(dedup.EdgeWarehouse.allEdges(spark, p).count() == oneShot.size)
+  }
+
+  test("compact dedups generations and folds labels to the full recompute's") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables(spark, Dir).documents
+    val p = tmp("compact")
+    dedup.EdgeWarehouse.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), p)
+    dedup.EdgeWarehouse.refresh(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 8), p)
+    val before = edgeSet(dedup.EdgeWarehouse.allEdges(spark, p))
+    dedup.EdgeWarehouse.compact(spark, p)
+    assert(edgeSet(dedup.EdgeWarehouse.allEdges(spark, p)) == before,
+      "compact changed the edge set")
+    assert(dedup.EdgeWarehouse.deltaEdges(spark, p).count() == 0,
+      "compact left delta generations behind")
+    // standing labels now cover every doc with the full recompute's
+    // components — a post-compact fold with zero deltas is a no-op
+    val labels = dedup.EdgeWarehouse.standingLabels(spark, p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+    val full = dedup.Dedup.dedupGroupsFrom(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+    assert(labels == full,
+      s"diff: onlyCompact=${(labels -- full).take(5)} onlyFull=${(full -- labels).take(5)}")
+  }
+
+  test("registered incremental fold (labels + deltas at rest) equals dedupGroups") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("group_id"), r.getAs[Long]("group_size"))).toSet
+    assert(rows(dedup.Dedup.dedupGroupsIncremental(spark, Dir)) ==
+      rows(dedup.Dedup.dedupGroups(spark, Dir)),
+      "at-rest incremental fold diverges from the full recompute")
+  }
 }
