@@ -148,6 +148,11 @@ object SparkEntry {
     // the seasonal index — what a weekday-aware alerter scores)
     "q_ts_decompose" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsDecompose(s, d)),
+    // seasonal-naive forecast with trend: last decomposed trend +
+    // target-day dow mean, 7-day horizon per series — the consumer
+    // the decomposition exists to feed
+    "q_ts_forecast" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsForecast(s, d)),
     // the alerting leg off the daily rollup AT REST (TsWarehouse:
     // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
     // never rescans events (plan-asserted in TsWarehouseSpec)
@@ -789,10 +794,12 @@ object SparkEntry {
       |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
       |FROM g""".stripMargin
 
-  // Hoisted q_ts_decompose body, shared VERBATIM by the rollup-served
-  // q_ts_decompose_probe (bit-equal grid — the QTsAnomalySql pairing).
-  private lazy val QTsDecomposeSql =
-    s"""WITH $TsGridSql,
+  // Hoisted q_ts_decompose CTE chain, shared VERBATIM by the
+  // rollup-served q_ts_decompose_probe (bit-equal grid — the
+  // QTsAnomalySql pairing) and COMPOSED by q_ts_forecast (which
+  // anchors on st's last trend and bd's dow means).
+  private lazy val QTsDecomposeCtes =
+    s"""$TsGridSql,
        |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
        |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
        |FROM grid GROUP BY 1, 2),
@@ -810,9 +817,30 @@ object SparkEntry {
        |AND b.dn BETWEEN a.dn - 7 AND a.dn - 1
        |GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 7),
        |st AS (SELECT event_type, date, v, dow_mean, adj,
-       |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)
+       |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)""".stripMargin
+
+  private lazy val QTsDecomposeSql =
+    s"""WITH $QTsDecomposeCtes
        |SELECT event_type, date, v, dow_mean, adj AS adjusted,
        |round(mu, 6) AS trend, round(adj - mu, 6) AS residual FROM st""".stripMargin
+
+  // Seasonal-naive forecast: anchor = each series' last decomposed
+  // trend (round(mu,6) — the registered trend column), target-day
+  // seasonal = bd's dow mean; forecast = ONE IEEE add on identical
+  // rounded doubles + round 6.  DuckDB dayofweek is 0-based → +1.
+  private lazy val QTsForecastSql =
+    s"""WITH $QTsDecomposeCtes,
+       |dm AS (SELECT event_type, dow, round(sum_v / n_days, 6) AS dow_mean FROM bd),
+       |anc AS (SELECT event_type, date AS last_date, round(mu, 6) AS last_trend,
+       |row_number() OVER (PARTITION BY event_type ORDER BY date DESC) AS rn FROM st),
+       |hz AS (SELECT event_type, last_date, last_trend, CAST(t.h AS BIGINT) AS steps
+       |FROM anc, range(1, 8) AS t(h) WHERE rn = 1),
+       |f AS (SELECT hz.event_type AS event_type,
+       |last_date + CAST(steps AS INT) AS forecast_date, steps, last_trend,
+       |CAST(dayofweek(last_date + CAST(steps AS INT)) + 1 AS BIGINT) AS dow FROM hz)
+       |SELECT f.event_type, forecast_date, steps,
+       |round(last_trend + dm.dow_mean, 6) AS forecast
+       |FROM f JOIN dm ON f.event_type = dm.event_type AND f.dow = dm.dow""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
@@ -1195,6 +1223,8 @@ object SparkEntry {
     "q_ts_decompose" -> QTsDecomposeSql,
     // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
     "q_ts_decompose_probe" -> QTsDecomposeSql,
+    // composes the decompose CTE chain verbatim + pure date/int math
+    "q_ts_forecast" -> QTsForecastSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line

@@ -287,6 +287,27 @@ object EdgeWarehouse {
     folded.write.mode("overwrite").parquet(labelsPath(path))
   }
 
+  /** The refresh's ONLINE twin — the crawl stream maintaining the
+    * edge warehouse in flight: each arriving micro-batch of (doc_id,
+    * text) docs probes the standing indexes, appends its delta
+    * generation, and folds itself into the indexes inside
+    * foreachBatch.  The batching-invariance argument: a pair's edge
+    * is emitted exactly once — in the generation of its LATER
+    * endpoint, whose probe sees the earlier endpoint already folded
+    * in — so ANY split of the same docs into micro-batches reaches
+    * the identical edge SET (EdgeWarehouseSpec drives a MemoryStream
+    * in two batches and pins equality with the one-shot
+    * nearDupEdges).  Labels fold at compact cadence, exactly like the
+    * batch loop.  Micro-batches are processed serially by the
+    * streaming engine, which is the single-writer window every
+    * warehouse in the matrix assumes. */
+  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
+      }
+      .start()
+
   /** The once-per-JVM two-generation build for the registered
     * incremental query: ingest the base split, refresh the incoming
     * split — after which standing labels cover the base and one delta

@@ -234,6 +234,50 @@ object TimeSeries {
         roundx(col("adj") - col("mu"), 6).as("residual"))
   }
 
+  /** `q_ts_forecast`: seasonal-naive forecast with trend — the step
+    * AFTER q_ts_decompose, and what the decomposition exists to feed:
+    * for each series, the next `h` days' expected volume is the LAST
+    * day's deseasonalized trailing trend plus the target day's
+    * day-of-week mean, ŷ(t+k) = trend(t) + dow_mean(dow(t+k)) — the
+    * classical decomposition forecast (the seasonal-naive baseline
+    * every forecasting benchmark reports first).
+    *
+    * Exactness: trend and dow_mean are the decompose output's own
+    * 6-dp-rounded columns, so the forecast is ONE IEEE addition on
+    * identical doubles in both engines + a 6-dp roundx; forecast
+    * dates are pure integer date arithmetic.  Plan: the decompose
+    * tail (one corpus-scale grid shuffle, then metadata), a
+    * row_number top-1 per series for the anchor, a 7-row explode, and
+    * a broadcast-sized join to the (series × 7) dow-mean table.
+    * ORACLED (composes QTsDecomposeSql's CTE chain verbatim). */
+  def tsForecast(spark: SparkSession, dir: String, h: Int = 7): DataFrame =
+    forecastOfGrid(dailyGrid(Tables(spark, dir).events), h)
+
+  private[graft] def forecastOfGrid(grid0: DataFrame, h: Int = 7): DataFrame = {
+    val grid = grid0.localCheckpoint() // feeds dow means + the decompose tail
+    val dowMeans = grid
+      .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
+      .select(col("event_type"), col("dow"),
+        roundx(col("sum_v") / col("n_days"), 6).as("dow_mean"))
+    val lastW = Window.partitionBy(col("event_type"))
+      .orderBy(col("date").desc)
+    val anchor = decomposeOfGrid(grid, 7)
+      .withColumn("rn", row_number().over(lastW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("date").as("last_date"),
+        col("trend").as("last_trend"))
+    anchor
+      .select(col("event_type"), col("last_date"), col("last_trend"),
+        explode(sequence(lit(1), lit(h))).as("steps"))
+      .withColumn("forecast_date", date_add(col("last_date"), col("steps")))
+      .withColumn("dow", dayofweek(col("forecast_date")).cast("long"))
+      .join(dowMeans, Seq("event_type", "dow"))
+      .select(col("event_type"), col("forecast_date"),
+        col("steps").cast("long").as("steps"),
+        roundx(col("last_trend") + col("dow_mean"), 6).as("forecast"))
+  }
+
   private[graft] def tsWindowSearchOf(events: DataFrame,
       w: Int = 7, k: Int = 10): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("date"))

@@ -123,6 +123,35 @@ class EdgeWarehouseSpec extends GraftSpec {
       s"diff: onlyCompact=${(labels -- full).take(5)} onlyFull=${(full -- labels).take(5)}")
   }
 
+  test("streaming refresh across micro-batches equals the one-shot edge set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = sources.Tables(spark, Dir).documents
+    val p = tmp("stream")
+    dedup.EdgeWarehouse.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), p)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = dedup.EdgeWarehouse.streamingRefresh(
+      mem.toDF().toDF("doc_id", "text"), p)
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = edgeSet(dedup.EdgeWarehouse.allEdges(spark, p))
+    val oneShot = edgeSet(dedup.Dedup.nearDupEdges(docs))
+    assert(streamed == oneShot,
+      s"extra=${(streamed -- oneShot).take(5)} missing=${(oneShot -- streamed).take(5)}")
+  }
+
   test("registered incremental fold (labels + deltas at rest) equals dedupGroups") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_id"),

@@ -134,6 +134,29 @@ class TimeSeriesSpec extends GraftSpec {
     assert(c.forall(_.getDouble(3) == 5.0), "constant dow_mean drifted")
   }
 
+  test("forecast: constant and pure-dow series forecast their own pattern exactly") {
+    import spark.implicits._
+    // same planted corpus as the decompose test: trend is 0 for both
+    // series, so the 7-day forecast must be exactly the target day's
+    // dow mean — the constant for "c", the weekly pattern for "a"
+    val events = (1 to 21).flatMap { d =>
+      Seq((ts(d), "a", if (d % 7 == 0) 7.0 else 1.0), (ts(d), "c", 5.0))
+    }.toDF("ts", "event_type", "value")
+    val grid = TimeSeries.dailyGrid(events)
+    val r = TimeSeries.forecastOfGrid(grid).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2), x.getDouble(3)))
+    assert(r.length == 2 * 7, s"got ${r.length} forecast rows")
+    // horizons start the day after the last grid day (2024-01-21)
+    assert(r.map(_._2).min == "2024-01-22" && r.map(_._2).max == "2024-01-28")
+    r.filter(_._1 == "c").foreach { case (_, _, _, f) =>
+      assert(f == 5.0, s"constant series forecast $f != 5.0") }
+    // "a": days divisible by 7 carry 7.0 — Jan 22..28 includes Jan 28
+    r.filter(_._1 == "a").foreach { case (_, d, _, f) =>
+      val expected = if (d == "2024-01-28") 7.0 else 1.0
+      assert(f == expected, s"dow-pattern forecast $d: $f != $expected")
+    }
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
