@@ -97,9 +97,11 @@ object Bench {
     * instead of a SURVEY one-shot. */
   private val Probes = Seq(
     "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
-    "q_ts_decompose_probe", "d_corpus_stats_probe", "q_active_accounts_probe",
+    "q_ts_decompose_probe", "q_ts_forecast_probe", "d_corpus_stats_probe",
+    "q_active_accounts_probe",
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",
+    "q_gas_quantiles_probe", "q_gas_quantiles_window",
     "d_dedup_lines", "q_ts_decompose")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
@@ -112,9 +114,11 @@ object Bench {
     "d_dedup_incremental", "d_dedup_refresh", "s_bm25_probe",
     "s_bm25_probe_compacted", "t_perplexity_probe", "s_embed_cov_probe",
     "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
-    "q_ts_decompose_probe", "d_corpus_stats_probe", "q_active_accounts_probe",
+    "q_ts_decompose_probe", "q_ts_forecast_probe", "d_corpus_stats_probe",
+    "q_active_accounts_probe",
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
-    "d_semdedup_probe", "q_richlist_gini_probe")
+    "d_semdedup_probe", "q_richlist_gini_probe",
+    "q_gas_quantiles_probe", "q_gas_quantiles_window")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -89,6 +89,18 @@ object SparkEntry {
     // production median path; approx sketch has no portable SQL oracle
     // -> rows-only check + spec vs exact within tolerance
     "q_gas_prices_approx" -> (Transactions.gasPricesApprox _),
+    // EXACT quantiles at rest off the per-day value histogram
+    // (QuantileWarehouse): quantiles don't compose from daily
+    // quantiles, histograms do — both probes ORACLED (the exact lane
+    // the bounded 4-dp price domain admits, vs the sketch stance)
+    "q_gas_quantiles_probe" -> ((s: SparkSession, d: String) =>
+      QuantileWarehouse.probe(s, QuantileWarehouse.builtPath(s, d))),
+    "q_gas_quantiles_window" -> ((s: SparkSession, d: String) =>
+      QuantileWarehouse.windowProbe(s, QuantileWarehouse.builtPath(s, d))),
+    // the sketch lane over the same window: randomized KLL states, no
+    // oracle (the HLL stance) — spec pins the rank-error bound
+    "q_gas_quantiles_window_sketch" -> ((s: SparkSession, d: String) =>
+      QuantileWarehouse.sketchWindowProbe(s, QuantileWarehouse.sketchBuiltPath(s, d))),
     // staking / treasury (reference: src/service/staking/, src/collector/richlist.ts)
     "q_validators_by_power" -> (Staking.validatorsByPower _),
     "q_validator_return" -> (Staking.validatorReturn _),
@@ -158,16 +170,18 @@ object SparkEntry {
     // never rescans events (plan-asserted in TsWarehouseSpec)
     "q_ts_anomaly_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.anomalyProbe(s, TsWarehouse.builtPath(s, d))),
-    // the other three registered grid consumers off the same rollup —
+    // the other four registered grid consumers off the same rollup —
     // each holds its inline oracle verbatim (bit-equal grid); with
-    // decompose the standing-form consumer set is COMPLETE (window
-    // search stays inline-only by design: ad-hoc query window)
+    // decompose + forecast the standing-form consumer set is COMPLETE
+    // (window search stays inline-only by design: ad-hoc query window)
     "q_ts_corr_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.corrProbe(s, TsWarehouse.builtPath(s, d))),
     "q_ts_seasonal_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.seasonalProbe(s, TsWarehouse.builtPath(s, d))),
     "q_ts_decompose_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.decomposeProbe(s, TsWarehouse.builtPath(s, d))),
+    "q_ts_forecast_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.forecastProbe(s, TsWarehouse.builtPath(s, d))),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -230,6 +244,9 @@ object SparkEntry {
     // base ∪ batch = the whole table ⇒ the s_knn_graph oracle verbatim
     "s_knn_graph_refresh" -> ((s: SparkSession, d: String) => Knn.knnGraphRefresh(s, d)),
     "s_knn_graph_mutual" -> ((s: SparkSession, d: String) => Knn.knnGraphMutual(s, d)),
+    // embedding clustering: CC (the Dedup fold) over the mutual graph
+    // — oracled by composing the mutual CTEs with the recursive CTE
+    "s_cluster_mutual_knn" -> ((s: SparkSession, d: String) => Knn.clusterMutualKnn(s, d)),
     // iterative (8 fixed rounds) — no oracle, the s_kmeans stance
     "s_graph_centrality" -> (graft.similarity.Centrality.graphCentrality _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
@@ -458,6 +475,21 @@ object SparkEntry {
       |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
       |SELECT vec_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  // The mutual-kNN CTE chain (graph → top-k → mutual filter), shared
+  // VERBATIM by s_knn_graph_mutual and s_cluster_mutual_knn (which
+  // composes it with the recursive reachability closure — the
+  // d_dedup_groups CC oracle pairing).
+  private val SKnnMutualCtes =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p),
+      |g AS (SELECT vec_id, neighbor_id, cosine FROM r WHERE rnk <= 5),
+      |m AS (SELECT f.vec_id AS a_id, f.neighbor_id AS b_id, f.cosine AS cosine
+      |FROM g f JOIN g b ON f.vec_id = b.neighbor_id AND f.neighbor_id = b.vec_id
+      |AND f.vec_id < f.neighbor_id)""".stripMargin
 
   // Shared by s_embed_cov (inline) and s_embed_cov_probe (warehouse):
   // associative integer moments make the two bit-equal by construction.
@@ -842,6 +874,30 @@ object SparkEntry {
        |round(last_trend + dm.dow_mean, 6) AS forecast
        |FROM f JOIN dm ON f.event_type = dm.event_type AND f.dow = dm.dow""".stripMargin
 
+  // q_gas_quantiles_{probe,window} oracle: quantiles of 4-dp-QUANTIZED
+  // prices (floor(v·10⁴+0.5), one identical IEEE step both engines) via
+  // the naive row_number rank formulation — the corpus-scale sort the
+  // histogram warehouse exists to avoid.  All rank/blend arithmetic
+  // BIGINT until one division + round 6 (mirrors the Spark tail).  The
+  // window variant composes the identical body over date-filtered rows.
+  private def gasQuantilesSql(where: String): String =
+    s"""WITH qv AS (SELECT event_type AS denom,
+       |CAST(floor(value*10000 + 0.5) AS BIGINT) AS q FROM events$where),
+       |o AS (SELECT denom, q, row_number() OVER (PARTITION BY denom ORDER BY q) - 1 AS r FROM qv),
+       |n AS (SELECT denom, count(*) AS n_obs FROM qv GROUP BY 1),
+       |k AS (SELECT n.denom, n.n_obs, CAST(t.p AS BIGINT) AS p,
+       |(CAST(t.p AS BIGINT)*(n.n_obs-1))//100 AS lo,
+       |(CAST(t.p AS BIGINT)*(n.n_obs-1))%100 AS rem
+       |FROM n CROSS JOIN (VALUES (50),(90),(99)) t(p)),
+       |v AS (SELECT k.denom, k.n_obs, k.p, k.rem, lo.q AS q_lo, hi.q AS q_hi
+       |FROM k JOIN o lo ON lo.denom = k.denom AND lo.r = k.lo
+       |JOIN o hi ON hi.denom = k.denom AND hi.r = least(k.lo + 1, k.n_obs - 1))
+       |SELECT denom, n_obs,
+       |round(CAST(max(CASE WHEN p=50 THEN q_lo*100+(q_hi-q_lo)*rem END) AS DOUBLE)/1000000.0, 6) AS p50,
+       |round(CAST(max(CASE WHEN p=90 THEN q_lo*100+(q_hi-q_lo)*rem END) AS DOUBLE)/1000000.0, 6) AS p90,
+       |round(CAST(max(CASE WHEN p=99 THEN q_lo*100+(q_hi-q_lo)*rem END) AS DOUBLE)/1000000.0, 6) AS p99
+       |FROM v GROUP BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_txvol_daily" ->
       s"""WITH d AS ($DAILY)
@@ -1225,6 +1281,8 @@ object SparkEntry {
     "q_ts_decompose_probe" -> QTsDecomposeSql,
     // composes the decompose CTE chain verbatim + pure date/int math
     "q_ts_forecast" -> QTsForecastSql,
+    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    "q_ts_forecast_probe" -> QTsForecastSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line
@@ -1446,15 +1504,18 @@ object SparkEntry {
     // the graph SQL + a swapped self-join; cosine symmetric, either
     // side serves
     "s_knn_graph_mutual" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p),
-        |g AS (SELECT vec_id, neighbor_id, cosine FROM r WHERE rnk <= 5)
-        |SELECT f.vec_id AS a_id, f.neighbor_id AS b_id, f.cosine
-        |FROM g f JOIN g b ON f.vec_id = b.neighbor_id AND f.neighbor_id = b.vec_id
-        |AND f.vec_id < f.neighbor_id""".stripMargin,
+      s"""WITH $SKnnMutualCtes
+        |SELECT a_id, b_id, cosine FROM m""".stripMargin,
+    // the clustering composes the SAME mutual CTEs with the recursive
+    // reachability closure (the d_dedup_groups CC oracle pairing)
+    "s_cluster_mutual_knn" ->
+      s"""WITH RECURSIVE $SKnnMutualCtes,
+        |edges AS (SELECT a_id AS u, b_id AS v FROM m UNION SELECT b_id, a_id FROM m),
+        |reach AS (SELECT vec_id AS u, vec_id AS v FROM embeddings
+        |UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u),
+        |comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT vec_id, cluster_id,
+        |count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM comp""".stripMargin,
     "s_bm25" -> SBm25Sql,
     // the hybrid fuses the SAME lexical leg (SBm25Sql as a CTE) with
     // the exact knnBatch body at k=10; RRF arithmetic is all-rational
@@ -1828,6 +1889,10 @@ object SparkEntry {
         |(arr[CAST(least((50*(n-1))//100 + 2, n) AS BIGINT)] - arr[CAST((50*(n-1))//100 + 1 AS BIGINT)])
         |  * (CAST((50*(n-1))%100 AS DOUBLE) / 100.0), 4) AS median_price,
         |avg_price, max_price FROM g""".stripMargin,
+    // histogram-warehouse quantiles vs the naive rank sort over events
+    "q_gas_quantiles_probe" -> gasQuantilesSql(""),
+    "q_gas_quantiles_window" -> gasQuantilesSql(
+      " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'"),
     "q_account_staking" ->
       s"""WITH mine AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 7)
          |SELECT o_custkey AS account, l_suppkey, s_name,

@@ -108,6 +108,15 @@ object TsWarehouse {
   def decomposeProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.decomposeOfGrid(grid(spark, path))
 
+  /** Registered `q_ts_forecast_probe`: the seasonal-naive forecast
+    * served from the rollup — the fifth grid consumer, and the one a
+    * production alerter actually polls (tomorrow's expected volume
+    * changes only when the grid does, i.e. at refresh cadence, so
+    * serving it from the standing form is the natural deployment).
+    * Bit-equal grid ⇒ shares q_ts_forecast's oracle VERBATIM. */
+  def forecastProbe(spark: SparkSession, path: String): DataFrame =
+    TimeSeries.forecastOfGrid(grid(spark, path))
+
   /** The once-per-JVM two-generation build (the Materialized
     * pattern): rollup of the base split, then ONE refresh folding in
     * the incoming split. */

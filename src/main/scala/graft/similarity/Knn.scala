@@ -418,6 +418,39 @@ object Knn {
         col("f.cosine").as("cosine"))
   }
 
+  /** `s_cluster_mutual_knn`: embedding-space CLUSTERING as connected
+    * components over the mutual-kNN graph — the classical
+    * graph-clustering baseline the mutual filter exists to feed
+    * (mutual edges drop the asymmetric hub noise, CC merges what
+    * remains; cf. the chain SemDeDup/IVF build on centroids, this
+    * builds on neighborhoods).  The whole plan reuses standing
+    * machinery: the mutual edge set is knnGraphMutual verbatim, the
+    * fold is Dedup.connectedComponents — min-label propagation +
+    * pointer jumping, O(log diameter) rounds over the label table,
+    * never an all-pairs stage beyond the graph's own (whose scale
+    * path is s_knn_graph_lsh's bucketed scoring).  Output one row per
+    * vector with its cluster label (= min member vec_id) and cluster
+    * size.  ORACLED: the mutual-graph CTE chain composed with the
+    * recursive-CTE reachability closure (the d_dedup_groups pairing),
+    * shared VERBATIM with s_knn_graph_mutual's oracle. */
+  def clusterMutualKnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    clusterOfEdges(
+      Tables(spark, dir).embeddings.select(col("vec_id")),
+      knnGraphMutual(spark, dir, k))
+
+  /** Frame-level clustering over arbitrary (vec_id) nodes + (a_id,
+    * b_id) edges — the spec entry point. */
+  private[graft] def clusterOfEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val labels = graft.dedup.Dedup.connectedComponents(
+      nodes.select(col("vec_id").as("doc_id")),
+      edges.select(col("a_id"), col("b_id")))
+    labels
+      .select(col("doc_id").as("vec_id"), col("group_id").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+  }
+
   /** `s_knn_graph_lsh`: the graph's scale path — symmetric multi-probe
     * blocking: every vector probes its own 4-bit hyperplane bucket
     * plus the 4 one-bit flips (Lv et al. 2007 applied to a self-join),

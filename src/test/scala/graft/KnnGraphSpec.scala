@@ -107,6 +107,30 @@ class KnnGraphSpec extends GraftSpec {
     assert(mutual.nonEmpty, "no mutual edges on this corpus — filter untestable")
   }
 
+  test("clustering: planted chains resolve to min-labeled components; corpus edges never span clusters") {
+    import spark.implicits._
+    // two planted mutual-edge chains over six vectors — CC must find
+    // exactly the two groups with min-member labels and correct sizes
+    val nodes = (0L until 6L).toDF("vec_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Knn.clusterOfEdges(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L)),
+      s"planted cliques mislabeled: $got")
+    // the registered query agrees with an independently-derived CC
+    // over the mutual edge set on the real corpus
+    val mutual = Knn.knnGraphMutual(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusters = Knn.clusterMutualKnn(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    mutual.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) spans clusters") }
+    // labels are min member ids: every cluster id labels itself
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid label is not its min member") }
+  }
+
   test("pagerank: cycle fixed point, star ordering, mass conservation, determinism") {
     import spark.implicits._
     val C = graft.similarity.Centrality

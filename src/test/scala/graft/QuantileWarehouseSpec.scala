@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.QuantileWarehouse
+import graft.sources.Tables
+
+/** The gas-quantile histogram warehouse contract: refresh == one-shot
+  * rebuild bit-for-bit (integer-count associativity), the quantile
+  * tail reproduces hand-computed interpolated quantiles on planted
+  * histograms, the window probe list-prunes the date-partitioned
+  * layout to exactly its days and equals the quantiles of the
+  * date-filtered events, probes never rescan events, compaction is
+  * probe-invariant, and the streaming twin folds micro-batches to the
+  * same histogram.  (The DuckDB row_number oracle is the driver-side
+  * gate; these pins cover the warehouse mechanics it can't see.)
+  */
+class QuantileWarehouseSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-quantw-$tag").resolve("idx").toString
+
+  private def histOf(path: String): Set[(String, String, Long, Long)] =
+    QuantileWarehouse.histRead(spark, path).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("refresh equals the one-shot rebuild bit-for-bit") {
+    val e = Tables(spark, Dir).events
+    val a = tmp("refresh")
+    QuantileWarehouse.materializeFrom(e.filter(QuantileWarehouse.isBaseEvent), a)
+    QuantileWarehouse.refresh(spark, e.filter(!QuantileWarehouse.isBaseEvent), a)
+    val one = tmp("oneshot")
+    QuantileWarehouse.materializeFrom(e, one)
+    assert(histOf(a) == histOf(one), "refreshed histogram diverges from rebuild")
+  }
+
+  test("quantile tail: hand-computed interpolation on a planted histogram") {
+    import spark.implicits._
+    // denom "x": values 1,2,3,10 (quantized 1e4×) — n=4:
+    //   p50: idx100=150 -> lo=1 rem=50 -> 2 + (3-2)*0.5  = 2.5
+    //   p90: idx100=270 -> lo=2 rem=70 -> 3 + (10-3)*0.7 = 7.9
+    //   p99: idx100=297 -> lo=2 rem=97 -> 3 + (10-3)*0.97 = 9.79
+    // denom "y": single value 42 — all quantiles 42
+    val hist = Seq(
+      ("x", 10000L, 1L), ("x", 20000L, 1L), ("x", 30000L, 1L), ("x", 100000L, 1L),
+      ("y", 420000L, 1L)).toDF("denom", "q", "c")
+    val r = QuantileWarehouse.quantilesOfHist(hist).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toSet
+    assert(r == Set(("x", 4L, 2.5, 7.9, 9.79), ("y", 1L, 42.0, 42.0, 42.0)),
+      s"planted quantiles wrong: $r")
+  }
+
+  test("window probe equals quantiles of the date-filtered events and prunes to its days") {
+    val path = QuantileWarehouse.builtPath(spark, Dir)
+    val (start, end) = ("2024-01-08", "2024-01-21")
+    val probe = QuantileWarehouse.windowProbe(spark, path, start, end)
+    val filtered = Tables(spark, Dir).events
+      .filter(to_date(col("ts")).between(lit(start).cast("date"), lit(end).cast("date")))
+    val direct = QuantileWarehouse.quantilesOfHist(
+      QuantileWarehouse.deltas(filtered))
+    assert(probe.collect().map(_.toString).toSet ==
+      direct.collect().map(_.toString).toSet,
+      "window probe diverges from direct quantiles of the window's events")
+    // the probe's input read (pre-localCheckpoint plan cut): the date
+    // filter must land in partitionFilters of the partitioned layout
+    val windowRead = QuantileWarehouse.histRead(spark, path)
+      .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
+    val scan = windowRead.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
+      }.headOption.getOrElse(fail("no warehouse FileSourceScanExec in plan"))
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val pruned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(allParts >= 28, s"expected ~30 date partitions at rest, got $allParts")
+    assert(pruned <= 14, s"14-day window probed $pruned of $allParts partitions")
+  }
+
+  test("the probe scans ONLY the warehouse — zero events scans") {
+    val path = QuantileWarehouse.builtPath(spark, Dir)
+    val scans = QuantileWarehouse.histRead(spark, path)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a warehouse scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.forall(_.contains(path)), s"unexpected scan roots: $roots")
+    assert(!roots.exists(_.contains("events")), "probe re-reads raw events")
+  }
+
+  test("compaction is probe-bit-invariant and leaves one row per key") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("compact")
+    QuantileWarehouse.materializeFrom(e.filter(QuantileWarehouse.isBaseEvent), p)
+    QuantileWarehouse.refresh(spark, e.filter(!QuantileWarehouse.isBaseEvent), p)
+    val before = histOf(p)
+    val beforeQuants = QuantileWarehouse.probe(spark, p)
+      .collect().map(_.toString).toSet
+    val preCount = spark.read.parquet(p).count()
+    QuantileWarehouse.compact(spark, p)
+    val after = histOf(p)
+    val postCount = spark.read.parquet(p).count()
+    assert(before == after, "compaction changed the merged histogram")
+    assert(postCount == after.size && postCount <= preCount,
+      s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
+    assert(QuantileWarehouse.probe(spark, p).collect().map(_.toString).toSet
+      == beforeQuants, "compaction changed probe output")
+  }
+
+  test("sketch lane: window quantiles land within the KLL rank bound of exact") {
+    val path = QuantileWarehouse.sketchBuiltPath(spark, Dir)
+    val (start, end) = ("2024-01-08", "2024-01-21")
+    val got = QuantileWarehouse.sketchWindowProbe(spark, path, start, end)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty, "sketch window probe returned no denoms")
+    val exact = Tables(spark, Dir).events
+      .filter(to_date(col("ts")).between(lit(start).cast("date"), lit(end).cast("date")))
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { case (denom, quants) =>
+      val vals = exact(denom)
+      val n = vals.length.toDouble
+      quants.foreach { case (p, v) =>
+        // exact normalized rank of the reported value, vs the KLL
+        // k=200 two-sided bound (~1.3%) + 1/n small-sample slack
+        val rank = vals.count(_ <= v) / n
+        assert(math.abs(rank - p) <= 0.02 + 1.0 / n,
+          s"$denom p$p: reported $v has exact rank $rank (n=${n.toInt})")
+      }
+    }
+    // zero events scans: the probe's input read is warehouse-only
+    val roots = QuantileWarehouse.sketchRead(spark, path)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.contains(path)),
+      s"unexpected scan roots: $roots")
+  }
+
+  test("streaming refresh across micro-batches equals the one-shot fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables(spark, Dir).events
+      .select(col("ts").cast("string"), col("event_type"), col("value"))
+      .limit(300).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val p = tmp("stream")
+    val mem = MemoryStream[(String, String, Double)]
+    val q = QuantileWarehouse.streamingRefresh(
+      mem.toDF().toDF("ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp")), p)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = tmp("stream-ref")
+    QuantileWarehouse.materializeFrom(
+      rows.toIndexedSeq.toDF("ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp")), oneShot)
+    assert(histOf(p) == histOf(oneShot), "streamed fold diverges from one-shot")
+  }
+}

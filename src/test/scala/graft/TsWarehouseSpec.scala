@@ -68,6 +68,16 @@ class TsWarehouseSpec extends GraftSpec {
     assert(probe.nonEmpty)
   }
 
+  test("forecast probe equals the inline query row-for-row — the fifth grid consumer") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val probe = rows(TsWarehouse.forecastProbe(spark, path))
+    assert(probe == rows(TimeSeries.tsForecast(spark, Dir)),
+      "forecast probe diverges from inline")
+    assert(probe.nonEmpty)
+  }
+
   test("the probe-side merge scans ONLY the warehouse — zero events scans") {
     val path = TsWarehouse.builtPath(spark, Dir)
     val scans = TsWarehouse.mergedDaily(spark, path)
