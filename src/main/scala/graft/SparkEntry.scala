@@ -165,6 +165,10 @@ object SparkEntry {
     // the decomposition exists to feed
     "q_ts_forecast" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsForecast(s, d)),
+    // the forecast's evaluation loop: hold out the last 7 days, fit
+    // on the rest, per-series MAE vs actuals — the staleness alert
+    "q_ts_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsForecastBacktest(s, d)),
     // the alerting leg off the daily rollup AT REST (TsWarehouse:
     // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
     // never rescans events (plan-asserted in TsWarehouseSpec)
@@ -830,15 +834,18 @@ object SparkEntry {
   // rollup-served q_ts_decompose_probe (bit-equal grid — the
   // QTsAnomalySql pairing) and COMPOSED by q_ts_forecast (which
   // anchors on st's last trend and bd's dow means).
-  private lazy val QTsDecomposeCtes =
-    s"""$TsGridSql,
-       |bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+  // The decompose chain parameterized on its grid SOURCE, so the
+  // backtest oracle can run the IDENTICAL text over the truncated
+  // training grid (src = "tr") while the standing queries keep
+  // src = "grid" — a leg change breaks every composition or none.
+  private def tsDecomposeChain(src: String): String =
+    s"""bd AS (SELECT event_type, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
        |CAST(count(*) AS BIGINT) AS n_days, round(${SUMX("v")}, 3) AS sum_v
-       |FROM grid GROUP BY 1, 2),
+       |FROM $src GROUP BY 1, 2),
        |adj AS (SELECT g.date, g.event_type, g.v,
        |round(sum_v / n_days, 6) AS dow_mean,
        |round(g.v - round(sum_v / n_days, 6), 6) AS adj
-       |FROM grid g JOIN bd ON bd.event_type = g.event_type
+       |FROM $src g JOIN bd ON bd.event_type = g.event_type
        |AND bd.dow = dayofweek(g.date) + 1),
        |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
        |FROM (SELECT DISTINCT date FROM adj)),
@@ -851,6 +858,10 @@ object SparkEntry {
        |st AS (SELECT event_type, date, v, dow_mean, adj,
        |(${fold7(i => s"arr[$i]")}) / 7 AS mu FROM w0)""".stripMargin
 
+  private lazy val QTsDecomposeCtes =
+    s"""$TsGridSql,
+       |${tsDecomposeChain("grid")}""".stripMargin
+
   private lazy val QTsDecomposeSql =
     s"""WITH $QTsDecomposeCtes
        |SELECT event_type, date, v, dow_mean, adj AS adjusted,
@@ -860,19 +871,40 @@ object SparkEntry {
   // trend (round(mu,6) — the registered trend column), target-day
   // seasonal = bd's dow mean; forecast = ONE IEEE add on identical
   // rounded doubles + round 6.  DuckDB dayofweek is 0-based → +1.
-  private lazy val QTsForecastSql =
-    s"""WITH $QTsDecomposeCtes,
-       |dm AS (SELECT event_type, dow, round(sum_v / n_days, 6) AS dow_mean FROM bd),
+  // The forecast CTE block over whatever bd/st the preceding chain
+  // produced — shared VERBATIM by q_ts_forecast{,_probe} and the
+  // backtest (which runs it over the truncated chain).
+  private lazy val TsForecastCtes =
+    s"""dm AS (SELECT event_type, dow, round(sum_v / n_days, 6) AS dow_mean FROM bd),
        |anc AS (SELECT event_type, date AS last_date, round(mu, 6) AS last_trend,
        |row_number() OVER (PARTITION BY event_type ORDER BY date DESC) AS rn FROM st),
        |hz AS (SELECT event_type, last_date, last_trend, CAST(t.h AS BIGINT) AS steps
        |FROM anc, range(1, 8) AS t(h) WHERE rn = 1),
        |f AS (SELECT hz.event_type AS event_type,
        |last_date + CAST(steps AS INT) AS forecast_date, steps, last_trend,
-       |CAST(dayofweek(last_date + CAST(steps AS INT)) + 1 AS BIGINT) AS dow FROM hz)
-       |SELECT f.event_type, forecast_date, steps,
+       |CAST(dayofweek(last_date + CAST(steps AS INT)) + 1 AS BIGINT) AS dow FROM hz),
+       |fc AS (SELECT f.event_type AS event_type, forecast_date, steps,
        |round(last_trend + dm.dow_mean, 6) AS forecast
-       |FROM f JOIN dm ON f.event_type = dm.event_type AND f.dow = dm.dow""".stripMargin
+       |FROM f JOIN dm ON f.event_type = dm.event_type AND f.dow = dm.dow)""".stripMargin
+
+  private lazy val QTsForecastSql =
+    s"""WITH $QTsDecomposeCtes,
+       |$TsForecastCtes
+       |SELECT event_type, forecast_date, steps, forecast FROM fc""".stripMargin
+
+  // Holdout evaluation: the chain + forecast CTEs VERBATIM over the
+  // training grid (dates ≤ max − 7), scored against the full grid's
+  // actuals; MAE through the DECIMAL route.
+  private lazy val QTsForecastBacktestSql =
+    s"""WITH $TsGridSql,
+       |cut AS (SELECT max(date) - 7 AS cutoff FROM grid),
+       |tr AS (SELECT g.date, g.event_type, g.v FROM grid g, cut WHERE g.date <= cut.cutoff),
+       |${tsDecomposeChain("tr")},
+       |$TsForecastCtes
+       |SELECT fc.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+       |round(${AVGX("abs(fc.forecast - g.v)")}, 6) AS mae
+       |FROM fc JOIN grid g ON g.event_type = fc.event_type AND g.date = fc.forecast_date
+       |GROUP BY 1""".stripMargin
 
   // q_gas_quantiles_{probe,window} oracle: quantiles of 4-dp-QUANTIZED
   // prices (floor(v·10⁴+0.5), one identical IEEE step both engines) via
@@ -1283,6 +1315,8 @@ object SparkEntry {
     "q_ts_forecast" -> QTsForecastSql,
     // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
     "q_ts_forecast_probe" -> QTsForecastSql,
+    // chain + forecast CTEs verbatim over the truncated train grid
+    "q_ts_forecast_backtest" -> QTsForecastBacktestSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.functions.Exact.{roundx, sumx}
+import graft.functions.Exact.{avgx, roundx, sumx}
 import graft.sources.Tables
 
 /** Time-series analytics over the per-day event series — the
@@ -276,6 +276,43 @@ object TimeSeries {
       .select(col("event_type"), col("forecast_date"),
         col("steps").cast("long").as("steps"),
         roundx(col("last_trend") + col("dow_mean"), 6).as("forecast"))
+  }
+
+  /** `q_ts_forecast_backtest`: the forecast's evaluation loop — the
+    * first thing any forecasting deployment ships next to the
+    * forecaster itself: hold out the last 7 grid days, fit the
+    * decomposition on the rest, forecast the holdout, score per-series
+    * MAE against actuals.  A rising MAE is the "this series stopped
+    * being weekly-seasonal" alert that tells the alerter its baseline
+    * went stale.
+    *
+    * Exactness: forecasts and actuals are the standing queries' own
+    * 6/3-dp-rounded doubles, |f − v| is one identical IEEE op both
+    * engines, and the MAE rides the DECIMAL route (avgx) + 6-dp
+    * roundx.  The cutoff is calendar arithmetic off max(date),
+    * computed as a 1-row aggregate broadcast against the grid — no
+    * driver collect, and the oracle composes the SAME expression.
+    * Plan: the one grid shuffle, then series × calendar metadata —
+    * the train filter, forecast tail, and the 7-row-per-series
+    * actuals join are all post-grid.  ORACLED (the decompose chain +
+    * forecast CTEs VERBATIM over the truncated grid). */
+  def tsForecastBacktest(spark: SparkSession, dir: String, h: Int = 7): DataFrame =
+    backtestOfGrid(dailyGrid(Tables(spark, dir).events), h)
+
+  private[graft] def backtestOfGrid(grid0: DataFrame, h: Int = 7): DataFrame = {
+    val grid = grid0.localCheckpoint() // feeds cutoff, train AND actuals
+    val cut = grid.agg(date_sub(max(col("date")), h).as("cutoff"))
+    val train = grid.crossJoin(broadcast(cut))
+      .filter(col("date") <= col("cutoff"))
+      .select(col("date"), col("event_type"), col("v"))
+    val actuals = grid.select(col("event_type").as("a_type"),
+      col("date").as("a_date"), col("v"))
+    val fc = forecastOfGrid(train, h)
+    fc.join(actuals, fc("event_type") === col("a_type") &&
+        fc("forecast_date") === col("a_date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        roundx(avgx(abs(col("forecast") - col("v"))), 6).as("mae"))
   }
 
   private[graft] def tsWindowSearchOf(events: DataFrame,

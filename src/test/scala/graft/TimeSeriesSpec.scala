@@ -157,6 +157,20 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("backtest: self-similar planted series score zero MAE over the 7-day holdout") {
+    import spark.implicits._
+    // 28 planted days: train = first 21, holdout = last 7.  Both
+    // series repeat their weekly pattern exactly, so every forecast
+    // must hit its actual and MAE must be exactly 0 for both
+    val events = (1 to 28).flatMap { d =>
+      Seq((ts(d), "a", if (d % 7 == 0) 7.0 else 1.0), (ts(d), "c", 5.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.backtestOfGrid(TimeSeries.dailyGrid(events)).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r == Set(("a", 7L, 0.0), ("c", 7L, 0.0)),
+      s"planted backtest should score 7 cells at zero MAE per series: $r")
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
