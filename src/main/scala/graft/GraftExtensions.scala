@@ -27,6 +27,9 @@ import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand
   *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
   *   graft_top_token_count(words)       most-frequent-token count (repetition)
   *   graft_mg_topk(words, k)            Misra-Gries heavy-hitters aggregate
+  *   graft_kll_sketch(x, k)             KLL quantile sketch aggregate (binary state)
+  *   graft_kll_merge(sk, k)             union of serialized KLL states
+  *   graft_kll_quantile(sk, rank)       one quantile off a serialized state
   *   graft_gram_hashes(words, k)        distinct k-gram hashes, array<long>
   *   graft_gram_hashes_pos(words, k)    per-position k-gram hashes (spans)
   *   graft_hyperplane_sig(v, planes, dims) wide cosine-LSH signature words
@@ -111,6 +114,20 @@ object GraftExtensions {
       arity("graft_mg_topk", 2, args)
       graft.functions.MisraGries(args(0), intLit("graft_mg_topk", 2, args(1)))
         .toAggregateExpression()
+    },
+    "graft_kll_sketch" -> { args =>
+      arity("graft_kll_sketch", 2, args)
+      graft.functions.KllSketchAgg(args(0), intLit("graft_kll_sketch", 2, args(1)))
+        .toAggregateExpression()
+    },
+    "graft_kll_merge" -> { args =>
+      arity("graft_kll_merge", 2, args)
+      graft.functions.KllMergeAgg(args(0), intLit("graft_kll_merge", 2, args(1)))
+        .toAggregateExpression()
+    },
+    "graft_kll_quantile" -> { args =>
+      arity("graft_kll_quantile", 2, args)
+      graft.functions.KllQuantileAt(args(0), args(1))
     },
     "graft_dupgram_frac" -> { args =>
       arity("graft_dupgram_frac", 2, args)

@@ -94,6 +94,17 @@ class ExtensionsSpec extends GraftSpec {
     assert(r.getDouble(0) == 0.6)
   }
 
+  test("graft_kll sketch/merge/quantile compose in SQL within the rank bound") {
+    // 0..9999 in two sketched halves, merged: p50 must land within the
+    // k=200 rank bound (~1.3%) of 5000
+    val r = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(sk, 200), 0.5d) AS p50
+        |FROM (SELECT graft_kll_sketch(CAST(id AS DOUBLE), 200) AS sk
+        |FROM range(10000) GROUP BY id % 2)""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 5000.0) <= 200.0,
+      s"merged p50 ${r.getDouble(0)} outside rank bound")
+  }
+
   test("shape parameters must be integer literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a','b','c','d'), 3, id + 1) " +
