@@ -272,7 +272,8 @@ object TimeSeries {
         explode(sequence(lit(1), lit(h))).as("steps"))
       .withColumn("forecast_date", date_add(col("last_date"), col("steps")))
       .withColumn("dow", dayofweek(col("forecast_date")).cast("long"))
-      .join(dowMeans, Seq("event_type", "dow"))
+      // series × 7 rows: broadcast, don't shuffle the anchor frame
+      .join(broadcast(dowMeans), Seq("event_type", "dow"))
       .select(col("event_type"), col("forecast_date"),
         col("steps").cast("long").as("steps"),
         roundx(col("last_trend") + col("dow_mean"), 6).as("forecast"))
