@@ -102,6 +102,7 @@ object Bench {
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",
     "q_gas_quantiles_probe", "q_gas_quantiles_window",
+    "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe",
     "d_dedup_lines", "q_ts_decompose")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
@@ -118,7 +119,8 @@ object Bench {
     "q_active_accounts_probe",
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",
-    "q_gas_quantiles_probe", "q_gas_quantiles_window")
+    "q_gas_quantiles_probe", "q_gas_quantiles_window",
+    "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -27,6 +27,7 @@ import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand
   *   graft_dupgram_frac(words, k)       duplicate-k-gram fraction (repetition)
   *   graft_top_token_count(words)       most-frequent-token count (repetition)
   *   graft_mg_topk(words, k)            Misra-Gries heavy-hitters aggregate
+  *   graft_mg_merge(entries, k)         merge of stored MG summary rows
   *   graft_kll_sketch(x, k)             KLL quantile sketch aggregate (binary state)
   *   graft_kll_merge(sk, k)             union of serialized KLL states
   *   graft_kll_quantile(sk, rank)       one quantile off a serialized state
@@ -113,6 +114,11 @@ object GraftExtensions {
     "graft_mg_topk" -> { args =>
       arity("graft_mg_topk", 2, args)
       graft.functions.MisraGries(args(0), intLit("graft_mg_topk", 2, args(1)))
+        .toAggregateExpression()
+    },
+    "graft_mg_merge" -> { args =>
+      arity("graft_mg_merge", 2, args)
+      graft.functions.MisraGriesMerge(args(0), intLit("graft_mg_merge", 2, args(1)))
         .toAggregateExpression()
     },
     "graft_kll_sketch" -> { args =>

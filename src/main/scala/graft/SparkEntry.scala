@@ -373,6 +373,11 @@ object SparkEntry {
     // contract — HeavyHittersSpec asserts it vs exact counts; same
     // no-oracle class as the HLL/Bloom sketches
     "t_heavy_hitters" -> ((s: SparkSession, d: String) => CorpusStats.heavyHitters(s, d)),
+    // heavy hitters AT REST (MgWarehouse): per-generation MG summaries
+    // merged at probe time — the mergeable-summaries theorem licenses
+    // append-only refresh; no oracle (guarantee class, spec-pinned)
+    "t_heavy_hitters_probe" -> ((s: SparkSession, d: String) =>
+      MgWarehouse.probe(s, MgWarehouse.builtPath(s, d))),
     "t_bpe_pairs" -> ((s: SparkSession, d: String) => CorpusStats.bpePairs(s, d)),
     // iterative trainer loop — not a DuckDB query; BpeSpec asserts the
     // merge sequence against a single-machine reference implementation

@@ -69,44 +69,12 @@ case class MisraGries(
     buf
   }
 
-  override def eval(buf: MisraGries.Summary): Any = {
-    import scala.jdk.CollectionConverters._
-    val entries = buf.counts.entrySet().asScala.toArray
-    // deterministic emit order: estimate desc, then token asc
-    val sorted = entries.sortWith { (a, b) =>
-      val (av, bv) = (a.getValue.longValue(), b.getValue.longValue())
-      if (av != bv) av > bv else a.getKey.compareTo(b.getKey) < 0
-    }
-    new GenericArrayData(sorted.map(e =>
-      InternalRow(e.getKey, e.getValue.longValue())): Array[Any])
-  }
+  override def eval(buf: MisraGries.Summary): Any = MisraGries.emit(buf)
 
-  override def serialize(buf: MisraGries.Summary): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.counts.size())
-    buf.counts.forEach { (t, c) =>
-      val b = t.getBytes
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
-    }
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): MisraGries.Summary = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val s = new MisraGries.Summary(k)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      s.counts.put(UTF8String.fromBytes(b), in.readLong())
-      i += 1
-    }
-    s
-  }
+  override def serialize(buf: MisraGries.Summary): Array[Byte] =
+    MisraGries.ser(buf)
+  override def deserialize(bytes: Array[Byte]): MisraGries.Summary =
+    MisraGries.deser(bytes, k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
     copy(mutableAggBufferOffset = newOffset)
@@ -170,5 +138,112 @@ object MisraGries {
   /** Column entry: Misra–Gries top-k summary of `words` occurrences. */
   def apply(words: Column, k: Int): Column =
     GraftBridge.column(MisraGries(GraftBridge.expression(words), k)
+      .toAggregateExpression())
+
+  /** Deterministic emit order: estimate desc, then token asc. */
+  private[functions] def emit(buf: Summary): GenericArrayData = {
+    import scala.jdk.CollectionConverters._
+    val entries = buf.counts.entrySet().asScala.toArray
+    val sorted = entries.sortWith { (a, b) =>
+      val (av, bv) = (a.getValue.longValue(), b.getValue.longValue())
+      if (av != bv) av > bv else a.getKey.compareTo(b.getKey) < 0
+    }
+    new GenericArrayData(sorted.map(e =>
+      InternalRow(e.getKey, e.getValue.longValue())): Array[Any])
+  }
+
+  private[functions] def ser(buf: Summary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.counts.size())
+    buf.counts.forEach { (t, c) =>
+      val b = t.getBytes
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def deser(bytes: Array[Byte], k: Int): Summary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new Summary(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      s.counts.put(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    s
+  }
+}
+
+/** Merge of STORED Misra–Gries summaries (array<struct<token,est>>
+  * rows read back from a warehouse) — the probe side of keeping MG
+  * states at rest: a summary row is itself the complete aggregation
+  * state (the (token, count) map), so folding stored rows through
+  * Agarwal et al.'s merge yields a valid summary of the union with
+  * the SAME n/(k+1) error bound — the "mergeable summaries" theorem
+  * that licenses append-only refresh for this family exactly as it
+  * does for HLL registers and KLL states. */
+case class MisraGriesMerge(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGries.Summary] with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_mg_merge: k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(MisraGries.EntryType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MisraGries.Summary =
+    new MisraGries.Summary(k)
+
+  override def update(buf: MisraGries.Summary, input: InternalRow): MisraGries.Summary = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val tmp = new MisraGries.Summary(k)
+      var i = 0
+      while (i < arr.numElements()) {
+        val e = arr.getStruct(i, 2)
+        tmp.counts.put(e.getUTF8String(0).copy(),
+          java.lang.Long.valueOf(e.getLong(1)))
+        i += 1
+      }
+      buf.mergeIn(tmp)
+    }
+    buf
+  }
+
+  override def merge(buf: MisraGries.Summary, other: MisraGries.Summary): MisraGries.Summary = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: MisraGries.Summary): Any = MisraGries.emit(buf)
+
+  override def serialize(buf: MisraGries.Summary): Array[Byte] =
+    MisraGries.ser(buf)
+  override def deserialize(bytes: Array[Byte]): MisraGries.Summary =
+    MisraGries.deser(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesMerge =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mg_merge"
+}
+
+object MisraGriesMerge {
+  /** Column entry: merge stored summary rows. */
+  def apply(summaries: Column, k: Int): Column =
+    GraftBridge.column(MisraGriesMerge(GraftBridge.expression(summaries), k)
       .toAggregateExpression())
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions.words
+import graft.functions.{MisraGries, MisraGriesMerge}
+import graft.sources.Tables
+
+/** Corpus heavy-hitter summaries at rest — the FREQUENCY family's
+  * warehouse member, completing the mergeable-summary matrix:
+  * additive rollups (TsWarehouse), histograms (Stats/Balance/
+  * Quantile), distincts (HllWarehouse), membership (BloomWarehouse),
+  * quantile sketches (the KLL lane) — and now heavy hitters, the one
+  * remaining classical mergeable-summary class.
+  *
+  * State is one Misra–Gries summary row per generation (array of
+  * (token, est) counters, ≤ k entries — KB-scale regardless of corpus
+  * or vocabulary).  The theorem that licenses append-only refresh is
+  * Agarwal et al. 2012's mergeability: merging per-batch MG summaries
+  * through the (k+1)-th-largest-subtraction merge yields a VALID
+  * summary of the union with the same n/(k+1) error bound.  So:
+  * refresh appends the batch's summary (O(batch), standing rows
+  * untouched), the probe folds stored rows through MisraGriesMerge,
+  * and `compact` merges generations to one row (probe reads the same
+  * class of summary either way).
+  *
+  * Contract rung: GUARANTEE level (with HLL-probe-equal above it and
+  * KLL below it in spirit — the reported set BELOW the guarantee line
+  * is merge-order-dependent, so neither bit- nor probe-equality can
+  * be pinned; what every fold order shares is the contract
+  * HeavyHittersSpec pins inline and MgWarehouseSpec pins at rest:
+  * every token with true frequency > n/(k+1) is present, and every
+  * estimate is a lower bound short by at most n/(k+1)).  NO oracle —
+  * the t_heavy_hitters stance.
+  *
+  * Production story: the inline t_heavy_hitters re-scans the corpus
+  * per report; at 100 TB the corpus scan is the whole cost, and the
+  * vocabulary (URLs, code identifiers, n-grams) is exactly what made
+  * the exact word-count shuffle intractable in the first place.  The
+  * warehouse pays one map-side-collapsed scan per BATCH at ingest and
+  * serves every subsequent report from ≤ generations × k counters.
+  */
+object MgWarehouse {
+
+  private[graft] val K = 32
+
+  /** The documents-side base/incoming split (the warehouse family's
+    * mod-10 convention, on doc_id). */
+  private[graft] def isBaseDoc = pmod(col("doc_id"), lit(10L)) < 8
+
+  /** One summary row for a batch — the delta. */
+  private[graft] def deltas(docs: DataFrame, k: Int = K): DataFrame =
+    docs.agg(MisraGries(words(col("text")), k).as("hh"))
+
+  /** Ingest — also the refresh-equivalence spec's one-shot reference
+    * builder. */
+  def materializeFrom(docs: DataFrame, path: String): Unit =
+    deltas(docs).write.mode("overwrite").parquet(path)
+
+  /** REFRESH — fold a batch in at rest: append its summary row.
+    * O(batch); no standing row is read or rewritten. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    deltas(batch).write.mode("append").parquet(path)
+
+  /** COMPACT — merge generation rows to ONE summary.  The merged row
+    * is a valid summary of the union (mergeability), so probes serve
+    * the identical CONTRACT before and after — the guarantee-level
+    * analogue of the bit-invariance the integer warehouses pin. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .agg(MisraGriesMerge(col("hh"), K).as("hh"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** The stored-rows read — exposed so specs can assert scan roots. */
+  private[graft] def summaryRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Registered `t_heavy_hitters_probe`: the corpus heavy-hitter
+    * report off the summaries at rest — merge the ≤ generations
+    * stored rows, explode to (token, est_count).  Never scans
+    * documents (plan-asserted). */
+  def probe(spark: SparkSession, path: String): DataFrame =
+    summaryRead(spark, path)
+      .agg(MisraGriesMerge(col("hh"), K).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est").as("est_count"))
+
+  /** The once-per-JVM two-generation build (the Materialized
+    * pattern). */
+  def builtPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("mg_warehouse", dir) { p =>
+      val d = Tables(spark, dir).documents
+      materializeFrom(d.filter(isBaseDoc), p)
+      refresh(spark, d.filter(!isBaseDoc), p)
+    }
+
+  /** The refresh's ONLINE twin: each arriving micro-batch appends its
+    * summary inside foreachBatch — mergeability means any batching
+    * serves a summary satisfying the same bound (spec-pinned); no
+    * state store, no watermark. */
+  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
+      }
+      .start()
+}
