@@ -251,6 +251,9 @@ object SparkEntry {
     // embedding clustering: CC (the Dedup fold) over the mutual graph
     // — oracled by composing the mutual CTEs with the recursive CTE
     "s_cluster_mutual_knn" -> ((s: SparkSession, d: String) => Knn.clusterMutualKnn(s, d)),
+    // the clustering's scale path: same mutual+CC fold over the
+    // LSH-blocked graph (no oracle — the s_knn_graph_lsh stance)
+    "s_cluster_mutual_knn_lsh" -> ((s: SparkSession, d: String) => Knn.clusterMutualKnnLsh(s, d)),
     // iterative (8 fixed rounds) — no oracle, the s_kmeans stance
     "s_graph_centrality" -> (graft.similarity.Centrality.graphCentrality _),
     "s_knn_ivf" -> (Knn.ivfAnn _),

@@ -406,9 +406,15 @@ object Knn {
     * canonical a_id < b_id pairs; the cosine is symmetric (the same
     * rounded expression both directions), so either side's value
     * serves.  ORACLED (the s_knn_graph SQL + a swapped self-join). */
-  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val g = knnGraph(spark, dir, k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    mutualOf(knnGraph(spark, dir, k))
+
+  /** The mutual filter over any (vec_id, neighbor_id, cosine) graph —
+    * shared by the exact and LSH-blocked variants.  One self-join on
+    * swapped endpoints; the localCheckpoint pins the scored subtree
+    * so it runs once, not once per join side (the covFrom lesson). */
+  private[graft] def mutualOf(g0: DataFrame): DataFrame = {
+    val g = g0.select(col("vec_id"), col("neighbor_id"), col("cosine"))
       .localCheckpoint()
     g.as("f")
       .join(g.as("b"), col("f.vec_id") === col("b.neighbor_id") &&
@@ -438,6 +444,22 @@ object Knn {
       Tables(spark, dir).embeddings.select(col("vec_id")),
       knnGraphMutual(spark, dir, k))
 
+  /** `s_cluster_mutual_knn_lsh`: the clustering's SCALE PATH — the
+    * identical mutual-filter + CC fold over the LSH-BLOCKED graph
+    * (knnGraphLsh), the way d_dedup_groups_lsh shadows d_dedup_groups
+    * and s_knn_graph_lsh shadows s_knn_graph: at 100 TB the n² scored
+    * pairs behind the exact graph are the only corpus-scale stage,
+    * and the bucketed self-join replaces them with Σ (bucket ×
+    * probed-bucket) collisions.  Everything above the graph is shared
+    * verbatim (mutualOf + clusterOfEdges).  NO oracle (hash-bucket
+    * internals — the s_knn_graph_lsh stance); KnnGraphSpec pins
+    * planted well-separated clusters resolving identically to the
+    * exact variant, and the min-label invariant on the real corpus. */
+  def clusterMutualKnnLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    clusterOfEdges(
+      Tables(spark, dir).embeddings.select(col("vec_id")),
+      mutualOf(knnGraphLsh(spark, dir, k)))
+
   /** Frame-level clustering over arbitrary (vec_id) nodes + (a_id,
     * b_id) edges — the spec entry point. */
   private[graft] def clusterOfEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
@@ -464,10 +486,14 @@ object Knn {
     * KnnGraphSpec pins exactly-once emission, per-vector recall vs
     * the brute graph, and that emitted cosines are bit-equal to the
     * exact values. */
-  def knnGraphLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def knnGraphLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnGraphLshOf(Tables(spark, dir).embeddings, k)
+
+  /** Frame-level LSH-blocked graph over a raw (vec_id, embedding)
+    * frame — the spec entry point for planted corpora. */
+  private[graft] def knnGraphLshOf(embRaw: DataFrame, k: Int = 5): DataFrame = {
     val NPlanes = 4
-    val t = Tables(spark, dir)
-    val sig = t.embeddings
+    val sig = embRaw
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", hyperplaneSignature(col("v"), NPlanes))

@@ -131,6 +131,37 @@ class KnnGraphSpec extends GraftSpec {
       assert(members.keys.min == cid, s"cluster $cid label is not its min member") }
   }
 
+  test("lsh clustering: planted separated clusters match the exact path's labels") {
+    import spark.implicits._
+    // two tight direction clusters in 8 dims: A near e1, B near e3,
+    // 6 vectors each (cluster size = k+1, so every exact top-5 stays
+    // in-cluster); in-cluster cosine ≈ 1 vs cross ≈ 0, and near-
+    // identical directions share hyperplane signatures, so the LSH
+    // blocks find the same mutual edges and CC the same clusters
+    val vecs = (0L until 12L).map { i =>
+      val v = Array.fill(8)(0.0f)
+      if (i < 6) { v(0) = 1.0f; v(1) = 0.01f * (i + 1) }
+      else { v(2) = 1.0f; v(3) = 0.01f * (i - 5) }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val nodes = vecs.select(col("vec_id"))
+    def labels(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Knn.clusterOfEdges(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactG = Knn.knnGraphOf(Knn.graphVecs(vecs), 5)
+    val lshG = Knn.knnGraphLshOf(vecs, 5)
+    val exact = labels(Knn.mutualOf(exactG))
+    val lsh = labels(Knn.mutualOf(lshG))
+    assert(exact == lsh, s"lsh clusters diverge: exact=$exact lsh=$lsh")
+    assert(exact.values.toSet == Set(0L, 6L),
+      s"planted clusters mislabeled: ${exact.values.toSet}")
+    // real corpus: every cluster id labels its own min member
+    val real = Knn.clusterMutualKnnLsh(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    real.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"lsh cluster $cid label not min member") }
+  }
+
   test("pagerank: cycle fixed point, star ordering, mass conservation, determinism") {
     import spark.implicits._
     val C = graft.similarity.Centrality
