@@ -225,4 +225,16 @@ object QuantileWarehouse {
       sketchMaterializeFrom(e.filter(isBaseEvent), p)
       sketchRefresh(spark, e.filter(!isBaseEvent), p)
     }
+
+  /** The sketch lane's ONLINE twin: per-batch KLL states appended
+    * inside foreachBatch.  Mergeability is the whole argument — any
+    * batching's probe-time union satisfies the same rank bound
+    * (spec-pinned); like every rung below bit-equal, equality is NOT
+    * claimed, the GUARANTEE is. */
+  def sketchStreamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sketchRefresh(batch.sparkSession, batch, path)
+      }
+      .start()
 }

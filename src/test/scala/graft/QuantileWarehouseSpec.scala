@@ -142,6 +142,42 @@ class QuantileWarehouseSpec extends GraftSpec {
       s"unexpected scan roots: $roots")
   }
 
+  test("sketch lane streaming refresh keeps the rank bound across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = Tables(spark, Dir).events
+      .select(col("ts").cast("string"), col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val p = tmp("skstream")
+    val mem = MemoryStream[(String, String, Double)]
+    val q = QuantileWarehouse.sketchStreamingRefresh(
+      mem.toDF().toDF("ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp")), p)
+    try {
+      val (b1, b2) = all.splitAt(all.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // all-days window covers the full corpus: bound vs exact ranks
+    val got = QuantileWarehouse.sketchWindowProbe(spark, p,
+        "2024-01-01", "2024-12-31")
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+      .toMap
+    val exact = all.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sorted }
+    got.foreach { case (denom, quants) =>
+      val vals = exact(denom); val n = vals.length.toDouble
+      quants.foreach { case (pq, v) =>
+        val rank = vals.count(_ <= v) / n
+        assert(math.abs(rank - pq) <= 0.02 + 1.0 / n,
+          s"streamed $denom p$pq: $v has exact rank $rank") }
+    }
+  }
+
   test("streaming refresh across micro-batches equals the one-shot fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
