@@ -186,6 +186,12 @@ object SparkEntry {
       TsWarehouse.decomposeProbe(s, TsWarehouse.builtPath(s, d))),
     "q_ts_forecast_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.forecastProbe(s, TsWarehouse.builtPath(s, d))),
+    // the weekday-aware anomaly alerter (z over decompose residuals —
+    // fixes the flat-baseline Sunday false-positive) + its probe
+    "q_ts_anomaly_seasonal" -> ((s: SparkSession, d: String) =>
+      TimeSeries.tsAnomalySeasonal(s, d)),
+    "q_ts_anomaly_seasonal_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.anomalySeasonalProbe(s, TsWarehouse.builtPath(s, d))),
     // LLM-data-pipeline
     "d_dedup_exact" -> (Dedup.exact _),
     "d_dedup_chunk" -> (Dedup.dedupChunks _),
@@ -875,6 +881,26 @@ object SparkEntry {
        |SELECT event_type, date, v, dow_mean, adj AS adjusted,
        |round(mu, 6) AS trend, round(adj - mu, 6) AS residual FROM st""".stripMargin
 
+  // Weekday-aware anomaly: z over the decompose residuals.  Σresidual
+  // is exact DECIMAL(30,6) (6-dp values cast losslessly), Σresidual²
+  // via a per-row DECIMAL(38,12) cast then exact summation; s/n is
+  // recomputed per use — the identical IEEE division each time, so
+  // the expression sequences match Spark's.  σ² ≤ 0 excluded both
+  // sides; ordering compares the ROUNDED z with a total tiebreak.
+  private lazy val QTsAnomalySeasonalSql =
+    s"""WITH $QTsDecomposeCtes,
+       |r2 AS (SELECT event_type, date, v, round(adj - mu, 6) AS residual FROM st),
+       |ss AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |CAST(sum(CAST(residual AS DECIMAL(30,6))) AS DOUBLE) AS s,
+       |CAST(sum(CAST(residual*residual AS DECIMAL(38,12))) AS DOUBLE) AS qq
+       |FROM r2 GROUP BY 1),
+       |zz AS (SELECT r2.event_type AS event_type, r2.date AS date, r2.v AS v, r2.residual AS residual,
+       |round((residual - s/n) / sqrt(qq/n - (s/n)*(s/n)), 6) AS z_seasonal,
+       |qq/n - (s/n)*(s/n) AS va
+       |FROM r2 JOIN ss ON r2.event_type = ss.event_type)
+       |SELECT event_type, date, v, residual, z_seasonal FROM zz WHERE va > 0
+       |ORDER BY abs(z_seasonal) DESC, event_type, date LIMIT 10""".stripMargin
+
   // Seasonal-naive forecast: anchor = each series' last decomposed
   // trend (round(mu,6) — the registered trend column), target-day
   // seasonal = bd's dow mean; forecast = ONE IEEE add on identical
@@ -1325,6 +1351,9 @@ object SparkEntry {
     "q_ts_forecast_probe" -> QTsForecastSql,
     // chain + forecast CTEs verbatim over the truncated train grid
     "q_ts_forecast_backtest" -> QTsForecastBacktestSql,
+    "q_ts_anomaly_seasonal" -> QTsAnomalySeasonalSql,
+    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    "q_ts_anomaly_seasonal_probe" -> QTsAnomalySeasonalSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line

@@ -279,6 +279,47 @@ object TimeSeries {
         roundx(col("last_trend") + col("dow_mean"), 6).as("forecast"))
   }
 
+  /** `q_ts_anomaly_seasonal`: the WEEKDAY-AWARE anomaly report — the
+    * alerter the decomposition exists to feed, and the fix for
+    * q_ts_anomaly's known blind spot: a flat trailing baseline flags
+    * every Sunday of a weekly-patterned series, while scoring the
+    * decompose RESIDUAL (v − dow_mean − trend) only fires on days
+    * that deviate from their own weekday's expectation.  Per series,
+    * z = (residual − μ_residual) / σ_residual; top-k |z| across all
+    * series — the q_ts_anomaly output stance (a ranked score, not a
+    * threshold boolean, so no engine-divergent boundary exists).
+    *
+    * Exactness: residuals are the decompose output's own 6-dp
+    * doubles; Σresidual is EXACT via DECIMAL(30,6) (6-dp values cast
+    * losslessly), Σresidual² via a per-row DECIMAL(38,12) cast (one
+    * deterministic conversion identical in both engines — the
+    * Exact.sumx argument) then exact order-free summation; the
+    * variance and z are the identical IEEE sequence both sides, and
+    * σ² ≤ 0 series (constant residuals) are excluded on both.  Plan:
+    * the one grid shuffle, the decompose tail, one series-keyed
+    * metadata aggregate broadcast back, TakeOrderedAndProject.
+    * ORACLED (composes the decompose chain verbatim). */
+  def tsAnomalySeasonal(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    anomalySeasonalOfGrid(dailyGrid(Tables(spark, dir).events), k)
+
+  private[graft] def anomalySeasonalOfGrid(grid: DataFrame, k: Int = 10): DataFrame = {
+    val dec = decomposeOfGrid(grid).localCheckpoint() // feeds stats + rows
+    val stats = dec.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("residual").cast("decimal(30,6)")).cast("double").as("s"),
+        sum((col("residual") * col("residual")).cast("decimal(38,12)"))
+          .cast("double").as("qq"))
+    dec.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mu2", col("s") / col("n"))
+      .withColumn("va",
+        col("qq") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+      .filter(col("va") > 0)
+      .select(col("event_type"), col("date"), col("v"), col("residual"),
+        roundx((col("residual") - col("mu2")) / sqrt(col("va")), 6).as("z_seasonal"))
+      .orderBy(abs(col("z_seasonal")).desc, col("event_type"), col("date"))
+      .limit(k)
+  }
+
   /** `q_ts_forecast_backtest`: the forecast's evaluation loop — the
     * first thing any forecasting deployment ships next to the
     * forecaster itself: hold out the last 7 grid days, fit the

@@ -108,6 +108,12 @@ object TsWarehouse {
   def decomposeProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.decomposeOfGrid(grid(spark, path))
 
+  /** Registered `q_ts_anomaly_seasonal_probe`: the weekday-aware
+    * alerter served from the rollup — bit-equal grid ⇒ shares
+    * q_ts_anomaly_seasonal's oracle VERBATIM. */
+  def anomalySeasonalProbe(spark: SparkSession, path: String): DataFrame =
+    TimeSeries.anomalySeasonalOfGrid(grid(spark, path))
+
   /** Registered `q_ts_forecast_probe`: the seasonal-naive forecast
     * served from the rollup — the fifth grid consumer, and the one a
     * production alerter actually polls (tomorrow's expected volume

@@ -171,6 +171,28 @@ class TimeSeriesSpec extends GraftSpec {
       s"planted backtest should score 7 cells at zero MAE per series: $r")
   }
 
+  test("seasonal anomaly: a planted spike tops the ranking; pure patterns never fire") {
+    import spark.implicits._
+    // "a" is purely weekly except a huge spike on day 17; "c" is
+    // constant.  The weekly pattern itself must produce no signal
+    // (its residuals are absorbed by dow_mean), so the spike day
+    // dominates the z ranking; "c" has zero residual variance and is
+    // excluded by the va > 0 gate
+    val events = (1 to 21).flatMap { d =>
+      val base = if (d % 7 == 0) 7.0 else 1.0
+      val va = if (d == 17) base + 1000.0 else base
+      Seq((ts(d), "a", va), (ts(d), "c", 5.0))
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.anomalySeasonalOfGrid(TimeSeries.dailyGrid(events))
+      .collect().map(x => (x.getString(0), x.getDate(1).toString, x.getDouble(4)))
+    assert(r.nonEmpty, "no anomaly rows")
+    assert(r.forall(_._1 == "a"), s"constant series leaked into ranking: $r")
+    assert(r.head._2 == "2024-01-17",
+      s"spike day not top-ranked: ${r.head}")
+    assert(math.abs(r.head._3) > math.abs(r(1)._3),
+      s"spike z not strictly dominant: ${r.take(2).mkString(", ")}")
+  }
+
   test("z-normalization: scaling a series leaves its distances unchanged") {
     import spark.implicits._
     // two series with identical SHAPE at different scales plus a
