@@ -98,7 +98,8 @@ object Bench {
   private val Probes = Seq(
     "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
     "q_ts_decompose_probe", "q_ts_forecast_probe",
-    "q_ts_anomaly_seasonal_probe", "d_corpus_stats_probe",
+    "q_ts_anomaly_seasonal_probe", "q_ts_forecast_backtest_probe",
+    "d_corpus_stats_probe",
     "q_active_accounts_probe",
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",
@@ -117,7 +118,8 @@ object Bench {
     "s_bm25_probe_compacted", "t_perplexity_probe", "s_embed_cov_probe",
     "q_ts_anomaly_probe", "q_ts_corr_probe", "q_ts_seasonal_probe",
     "q_ts_decompose_probe", "q_ts_forecast_probe",
-    "q_ts_anomaly_seasonal_probe", "d_corpus_stats_probe",
+    "q_ts_anomaly_seasonal_probe", "q_ts_forecast_backtest_probe",
+    "d_corpus_stats_probe",
     "q_active_accounts_probe",
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",

@@ -169,6 +169,9 @@ object SparkEntry {
     // on the rest, per-series MAE vs actuals — the staleness alert
     "q_ts_forecast_backtest" -> ((s: SparkSession, d: String) =>
       TimeSeries.tsForecastBacktest(s, d)),
+    // the same evaluation at refresh cadence off the standing grid
+    "q_ts_forecast_backtest_probe" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.backtestProbe(s, TsWarehouse.builtPath(s, d))),
     // the alerting leg off the daily rollup AT REST (TsWarehouse:
     // DECIMAL-delta grid, refresh bit-equal to rebuild) — the probe
     // never rescans events (plan-asserted in TsWarehouseSpec)
@@ -1352,8 +1355,9 @@ object SparkEntry {
     // chain + forecast CTEs verbatim over the truncated train grid
     "q_ts_forecast_backtest" -> QTsForecastBacktestSql,
     "q_ts_anomaly_seasonal" -> QTsAnomalySeasonalSql,
-    // rollup-served: bit-equal grid ⇒ the inline oracle VERBATIM
+    // rollup-served: bit-equal grid ⇒ the inline oracles VERBATIM
     "q_ts_anomaly_seasonal_probe" -> QTsAnomalySeasonalSql,
+    "q_ts_forecast_backtest_probe" -> QTsForecastBacktestSql,
     "d_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     // cross-doc line dedup: docs_with counts DISTINCT docs per line

@@ -114,6 +114,18 @@ object TsWarehouse {
   def anomalySeasonalProbe(spark: SparkSession, path: String): DataFrame =
     TimeSeries.anomalySeasonalOfGrid(grid(spark, path))
 
+  /** Registered `q_ts_forecast_backtest_probe`: the forecast's
+    * holdout evaluation served from the rollup — the SEVENTH grid
+    * consumer, and the shape forecast MONITORING takes in production:
+    * the MAE-vs-actuals check re-runs at refresh cadence (when the
+    * grid changes), so it reads the standing grid, not raw events.
+    * Bit-equal grid ⇒ shares q_ts_forecast_backtest's oracle
+    * VERBATIM.  With this, every grid consumer that admits a standing
+    * form is served at rest (window search stays inline-only BY
+    * DESIGN: parameterized by an ad-hoc query window). */
+  def backtestProbe(spark: SparkSession, path: String): DataFrame =
+    TimeSeries.backtestOfGrid(grid(spark, path))
+
   /** Registered `q_ts_forecast_probe`: the seasonal-naive forecast
     * served from the rollup — the fifth grid consumer, and the one a
     * production alerter actually polls (tomorrow's expected volume

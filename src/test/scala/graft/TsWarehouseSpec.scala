@@ -68,6 +68,16 @@ class TsWarehouseSpec extends GraftSpec {
     assert(probe.nonEmpty)
   }
 
+  test("backtest probe equals the inline query row-for-row — the seventh grid consumer") {
+    val path = TsWarehouse.builtPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val probe = rows(TsWarehouse.backtestProbe(spark, path))
+    assert(probe == rows(TimeSeries.tsForecastBacktest(spark, Dir)),
+      "backtest probe diverges from inline")
+    assert(probe.nonEmpty)
+  }
+
   test("seasonal-anomaly probe equals the inline query row-for-row — the sixth grid consumer") {
     val path = TsWarehouse.builtPath(spark, Dir)
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
