@@ -121,9 +121,14 @@ object GraftExtensions {
       graft.functions.MisraGriesMerge(args(0), intLit("graft_mg_merge", 2, args(1)))
         .toAggregateExpression()
     },
+    // numeric args coerce to DOUBLE at construction (KllFunctions
+    // .asDouble): a bare `0.5` literal parses as DECIMAL and an INT
+    // value column would otherwise CCE mid-job (a review finding)
     "graft_kll_sketch" -> { args =>
       arity("graft_kll_sketch", 2, args)
-      graft.functions.KllSketchAgg(args(0), intLit("graft_kll_sketch", 2, args(1)))
+      graft.functions.KllSketchAgg(
+        graft.functions.KllFunctions.asDouble(args(0)),
+        intLit("graft_kll_sketch", 2, args(1)))
         .toAggregateExpression()
     },
     "graft_kll_merge" -> { args =>
@@ -133,7 +138,8 @@ object GraftExtensions {
     },
     "graft_kll_quantile" -> { args =>
       arity("graft_kll_quantile", 2, args)
-      graft.functions.KllQuantileAt(args(0), args(1))
+      graft.functions.KllQuantileAt(args(0),
+        graft.functions.KllFunctions.asDouble(args(1)))
     },
     "graft_dupgram_frac" -> { args =>
       arity("graft_dupgram_frac", 2, args)

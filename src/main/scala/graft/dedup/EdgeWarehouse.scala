@@ -160,7 +160,7 @@ object EdgeWarehouse {
       .write.mode("overwrite").partitionBy("gen").parquet(path)
     Dedup.connectedComponents(
         base.select(col("doc_id")),
-        spark.read.parquet(path).select(col("a_id"), col("b_id")))
+        allEdges(spark, path))
       .write.mode("overwrite").parquet(labelsPath(path))
     MinHashWarehouse.materializeAll(base, mhPath(path))
     txtRows(base).write.mode("overwrite").parquet(txtPath(path))
@@ -242,8 +242,10 @@ object EdgeWarehouse {
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"))
     val delta = cross.union(jWithin).union(exWithin).union(edWithin).distinct()
-    val nextGen = spark.read.parquet(path)
-      .agg(max(col("gen"))).head().getInt(0) + 1
+    // coalesce: an edge-free standing table (all generations empty)
+    // has a NULL max — the next generation is then 1, not a crash
+    val nextGen = edgeRead(spark, path)
+      .agg(coalesce(max(col("gen")), lit(0)).as("g")).head().getInt(0) + 1
     delta.withColumn("gen", lit(nextGen))
       .write.mode("append").partitionBy("gen").parquet(path)
 
@@ -254,17 +256,29 @@ object EdgeWarehouse {
     bStarved.write.mode("append").parquet(starvedPath(path))
   }
 
+  /** All edge-table reads go through an EXPLICIT schema: a generation
+    * with zero edges (a clean batch — entirely normal in production)
+    * writes only partition metadata, and schema inference over such a
+    * directory fails where a declared schema reads it as empty. */
+  private val EdgeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("gen", org.apache.spark.sql.types.IntegerType)))
+
+  private def edgeRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(EdgeSchema).parquet(path)
+
   /** The standing labels and the delta generations at rest — what the
     * registered incremental fold reads (nothing else). */
   def standingLabels(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(labelsPath(path))
 
   def deltaEdges(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).filter(col("gen") >= 1)
+    edgeRead(spark, path).filter(col("gen") >= 1)
       .select(col("a_id"), col("b_id"))
 
   def allEdges(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("a_id"), col("b_id"))
+    edgeRead(spark, path).select(col("a_id"), col("b_id"))
 
   /** COMPACT: dedup edge rows across generations into gen 0 and fold
     * every delta generation into the standing labels (the contracted

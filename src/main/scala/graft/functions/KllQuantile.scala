@@ -5,7 +5,7 @@ import org.apache.datasketches.memory.Memory
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -143,10 +143,17 @@ case class KllQuantileAt(left: Expression, right: Expression)
 }
 
 object KllFunctions {
+  /** Coerce any numeric input to DOUBLE at construction — the
+    * analyzer can't be asked (AbstractDataType is private[sql]), and
+    * a raw asInstanceOf would otherwise CCE mid-job on an INT or
+    * DECIMAL argument (a review finding). */
+  private[graft] def asDouble(e: Expression): Expression =
+    Cast(e, DoubleType)
+
   /** Aggregate a double column into a serialized KLL sketch. */
   def kllSketch(c: Column, k: Int = 200): Column =
     GraftBridge.column(
-      KllSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
+      KllSketchAgg(asDouble(GraftBridge.expression(c)), k).toAggregateExpression())
 
   /** Union a column of serialized KLL sketches. */
   def kllMerge(c: Column, k: Int = 200): Column =
@@ -156,5 +163,5 @@ object KllFunctions {
   /** One quantile (normalized rank) off a serialized sketch. */
   def kllQuantile(sk: Column, rank: Column): Column =
     GraftBridge.column(
-      KllQuantileAt(GraftBridge.expression(sk), GraftBridge.expression(rank)))
+      KllQuantileAt(GraftBridge.expression(sk), asDouble(GraftBridge.expression(rank))))
 }

@@ -213,11 +213,19 @@ object TimeSeries {
     * corrOfGrid/anomalyOfGrid/seasonalOfGrid pattern, completing
     * "every grid consumer holds its inline oracle verbatim" for the
     * fourth and last standing-form consumer). */
-  private[graft] def decomposeOfGrid(grid0: DataFrame, w: Int = 7): DataFrame = {
-    val grid = grid0.localCheckpoint() // feeds dow means + windows
-    val byDow = grid
+  /** The per-(series, day-of-week) baseline aggregate — the ONE
+    * definition both the decomposition and the forecast's dow-mean
+    * leg derive from (a drift in the rounding discipline must break
+    * every composition or none — the tsDecomposeChain rule applied
+    * to the Scala side too). */
+  private def dowSumsOfGrid(grid: DataFrame): DataFrame =
+    grid
       .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
       .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
+
+  private[graft] def decomposeOfGrid(grid0: DataFrame, w: Int = 7): DataFrame = {
+    val grid = grid0.localCheckpoint() // feeds dow means + windows
+    val byDow = dowSumsOfGrid(grid)
     val adjusted = grid
       .withColumn("dow", dayofweek(col("date")).cast("long"))
       .join(byDow, Seq("event_type", "dow"))
@@ -254,10 +262,10 @@ object TimeSeries {
     forecastOfGrid(dailyGrid(Tables(spark, dir).events), h)
 
   private[graft] def forecastOfGrid(grid0: DataFrame, h: Int = 7): DataFrame = {
-    val grid = grid0.localCheckpoint() // feeds dow means + the decompose tail
-    val dowMeans = grid
-      .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
-      .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
+    // feeds dow means + the decompose tail; the nested checkpoint a
+    // composing caller (backtest) adds pins days × series rows — KB
+    val grid = grid0.localCheckpoint()
+    val dowMeans = dowSumsOfGrid(grid)
       .select(col("event_type"), col("dow"),
         roundx(col("sum_v") / col("n_days"), 6).as("dow_mean"))
     val lastW = Window.partitionBy(col("event_type"))

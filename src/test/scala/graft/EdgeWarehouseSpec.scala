@@ -123,6 +123,29 @@ class EdgeWarehouseSpec extends GraftSpec {
       s"diff: onlyCompact=${(labels -- full).take(5)} onlyFull=${(full -- labels).take(5)}")
   }
 
+  test("edge-free generations: ingest and refresh survive a clean corpus") {
+    import spark.implicits._
+    // three wildly different docs (no exact/ngram/ed pair possible:
+    // disjoint vocabulary, length gaps > 10) — the clean-crawl case a
+    // review flagged: zero-edge generations must read back as empty,
+    // not fail schema inference, and refresh must not NPE on max(gen)
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (3L, "x")).toDF("doc_id", "text")
+    val p = tmp("clean")
+    dedup.EdgeWarehouse.ingest(spark, base, p)
+    val incoming = Seq(
+      (4L, "completely unrelated fresh content with its own words entirely")).toDF("doc_id", "text")
+    dedup.EdgeWarehouse.refresh(spark, incoming, p)
+    assert(dedup.EdgeWarehouse.allEdges(spark, p).count() == 0,
+      "clean corpus produced edges")
+    val labels = dedup.EdgeWarehouse.standingLabels(spark, p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+    assert(labels == Set((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"singleton labels wrong: $labels")
+  }
+
   test("streaming refresh across micro-batches equals the one-shot edge set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

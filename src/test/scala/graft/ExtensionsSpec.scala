@@ -96,10 +96,12 @@ class ExtensionsSpec extends GraftSpec {
 
   test("graft_kll sketch/merge/quantile compose in SQL within the rank bound") {
     // 0..9999 in two sketched halves, merged: p50 must land within the
-    // k=200 rank bound (~1.3%) of 5000
+    // k=200 rank bound (~1.3%) of 5000.  Deliberately the NATURAL call
+    // forms — a bare 0.5 (DECIMAL literal) and a raw BIGINT column —
+    // pinning the construction-time double coercion a review flagged
     val r = spark.sql(
-      """SELECT graft_kll_quantile(graft_kll_merge(sk, 200), 0.5d) AS p50
-        |FROM (SELECT graft_kll_sketch(CAST(id AS DOUBLE), 200) AS sk
+      """SELECT graft_kll_quantile(graft_kll_merge(sk, 200), 0.5) AS p50
+        |FROM (SELECT graft_kll_sketch(id, 200) AS sk
         |FROM range(10000) GROUP BY id % 2)""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 5000.0) <= 200.0,
       s"merged p50 ${r.getDouble(0)} outside rank bound")
