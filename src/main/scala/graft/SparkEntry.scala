@@ -67,6 +67,10 @@ object SparkEntry {
     // bit-for-bit by DECIMAL-sum order freedom (salt invariance as an
     // oracle-checked demonstration, not prose)
     "q_txvol_salted" -> ((s: SparkSession, d: String) => Skew.saltedVolume(s, d)),
+    // the JOIN half of the skew toolkit: salted fact×dim equi-join,
+    // oracle = the unsalted plain join (row-identical output + DECIMAL
+    // sums ⇒ bit-for-bit, any salt count)
+    "q_txvol_salted_join" -> ((s: SparkSession, d: String) => Skew.saltedJoinVolume(s, d)),
     "q_general_info" -> (Dashboard.generalInfo _),
     // market (reference: src/service/market/)
     "q_price_hourly" -> (Market.priceHourly _),
@@ -1049,6 +1053,14 @@ object SparkEntry {
     "q_txvol_salted" ->
       s"""SELECT event_type AS denom, round(${SUMX("value")}, 4) AS tx_volume,
          |count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
+    // the salted JOIN vs the naive plain join: row-identical join
+    // output + DECIMAL sums make them hash-identical at any salt count
+    "q_txvol_salted_join" ->
+      s"""WITH fees(event_type, fee) AS (VALUES ${
+           Skew.TypeFees.map { case (t, f) => s"('$t', $f)" }.mkString(", ")})
+         |SELECT e.event_type AS denom, count(*) AS n_events,
+         |round(${SUMX("e.value * f.fee")}, 4) AS weighted_volume
+         |FROM events e JOIN fees f USING (event_type) GROUP BY 1""".stripMargin,
     "q_dormant_accounts" ->
       """WITH c AS (SELECT max(epoch_ms(ts)) - 86400000 AS cutoff_ms FROM events),
         |st AS (SELECT user_id, epoch_ms(ts) AS ts_ms, cutoff_ms FROM events, c),

@@ -180,12 +180,52 @@ object EdgeWarehouse {
   /** REFRESH: assemble the batch's delta edges from the probe
     * machinery (no corpus rescan, no generation re-run), append them
     * as a new generation, then fold the batch into the standing
-    * indexes so the NEXT batch matches this one.  Batch doc_ids must
-    * be new to the corpus (the crawl contract). */
-  def refresh(spark: SparkSession, batch0: DataFrame, path: String): Unit = {
+    * indexes so the NEXT batch matches this one.
+    *
+    * The crawl contract — batch doc_ids must be NEW to the corpus —
+    * is now ENFORCED, not trusted: one O(batch) semi-join against the
+    * narrow `.txt` store throws on any re-crawled id (a violated
+    * contract would otherwise silently append duplicate `.txt`/prefix
+    * rows and emit self-pair edges; EdgeWarehouseSpec drives it).
+    *
+    * Crash-window contract (write ORDER is load-bearing): all probes
+    * run and the delta edge set materializes BEFORE any write; then
+    * edges append first, the `.mh`/`.edpfx`/`.edstarved` index folds
+    * next, and the `.txt` append goes LAST — `.txt` is the COMMIT
+    * MARKER (a batch is in the corpus iff its ids are in `.txt`,
+    * which is also what the guard reads).  An interrupted refresh is
+    * therefore cleanly RESUMABLE by re-running the same batch: the
+    * guard still passes (ids never committed), and the rerun's extra
+    * edge/index rows are exact duplicates that every consumer erases
+    * (delta edges are distinct()ed, compact distinct()s the edge
+    * union, CC of a multigraph equals CC of its support) — while a
+    * double-run of a COMMITTED batch fails loudly at the guard.
+    * EdgeWarehouseSpec pins both: interrupt-before-marker + resume
+    * converges bit-for-bit with a clean run, and a committed re-run
+    * throws. */
+  def refresh(spark: SparkSession, batch0: DataFrame, path: String): Unit =
+    refreshImpl(spark, batch0, path, commitTxt = true)
+
+  /** The refresh body with the final commit-marker append made
+    * switchable, so the spec can simulate a crash in the widest
+    * non-committed window (everything written EXCEPT `.txt`). */
+  private[graft] def refreshImpl(spark: SparkSession, batch0: DataFrame,
+      path: String, commitTxt: Boolean): Unit = {
     val batch = batch0.select(col("doc_id"), col("text")).localCheckpoint()
     val bTxt = txtRows(batch).localCheckpoint()
     val standingTxt = spark.read.parquet(txtPath(path))
+
+    // the crawl-contract guard: any batch id already committed (in
+    // `.txt`) is a re-crawl — fail loudly instead of corrupting
+    val recrawled = batch.select(col("doc_id"))
+      .join(standingTxt.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    if (recrawled.nonEmpty)
+      throw new IllegalStateException(
+        "EdgeWarehouse.refresh: batch contains doc_ids already in the corpus " +
+          s"(sample: ${recrawled.mkString(", ")}) — the crawl contract requires " +
+          "fresh ids; re-crawled content must arrive under a new id (or via a " +
+          "retract-then-refresh cycle), not as a duplicate row")
 
     // J channel: banded probe against the index at rest (cross) +
     // banded-verified generation within the batch
@@ -238,7 +278,16 @@ object EdgeWarehouse {
     val edWithin = EditDist.stages(batch, d = D).pairs
       .select(col("a_id"), col("b_id"))
 
+    // the standing side of every cross pair must be OUTSIDE the batch:
+    // in a clean run that is vacuous (the guard proved the ids new),
+    // but on a RESUME after a mid-refresh crash the interrupted run's
+    // index rows already contain this batch — without this anti-join
+    // the batch would match itself through the indexes (self-pairs and
+    // doubled within-batch pairs); with it the cross channels see
+    // exactly the clean run's standing set.  One broadcast anti-join
+    // over the assembled pair set — O(pairs), not O(standing).
     val cross = jCross.union(exCross).union(edCross)
+      .join(broadcast(batch.select(col("doc_id").as("y"))), Seq("y"), "left_anti")
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"))
     val delta = cross.union(jWithin).union(exWithin).union(edWithin).distinct()
@@ -249,11 +298,12 @@ object EdgeWarehouse {
     delta.withColumn("gen", lit(nextGen))
       .write.mode("append").partitionBy("gen").parquet(path)
 
-    // fold the batch into the standing indexes (all append-only)
+    // fold the batch into the standing indexes (all append-only);
+    // `.txt` goes LAST — the commit marker (see the refresh Scaladoc)
     MinHashWarehouse.refresh(batch, mhPath(path))
-    bTxt.write.mode("append").parquet(txtPath(path))
     bPfx.write.mode("append").parquet(pfxPath(path))
     bStarved.write.mode("append").parquet(starvedPath(path))
+    if (commitTxt) bTxt.write.mode("append").parquet(txtPath(path))
   }
 
   /** All edge-table reads go through an EXPLICIT schema: a generation

@@ -79,7 +79,14 @@ case class KllSketchAgg(
 }
 
 /** Union of serialized KLL sketch states (BINARY column) — the probe
-  * side: any window's sketch is the merge of its members'. */
+  * side: any window's sketch is the merge of its members'.
+  *
+  * The k parameter is a CONTRACT, not just a buffer size: merging a
+  * stored sketch built at a smaller k would silently degrade the
+  * merged sketch's rank-error bound to the smaller k's while this
+  * aggregate still advertises k's — so `update` asserts every
+  * heapified input was built at exactly the declared k and fails
+  * loudly on mismatch (KllQuantileSpec drives it). */
 case class KllMergeAgg(
     child: Expression,
     k: Int = 200,
@@ -95,8 +102,14 @@ case class KllMergeAgg(
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      require(sk.getK == k,
+        s"graft_kll_merge(k=$k) fed a sketch built at k=${sk.getK}: the merged " +
+          "rank-error bound would silently drop to min(k) over inputs — rebuild " +
+          "the stored sketches or declare the smaller k explicitly")
+      buf.merge(sk)
+    }
     buf
   }
 

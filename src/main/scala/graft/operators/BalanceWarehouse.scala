@@ -110,7 +110,8 @@ object BalanceWarehouse {
   def streamingRefresh(balances: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     balances.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 }

@@ -97,7 +97,15 @@ object HllWarehouse {
     * pushed-down date-range filter on the KB-scale sketch table, one
     * union-agg, one estimate — zero events scans at ANY corpus size
     * (HllWarehouseSpec pins pruning and ≤2% accuracy vs the exact
-    * windowed distinct). */
+    * windowed distinct).
+    *
+    * Empty-window semantics: a window covering no sketch days
+    * aggregates zero rows, so hll_union_agg yields NULL — the probe
+    * COALESCES the estimate to 0 (n_days = 0, active_window = 0: "no
+    * recorded activity"), rather than emitting a NULL that a
+    * dashboard consumer would have to special-case once the dates are
+    * production-bound (HllWarehouseSpec drives an out-of-range
+    * window). */
   def windowProbe(spark: SparkSession, path: String,
       start: String = "2024-01-08", end: String = "2024-01-21"): DataFrame =
     mergedDaily(spark, path)
@@ -105,7 +113,7 @@ object HllWarehouse {
       .agg(count(lit(1)).as("n_days"), expr("hll_union_agg(sk)").as("wsk"))
       .select(lit(start).cast("date").as("start_date"),
         lit(end).cast("date").as("end_date"), col("n_days"),
-        expr("hll_sketch_estimate(wsk)").as("active_window"))
+        coalesce(expr("hll_sketch_estimate(wsk)"), lit(0L)).as("active_window"))
 
   /** The once-per-JVM two-generation build (the Materialized
     * pattern). */
@@ -123,7 +131,8 @@ object HllWarehouse {
   def streamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 }

@@ -172,7 +172,10 @@ object QuantileWarehouse {
   def streamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention): an
+        // empty micro-batch would burn a write job and append an
+        // empty-partitioned file set for nothing
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 

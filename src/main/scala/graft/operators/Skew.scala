@@ -84,4 +84,36 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The 5-row per-type fee schedule the salted-join demo enriches
+    * with — a plan literal on the Spark side, a VALUES clause in the
+    * oracle (shared constants so the two cannot drift). */
+  private[graft] val TypeFees = Seq(
+    "click" -> 1.0, "view" -> 2.0, "signup" -> 5.0,
+    "purchase" -> 10.0, "error" -> 0.0)
+
+  /** Registered `q_txvol_salted_join`: fee-weighted per-denom volume
+    * through the SALTED JOIN — saltedSum's sibling demonstration, so
+    * the join half of the skew toolkit carries a registered consumer
+    * too (VERDICT-r09 ask #6).  The big `events` side salts on row
+    * content × partition id, the 5-row fee dim replicates across all
+    * salts, and the join key is (event_type, __salt) — one hot denom's
+    * rows land on `salts` reducers instead of one.  The oracle is the
+    * UNSALTED plain join: equality is bit-for-bit because the join
+    * output is row-identical (each big row still meets exactly its
+    * key's one dim row, salt replication guarantees a partner on every
+    * salt) and the downstream per-denom sums ride DECIMAL — the
+    * saltedSum salt-invariance argument verbatim.  ScaleSpec
+    * additionally pins equality across salt counts. */
+  def saltedJoinVolume(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val fees = TypeFees.toDF("event_type", "fee")
+    saltedJoin(
+      Tables(spark, dir).events.select(col("event_type"), col("value")),
+      fees, "event_type", salts)
+      .groupBy(col("event_type").as("denom"))
+      .agg(count(lit(1)).as("n_events"),
+        roundx(graft.functions.Exact.sumx(col("value") * col("fee")), 4)
+          .as("weighted_volume"))
+  }
 }

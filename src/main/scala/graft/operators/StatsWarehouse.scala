@@ -151,7 +151,8 @@ object StatsWarehouse {
   def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 }

@@ -208,11 +208,6 @@ object TimeSeries {
   private[graft] def tsDecomposeOf(events: DataFrame, w: Int = 7): DataFrame =
     decomposeOfGrid(dailyGrid(events), w)
 
-  /** The decompose tail over an already-built dense grid — shared by
-    * the inline query and TsWarehouse's rollup-served probe (the
-    * corrOfGrid/anomalyOfGrid/seasonalOfGrid pattern, completing
-    * "every grid consumer holds its inline oracle verbatim" for the
-    * fourth and last standing-form consumer). */
   /** The per-(series, day-of-week) baseline aggregate — the ONE
     * definition both the decomposition and the forecast's dow-mean
     * leg derive from (a drift in the rounding discipline must break
@@ -223,6 +218,11 @@ object TimeSeries {
       .groupBy(col("event_type"), dayofweek(col("date")).cast("long").as("dow"))
       .agg(count(lit(1)).as("n_days"), roundx(sumx(col("v")), 3).as("sum_v"))
 
+  /** The decompose tail over an already-built dense grid — shared by
+    * the inline query and TsWarehouse's rollup-served probe (the
+    * corrOfGrid/anomalyOfGrid/seasonalOfGrid pattern, completing
+    * "every grid consumer holds its inline oracle verbatim" for the
+    * fourth and last standing-form consumer). */
   private[graft] def decomposeOfGrid(grid0: DataFrame, w: Int = 7): DataFrame = {
     val grid = grid0.localCheckpoint() // feeds dow means + windows
     val byDow = dowSumsOfGrid(grid)

@@ -154,7 +154,8 @@ object TsWarehouse {
   def streamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 }

@@ -17,9 +17,10 @@ import graft.sources.Tables
   * convex log-loss):
   *  - the weight vector is a PLAN LITERAL (dims+1 doubles) — scoring
   *    costs one codegen'd dot per row, no join, no broadcast table;
-  *  - the gradient is Σ (p−y)·x per dim: per-row error computed once
-  *    in the Project BELOW the posexplode (ridden as an attribute
-  *    reference — the alongside-explode re-evaluation trap), then ONE
+  *  - the gradient is Σ (p−y)·x per dim: the (doc, dim, x) explode is
+  *    PINNED once per training run (localCheckpoint before the loop),
+  *    each round computes one error per DOC and broadcasts that tiny
+  *    frame onto the pinned explode (BHJ — no shuffle), then ONE
   *    partial-aggregated shuffle bounded by dims groups;
   *  - the driver holds dims+1 doubles and the loss scalar per round —
   *    K-row metadata, the Kmeans-history pattern, never data.
@@ -63,35 +64,48 @@ object Logreg {
     lit(1.0) / (lit(1.0) + exp(-(dot(col("vn"), lit(w)) + lit(b))))
 
   /** Full-batch GD for `iters` rounds at rate `lr`.  Returns
-    * ((weights, bias), history(iter, loss)). */
+    * ((weights, bias), history(iter, loss)).
+    *
+    * Plan shape (reworked round 10, VERDICT-r09 ask #4): the (doc,
+    * dim, x) POSEXPLODE IS PINNED ONCE before the loop (localCheckpoint
+    * — the k-means/BPE lineage-pin pattern), so a GD round no longer
+    * re-derives the exploded corpus from raw features.  Per round:
+    * (a) a doc-level error frame — one sigmoid dot per doc — whose
+    * tiny aggregate carries the bias gradient and loss (these were
+    * previously summed REDUNDANTLY on every exploded row and read off
+    * dim 0: ×dims wasted decimal work); (b) the per-dim gradient as a
+    * BROADCAST hash join of those doc errors onto the pinned explode
+    * + the one dims-group shuffle — ONE decimal sum per exploded row
+    * instead of three.  Bit-determinism is untouched: the surviving
+    * terms are the identical roundx(·,9) values on the identical rows,
+    * and DECIMAL sums are order-free (LogregSpec's reference-parity
+    * and determinism pins run unchanged). */
   def train(eN: DataFrame, dims: Int, iters: Int, lr: Double)
       : ((Array[Double], Double), Seq[(Long, Double)]) = {
     val n = eN.count().toDouble
+    val ex = eN.select(col("vec_id"), posexplode(col("vn")).as(Seq("dim", "x")))
+      .localCheckpoint()
     var w = Array.fill(dims)(0.0)
     var b = 0.0
     val hist = Seq.newBuilder[(Long, Double)]
     for (it <- 1 to iters) {
-      // error once per ROW in the project below the explode; the
-      // exploded frame then carries it as an attribute reference
-      val scored = eN.select((scoreCol(w, b) - col("y")).as("err"),
+      // one sigmoid dot per DOC (never per exploded row — the ×dims
+      // re-evaluation trap, now avoided by construction)
+      val docErr = eN.select(col("vec_id"),
+        (scoreCol(w, b) - col("y")).as("err"),
         (-when(col("y") === 1.0, log(greatest(scoreCol(w, b), lit(1e-12))))
-          .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"),
-        col("vn"))
-      // one shuffle, dims groups: per-dim gradient, with the bias
-      // gradient and loss folded in (read off the dim-0 row — err/ll
-      // appear once per dim, so their dim-0 sum is the row sum)
-      val g = scored
-        .select(col("err"), col("ll"), posexplode(col("vn")).as(Seq("dim", "x")))
+          .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"))
+      val d0 = docErr.agg(sumx(roundx(col("err"), 9)).as("esum"),
+        sumx(roundx(col("ll"), 9)).as("lsum")).head()
+      val g = ex
+        .join(broadcast(docErr.select(col("vec_id"), col("err"))), Seq("vec_id"))
         .groupBy(col("dim"))
-        .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"),
-          sumx(roundx(col("err"), 9)).as("esum"),
-          sumx(roundx(col("ll"), 9)).as("lsum"))
+        .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"))
         .collect()
-      val gd = g.map(r => r.getAs[Int]("dim") ->
-        ((r.getAs[Double]("gsum"), r.getAs[Double]("esum"), r.getAs[Double]("lsum")))).toMap
-      w = Array.tabulate(dims)(j => w(j) - lr * gd(j)._1 / n)
-      b = b - lr * gd(0)._2 / n
-      hist += ((it.toLong, gd(0)._3 / n))
+      val gd = g.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("gsum")).toMap
+      w = Array.tabulate(dims)(j => w(j) - lr * gd(j) / n)
+      b = b - lr * d0.getAs[Double]("esum") / n
+      hist += ((it.toLong, d0.getAs[Double]("lsum") / n))
     }
     ((w, b), hist.result())
   }
@@ -148,6 +162,12 @@ object Logreg {
       : (Array[Array[Double]], Array[Double]) = {
     val n = eN.count().toDouble
     val k = labels.size
+    // the pinned explode + doc-level-error plan of `train`, K-wide
+    // (VERDICT-r09 ask #4): per round the big aggregate carries K
+    // gradient sums instead of 2K, the K bias sums fold on the doc
+    // frame, and the corpus explode is never re-derived
+    val ex = eN.select(col("vec_id"), posexplode(col("vn")).as(Seq("dim", "x")))
+      .localCheckpoint()
     val ws = Array.fill(k)(Array.fill(dims)(0.0))
     val bs = Array.fill(k)(0.0)
     for (_ <- 1 to iters) {
@@ -155,22 +175,20 @@ object Logreg {
         (scoreCol(ws(j), bs(j)) -
           when(col("label") === labels(j), 1.0).otherwise(0.0)).as(s"err_$j")
       }
-      val scored = eN.select(errCols :+ col("vn"): _*)
-      val aggCols = labels.indices.flatMap { j => Seq(
-        sumx(roundx(col(s"err_$j") * col("x"), 9)).as(s"g_$j"),
-        sumx(roundx(col(s"err_$j"), 9)).as(s"e_$j"))
-      }
-      val g = scored
-        .select(labels.indices.map(j => col(s"err_$j")) :+
-          posexplode(col("vn")).as(Seq("dim", "x")): _*)
+      val docErr = eN.select(col("vec_id") +: errCols: _*)
+      val eAggs = labels.indices.map(j => sumx(roundx(col(s"err_$j"), 9)).as(s"e_$j"))
+      val e0 = docErr.agg(eAggs.head, eAggs.tail: _*).head()
+      val gAggs = labels.indices.map(j =>
+        sumx(roundx(col(s"err_$j") * col("x"), 9)).as(s"g_$j"))
+      val g = ex.join(broadcast(docErr), Seq("vec_id"))
         .groupBy(col("dim"))
-        .agg(aggCols.head, aggCols.tail: _*)
+        .agg(gAggs.head, gAggs.tail: _*)
         .collect()
       val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
       labels.indices.foreach { j =>
         val grad = Array.tabulate(dims)(d => byDim(d).getAs[Double](s"g_$j"))
         (0 until dims).foreach(d => ws(j)(d) -= lr * grad(d) / n)
-        bs(j) -= lr * byDim(0).getAs[Double](s"e_$j") / n
+        bs(j) -= lr * e0.getAs[Double](s"e_$j") / n
       }
     }
     (ws, bs)

@@ -207,7 +207,8 @@ object PcaWarehouse {
   def streamingRefresh(vectors: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch.sparkSession, batch, path)
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
 }

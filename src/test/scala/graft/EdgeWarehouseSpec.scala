@@ -175,6 +175,57 @@ class EdgeWarehouseSpec extends GraftSpec {
       s"extra=${(streamed -- oneShot).take(5)} missing=${(oneShot -- streamed).take(5)}")
   }
 
+  test("GUARD: a re-crawled doc_id fails loudly instead of corrupting the indexes") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables(spark, Dir).documents
+    val p = tmp("guard")
+    dedup.EdgeWarehouse.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), p)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+    dedup.EdgeWarehouse.refresh(spark, batch, p)
+    // the same batch again = committed ids re-arriving: the crawl
+    // contract is violated and the guard must throw BEFORE any write
+    val txtRowsBefore = spark.read.parquet(s"$p.txt").count()
+    val e = intercept[IllegalStateException] {
+      dedup.EdgeWarehouse.refresh(spark, batch, p)
+    }
+    assert(e.getMessage.contains("already in the corpus"))
+    assert(spark.read.parquet(s"$p.txt").count() == txtRowsBefore,
+      "guard threw but writes happened anyway")
+  }
+
+  test("interrupted refresh (crash before the .txt commit marker) resumes cleanly") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables(spark, Dir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batchA = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+    val batchB = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+    val clean = tmp("clean-run"); val crashed = tmp("crashed-run")
+    dedup.EdgeWarehouse.ingest(spark, base, clean)
+    dedup.EdgeWarehouse.refresh(spark, batchA, clean)
+    dedup.EdgeWarehouse.ingest(spark, base, crashed)
+    // crash in the WIDEST non-committed window: everything written
+    // except the commit marker — the resume contract's hardest case
+    dedup.EdgeWarehouse.refreshImpl(spark, batchA, crashed, commitTxt = false)
+    // resume = re-run the same batch; the guard passes (never committed)
+    dedup.EdgeWarehouse.refresh(spark, batchA, crashed)
+    // a LATER batch must see the identical standing corpus
+    dedup.EdgeWarehouse.refresh(spark, batchB, clean)
+    dedup.EdgeWarehouse.refresh(spark, batchB, crashed)
+    assert(edgeSet(dedup.EdgeWarehouse.allEdges(spark, crashed)) ==
+      edgeSet(dedup.EdgeWarehouse.allEdges(spark, clean)),
+      "resumed run's edge SET diverged from the clean run's")
+    // compact erases the resume's duplicate rows: counts converge too
+    dedup.EdgeWarehouse.compact(spark, clean)
+    dedup.EdgeWarehouse.compact(spark, crashed)
+    assert(dedup.EdgeWarehouse.allEdges(spark, crashed).count() ==
+      dedup.EdgeWarehouse.allEdges(spark, clean).count())
+    val lab = (p: String) => dedup.EdgeWarehouse.standingLabels(spark, p)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+    assert(lab(crashed) == lab(clean),
+      "resumed run's folded labels diverged from the clean run's")
+  }
+
   test("registered incremental fold (labels + deltas at rest) equals dedupGroups") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_id"),

@@ -43,6 +43,15 @@ class ScaleSpec extends GraftSpec {
     assert(salted == direct)
   }
 
+  test("registered salted-join volume is salt-count invariant (the oracle's claim)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val s8 = rows(operators.Skew.saltedJoinVolume(spark, Dir, salts = 8))
+    val s3 = rows(operators.Skew.saltedJoinVolume(spark, Dir, salts = 3))
+    assert(s8 == s3, "salted-join volume differs across salt counts")
+    assert(s8.nonEmpty && s8.forall(_.size == 3))
+  }
+
   test("asof join: every window is partitioned; no nested-loop join") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = operators.Olap.asofJoin(spark, Dir)
