@@ -121,6 +121,13 @@ object SparkEntry {
     // q_richlist_gini's oracle verbatim
     "q_richlist_gini_probe" -> ((s: SparkSession, d: String) =>
       BalanceWarehouse.giniProbe(s, BalanceWarehouse.builtPath(s, d))),
+    // the warehouse matrix's DELETE verb on its strongest rung
+    // (integer histogram): ingest + refresh + retract a cross-cutting
+    // slice of accounts (negative-count deltas), probe the survivors'
+    // concentration — ORACLED with the gini SQL verbatim over
+    // base ∖ removed (retract∘refresh == rebuild, bit-for-bit)
+    "q_richlist_gini_retracted" -> ((s: SparkSession, d: String) =>
+      BalanceWarehouse.giniProbe(s, BalanceWarehouse.builtRetractedPath(s, d))),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
@@ -216,6 +223,14 @@ object SparkEntry {
       graft.dedup.MinHashWarehouse.incrementalDedup(s, d,
         graft.sources.Materialized.pathFor("minhash_warehouse", d)(
           graft.dedup.MinHashWarehouse.materialize(s, d, _)))),
+    // the DELETE verb's doc-keyed rung: tombstone retraction of the
+    // mod-7 base docs, probe via pruned anti-join — ORACLED with the
+    // incremental SQL verbatim under the shrunken base predicate
+    // (probe-after-retract == probe-against-rebuild-on-base∖removed)
+    "d_dedup_retracted" -> ((s: SparkSession, d: String) =>
+      graft.dedup.MinHashWarehouse.retractedDedup(s, d,
+        graft.sources.Materialized.pathFor("minhash_retracted", d)(
+          graft.dedup.MinHashWarehouse.materializeRetracted(s, d, _)))),
     // the crawl loop CLOSED: generation A (doc_id ≡ 8 mod 10) dedups
     // against the base index, its survivors FOLD INTO the index at
     // rest (append-only refresh), generation B (≡ 9) probes the
@@ -836,11 +851,15 @@ object SparkEntry {
 
   // Hoisted q_richlist_gini body (the naive row_number formula),
   // shared VERBATIM by the histogram-served q_richlist_gini_probe
-  // (BalanceWarehouse: value-multiset-preserving integer histogram).
-  private lazy val QRichlistGiniSql =
-    """WITH q AS (SELECT n_name AS denom, c_custkey,
+  // (BalanceWarehouse: value-multiset-preserving integer histogram)
+  // and — parameterized ONLY on the account predicate — by the
+  // retraction demonstration (rebuild-on-base∖removed: the identical
+  // text over the surviving accounts).
+  private def qRichlistGiniSqlOver(where: String) =
+    s"""WITH q AS (SELECT n_name AS denom, c_custkey,
       |CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS q
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey$where),""".stripMargin +
+    """
       |r AS (SELECT denom, q,
       |CAST(row_number() OVER (PARTITION BY denom ORDER BY q, c_custkey) AS BIGINT) AS i FROM q),
       |g AS (SELECT denom, CAST(count(*) AS BIGINT) AS n_accounts,
@@ -850,6 +869,26 @@ object SparkEntry {
       |CASE WHEN sq <> 0 THEN round(CAST(2 * siq - (n_accounts + 1) * sq AS DOUBLE) /
       |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
       |FROM g""".stripMargin
+
+  private lazy val QRichlistGiniSql = qRichlistGiniSqlOver("")
+  // rebuild-on-base∖removed: the identical gini text over the
+  // accounts surviving BalanceWarehouse.isRetractedCust
+  private lazy val QRichlistGiniRetractedSql =
+    qRichlistGiniSqlOver(" WHERE c_custkey % 3 <> 0")
+
+  // Hoisted d_dedup_incremental body, parameterized ONLY on the
+  // standing-side predicate so the retraction demonstration runs the
+  // IDENTICAL text over base ∖ removed (tombstoned mod-7 docs out).
+  private def dDedupIncrementalSqlVs(basePred: String) =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+       |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT x.doc_id AS new_id, y.doc_id AS base_id, count(*) AS inter
+       |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 >= 8 AND $basePred GROUP BY 1, 2)
+       |SELECT new_id, base_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
 
   // Hoisted q_ts_decompose CTE chain, shared VERBATIM by the
   // rollup-served q_ts_decompose_probe (bit-equal grid — the
@@ -1233,6 +1272,10 @@ object SparkEntry {
     // histogram preserves the value multiset ⇒ the inline oracle
     // VERBATIM (the d_corpus_stats_probe stance)
     "q_richlist_gini_probe" -> QRichlistGiniSql,
+    // the retraction demonstration: negative-count deltas folded out
+    // ⇒ the histogram equals a rebuild on the surviving accounts, so
+    // the probe holds the gini text VERBATIM over base ∖ removed
+    "q_richlist_gini_retracted" -> QRichlistGiniRetractedSql,
     "q_total_supply" ->
       s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
          |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
@@ -1444,16 +1487,11 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     // same recall argument as d_dedup_minhash_verified (both sides
     // restricted to the deterministic doc_id mod 10 base/incoming split)
-    "d_dedup_incremental" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
-        |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT x.doc_id AS new_id, y.doc_id AS base_id, count(*) AS inter
-        |FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8 GROUP BY 1, 2)
-        |SELECT new_id, base_id, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-        |FROM pairs JOIN sizes sa ON sa.doc_id = new_id JOIN sizes sb ON sb.doc_id = base_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "d_dedup_incremental" -> dDedupIncrementalSqlVs("y.doc_id % 10 < 8"),
+    // the retraction rung's oracle: the IDENTICAL incremental text
+    // over the base minus the tombstoned mod-7 docs — probe-after-
+    // retract must equal probe-against-rebuild-on-base∖removed
+    "d_dedup_retracted" -> dDedupIncrementalSqlVs("y.doc_id % 10 < 7"),
     // the two-generation refresh: B (mod 9) vs base ∪ {A survivors},
     // where A's survivors are mod-8 docs with no J>=0.8 base match —
     // the same recall argument as d_dedup_incremental, applied twice

@@ -37,10 +37,28 @@ import graft.sources.Tables
   *
   * The base/incoming split on the test tables is doc_id mod 10
   * (8:2) — deterministic, so the oracle mirrors it exactly.
+  *
+  * RETRACTION (round 10 — the doc-keyed rung of the retraction
+  * ladder; fcd analogue: the collector's remove-vanished-rows step,
+  * reference: src/collector/gov/removeDeletedProposals.ts:22, and the
+  * takedown/right-to-be-forgotten verb any corpus pipeline needs):
+  * `retract` appends doc_ids to a TOMBSTONE set (O(removed), no
+  * standing row touched); probes drop tombstoned candidates with one
+  * PRUNED anti-join — applied to the candidate PAIR set, so its cost
+  * is O(probe candidates), never O(index); `compact` physically
+  * removes the tombstoned rows from `.docs` and the banded index and
+  * clears the tombstones.  Contract: probe-after-retract ==
+  * probe-against-rebuild-on-(corpus ∖ removed) ROW-FOR-ROW (every row
+  * of a removed doc depends only on that doc — no corpus statistics —
+  * so pruning it IS the rebuild; MinHashWarehouseSpec pins it, and
+  * pins compact's physical removal probe-invariant).  This is one
+  * rung below BalanceWarehouse's bit-equal state subtraction and
+  * above the Bloom/HLL/MG/KLL rebuild-only rung.
   */
 object MinHashWarehouse {
 
   private def docsPath(path: String): String = s"$path.docs"
+  private def tombPath(path: String): String = s"$path.tomb"
 
   /** Historical side of the split: doc_id ≡ 0..7 (mod 10). */
   private[graft] def isBase = pmod(col("doc_id"), lit(10)) < 8
@@ -99,6 +117,69 @@ object MinHashWarehouse {
       .write.mode("append").partitionBy("band").parquet(path)
   }
 
+  /** RETRACT — remove docs from the standing index: append their ids
+    * to the tombstone set.  O(removed) and append-only; the physical
+    * rows disappear at the next `compact`, the LOGICAL removal is
+    * immediate (every probe anti-joins the tombstones). */
+  def retract(removedIds: DataFrame, path: String): Unit =
+    removedIds.select(col("doc_id"))
+      .write.mode("append").parquet(tombPath(path))
+
+  private def tombExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Drop tombstoned candidates: one anti-join on the candidate PAIR
+    * set's base side — O(candidates), pruned far below index size.
+    * Plans untouched when no retraction ever happened (the common
+    * case keeps its exact old shape). */
+  private def dropTombstoned(spark: SparkSession, cand: DataFrame,
+      path: String): DataFrame =
+    if (!tombExists(spark, path)) cand
+    else cand.join(spark.read.parquet(tombPath(path))
+        .select(col("doc_id").as("base_id")),
+      Seq("base_id"), "left_anti")
+
+  /** COMPACT — physically remove tombstoned rows from `.docs` and the
+    * banded index, then clear the tombstone set.  Probes bit-identical
+    * before/after (they already excluded those candidates); O(index)
+    * like every compact in the matrix, amortizing the retract verb's
+    * O(removed) appends.  Single-writer maintenance window assumed. */
+  def compact(spark: SparkSession, path: String): Unit =
+    if (tombExists(spark, path)) {
+      val tomb = spark.read.parquet(tombPath(path))
+        .select(col("doc_id")).distinct().localCheckpoint()
+      val docs = spark.read.parquet(docsPath(path))
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      docs.write.mode("overwrite").parquet(docsPath(path))
+      val idx = spark.read.parquet(path)
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      idx.write.mode("overwrite").partitionBy("band").parquet(path)
+      val p = new org.apache.hadoop.fs.Path(tombPath(path))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+  /** The retraction build for the registered `d_dedup_retracted`
+    * query: index the base split, then retract every base doc with
+    * doc_id ≡ 7 (mod 10) — after which the incoming probe must behave
+    * exactly as if the index had been built on mod 0..6 only. */
+  private[graft] def isRetractedDoc = pmod(col("doc_id"), lit(10)) === 7
+
+  def materializeRetracted(spark: SparkSession, dir: String, path: String): Unit = {
+    materialize(spark, dir, path)
+    retract(Tables(spark, dir).documents.filter(isRetractedDoc)
+      .select(col("doc_id")), path)
+  }
+
+  /** Registered `d_dedup_retracted`: the incremental probe against
+    * the RETRACTED index — ORACLED with d_dedup_incremental's SQL
+    * verbatim under the shrunken base predicate (rebuild-on-
+    * base∖removed), the retraction ladder's doc-keyed rung made an
+    * oracle-checked demonstration. */
+  def retractedDedup(spark: SparkSession, dir: String, path: String): DataFrame =
+    incrementalDedupFrom(spark, Tables(spark, dir).documents, path)
+
   /** Two-generation crawl-loop builder for the registered
     * `d_dedup_refresh` query: index the base split (doc_id ≡ 0..7 mod
     * 10), dedup generation A (≡ 8) against it, fold A's SURVIVORS —
@@ -146,11 +227,11 @@ object MinHashWarehouse {
     val in = signed(batch)
     val inBanded = in.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val cand = inBanded.as("a")
+    val cand = dropTombstoned(spark, inBanded.as("a")
       .join(spark.read.parquet(path).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id")), path)
     cand
       .join(in.select(col("doc_id").as("new_id"), col("shs").as("a_shs")), Seq("new_id"))
       .join(spark.read.parquet(docsPath(path))
@@ -184,12 +265,12 @@ object MinHashWarehouse {
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("bands"), col("shs"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
-    banded.as("a")
+    dropTombstoned(spark, banded.as("a")
       .join(spark.read.parquet(path).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
       .select(col("a.doc_id").as("new_id"), col("a.shs").as("a_shs"),
-        col("b.doc_id").as("base_id"))
+        col("b.doc_id").as("base_id")), path)
       .join(spark.read.parquet(docsPath(path))
         .select(col("doc_id").as("base_id"), col("shs").as("b_shs")), Seq("base_id"))
       .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))

@@ -32,6 +32,13 @@ import org.apache.spark.sql.{Column, GraftBridge}
   * HLL/Bloom stance) and no bit-equality spec — the spec pins the
   * rank-error bound itself against exact ranks.
   *
+  * RETRACTION CONTRACT (the warehouse sketch lane): rebuild-only —
+  * compaction randomly discards individual values, so no operation
+  * can remove one value's influence from a sketch; deleting data
+  * from a (day, denom) state means rebuilding that state from the
+  * surviving rows.  The honest bottom rung of the retraction ladder
+  * (see BalanceWarehouse's Scaladoc for the full ladder).
+  *
   * `KllSketchAgg` folds raw doubles into a sketch (map-side partial
   * aggregation merges partials — the shuffle carries KB-sized states,
   * never values); `KllMergeAgg` unions serialized sketch states (the

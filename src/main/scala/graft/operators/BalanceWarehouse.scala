@@ -35,6 +35,23 @@ import graft.sources.Tables
   * counts stay integers and the fold stays associative; the test
   * split (c_custkey mod 10, 8:2) models the append case the driver
   * data admits.
+  *
+  * RETRACTION (round 10 — the warehouse matrix's DELETE verb, the
+  * analogue of fcd's remove-vanished-rows collector step, reference:
+  * src/collector/gov/removeDeletedProposals.ts:22): `retract` appends
+  * the removed accounts' histogram deltas NEGATED.  Because the state
+  * is integer counts under an associative+commutative fold,
+  * subtraction is total and exact: for any removed ⊆ ingested,
+  * retract ∘ refresh == rebuild-on-(base ∖ removed) BIT-FOR-BIT on
+  * the merged state (zero-count keys are dropped at merge — the one
+  * normalization that makes the states literally equal, not just
+  * probe-equal; BalanceWarehouseSpec pins it), which is the strongest
+  * rung of the retraction ladder.  Contrast the ladder's other rungs:
+  * doc-keyed retrieval members retract by pruned anti-join
+  * (MinHashWarehouse — probe-equal); Bloom/HLL/MG/KLL states are
+  * REBUILD-ONLY (their folds — OR, register max, counter decay,
+  * randomized compaction — have no inverse; see each member's
+  * Scaladoc).
   */
 object BalanceWarehouse {
 
@@ -68,22 +85,38 @@ object BalanceWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
     deltas(batch).write.mode("append").parquet(path)
 
+  /** RETRACT — remove accounts from the standing histogram: append
+    * their deltas NEGATED.  O(removed), append-only like refresh (no
+    * standing row is read or rewritten — the delete is a negative
+    * delta the merge folds out).  Precondition: removed ⊆ what was
+    * ingested, i.e. counts never go net-negative — the caller's
+    * contract, exactly like refresh's batch-freshness one. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
+    deltas(removed)
+      .select(col("denom"), col("q"), (-col("c")).as("c"))
+      .write.mode("append").parquet(path)
+
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after (integer-sum order freedom); single-writer
     * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
     * assert its plan scans ONLY the warehouse (zero customer/nation
-    * scans). */
+    * scans).  Zero-count keys (fully-retracted values) are dropped:
+    * that makes the merged state EQUAL to a rebuild on the surviving
+    * accounts, not merely probe-equal (the retract contract's
+    * bit-for-bit claim). */
   private[graft] def mergedHist(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
 
   /** Registered `q_richlist_gini_probe`: the concentration report
     * served from the histogram at rest.  base ∪ incoming = all
@@ -101,6 +134,22 @@ object BalanceWarehouse {
       val c = Tables(spark, dir).customer
       materializeFrom(balancesOf(spark, dir, c.filter(isBaseCust)), p)
       refresh(spark, balancesOf(spark, dir, c.filter(!isBaseCust)), p)
+    }
+
+  /** The slice the registered retraction removes — deliberately
+    * CROSS-CUTTING (every third account, from base and incoming
+    * generations alike): a delete verb that only worked on whole
+    * generations would be a rollback, not a retraction. */
+  private[graft] def isRetractedCust = pmod(col("c_custkey"), lit(3L)) === 0
+
+  /** The retraction build: ingest + refresh as `builtPath`, then
+    * retract the cross-cutting slice. */
+  def builtRetractedPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("balance_warehouse_retracted", dir) { p =>
+      val c = Tables(spark, dir).customer
+      materializeFrom(balancesOf(spark, dir, c.filter(isBaseCust)), p)
+      refresh(spark, balancesOf(spark, dir, c.filter(!isBaseCust)), p)
+      retract(spark, balancesOf(spark, dir, c.filter(isRetractedCust)), p)
     }
 
   /** The refresh's ONLINE twin: each arriving micro-batch of (denom,

@@ -29,6 +29,16 @@ import graft.sources.Tables
   * not in flight — the refresh cadence is releases, not micro-batches
   * (the one family member where an online form would misrepresent the
   * production loop).
+  *
+  * RETRACTION CONTRACT: rebuild-only.  Bitwise OR has no inverse — a
+  * set bit cannot be attributed to one item, so removing an eval doc
+  * cannot subtract from the array.  Deleting an eval generation means
+  * dropping its delta file and re-OR-folding the rest (cheap: the
+  * generations are already separate rows); removing items WITHIN a
+  * generation means rebuilding that generation's filter from its
+  * surviving docs.  This is the honest bottom rung of the retraction
+  * ladder (BalanceWarehouse bit-equal subtraction > MinHashWarehouse
+  * pruned anti-join > Bloom/HLL/MG/KLL rebuild-only).
   */
 object BloomWarehouse {
 

@@ -26,6 +26,14 @@ import graft.sources.Tables
   * accuracy spec'd against exact distincts at test SF); the exact
   * daily series q_active_accounts_daily remains the oracle-checked
   * baseline.
+  *
+  * RETRACTION CONTRACT: rebuild-only.  Register max has no inverse
+  * (a register's value cannot reveal whether a removed user set it),
+  * so deleting a user's activity from a day means rebuilding that
+  * DAY's sketch from the surviving events — day granularity bounds
+  * the blast radius, but the events for that day must be rescanned.
+  * The honest bottom rung of the retraction ladder (see
+  * BalanceWarehouse's Scaladoc for the full ladder).
   */
 object HllWarehouse {
 

@@ -40,6 +40,14 @@ import graft.sources.Tables
   * the exact word-count shuffle intractable in the first place.  The
   * warehouse pays one map-side-collapsed scan per BATCH at ingest and
   * serves every subsequent report from ≤ generations × k counters.
+  *
+  * RETRACTION CONTRACT: rebuild-only.  MG counter decay already
+  * destroyed the information a subtraction would need (a counter is a
+  * lower bound, not a count — removing a doc's tokens from it would
+  * double-subtract whatever decay already took), so deleting docs
+  * from a generation means rebuilding that generation's summary from
+  * its surviving docs.  The honest bottom rung of the retraction
+  * ladder (see BalanceWarehouse's Scaladoc for the full ladder).
   */
 object MgWarehouse {
 

@@ -80,6 +80,43 @@ class BalanceWarehouseSpec extends GraftSpec {
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
   }
 
+  test("retract ∘ refresh == rebuild-on-(base ∖ removed), BIT-FOR-BIT on the merged state") {
+    val b = balances
+    val removed = b.filter(pmod(col("c_custkey"), lit(3L)) === 0)
+    val retracted = tmp("retract")
+    BalanceWarehouse.materializeFrom(
+      b.filter(pmod(col("c_custkey"), lit(10L)) < 8), retracted)
+    BalanceWarehouse.refresh(spark,
+      b.filter(pmod(col("c_custkey"), lit(10L)) >= 8), retracted)
+    BalanceWarehouse.retract(spark, removed, retracted)
+    val rebuilt = tmp("rebuilt")
+    BalanceWarehouse.materializeFrom(
+      b.filter(pmod(col("c_custkey"), lit(3L)) =!= 0), rebuilt)
+    // STATE equality, not just probe equality: zero-count keys fold
+    // out at merge, so the two histograms are literally the same rows
+    assert(histOf(retracted) == histOf(rebuilt),
+      "retracted state diverges from rebuild on the survivors")
+    // and compaction physically erases the retracted keys' rows
+    BalanceWarehouse.compact(spark, retracted)
+    assert(histOf(retracted) == histOf(rebuilt), "compaction broke the retracted state")
+    assert(spark.read.parquet(retracted).count() == histOf(rebuilt).size)
+  }
+
+  test("retracted Gini probe equals the inline query over the surviving accounts") {
+    val path = BalanceWarehouse.builtRetractedPath(spark, Dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val probe = rows(BalanceWarehouse.giniProbe(spark, path))
+    val survivors = Tables(spark, Dir).customer
+      .filter(pmod(col("c_custkey"), lit(3L)) =!= 0)
+      .join(broadcast(Tables(spark, Dir).nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("denom"), col("c_acctbal").as("bal"))
+    assert(probe == rows(graft.operators.Staking.giniOf(survivors)),
+      "retracted gini probe diverges from the inline survivors query")
+    assert(probe.nonEmpty)
+  }
+
   test("streaming refresh across micro-batches equals the one-shot fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

@@ -106,4 +106,35 @@ class MinHashWarehouseSpec extends GraftSpec {
     val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length, "duplicate candidate pair emitted")
   }
+
+  test("RETRACT: probe-after-retract == probe-against-rebuild-on-(corpus ∖ removed)") {
+    def pairs(p: String): Set[(Long, Long, Double)] =
+      MinHashWarehouse.incrementalDedup(spark, Dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the registered build: full base index, then tombstone mod-7 docs
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-mhw-retr-").toString + "/index"
+    MinHashWarehouse.materializeRetracted(spark, Dir, retracted)
+    // the reference: an index BUILT on the surviving base docs only
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-mhw-rebuilt-").toString + "/index"
+    MinHashWarehouse.materializeFrom(sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7), rebuilt)
+    val retractedPairs = pairs(retracted)
+    assert(retractedPairs == pairs(rebuilt),
+      "tombstone pruning diverges from the physical rebuild")
+    // the retraction actually bit: the full index finds mod-7 partners
+    assert(pairs(path).exists(_._2 % 10 == 7),
+      "degenerate: no mod-7 base partner exists at this SF — retraction untested")
+    assert(retractedPairs.forall(_._2 % 10 != 7))
+    // COMPACT physically removes tombstoned rows, probe-invariant
+    val docsBefore = spark.read.parquet(s"$retracted.docs").count()
+    MinHashWarehouse.compact(spark, retracted)
+    val docsAfter = spark.read.parquet(s"$retracted.docs").count()
+    assert(docsAfter < docsBefore, "compact removed no tombstoned doc rows")
+    assert(spark.read.parquet(retracted)
+      .filter(pmod(col("doc_id"), lit(10)) === 7).count() == 0,
+      "compact left tombstoned index rows behind")
+    assert(pairs(retracted) == retractedPairs, "compact changed the probe result")
+  }
 }
