@@ -88,6 +88,9 @@ object Bench {
   /** Exposed for BenchDigestSpec's budget pin. */
   private[graft] def headlinerNames: Seq[String] = Headliners
 
+  /** Exposed for BenchDigestSpec's probes-all-ride pin. */
+  private[graft] def probeNames: Seq[String] = Probes
+
   /** At-rest probe drift tracking (round-8 VERDICT ask): every
     * warehouse-served probe plus the two round-8 non-probe additions
     * that had no bench row, each min-of-3 — carried in the DETAIL
@@ -259,7 +262,9 @@ object Bench {
       s"""{"uptime_ms":$up,"gc_ms":$gcMs,"gc_count":$gcN}"""
     }
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
-    val digest = digestLine(results, total, failed, sfDir, stress, ann)
+    val digest = digestLine(results,
+      Probes.map(n => n -> probeTimes.getOrElse(n, -1.0)), total, failed,
+      sfDir, stress, ann)
     spark.stop()
     println(detail)
     println(digest)
@@ -269,40 +274,85 @@ object Bench {
   /** Driver tail window measured EXACTLY 2000 chars (BENCH_r06's
     * `tail` field), shared with the ~75-byte sbt success line and two
     * newlines; the digest's head stays inside the window iff it is
-    * ≤ ~1920 B, so 1860 leaves ~60 bytes of margin while letting the
-    * full per-query map + ann + stress counts all ride at 58
-    * headliners (worst-case widths measured 1,848 B —
-    * BenchDigestSpec pins it). */
+    * ≤ ~1920 B, so 1860 leaves ~60 bytes of margin.  Round 10
+    * (VERDICT-r09 ask #2): the at-rest probe rows are now FIRST-CLASS
+    * digest citizens — a `probes` map rides INSIDE the budget, with a
+    * reserved sub-budget sized so every current probe fits even at
+    * worst-case widths; the per-query map flexes instead, folding its
+    * smallest rows into a `q_other` {n, sec} rollup (the heavy rows —
+    * the ones drift grading watches — always ride; full-precision
+    * everything stays on the detail line).  BenchDigestSpec pins the
+    * worst-case arithmetic. */
   private val DigestBudget = 1860
 
-  private[graft] def digestLine(results: Seq[(String, Double)], total: Double,
-      failed: String, sfDir: String, stress: String, ann: String): String = {
+  /** Reserved bytes for the probes map — sized to hold EVERY current
+    * probe row at worst-case width (BenchDigestSpec pins that all 19
+    * ride), so a probe-path regression is always driver-visible. */
+  private val ProbesBudget = 700
+
+  /** Greedy PREFIX fill over rows sorted by descending time (name
+    * tiebreak): rows ride verbatim until the first that would
+    * overflow `budget`; it and everything after fold into the
+    * returned remainder.  Prefix-stop (not best-fit) keeps the
+    * selection monotone: everything bigger than a riding row rides. */
+  private def fillRows(rows: Seq[(String, Double)], budget: Int,
+      f2: Double => String): (String, Seq[(String, Double)]) = {
+    val sorted = rows.sortBy { case (k, v) => (-v, k) }
+    val b = new StringBuilder
+    var taken = 0
+    var rest = List.empty[(String, Double)]
+    var stopped = false
+    sorted.foreach { case (k, v) =>
+      val piece = "\"" + k + "\":" + f2(v)
+      if (!stopped && b.length + piece.length + (if (taken > 0) 1 else 0) <= budget) {
+        if (taken > 0) b.append(',')
+        b.append(piece); taken += 1
+      } else { stopped = true; rest = (k, v) :: rest }
+    }
+    (b.toString, rest.reverse)
+  }
+
+  private[graft] def digestLine(results: Seq[(String, Double)],
+      probes: Seq[(String, Double)], total: Double, failed: String,
+      sfDir: String, stress: String, ann: String): String = {
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // per-query times at 2 dp: at 55+ headliners the third decimal is
     // what pushed the line past the tail window; drift grading at 1%
     // of a 1-second query rides the detail line, which keeps 9 dp
     def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    def otherOf(tag: String, rest: Seq[(String, Double)]): Option[String] =
+      if (rest.isEmpty) None
+      else Some(s""""$tag":{"n":${rest.size},"sec":${
+        f2(rest.map(_._2).filter(_ >= 0).sum)}}""")
     // sf as the basename only — the digest is byte-budgeted and the
     // full path rides the detail line
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def withQueries(q: String) =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$q,"failed":$failed,"sf":"$sfShort""""
-    // last-resort if the per-query map alone ever outgrows the window:
-    // keep the contract fields parseable, count the rest
-    val base =
-      if (withQueries(qs).length + 1 <= DigestBudget) withQueries(qs)
-      else withQueries("{}") + s""","queries_n":${results.size}"""
     val annPart = if (ann == "null") None else Some(s""""ann":$ann""")
     val stressPart =
       if (stress == "null") None
       else Some(s""""stress":${StressBench.countsOnly(stress)}""")
-    // append optional sections most-valuable-first while under budget
-    Seq(annPart, stressPart).flatten
-      .foldLeft(base) { (acc, part) =>
-        if (acc.length + part.length + 2 <= DigestBudget) acc + "," + part else acc
-      } + "}"
+    val (pRows, pRest) = fillRows(probes, ProbesBudget, f2)
+    val probeParts = Seq(Some(s""""probes":{$pRows}"""), otherOf("p_other", pRest))
+    def assemble(qRows: String, qOther: Option[String],
+        opt: Seq[Option[String]]): String =
+      (Seq(Some(s""""queries":{$qRows}"""), qOther,
+        Some(s""""failed":$failed"""), Some(s""""sf":"$sfShort"""")) ++
+        probeParts ++ opt).flatten.mkString(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",""", ",", "}")
+    // size the queries sub-budget from what everything ELSE costs,
+    // reserving worst-case q_other width; fill greedily, then drop
+    // optional sections (stress first, then ann) only if a degenerate
+    // input still overflows
+    val opts = Seq(annPart, stressPart)
+    val fixed = assemble("", Some(""""q_other":{"n":9999,"sec":99999.99}"""), opts)
+    val (qRows, qRest) = fillRows(results, math.max(0, DigestBudget - fixed.length), f2)
+    val full = assemble(qRows, otherOf("q_other", qRest), opts)
+    if (full.length <= DigestBudget) full
+    else {
+      val noStress = assemble(qRows, otherOf("q_other", qRest), Seq(annPart))
+      if (noStress.length <= DigestBudget) noStress
+      else assemble(qRows, otherOf("q_other", qRest), Seq.empty)
+    }
   }
 
   /** recall@10 per approximate single-query ANN path vs the exact

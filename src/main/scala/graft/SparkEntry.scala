@@ -146,6 +146,11 @@ object SparkEntry {
     // vote/deposit SQL bodies verbatim
     "q_proposal_detail" -> ((s: SparkSession, d: String) =>
       Governance.proposalDetail(s, d)),
+    // the proposals LIST page as ONE plan (the reference's N+1 made
+    // structural): group-keyed tally + deposit legs joined on
+    // proposal, newest-first — no per-id loop
+    "q_proposals_page" -> ((s: SparkSession, d: String) =>
+      Governance.proposalsPage(s, d)),
     // treasury (reference: src/service/treasury/)
     "q_circulating_supply" -> (Treasury.circulatingSupply _),
     "q_vesting_supply" -> (Treasury.vestingSupply _),
@@ -248,6 +253,12 @@ object SparkEntry {
     // must be indistinguishable from the full recompute, so it holds
     // d_dedup_groups' oracle verbatim
     "d_dedup_groups_incremental" -> (Dedup.dedupGroupsIncremental _),
+    // the delete verb on the GRAPH rung: retraction re-runs CC only
+    // over components containing removed docs (pruned recompute —
+    // splits and label changes handled exactly), labels at rest must
+    // equal the full recompute over the survivor corpus
+    "d_dedup_groups_retracted" -> ((s: SparkSession, d: String) =>
+      graft.dedup.EdgeWarehouse.retractedGroups(s, d)),
     // the grouping story's SCALE PATH: the J-channel from MinHash-LSH-
     // verified pairs (banded candidates, exact verify) instead of the
     // AllPairs prefix join — registered INLINE so the bench row prices
@@ -321,6 +332,14 @@ object SparkEntry {
             docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
           Bm25Warehouse.compact(s, p)
         })),
+    // the delete verb on the scored index (tombstoned postings +
+    // NEGATIVE df deltas + stats decrement): probe-after-retract ==
+    // probe-on-rebuild-on-survivors — ORACLED with the probe SQL
+    // verbatim under the shrunken base predicate
+    "s_bm25_probe_retracted" -> ((s: SparkSession, d: String) =>
+      Bm25Warehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bm25_retracted", d)(
+          Bm25Warehouse.materializeRetracted(s, d, _)))),
     // two-stage serving: ADC shortlist -> exact re-rank.  NO oracle,
     // refuted by measurement: shortlist coverage of the true top-10
     // fails at any useful depth on this worst-case random corpus (a
@@ -468,6 +487,14 @@ object SparkEntry {
             docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
           LmWarehouse.compact(s, p)
         })),
+    // the delete verb on the LM (additive counts → NEGATIVE deltas,
+    // the bit-equal rung; nb/v decremented exactly): the retracted LM
+    // scores as one trained on mod 0..6 — ORACLED with the probe SQL
+    // verbatim under the shrunken base predicate
+    "t_perplexity_probe_retracted" -> ((s: SparkSession, d: String) =>
+      LmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("lm_retracted", d)(
+          LmWarehouse.materializeRetracted(s, d, _)))),
     "t_repetition" -> (CorpusStats.repetition _),
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
@@ -610,13 +637,13 @@ object SparkEntry {
   // one SQL body for BOTH the refreshed and the refreshed+compacted
   // warehouse probes: compaction merges delta rows without changing
   // any sum, so the compacted index is held to the identical answer
-  private val SBm25ProbeSql =
-    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  private def sBm25ProbeSqlVs(basePred: String) =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |bt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
-      |WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |WHERE $basePred GROUP BY 1, 2),
       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bt GROUP BY 1),
       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-      |FROM documents WHERE doc_id % 10 < 8),
+      |FROM documents WHERE $basePred),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS sl FROM dl),
       |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk
       |WHERE doc_id % 10 >= 8 AND doc_id < 1000),
@@ -634,6 +661,7 @@ object SparkEntry {
       |r AS (SELECT query_id, doc_id, round(score, 4) AS bm25,
       |row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk FROM s)
       |SELECT query_id, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin
+  private val SBm25ProbeSql = sBm25ProbeSqlVs("doc_id % 10 < 8")
   // one SQL body for BOTH the refreshed and the refreshed+compacted
   // bigram-LM probes (the SBm25ProbeSql pairing): compaction merges
   // delta rows under integer sums, so the compacted index is held to
@@ -664,19 +692,28 @@ object SparkEntry {
       |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
       |FROM sc GROUP BY 1""".stripMargin
 
-  private val TPerplexityProbeSql =
-    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 < 8),
+  // parameterized ONLY on the base predicate so the retraction
+  // demonstration runs the IDENTICAL text over base ∖ removed
+  private def tPerplexityProbeSqlVs(basePred: String) =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE $basePred),
       |lm AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(count(DISTINCT term) AS BIGINT) AS v FROM tk),
       |pk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000)
       |SELECT pk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |round(CAST(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1.0) / CAST(st.nb + st.v + 1 AS DOUBLE)), 9) AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
       |FROM pk LEFT JOIN lm ON pk.term = lm.term CROSS JOIN st GROUP BY 1""".stripMargin
+  private val TPerplexityProbeSql = tPerplexityProbeSqlVs("doc_id % 10 < 8")
   // CC body hoisted so d_split_leakage_safe's oracle composes the
-  // SAME group structure it assigns splits over (the composition rule)
-  private val DDedupGroupsSql =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+  // SAME group structure it assigns splits over (the composition
+  // rule); parameterized ONLY on the corpus predicate so the
+  // retraction demonstration runs the IDENTICAL text over the
+  // survivor corpus (an empty predicate reproduces the round-7 body
+  // through a pass-through docs CTE)
+  private def dDedupGroupsSqlOver(where: String) =
+    s"""WITH RECURSIVE
+      |docs AS (SELECT doc_id, text FROM documents$where),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS a FROM docs),""".stripMargin +
+    """
       |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
       |FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i) t),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -685,19 +722,20 @@ object SparkEntry {
       |ngram_pairs AS (SELECT a_id, b_id FROM np JOIN sizes sa ON sa.doc_id = a_id
       |JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-      |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM documents x
-      |JOIN documents y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+      |exact_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM docs x
+      |JOIN docs y ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
       |ed_pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
-      |FROM documents x JOIN documents y
+      |FROM docs x JOIN docs y
       |ON x.doc_id < y.doc_id AND abs(length(x.text) - length(y.text)) <= 10
       |WHERE levenshtein(x.text, y.text) <= 10),
       |pairs AS (SELECT * FROM ngram_pairs UNION SELECT * FROM exact_pairs
       |UNION SELECT * FROM ed_pairs),
       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
-      |reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+      |reach AS (SELECT doc_id AS u, doc_id AS v FROM docs
       |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
       |comp AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1)
       |SELECT doc_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM comp""".stripMargin
+  private val DDedupGroupsSql = dDedupGroupsSqlOver("")
   // BM25 body hoisted so s_hybrid_rrf's oracle composes the SAME
   // lexical leg it fuses (the d_corpus_funnel composition rule).
   // Mirrors Bm25.bm25 token-for-token: ln's ≤1-ulp license is washed
@@ -845,9 +883,13 @@ object SparkEntry {
        |ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
        |SELECT o_orderpriority AS proposal, o_orderstatus AS "option", count(*) AS votes,
        |round(${SUMX("o_totalprice")}, 2) AS voting_power FROM v WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  private lazy val QDepositRowsAllSql =
+    """SELECT o_orderpriority AS proposal, o_orderkey, o_custkey,
+      |CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
+      |FROM orders""".stripMargin
   private lazy val QProposalDepositRowsSql =
-    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date, round(o_totalprice, 2) AS deposit
-      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+    s"""SELECT o_orderkey, o_custkey, date, deposit FROM ($QDepositRowsAllSql)
+       |WHERE proposal = '1-URGENT'""".stripMargin
 
   // Hoisted q_richlist_gini body (the naive row_number formula),
   // shared VERBATIM by the histogram-served q_richlist_gini_probe
@@ -1133,6 +1175,27 @@ object SparkEntry {
          |SELECT proposal, votes_f, votes_o, votes_p, voting_power,
          |n_deposits, total_deposit, first_deposit_date, last_deposit_date
          |FROM votes, dep""".stripMargin,
+    // the proposals LIST page: the hoisted tally and deposit bodies
+    // composed VERBATIM (the detail oracle minus its point filter),
+    // every leg GROUP-KEYED — the SQL mirror of the one-plan shape
+    // that replaces getProposals.ts:25's per-proposal loop
+    "q_proposals_page" ->
+      s"""WITH tl AS ($QVoteTallyLatestSql),
+         |votes AS (SELECT proposal,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'F'), 0) AS BIGINT) AS votes_f,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'O'), 0) AS BIGINT) AS votes_o,
+         |CAST(coalesce(sum(votes) FILTER (WHERE "option" = 'P'), 0) AS BIGINT) AS votes_p,
+         |round(${SUMX("voting_power")}, 2) AS voting_power
+         |FROM tl GROUP BY 1),
+         |d AS ($QDepositRowsAllSql),
+         |dep AS (SELECT proposal, count(*) AS n_deposits,
+         |round(${SUMX("deposit")}, 2) AS total_deposit,
+         |min(date) AS first_deposit_date, max(date) AS last_deposit_date
+         |FROM d GROUP BY 1)
+         |SELECT proposal, votes_f, votes_o, votes_p, voting_power,
+         |n_deposits, total_deposit, first_deposit_date, last_deposit_date
+         |FROM votes JOIN dep USING (proposal)
+         |ORDER BY last_deposit_date DESC, proposal LIMIT 20""".stripMargin,
     "q_general_info" ->
       s"""WITH m AS (SELECT max(ts) AS max_ts FROM events),
          |r AS (SELECT event_type, value, ts, event_id FROM events, m
@@ -1560,6 +1623,10 @@ object SparkEntry {
         |WHERE c.doc_id IS NULL GROUP BY 1""".stripMargin,
     "d_dedup_groups" ->
       DDedupGroupsSql,
+    // retraction: the identical recursive-CTE text over the survivor
+    // corpus — the pruned re-CC must be indistinguishable from the
+    // full recompute on corpus ∖ removed
+    "d_dedup_groups_retracted" -> dDedupGroupsSqlOver(" WHERE doc_id % 13 <> 0"),
     // the incremental fold must equal the full recompute exactly —
     // same oracle, same hash gate
     "d_dedup_groups_incremental" ->
@@ -1672,6 +1739,10 @@ object SparkEntry {
     // sum — the compacted index answers the identical SQL
     "s_bm25_probe_compacted" ->
       SBm25ProbeSql,
+    // retraction: the identical probe text over base ∖ removed (the
+    // tombstone + negative-df + stats-decrement fold must be
+    // indistinguishable from a rebuild on the survivors)
+    "s_bm25_probe_retracted" -> sBm25ProbeSqlVs("doc_id % 10 < 7"),
     "s_range_search" -> SRangeSearchSql,
     // the LSH plan's recall is 1.0 on the fixed corpus+seed
     // (RangeSearchSpec), so the banded path is held to the SAME exact
@@ -1904,6 +1975,10 @@ object SparkEntry {
     // vocabularies), base/incoming split + batch bound mirrored
     "t_perplexity_probe" ->
       TPerplexityProbeSql,
+    // retraction: the identical probe text over base ∖ removed (the
+    // negative-count fold + nb/v decrement must be indistinguishable
+    // from an LM trained on the survivors)
+    "t_perplexity_probe_retracted" -> tPerplexityProbeSqlVs("doc_id % 10 < 7"),
     // same merged-deltas argument as s_bm25_probe_compacted
     "t_perplexity_probe_compacted" ->
       TPerplexityProbeSql,

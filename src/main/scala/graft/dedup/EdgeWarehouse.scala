@@ -351,6 +351,93 @@ object EdgeWarehouse {
     folded.write.mode("overwrite").parquet(labelsPath(path))
   }
 
+  /** RETRACT — the delete verb on the GRAPH rung (round 10, extending
+    * VERDICT-r09 ask #1 to the member whose derived state is not a
+    * sum: CC labels).  Removing documents can SPLIT components (a
+    * removed doc may be the bridge holding one together) and can
+    * change a surviving component's canonical min-id label — neither
+    * is expressible as a delta fold, so the honest contract is a
+    * PRUNED RECOMPUTE: only components that CONTAIN a removed doc
+    * re-run CC (over their surviving members and surviving edges);
+    * every untouched component's labels pass through unread.  The
+    * standing indexes purge by anti-join (each row depends only on
+    * its own doc — the MinHashWarehouse rung), so later refreshes
+    * probe exactly the survivor corpus.  Contract, spec-pinned:
+    * labels-after-retract == full CC recompute over corpus ∖ removed,
+    * row-for-row.
+    *
+    * Cost class: COMPACT-class maintenance (it begins by folding any
+    * outstanding delta generations so labels are current), with the
+    * re-CC itself pruned to O(affected components) — at production
+    * dup rates components are tiny, so the re-CC is O(removed), and
+    * the linear piece is the same anti-join rewrite every compact
+    * already pays.  Single-writer maintenance window assumed. */
+  def retract(spark: SparkSession, removedIds: DataFrame, path: String): Unit = {
+    if (deltaEdges(spark, path).limit(1).count() > 0) compact(spark, path)
+    val removed = removedIds.select(col("doc_id")).distinct().localCheckpoint()
+    val labels = standingLabels(spark, path).localCheckpoint()
+    val affected = labels.join(removed, Seq("doc_id"), "left_semi")
+      .select(col("group_id")).distinct().localCheckpoint()
+    val survivorsInAffected = labels
+      .join(affected, Seq("group_id"), "left_semi")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    // surviving edges of affected components: endpoints share a
+    // component, so membership checks via a_id's standing label
+    val edges = allEdges(spark, path)
+      .join(removed.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(removed.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+      .localCheckpoint()
+    val affectedEdges = edges
+      .join(labels.select(col("doc_id").as("a_id"), col("group_id")), Seq("a_id"))
+      .join(affected, Seq("group_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    val relabeled = Dedup.connectedComponents(survivorsInAffected, affectedEdges)
+    val folded = labels.join(affected, Seq("group_id"), "left_anti")
+      .select(col("doc_id"), col("group_id"))
+      .union(relabeled.select(col("doc_id"), col("group_id")))
+      .localCheckpoint()
+    folded.write.mode("overwrite").parquet(labelsPath(path))
+    edges.withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen").parquet(path)
+    // purge the probe-side indexes so later refreshes see survivors
+    // only (per-doc rows — the anti-join rung; .mh via its own verbs)
+    MinHashWarehouse.retract(removed, mhPath(path))
+    MinHashWarehouse.compact(spark, mhPath(path))
+    Seq(txtPath(path), pfxPath(path), starvedPath(path)).foreach { p =>
+      val pruned = spark.read.parquet(p)
+        .join(removed, Seq("doc_id"), "left_anti").localCheckpoint()
+      pruned.write.mode("overwrite").parquet(p)
+    }
+  }
+
+  /** The retraction slice for the registered query — cross-cutting
+    * (~8% of docs, hitting base and refreshed generations alike). */
+  private[graft] def isRetractedDoc = pmod(col("doc_id"), lit(13)) === 0
+
+  /** The registered `d_dedup_groups_retracted` build: the full
+    * maintained loop (ingest base, refresh incoming, compact), then
+    * retract the cross-cutting slice. */
+  def builtRetractedPath(spark: SparkSession, dir: String): String =
+    Materialized.pathFor("edge_warehouse_retracted", dir) { p =>
+      val docs = Tables(spark, dir).documents
+      ingest(spark, docs.filter(MinHashWarehouse.isBase), p)
+      refresh(spark, docs.filter(!MinHashWarehouse.isBase), p)
+      compact(spark, p)
+      retract(spark, docs.filter(isRetractedDoc).select(col("doc_id")), p)
+    }
+
+  /** Registered `d_dedup_groups_retracted`: the survivor corpus's dup
+    * groups read from the retracted labels at rest — ORACLED with
+    * d_dedup_groups' recursive-CTE SQL VERBATIM over the survivor
+    * predicate (rebuild-on-base∖removed; the pruned re-CC must be
+    * indistinguishable from the full recompute). */
+  def retractedGroups(spark: SparkSession, dir: String): DataFrame = {
+    val labels = standingLabels(spark, builtRetractedPath(spark, dir))
+    labels.select(col("doc_id"), col("group_id"),
+      count(lit(1)).over(Window.partitionBy(col("group_id"))).as("group_size"))
+  }
+
   /** The refresh's ONLINE twin — the crawl stream maintaining the
     * edge warehouse in flight: each arriving micro-batch of (doc_id,
     * text) docs probes the standing indexes, appends its delta

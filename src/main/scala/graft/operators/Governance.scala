@@ -86,16 +86,38 @@ object Governance {
       .agg(count(lit(1)).as("votes"),
         roundx(sumx(col("o_totalprice")), 2).as("voting_power"))
 
-  /** One proposal's deposit rows — the shared body: the deposits page
-    * wraps it with newest-first top-k, the proposal-detail composite
-    * aggregates it (and the oracle composes the SAME hoisted SQL, so
-    * the two registrations cannot drift). */
-  private def depositRows(t: Tables, proposal: String): DataFrame =
+  /** EVERY proposal's deposit rows, proposal-keyed — the shared body:
+    * the deposits page filters one proposal and wraps newest-first
+    * top-k, the detail composite aggregates one proposal's rows, the
+    * proposals PAGE group-aggregates all of them (and the oracle
+    * composes the SAME hoisted SQL, so the registrations cannot
+    * drift). */
+  private def depositRowsAll(t: Tables): DataFrame =
     t.orders
-      .filter(col("o_orderpriority") === proposal)
-      .select(col("o_orderkey"), col("o_custkey"),
+      .select(col("o_orderpriority").as("proposal"),
+        col("o_orderkey"), col("o_custkey"),
         to_date(col("o_orderdate")).as("date"),
         roundx(col("o_totalprice"), 2).as("deposit"))
+
+  private def depositRows(t: Tables, proposal: String): DataFrame =
+    depositRowsAll(t)
+      .filter(col("proposal") === proposal)
+      .select(col("o_orderkey"), col("o_custkey"), col("date"), col("deposit"))
+
+  /** The per-proposal vote summary over a (proposal, option, votes,
+    * voting_power) tally frame — the ONE aggregate the detail
+    * composite and the proposals page both fold through (a rounding
+    * drift must break both registrations or neither). */
+  private def voteSummaryOf(tally: DataFrame): DataFrame =
+    tally.groupBy(col("proposal"))
+      .agg(
+        coalesce(sum(when(col("option") === "F", col("votes"))), lit(0L))
+          .cast("long").as("votes_f"),
+        coalesce(sum(when(col("option") === "O", col("votes"))), lit(0L))
+          .cast("long").as("votes_o"),
+        coalesce(sum(when(col("option") === "P", col("votes"))), lit(0L))
+          .cast("long").as("votes_p"),
+        roundx(sumx(col("voting_power")), 2).as("voting_power"))
 
   /** Deposits of one proposal, recent-first
     * (reference: src/service/governance/getDeposits.ts:14 — deposit
@@ -125,23 +147,43 @@ object Governance {
   def proposalDetail(spark: SparkSession, dir: String,
       proposal: String = "1-URGENT"): DataFrame = {
     val t = Tables(spark, dir)
-    val votes = voteTallyLatest(spark, dir)
-      .filter(col("proposal") === proposal)
-      .groupBy(col("proposal"))
-      .agg(
-        coalesce(sum(when(col("option") === "F", col("votes"))), lit(0L))
-          .cast("long").as("votes_f"),
-        coalesce(sum(when(col("option") === "O", col("votes"))), lit(0L))
-          .cast("long").as("votes_o"),
-        coalesce(sum(when(col("option") === "P", col("votes"))), lit(0L))
-          .cast("long").as("votes_p"),
-        roundx(sumx(col("voting_power")), 2).as("voting_power"))
+    val votes = voteSummaryOf(voteTallyLatest(spark, dir)
+      .filter(col("proposal") === proposal))
     val dep = depositRows(t, proposal)
       .agg(count(lit(1)).as("n_deposits"),
         roundx(sumx(col("deposit")), 2).as("total_deposit"),
         min(col("date")).as("first_deposit_date"),
         max(col("date")).as("last_deposit_date"))
     votes.crossJoin(broadcast(dep))
+  }
+
+  /** `q_proposals_page`: the proposals LIST page as ONE PLAN — the
+    * reference's classic N+1 made structural (reference:
+    * src/service/governance/getProposals.ts:25 maps getProposal over
+    * every proposal id, re-running the vote and deposit queries per
+    * row).  Here every leg is GROUP-KEYED by proposal: the
+    * uniqBy-voter latest-vote tally folds through the SAME
+    * voteSummaryOf aggregate the detail composite uses (unfiltered),
+    * the deposit rollup group-aggregates depositRowsAll, and the two
+    * ~K-row leg results join on proposal — no per-id loop, no
+    * broadcast-1-row panels, newest-first by last deposit activity
+    * with the proposal key as tiebreak.  Adding a proposal to the
+    * corpus changes the ROW COUNT, never the plan.  ORACLED by
+    * composing the hoisted tally and deposit-rows bodies VERBATIM
+    * (the q_proposal_detail discipline, minus its point filter). */
+  def proposalsPage(spark: SparkSession, dir: String,
+      pageSize: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val votes = voteSummaryOf(voteTallyLatest(spark, dir))
+    val dep = depositRowsAll(t)
+      .groupBy(col("proposal"))
+      .agg(count(lit(1)).as("n_deposits"),
+        roundx(sumx(col("deposit")), 2).as("total_deposit"),
+        min(col("date")).as("first_deposit_date"),
+        max(col("date")).as("last_deposit_date"))
+    votes.join(dep, Seq("proposal"))
+      .orderBy(col("last_deposit_date").desc, col("proposal"))
+      .limit(pageSize)
   }
 
   /** Proposal summary per status: counts, sums, date range

@@ -101,17 +101,59 @@ object LmWarehouse {
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
+  /** RETRACT — the delete verb on the BIT-EQUAL rung (round 10,
+    * extending VERDICT-r09 ask #1 across the matrix): LM state is
+    * additive integer counts, so removing docs appends their term
+    * counts NEGATED — after which every probe-side per-term sum is
+    * literally the rebuild-on-survivors integer.  The stats decrement
+    * is exact too: nb loses the removed token count; v loses the
+    * terms whose ENTIRE standing count the removal erases (counted by
+    * comparing the removed counts against the standing sums over the
+    * removed terms' own buckets — partition-pruned, O(removed vocab),
+    * the refresh new-term anti-join's mirror).  A vanished term then
+    * probes as OOV — and Laplace makes that seamless: cnt 0 scores
+    * (0+1)/denom, the exact UNK value, so probe-after-retract ==
+    * probe-on-rebuild BIT-FOR-BIT even before compact folds the zero
+    * rows out (LmWarehouseSpec pins it).  Precondition (the crawl
+    * contract mirrored): removed docs were ingested with this exact
+    * text. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
+    val delta = removed.select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val buckets = delta.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val standing = spark.read.parquet(path)
+      .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
+    val vanished = delta.join(standing, Seq("term"))
+      .filter(col("scnt") === col("cnt")).count()
+    val removedTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
+    val st = spark.read.parquet(statsPath(path)).head()
+    delta.select(col("term"), (-col("cnt")).as("cnt"))
+      .withColumn("tb", termBucket(col("term")))
+      .write.mode("append").partitionBy("tb").parquet(path)
+    spark.range(1)
+      .select(lit(st.getLong(0) - removedTokens).as("nb"),
+        lit(st.getLong(1) - vanished).as("v"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
   /** COMPACT — merge accumulated (term, cnt) delta rows back to ONE
     * row per term in the same bucket layout (the Bm25Warehouse.compact
     * segment-merge stance).  Stats are untouched — (nb, v) are already
-    * maintained exactly by refresh — and probes are bit-identical
-    * before/after (integer delta sums are order-free;
-    * WarehouseCompactSpec pins it).  The LM table is
-    * vocabulary-bounded, so the localCheckpoint pin before overwriting
-    * its own source is metadata-scale at any corpus size. */
+    * maintained exactly by refresh/retract — and probes are
+    * bit-identical before/after (integer delta sums are order-free;
+    * WarehouseCompactSpec pins it).  Fully-retracted terms fold to 0
+    * and DROP, making the compacted table literally the
+    * rebuild-on-survivors state (vacuous when nothing was retracted).
+    * The LM table is vocabulary-bounded, so the localCheckpoint pin
+    * before overwriting its own source is metadata-scale at any
+    * corpus size. */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("term"), col("tb")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
       .localCheckpoint()
     merged.write.mode("overwrite").partitionBy("tb").parquet(path)
   }
@@ -146,6 +188,17 @@ object LmWarehouse {
     probe(spark, path, Tables(spark, dir).documents
       .filter(!isBase && col("doc_id") < 1000)
       .select(col("doc_id"), col("text")))
+
+  /** The retraction build for the registered
+    * `t_perplexity_probe_retracted` query: train on the base split,
+    * retract the mod-7 base docs (the shared retraction slice) — the
+    * incoming probe must then score exactly as an LM trained on
+    * mod 0..6 (counts, nb, v and all). */
+  def materializeRetracted(spark: SparkSession, dir: String, path: String): Unit = {
+    materialize(spark, dir, path)
+    retract(spark, Tables(spark, dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) === 7), path)
+  }
 
   /** The probe's ONLINE twin — crawl triage in flight: each arriving
     * micro-batch scores against the frozen LM inside foreachBatch.

@@ -65,6 +65,7 @@ object Bm25Warehouse {
 
   private def statsPath(path: String): String = s"$path.stats"
   private def dfPath(path: String): String = s"$path.df"
+  private def tombPath(path: String): String = s"$path.tomb"
 
   private def termBucket(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
@@ -120,6 +121,49 @@ object Bm25Warehouse {
     writeStats(spark, path, st.getLong(0) + n, st.getLong(1) + sl)
   }
 
+  /** RETRACT — the delete verb, with the STATS DECREMENT this member
+    * adds over MinHashWarehouse's plain tombstoning (round 10,
+    * extending VERDICT-r09 ask #1 to the scored-index shape the ask
+    * itself named): a takedown arrives as the removed docs' (doc_id,
+    * text) rows — the content ingest saw (the crawl contract
+    * mirrored; tokenization is deterministic, so the decrement
+    * recomputes the ingest-side contribution EXACTLY).  One sub-verb
+    * per state class, each on its honest ladder rung:
+    *  - postings (per-doc facts): TOMBSTONE — doc_ids append to
+    *    `.tomb`, probes drop tombstoned docs with one pruned
+    *    anti-join on the already-bucket-pruned, term-restricted hit
+    *    set (O(hits), never O(index));
+    *  - df deltas (additive integers): NEGATIVE DELTAS — append
+    *    (term, −dfd); probe-side per-term sums are then LITERALLY the
+    *    rebuild-on-survivors integers (the BalanceWarehouse rung);
+    *  - stats (2 scalars): decrement n and sl.
+    * Probe-after-retract == probe-against-rebuild-on-survivors
+    * BIT-FOR-BIT (Bm25WarehouseSpec pins it); `compact` afterwards
+    * physically removes tombstoned postings and folds the negative df
+    * rows out.  O(removed) + a 1-row read; no standing row touched. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
+    val (_, dfd, n, sl) = contribution(removed)
+    dfd.select(col("term"), (-col("dfd")).as("dfd"))
+      .withColumn("tb", termBucket(col("term")))
+      .write.mode("append").partitionBy("tb").parquet(dfPath(path))
+    removed.select(col("doc_id")).write.mode("append").parquet(tombPath(path))
+    val st = spark.read.parquet(statsPath(path)).head()
+    writeStats(spark, path, st.getLong(0) - n, st.getLong(1) - sl)
+  }
+
+  private def tombExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Drop tombstoned docs from a hit set — O(hits); the no-tomb path
+    * (the common case) keeps its exact old plan. */
+  private def dropTombstoned(spark: SparkSession, hits: DataFrame,
+      path: String): DataFrame =
+    if (!tombExists(spark, path)) hits
+    else hits.join(spark.read.parquet(tombPath(path)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** COMPACT — the segment-merge maintenance pass a refresh cadence
     * needs: every refresh appends one (term, dfd) delta row per batch
     * term, so the probe-side per-term delta sum (and the df table's
@@ -140,8 +184,23 @@ object Bm25Warehouse {
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(dfPath(path))
       .groupBy(col("term"), col("tb")).agg(sum(col("dfd")).as("dfd"))
+      // fully-retracted terms fold to 0 and drop — the merged df side
+      // becomes literally the rebuild-on-survivors table (vacuous when
+      // nothing was retracted: positive-delta sums are positive)
+      .filter(col("dfd") =!= 0)
       .localCheckpoint() // pin before overwriting the source dir
     merged.write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
+    // physically remove tombstoned postings and clear the tombstones —
+    // the posting side's one semantic compaction case (see Scaladoc)
+    if (tombExists(spark, path)) {
+      val tomb = spark.read.parquet(tombPath(path))
+        .select(col("doc_id")).distinct().localCheckpoint()
+      val pruned = spark.read.parquet(path)
+        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
+      pruned.write.mode("overwrite").partitionBy("tb").parquet(path)
+      val p = new org.apache.hadoop.fs.Path(tombPath(path))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Score `queries` = (query_id, term) rows against the index: top-`k`
@@ -169,9 +228,9 @@ object Bm25Warehouse {
     // already-restricted hits (the delta agg is vocabulary-bounded and
     // broadcasts; measured: df-before-queries doubled the probe by
     // dragging the full posting slice through the df join)
-    val hits = spark.read.parquet(path)
+    val hits = dropTombstoned(spark, spark.read.parquet(path)
       .filter(bucketPred(col("tb")))
-      .join(queries, Seq("term"))
+      .join(queries, Seq("term")), path)
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
       (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
@@ -191,6 +250,17 @@ object Bm25Warehouse {
     * the index at rest. */
   def probeIncoming(spark: SparkSession, dir: String, path: String): DataFrame =
     probe(spark, path, incomingTerms(spark, dir))
+
+  /** The retraction build for the registered `s_bm25_probe_retracted`
+    * query: ingest the base split, then retract the mod-7 base docs
+    * (the MinHashWarehouse retraction slice) — after which the
+    * incoming probe must score exactly as if the index had been built
+    * on mod 0..6 (df integers, n/avgdl scalars and all). */
+  def materializeRetracted(spark: SparkSession, dir: String, path: String): Unit = {
+    materialize(spark, dir, path)
+    retract(spark, Tables(spark, dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) === 7), path)
+  }
 
   /** (query_id, term) rows of the bounded incoming batch — tokenizes
     * ONLY the probe side. */

@@ -6,11 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * measured EXACTLY 2000 chars (BENCH_r06's `tail` field; its
   * 2,241-byte single line came back head-truncated → parsed null),
   * shared with the ~75-byte sbt success line.  These tests pin the
-  * digest-line contract: all current headliners at worst-case widths
-  * must fit the 1860-byte budget WITH the ann and stress-count
-  * sections riding, the greedy assembler must drop optional sections
-  * rather than overflow, and the stress counts extractor must keep
-  * exactly the integer fields. */
+  * digest-line contract after the round-10 restructure (VERDICT-r09
+  * ask #2): the at-rest PROBE rows are first-class digest citizens —
+  * ALL current probes must ride even at worst-case widths — while the
+  * per-query map flexes, folding its smallest rows into a `q_other`
+  * rollup; ann + stress counts still ride; the assembler degrades
+  * rather than overflow; the line must stay under the 1860-byte
+  * budget in every case below. */
 class BenchDigestSpec extends AnyFunSuite {
 
   private val stress =
@@ -26,6 +28,8 @@ class BenchDigestSpec extends AnyFunSuite {
       """"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,"s_knn_ivfpq_refined":0.8,""" +
       """"s_knn_pca":0.3,"range_lsh_jaccard":1.0,"range_pairs":147}"""
 
+  private def worstProbes = Bench.probeNames.map(n => n -> 99.99)
+
   test("countsOnly keeps movable counts, drops times, strings, inputs, static bounds") {
     val c = StressBench.countsOnly(stress)
     assert(c.contains("\"ngram_pairs\":156384") && c.contains("\"n_groups\":4756"))
@@ -37,37 +41,59 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(c.startsWith("{") && c.endsWith("}"))
   }
 
-  test("digest with every current headliner at worst-case width fits the budget") {
-    // 99.99 s for every query is wider than any plausible real run
-    // (current max ≈ 11 s) — if THIS stays under budget with the full
-    // per-query map, a real run certainly does
+  test("worst-case widths: ALL probes ride, heavy queries ride, q_other folds the rest, ann + stress ride") {
+    // 99.99 s for every row is wider than any plausible real run
+    // (current max ≈ 11 s) — if THIS stays under budget a real run does
     val results = Bench.headlinerNames.map(n => n -> 99.99)
-    val line = Bench.digestLine(results, 4699.953, "[]",
+    val line = Bench.digestLine(results, worstProbes, 4699.953, "[]",
       "/root/testdata/sf0.1", stress, ann)
     assert(line.length <= 1860, s"digest ${line.length}B over budget")
-    Bench.headlinerNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
-    // at the 1860 budget both optional sections must ride even at
-    // worst-case query widths — the driver should see ann + stress
-    // counts as parsed data every round
+    // THE ask-#2 pin: every current probe row is driver-visible data
+    assert(line.contains("\"probes\":{"))
+    Bench.probeNames.foreach(n =>
+      assert(line.contains("\"" + n + "\":99.99"), s"probe $n fell out of the digest"))
+    assert(!line.contains("\"p_other\""), "probes budget too small for the full set")
+    // the queries map flexes: some rows ride, the rest are counted
+    assert(line.contains("\"queries\":{") && line.contains("\"q_other\":{\"n\":"))
+    // both optional sections still ride at worst case
     assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
     assert(line.contains("\"stress\":{") && line.contains("\"ngram_pairs\":156384"))
   }
 
-  test("assembler degrades sections rather than overflow, line stays parseable") {
-    // inflate the query list past the whole budget: the per-query map
-    // is replaced by a count and the line still fits and closes
-    val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
-    val line = Bench.digestLine(many, 74.04, "[]", "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1860)
-    assert(line.contains("\"queries_n\":60") && line.endsWith("}"))
+  test("realistic widths: the heavy rows ride by name") {
+    // sub-second rows may fold; the expensive rows — what drift
+    // grading watches — must always be individually visible
+    val times = Map("s_logreg_ovr5" -> 10.26, "d_dedup_groups_lsh" -> 4.93,
+      "s_bm25_probe_compacted" -> 4.04, "d_dedup_editdist" -> 3.75)
+    val results = Bench.headlinerNames.map(n => n -> times.getOrElse(n, 0.41))
+    val line = Bench.digestLine(results, Bench.probeNames.map(_ -> 0.42),
+      75.145, "[]", "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1860, s"digest ${line.length}B over budget")
+    times.keys.foreach(n =>
+      assert(line.contains("\"" + n + "\":"), s"heavy row $n fell out"))
+    Bench.probeNames.foreach(n =>
+      assert(line.contains("\"" + n + "\":0.42"), s"probe $n fell out"))
   }
 
-  test("null stress/ann produce a clean digest") {
-    val line = Bench.digestLine(Seq("q1" -> 1.0, "q2" -> -1.0), 1.0,
-      """["q2"]""", "/root/testdata/sf0.1", "null", "null")
+  test("assembler degrades rather than overflow, line stays parseable") {
+    // inflate the query list: the per-query map folds almost entirely
+    // into q_other and the line still fits and closes
+    val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
+    val line = Bench.digestLine(many, worstProbes, 74.04, "[]",
+      "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1860)
+    assert(line.contains("\"q_other\":{\"n\":") && line.endsWith("}"))
+    Bench.probeNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
+  }
+
+  test("null stress/ann produce a clean digest; failed rows surface") {
+    val line = Bench.digestLine(Seq("q1" -> 1.0, "q2" -> -1.0),
+      Seq("p1" -> 0.5), 1.0, """["q2"]""", "/root/testdata/sf0.1", "null", "null")
     assert(line.contains("\"q2\":-1") && line.contains("\"failed\":[\"q2\"]"))
+    assert(line.contains("\"probes\":{\"p1\":0.50}"))
     assert(!line.contains("\"stress\"") && !line.contains("\"ann\""))
+    assert(!line.contains("\"q_other\""), "nothing should fold at this size")
   }
 }

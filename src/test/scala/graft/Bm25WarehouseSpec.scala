@@ -102,4 +102,38 @@ class Bm25WarehouseSpec extends GraftSpec {
     assert(pruned <= 3, s"3 terms probed $pruned of $allParts partitions")
     assert(df.count() >= 0)
   }
+  test("RETRACT: probe-after-retract == probe-on-rebuild-on-survivors, bit-for-bit") {
+    def rows(p: String): Set[Seq[Any]] =
+      Bm25Warehouse.probeIncoming(spark, Dir, p).collect().map(_.toSeq).toSet
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-retr-").toString + "/index"
+    Bm25Warehouse.materializeRetracted(spark, Dir, retracted)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-rebuilt-").toString + "/index"
+    Bm25Warehouse.materializeFrom(spark, sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) < 7), rebuilt)
+    val r = rows(retracted)
+    assert(r == rows(rebuilt),
+      "retracted probe diverges from the rebuild-on-survivors probe")
+    // the retraction actually bit: mod-7 docs rank in the full index
+    assert(rows(path).exists(_(1).asInstanceOf[Long] % 10 == 7),
+      "degenerate: no mod-7 doc in any top-k at this SF")
+    assert(r.forall(_(1).asInstanceOf[Long] % 10 != 7))
+    // stats decremented to exactly the rebuild's two scalars
+    def stats(p: String) = spark.read.parquet(s"$p.stats").head()
+    assert(stats(retracted).toSeq == stats(rebuilt).toSeq)
+    // compact physically removes tombstoned postings and negative df
+    // rows, probe-invariant; df side equals the rebuild's merged rows
+    Bm25Warehouse.compact(spark, retracted)
+    assert(rows(retracted) == r, "compact changed the probe result")
+    assert(spark.read.parquet(retracted)
+      .filter(pmod(col("doc_id"), lit(10)) === 7).count() == 0,
+      "compact left tombstoned postings behind")
+    def dfRows(p: String): Set[(String, Long)] =
+      spark.read.parquet(s"$p.df").groupBy(col("term"))
+        .agg(sum(col("dfd")).as("dfd")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfRows(retracted) == dfRows(rebuilt),
+      "compacted df side diverges from the rebuild's")
+  }
 }

@@ -234,4 +234,35 @@ class EdgeWarehouseSpec extends GraftSpec {
       rows(dedup.Dedup.dedupGroups(spark, Dir)),
       "at-rest incremental fold diverges from the full recompute")
   }
+
+  test("RETRACT: pruned re-CC == full recompute over the survivor corpus; indexes purged") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("group_id"), r.getAs[Long]("group_size"))).toSet
+    val docs = sources.Tables(spark, Dir).documents
+    val survivors = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+    // the retraction must actually touch group structure: some removed
+    // doc sits in a multi-doc component (else the test is vacuous)
+    val full = rows(dedup.Dedup.dedupGroupsFrom(docs))
+    assert(full.exists(r => r._1 % 13 == 0 && r._3 > 1),
+      "degenerate: no removed doc is in a multi-doc group at this SF")
+    val atRest = rows(dedup.EdgeWarehouse.retractedGroups(spark, Dir))
+    val recompute = rows(dedup.Dedup.dedupGroupsFrom(survivors))
+    assert(atRest == recompute,
+      s"diff: onlyRetracted=${(atRest -- recompute).take(5)} " +
+        s"onlyRecompute=${(recompute -- atRest).take(5)}")
+    // index purge: a later refresh must probe survivors only — the
+    // .txt/.edpfx stores and the .mh index carry no removed doc rows
+    val p = dedup.EdgeWarehouse.builtRetractedPath(spark, Dir)
+    Seq(s"$p.txt", s"$p.edpfx", s"$p.mh.docs").foreach { t =>
+      assert(spark.read.parquet(t)
+        .filter(pmod(col("doc_id"), lit(13)) === 0).count() == 0,
+        s"$t still carries retracted docs")
+    }
+    assert(dedup.EdgeWarehouse.allEdges(spark, p)
+      .filter(pmod(col("a_id"), lit(13)) === 0 ||
+        pmod(col("b_id"), lit(13)) === 0).count() == 0,
+      "edge table still carries edges incident to retracted docs")
+  }
 }

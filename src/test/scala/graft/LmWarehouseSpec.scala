@@ -117,4 +117,32 @@ class LmWarehouseSpec extends GraftSpec {
       assert(got.toSet == batch)
     } finally query.stop()
   }
+  test("RETRACT: negative-count fold + nb/v decrement == LM trained on survivors, bit-for-bit") {
+    def rows(p: String): Set[Seq[Any]] =
+      LmWarehouse.probeIncoming(spark, Dir, p).collect().map(_.toSeq).toSet
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-lmw-retr-").toString + "/index"
+    LmWarehouse.materializeRetracted(spark, Dir, retracted)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-lmw-rebuilt-").toString + "/index"
+    LmWarehouse.materializeFrom(sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) < 7), rebuilt)
+    val r = rows(retracted)
+    assert(r.nonEmpty && r == rows(rebuilt),
+      "retracted LM scores diverge from the rebuild-on-survivors LM")
+    // the stats decrement is exact: (nb, v) equal the rebuild's
+    def stats(p: String) = spark.read.parquet(s"$p.stats").head()
+    assert(stats(retracted).toSeq == stats(rebuilt).toSeq,
+      s"stats diverge: ${stats(retracted)} vs ${stats(rebuilt)}")
+    // compact folds the negative rows out: the merged table equals the
+    // rebuild's (term, cnt) rows and probes unchanged
+    LmWarehouse.compact(spark, retracted)
+    assert(rows(retracted) == r, "compact changed the probe result")
+    def lmRows(p: String): Set[(String, Long)] =
+      spark.read.parquet(p).groupBy(col("term"))
+        .agg(sum(col("cnt")).as("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lmRows(retracted) == lmRows(rebuilt),
+      "compacted LM table diverges from the rebuild's")
+  }
 }
