@@ -108,7 +108,13 @@ object Bench {
     "d_semdedup_probe", "q_richlist_gini_probe",
     "q_gas_quantiles_probe", "q_gas_quantiles_window",
     "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe",
-    "d_dedup_lines", "q_ts_decompose")
+    "d_dedup_lines", "q_ts_decompose",
+    // round 10: the retraction family's registered demonstrations —
+    // each min-of-3 times the probe against the retracted state (the
+    // builds amortize per JVM via Materialized)
+    "q_richlist_gini_retracted", "d_dedup_retracted",
+    "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
+    "d_dedup_groups_retracted", "q_proposals_page", "q_txvol_salted_join")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -127,7 +133,10 @@ object Bench {
     "q_active_accounts_window", "d_bloom_decontaminate_probe",
     "d_semdedup_probe", "q_richlist_gini_probe",
     "q_gas_quantiles_probe", "q_gas_quantiles_window",
-    "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe")
+    "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe",
+    "q_richlist_gini_retracted", "d_dedup_retracted",
+    "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
+    "d_dedup_groups_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -286,9 +295,9 @@ object Bench {
   private val DigestBudget = 1860
 
   /** Reserved bytes for the probes map — sized to hold EVERY current
-    * probe row at worst-case width (BenchDigestSpec pins that all 19
+    * probe row at worst-case width (BenchDigestSpec pins that all 26
     * ride), so a probe-path regression is always driver-visible. */
-  private val ProbesBudget = 700
+  private val ProbesBudget = 960
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

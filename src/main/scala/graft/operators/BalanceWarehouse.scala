@@ -163,4 +163,35 @@ object BalanceWarehouse {
         if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
       }
       .start()
+
+  /** Op-weighted histogram deltas of a change batch: op = +1 inserts
+    * a balance, −1 deletes one; an UPDATE is the documented
+    * (−1 old value, +1 new) pair — the Scaladoc's production note
+    * made registered code. */
+  private[graft] def deltasSigned(changes: DataFrame): DataFrame =
+    changes
+      .select(col("denom"), floor(col("bal") * 100 + 0.5).cast("long").as("q"),
+        col("op").cast("long").as("op"))
+      .groupBy(col("denom"), col("q")).agg(sum(col("op")).as("c"))
+
+  /** The CDC twin (round 10) — the full change-stream form the
+    * warehouse's NOTE has promised since round 9: a stream of
+    * (denom, bal, op) rows where op ∈ {+1, −1} folds inserts,
+    * updates (as −old/+new pairs) and deletes in ONE verb.  Each
+    * micro-batch appends its op-weighted histogram deltas;
+    * associativity + commutativity of the integer fold mean ANY
+    * batching — even one splitting an update's two halves across
+    * micro-batches — serves the histogram of the FINAL account state,
+    * bit-for-bit (BalanceWarehouseSpec drives exactly that split).
+    * No state store, no watermark; the one ordering requirement is
+    * semantic, not operational: the change stream itself must be a
+    * valid history (deletes follow the insert they erase), which is
+    * the CDC source's contract, not the sink's. */
+  def streamingChanges(changes: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          deltasSigned(batch).write.mode("append").parquet(path)
+      }
+      .start()
 }

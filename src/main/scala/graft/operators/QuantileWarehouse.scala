@@ -79,12 +79,27 @@ object QuantileWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
     deltas(batch).write.mode("append").partitionBy("date").parquet(path)
 
+  /** RETRACT — the delete verb on the bit-equal rung (round 10; the
+    * BalanceWarehouse contract verbatim — integer counts subtract
+    * exactly): append the removed events' histogram deltas NEGATED.
+    * O(removed), append-only; zero-count keys drop at merge/compact,
+    * making the state literally the rebuild-on-survivors histogram
+    * (QuantileWarehouseSpec pins retract∘refresh == rebuild and the
+    * probe equality that follows).  Precondition: removed ⊆ ingested
+    * (the caller's contract, as everywhere on this rung). */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
+    deltas(removed)
+      .select(col("date"), col("denom"), col("q"), (-col("c")).as("c"))
+      .write.mode("append").partitionBy("date").parquet(path)
+
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
-    * before/after (integer-sum order freedom); single-writer
+    * before/after (integer-sum order freedom); fully-retracted keys
+    * fold to 0 and drop (vacuous without retraction); single-writer
     * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("date"), col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
       .localCheckpoint()
     merged.write.mode("overwrite").partitionBy("date").parquet(path)
   }

@@ -56,26 +56,43 @@ object StatsWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
     deltas(batch).write.mode("append").parquet(path)
 
+  /** RETRACT — the delete verb on the bit-equal rung (round 10; the
+    * BalanceWarehouse contract verbatim): append the removed docs'
+    * delta rows NEGATED — integer counts and char sums subtract
+    * exactly, zero-count keys drop at merge/compact, so the state is
+    * literally the rebuild-on-survivors histogram (StatsWarehouseSpec
+    * pins it).  Precondition: removed ⊆ ingested with this text. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
+    deltas(removed)
+      .select(col("lang"), col("nw"), (-col("cnt")).as("cnt"),
+        (-col("ncs")).as("ncs"))
+      .write.mode("append").parquet(path)
+
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
-    * before/after.  Like every compaction in the matrix this assumes
-    * the single-writer maintenance window (no probe is served while
-    * the overwrite is in flight — the BigramLmWarehouse refresh
+    * before/after; fully-retracted keys fold to 0 and drop (vacuous
+    * without retraction).  Like every compaction in the matrix this
+    * assumes the single-writer maintenance window (no probe is served
+    * while the overwrite is in flight — the BigramLmWarehouse refresh
     * contract). */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy(col("lang"), col("nw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("ncs")).as("ncs"))
+      .filter(col("cnt") =!= 0)
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
     * assert its plan scans ONLY the warehouse (zero documents
-    * scans). */
+    * scans).  Zero-count keys (fully-retracted lengths) drop: the
+    * merged state equals a rebuild on the survivors, the retract
+    * contract's bit-for-bit claim. */
   private[graft] def mergedHist(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("lang"), col("nw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("ncs")).as("ncs"))
+      .filter(col("cnt") =!= 0)
 
   /** Registered `d_corpus_stats_probe`: the full profile served from
     * the index at rest.  base ∪ incoming = all documents and the

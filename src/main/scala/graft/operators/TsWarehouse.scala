@@ -30,7 +30,23 @@ import graft.sources.Tables
   * order-free).  No pruning story: like the moments index, the value
   * is O(batch) maintenance of a global statistic, not partition
   * elimination.
-  */
+  *
+  * RETRACTION CONTRACT — the one additive member WITHOUT a retract
+  * verb, for an honest reason: the state is a SUM ONLY, so a
+  * retraction that removed every event of a (date, series) key would
+  * leave a 0-sum row that the grid readers cannot distinguish from a
+  * day that genuinely summed to zero — and present-vs-absent days
+  * mean different things to every dense-grid consumer (densify
+  * zero-fills absent days explicitly).  Negative deltas are still
+  * EXACT while every affected key retains at least one surviving
+  * event, but that precondition is unverifiable from this state (no
+  * count column), so the honest contract here is rebuild-the-
+  * affected-days — one notch below the count-carrying histogram
+  * members (Balance/Stats/Quantile), whose zero-COUNT keys are
+  * unambiguous and drop at merge.  The cure, if retraction mattered
+  * for this member, is a (vsum, n) state — deliberately not taken:
+  * none of the seven grid consumers needs it, and the schema ripple
+  * would touch every verbatim-oracle pairing. */
 object TsWarehouse {
 
   /** The events-side base/incoming split (the warehouse family's

@@ -51,6 +51,21 @@ object PcaWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
     Pca.moments(batch).write.mode("append").parquet(path)
 
+  /** RETRACT — the delete verb on the bit-equal rung (round 10; the
+    * BalanceWarehouse contract on the moment statistic): append the
+    * removed vectors' moments NEGATED.  Moments are DECIMAL-exact
+    * sums of per-vector terms, so subtraction is total and exact and
+    * the merged cells equal the rebuild-on-survivors moments to the
+    * last decimal digit (PcaWarehouseSpec pins it) — the global cov/
+    * PCA statistic forgets the removed vectors' influence EXACTLY,
+    * which no approximate forgetting scheme offers.  The key set
+    * stays the fixed 2080 cells, so there is no zero-key drop case.
+    * Precondition: removed ⊆ ingested vectors. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
+    Pca.moments(removed)
+      .select(col("i"), col("j"), (-col("m")).as("m"))
+      .write.mode("append").parquet(path)
+
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after; the localCheckpoint pin is ~2 KB. */
   def compact(spark: SparkSession, path: String): Unit = {

@@ -141,4 +141,34 @@ class BalanceWarehouseSpec extends GraftSpec {
       rows.toIndexedSeq.toDF("denom", "bal"), oneShot)
     assert(histOf(p) == histOf(oneShot), "streamed fold diverges from one-shot")
   }
+
+  test("CDC twin: an insert/update/delete change stream folds to the final-state histogram") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // three accounts; B updates (the documented -old/+new pair), C deletes
+    val changes: Seq[(String, Double, Int)] = Seq(
+      ("US", 10.00, 1), ("US", 25.50, 1), ("EU", 7.25, 1),   // inserts A,B,C
+      ("US", 25.50, -1), ("US", 31.00, 1),                    // update B
+      ("EU", 7.25, -1))                                       // delete C
+    val p = tmp("cdc")
+    val mem = MemoryStream[(String, Double, Int)]
+    val q = graft.operators.BalanceWarehouse.streamingChanges(
+      mem.toDF().toDF("denom", "bal", "op"), p)
+    try {
+      // split ACROSS an update's two halves — the hardest batching
+      val (b1, b2) = changes.splitAt(4)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalState = Seq(("US", 10.00), ("US", 31.00))
+      .toDF("denom", "bal")
+    val oneShot = tmp("cdc-ref")
+    graft.operators.BalanceWarehouse.materializeFrom(finalState, oneShot)
+    assert(histOf(p) == histOf(oneShot),
+      "CDC fold diverges from the final-state rebuild")
+  }
 }

@@ -122,4 +122,26 @@ class PcaWarehouseSpec extends GraftSpec {
     // serve the identical covariance to the inline one-shot
     assert(covMap(PcaWarehouse.cov(spark, path)) == covMap(Pca.covFrom(e)))
   }
+
+  test("RETRACT: negated moments == rebuild-on-survivors covariance, bit-for-bit") {
+    val emb = sources.Tables(spark, Dir).embeddings
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-pw-retr-").resolve("m").toString
+    graft.similarity.PcaWarehouse.materializeFrom(
+      emb.filter(pmod(col("vec_id"), lit(10L)) < 8), retracted)
+    graft.similarity.PcaWarehouse.refresh(spark,
+      emb.filter(pmod(col("vec_id"), lit(10L)) >= 8), retracted)
+    graft.similarity.PcaWarehouse.retract(spark,
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 0), retracted)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-pw-rebuilt-").resolve("m").toString
+    graft.similarity.PcaWarehouse.materializeFrom(
+      emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0), rebuilt)
+    def covRows(p: String): Set[Seq[Any]] =
+      graft.similarity.PcaWarehouse.cov(spark, p).collect().map(_.toSeq).toSet
+    val r = covRows(retracted)
+    assert(r.nonEmpty && r == covRows(rebuilt),
+      "retracted covariance diverges from the rebuild on survivors — " +
+        "the exact-forgetting claim fails")
+  }
 }

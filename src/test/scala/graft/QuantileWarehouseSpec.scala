@@ -205,4 +205,31 @@ class QuantileWarehouseSpec extends GraftSpec {
         .withColumn("ts", col("ts").cast("timestamp")), oneShot)
     assert(histOf(p) == histOf(oneShot), "streamed fold diverges from one-shot")
   }
+
+  test("RETRACT: negative deltas + compact == rebuild-on-survivors, bit-for-bit") {
+    val e = Tables(spark, Dir).events
+    val removed = e.filter(pmod(col("event_id"), lit(3L)) === 0)
+    val retracted = Files.createTempDirectory("graft-qw-retr-").resolve("h").toString
+    QuantileWarehouse.materializeFrom(
+      e.filter(pmod(col("event_id"), lit(10L)) < 8), retracted)
+    QuantileWarehouse.refresh(spark,
+      e.filter(pmod(col("event_id"), lit(10L)) >= 8), retracted)
+    QuantileWarehouse.retract(spark, removed, retracted)
+    val rebuilt = Files.createTempDirectory("graft-qw-rebuilt-").resolve("h").toString
+    QuantileWarehouse.materializeFrom(
+      e.filter(pmod(col("event_id"), lit(3L)) =!= 0), rebuilt)
+    def probeRows(p: String): Set[Seq[Any]] =
+      QuantileWarehouse.probe(spark, p).collect().map(_.toSeq).toSet
+    val r = probeRows(retracted)
+    assert(r.nonEmpty && r == probeRows(rebuilt),
+      "retracted quantiles diverge from the rebuild-on-survivors probe")
+    // compact folds zero-count keys out: state == rebuild state
+    QuantileWarehouse.compact(spark, retracted)
+    QuantileWarehouse.compact(spark, rebuilt)
+    def hist(p: String): Set[Seq[Any]] =
+      QuantileWarehouse.histRead(spark, p).collect().map(_.toSeq).toSet
+    assert(hist(retracted) == hist(rebuilt),
+      "compacted retracted state diverges from the rebuild state")
+    assert(probeRows(retracted) == r, "compact changed the probe")
+  }
 }

@@ -150,4 +150,27 @@ class StatsWarehouseSpec extends GraftSpec {
       rows.toIndexedSeq.toDF("doc_id", "text", "lang"), oneShot)
     assert(rowsOf(p) == rowsOf(oneShot), "streamed fold diverges from one-shot")
   }
+
+  test("RETRACT: negative deltas == rebuild-on-survivors, bit-for-bit on the merged state") {
+    val docs = sources.Tables(spark, Dir).documents
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-sw-retr-").resolve("h").toString
+    graft.operators.StatsWarehouse.materializeFrom(
+      docs.filter(pmod(col("doc_id"), lit(10L)) < 8), retracted)
+    graft.operators.StatsWarehouse.refresh(spark,
+      docs.filter(pmod(col("doc_id"), lit(10L)) >= 8), retracted)
+    graft.operators.StatsWarehouse.retract(spark,
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 0), retracted)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-sw-rebuilt-").resolve("h").toString
+    graft.operators.StatsWarehouse.materializeFrom(
+      docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0), rebuilt)
+    def hist(p: String): Set[Seq[Any]] =
+      graft.operators.StatsWarehouse.mergedHist(spark, p)
+        .collect().map(_.toSeq).toSet
+    assert(hist(retracted).nonEmpty && hist(retracted) == hist(rebuilt),
+      "retracted stats state diverges from the rebuild on survivors")
+    graft.operators.StatsWarehouse.compact(spark, retracted)
+    assert(hist(retracted) == hist(rebuilt), "compact broke the retracted state")
+  }
 }
