@@ -193,6 +193,14 @@ object SparkEntry {
     // never rescans events (plan-asserted in TsWarehouseSpec)
     "q_ts_anomaly_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.anomalyProbe(s, TsWarehouse.builtPath(s, d))),
+    // the ladder's last gap closed: the (vsum, n) state gives the
+    // rollup a bit-equal retract (fully-retracted keys drop at merge,
+    // zero-sum days keep n > 0) — ingest + refresh + retract a
+    // cross-cutting mod-7 slice of events, serve the alerting probe
+    // off the survivors, ORACLED with the anomaly SQL verbatim over
+    // base ∖ removed
+    "q_ts_anomaly_probe_retracted" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.anomalyProbe(s, TsWarehouse.builtRetractedPath(s, d))),
     // the other four registered grid consumers off the same rollup —
     // each holds its inline oracle verbatim (bit-equal grid); with
     // decompose + forecast the standing-form consumer set is COMPLETE
@@ -792,14 +800,18 @@ object SparkEntry {
   // The zero-filled (date × event_type) daily grid both time-series
   // oracles start from — DECIMAL-exact sums, 3-dp round (mirrors
   // TimeSeries.dailyGrid; the grid must be DENSE so window offsets
-  // align).
-  private val TsGridSql =
+  // align).  Parameterized ONLY on the events predicate so the
+  // TsWarehouse retraction demonstration runs the identical text over
+  // the surviving events (the qRichlistGiniSqlOver convention).
+  private def tsGridSqlOver(where: String) =
     s"""daily AS (SELECT CAST(ts AS DATE) AS date, event_type,
-       |round(${SUMX("value")}, 3) AS v FROM events GROUP BY 1, 2),
+       |round(${SUMX("value")}, 3) AS v FROM events$where GROUP BY 1, 2),
        |grid AS (SELECT d.date, t.event_type, COALESCE(daily.v, 0.0) AS v
        |FROM (SELECT DISTINCT date FROM daily) d
        |CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
        |LEFT JOIN daily ON daily.date = d.date AND daily.event_type = t.event_type)""".stripMargin
+
+  private val TsGridSql = tsGridSqlOver("")
 
   // Explicit left-associative 7-term folds: SQL's binary + chains
   // left, which is the identical IEEE sequence to Spark's sequential
@@ -854,9 +866,12 @@ object SparkEntry {
        |FROM bd JOIN ov ON bd.event_type = ov.event_type""".stripMargin
 
   // Hoisted q_ts_anomaly body, shared VERBATIM by the rollup-served
-  // q_ts_anomaly_probe (TsWarehouse: refresh bit-equal to rebuild).
-  private lazy val QTsAnomalySql =
-    s"""WITH $TsGridSql,
+  // q_ts_anomaly_probe (TsWarehouse: refresh bit-equal to rebuild)
+  // and — parameterized ONLY on the events predicate — by the
+  // retraction demonstration (rebuild-on-base∖removed: the identical
+  // text over the surviving events).
+  private def qTsAnomalySqlOver(where: String) =
+    s"""WITH ${tsGridSqlOver(where)},
        |di AS (SELECT date, row_number() OVER (ORDER BY date) AS dn
        |FROM (SELECT DISTINCT date FROM grid)),
        |gi AS (SELECT grid.*, di.dn FROM grid JOIN di USING (date)),
@@ -873,6 +888,12 @@ object SparkEntry {
        |round((v - mu) / sd, 6) AS z
        |FROM sd WHERE sd > 0
        |ORDER BY abs(round((v - mu) / sd, 6)) DESC, event_type, date LIMIT 10""".stripMargin
+
+  private lazy val QTsAnomalySql = qTsAnomalySqlOver("")
+  // rebuild-on-base∖removed: the identical anomaly text over the
+  // events surviving TsWarehouse.isRetractedEvent
+  private lazy val QTsAnomalyRetractedSql =
+    qTsAnomalySqlOver(" WHERE event_id % 7 <> 0")
 
   // Hoisted q_vote_tally_latest body and the one-proposal deposit rows,
   // composed VERBATIM by q_proposal_detail (the corpus-funnel hoisting
@@ -1454,6 +1475,7 @@ object SparkEntry {
     // (DECIMAL-sum associativity) and base ∪ incoming = all events,
     // so the probe holds the inline query's oracle VERBATIM
     "q_ts_anomaly_probe" -> QTsAnomalySql,
+    "q_ts_anomaly_probe_retracted" -> QTsAnomalyRetractedSql,
     // dow index over the dense grid: DECIMAL-exact dow sums, then two
     // IEEE multiplies + one divide on exactly-rounded inputs; DuckDB
     // dayofweek is 0-based (Sunday=0) vs Spark's 1-based → +1

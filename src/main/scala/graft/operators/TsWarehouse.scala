@@ -31,34 +31,41 @@ import graft.sources.Tables
   * is O(batch) maintenance of a global statistic, not partition
   * elimination.
   *
-  * RETRACTION CONTRACT — the one additive member WITHOUT a retract
-  * verb, for an honest reason: the state is a SUM ONLY, so a
-  * retraction that removed every event of a (date, series) key would
-  * leave a 0-sum row that the grid readers cannot distinguish from a
-  * day that genuinely summed to zero — and present-vs-absent days
-  * mean different things to every dense-grid consumer (densify
-  * zero-fills absent days explicitly).  Negative deltas are still
-  * EXACT while every affected key retains at least one surviving
-  * event, but that precondition is unverifiable from this state (no
-  * count column), so the honest contract here is rebuild-the-
-  * affected-days — one notch below the count-carrying histogram
-  * members (Balance/Stats/Quantile), whose zero-COUNT keys are
-  * unambiguous and drop at merge.  The cure, if retraction mattered
-  * for this member, is a (vsum, n) state — deliberately not taken:
-  * none of the seven grid consumers needs it, and the schema ripple
-  * would touch every verbatim-oracle pairing. */
+  * RETRACTION CONTRACT — the (vsum, n) state, i.e. "the cure,
+  * taken".  A sum-only state cannot distinguish a fully-retracted
+  * (date, series) key (which must DROP, so densify's zero-fill and
+  * date domain match a rebuild) from a day that genuinely summed to
+  * zero (which must STAY) — that ambiguity was this member's
+  * documented no-verb gap through round 10's first arc.  Carrying
+  * the exact event count per delta row resolves it: `retract`
+  * appends the removed events' (vsum, n) NEGATED, the merge drops
+  * keys whose total n reaches 0, and a zero-sum-but-populated day
+  * keeps its n > 0 row.  Both columns fold by exact associative
+  * sums (DECIMAL / LONG), so retract ∘ refresh == rebuild-on-
+  * (base ∖ removed) BIT-FOR-BIT — the Balance/Stats/Quantile rung,
+  * and with it every additive member of the matrix now carries the
+  * ladder's top contract; only the sketch classes (Bloom/HLL/MG/KLL)
+  * remain honestly rebuild-only.  The feared ripple never happens:
+  * `n` lives only in the stored deltas — mergedDaily folds it for
+  * the drop-at-zero filter and serves the same (date, event_type, v)
+  * grid, so all seven consumers and their verbatim oracles are
+  * untouched. */
 object TsWarehouse {
 
   /** The events-side base/incoming split (the warehouse family's
     * mod-10 convention, on event_id). */
   private[graft] def isBaseEvent = pmod(col("event_id"), lit(10L)) < 8
 
-  /** Per-key DECIMAL partial sums of a batch — the delta rows.  The
-    * UNROUNDED decimal is what's stored: rounding happens once at
-    * probe time, so appended generations fold exactly. */
+  /** Per-key (DECIMAL partial sum, exact event count) of a batch —
+    * the delta rows.  The UNROUNDED decimal is what's stored:
+    * rounding happens once at probe time, so appended generations
+    * fold exactly.  `n` is the retraction contract's disambiguator
+    * (fully-retracted key ⇒ n reaches 0 ⇒ drops; zero-sum day keeps
+    * n > 0). */
   private[graft] def deltas(events: DataFrame): DataFrame =
     events.groupBy(to_date(col("ts")).as("date"), col("event_type"))
-      .agg(sum(col("value").cast("decimal(30,6)")).as("vsum"))
+      .agg(sum(col("value").cast("decimal(30,6)")).as("vsum"),
+        count(lit(1)).as("n"))
 
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder. */
@@ -70,25 +77,48 @@ object TsWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
     deltas(batch).write.mode("append").parquet(path)
 
+  /** RETRACT — remove events from the standing rollup: append their
+    * per-key (vsum, n) deltas NEGATED.  O(removed), append-only like
+    * refresh (no standing row is read or rewritten).  Precondition:
+    * removed ⊆ what was ingested, i.e. counts never go net-negative —
+    * the caller's contract, exactly like refresh's batch-freshness
+    * one (BalanceWarehouse.retract's wording). */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
+    deltas(removed)
+      .select(col("date"), col("event_type"), (-col("vsum")).as("vsum"),
+        (-col("n")).as("n"))
+      .write.mode("append").parquet(path)
+
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
-    * before/after.  Like every compaction in the matrix this assumes
-    * the single-writer maintenance window (no probe is served while
-    * the overwrite is in flight — the BigramLmWarehouse refresh
+    * before/after.  Zero-count keys (fully-retracted days) are
+    * dropped, making the compacted state EQUAL to a rebuild on the
+    * surviving events.  Like every compaction in the matrix this
+    * assumes the single-writer maintenance window (no probe is served
+    * while the overwrite is in flight — the BigramLmWarehouse refresh
     * contract). */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = spark.read.parquet(path)
-      .groupBy(col("date"), col("event_type")).agg(sum(col("vsum")).as("vsum"))
+      .groupBy(col("date"), col("event_type"))
+      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 
   /** The delta-merge read — the probe-side fold that keeps refresh
-    * append-only.  Exposed un-checkpointed so the spec can assert its
-    * plan scans ONLY the warehouse (zero events scans). */
+    * append-only.  Fully-retracted keys (total n = 0) drop HERE, so
+    * densify sees exactly the key set a rebuild-on-survivors would
+    * produce; the served shape stays (date, event_type, v) — the
+    * count column never reaches a consumer.  Exposed un-checkpointed
+    * so the spec can assert its plan scans ONLY the warehouse (zero
+    * events scans). */
   private[graft] def mergedDaily(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("date"), col("event_type"))
-      .agg(roundx(sum(col("vsum")).cast("double"), 3).as("v"))
+      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .select(col("date"), col("event_type"),
+        roundx(col("vsum").cast("double"), 3).as("v"))
 
   /** The dense grid served from the index at rest: delta merge, the
     * single probe-time 3-dp round, then the shared zero-fill — the
@@ -159,6 +189,24 @@ object TsWarehouse {
       val e = Tables(spark, dir).events
       materializeFrom(e.filter(isBaseEvent), p)
       refresh(spark, e.filter(!isBaseEvent), p)
+    }
+
+  /** The slice the registered retraction removes — deliberately
+    * CROSS-CUTTING (mod-7 on event_id, so it takes events from the
+    * mod-10 base and incoming generations alike): a delete verb that
+    * only worked on whole generations would be a rollback, not a
+    * retraction (BalanceWarehouse.isRetractedCust's rationale). */
+  private[graft] def isRetractedEvent = pmod(col("event_id"), lit(7L)) === 0
+
+  /** The retraction build: ingest + refresh as `builtPath`, then
+    * retract the cross-cutting slice — grid == rebuild on the
+    * surviving events bit-for-bit (TsWarehouseSpec pins it). */
+  def builtRetractedPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("ts_warehouse_retracted", dir) { p =>
+      val e = Tables(spark, dir).events
+      materializeFrom(e.filter(isBaseEvent), p)
+      refresh(spark, e.filter(!isBaseEvent), p)
+      retract(spark, e.filter(isRetractedEvent), p)
     }
 
   /** The refresh's ONLINE twin — the rollup maintained in flight:

@@ -20,11 +20,14 @@ class TsWarehouseSpec extends GraftSpec {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-tsw-$tag").resolve("idx").toString
 
-  private def rowsOf(path: String): Set[(String, String, java.math.BigDecimal)] =
+  private def rowsOf(path: String): Set[(String, String, java.math.BigDecimal, Long)] =
     spark.read.parquet(path)
-      .groupBy(col("date"), col("event_type")).agg(sum(col("vsum")).as("vsum"))
+      .groupBy(col("date"), col("event_type"))
+      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
       .collect()
-      .map(r => (r.getDate(0).toString, r.getString(1), r.getDecimal(2))).toSet
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDecimal(2),
+        r.getLong(3))).toSet
 
   test("refresh equals the one-shot rebuild bit-for-bit") {
     val e = Tables(spark, Dir).events
@@ -121,6 +124,43 @@ class TsWarehouseSpec extends GraftSpec {
     assert(before == after, "compaction changed the merged statistic")
     assert(postCount == after.size && postCount < preCount,
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
+  }
+
+  test("retract ∘ refresh equals rebuild-on-survivors bit-for-bit — the (vsum, n) cure") {
+    val e = Tables(spark, Dir).events
+    val a = tmp("retract")
+    TsWarehouse.materializeFrom(e.filter(TsWarehouse.isBaseEvent), a)
+    TsWarehouse.refresh(spark, e.filter(!TsWarehouse.isBaseEvent), a)
+    TsWarehouse.retract(spark, e.filter(TsWarehouse.isRetractedEvent), a)
+    val b = tmp("survivors")
+    TsWarehouse.materializeFrom(e.filter(!TsWarehouse.isRetractedEvent), b)
+    assert(rowsOf(a) == rowsOf(b), "retracted index diverges from rebuild-on-survivors")
+    // and the probe-side grid (post-merge, post-densify) agrees too
+    def grid(p: String): Set[String] =
+      TsWarehouse.grid(spark, p).collect().map(_.toString).toSet
+    assert(grid(a) == grid(b), "retracted grid diverges from rebuild grid")
+    // compaction commutes with the retraction (zero-count keys purge)
+    TsWarehouse.compact(spark, a)
+    assert(rowsOf(a) == rowsOf(b), "compaction after retract changed the statistic")
+  }
+
+  test("a fully-retracted key drops; a zero-sum day survives — the n column's job") {
+    val s = spark
+    import s.implicits._
+    def ev(day: Int, et: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-02-0$day 10:00:00"), et, v)
+    // zerosum: two events cancelling to 0.0 on day 1 (must STAY);
+    // gone: one event on day 2 that the retraction removes entirely
+    val base = Seq(ev(1, "zerosum", 5.0), ev(1, "zerosum", -5.0),
+      ev(2, "gone", 3.0)).toDF("ts", "event_type", "value")
+    val p = tmp("disambig")
+    TsWarehouse.materializeFrom(base, p)
+    TsWarehouse.retract(spark,
+      Seq(ev(2, "gone", 3.0)).toDF("ts", "event_type", "value"), p)
+    val merged = TsWarehouse.mergedDaily(spark, p).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(2))).toSet
+    assert(merged == Set(("2024-02-01", "zerosum", 0.0)),
+      s"expected only the populated zero-sum key, got $merged")
   }
 
   test("streaming refresh across micro-batches equals the one-shot fold") {
