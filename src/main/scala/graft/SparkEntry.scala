@@ -161,6 +161,19 @@ object SparkEntry {
     "q3_shipping_priority" -> (Olap.q3ShippingPriority _),
     "q5_local_supplier" -> (Olap.q5LocalSupplier _),
     "q_asof_join" -> (Olap.asofJoin _),
+    // incremental maintenance of a JOIN view — the delta rule
+    // Δ(O⋈L) = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL as sequenced unary refreshes
+    // over bucketed-by-join-key side states; served at rest from the
+    // additive (DECIMAL, LONG) view deltas — ORACLED with the plain
+    // join-rollup SQL
+    "q_revenue_view_probe" -> ((s: SparkSession, d: String) =>
+      JoinViewWarehouse.probe(s, JoinViewWarehouse.builtPath(s, d))),
+    // the delete verb on a BINARY view: retract a cross-cutting
+    // order slice (−R⋈L deltas + op −1 side rows), probe the
+    // survivors — ORACLED with the identical SQL over the survivor
+    // predicate
+    "q_revenue_view_retracted" -> ((s: SparkSession, d: String) =>
+      JoinViewWarehouse.probe(s, JoinViewWarehouse.builtRetractedPath(s, d))),
     "q_sessionize" -> (Olap.sessionize _),
     "q_retention_cohort" -> (Olap.retentionCohort _),
     "q_funnel_steps" -> (Olap.funnelSteps _),
@@ -933,6 +946,18 @@ object SparkEntry {
       |CAST(n_accounts * sq AS DOUBLE), 6) END AS gini
       |FROM g""".stripMargin
 
+  // The join-rollup view JoinViewWarehouse maintains incrementally —
+  // parameterized ONLY on the survivor predicate so the retraction
+  // twin runs the identical text over base ∖ removed.  The Spark side
+  // nests the DECIMAL sum per-orderkey (the pre-aggregated L-side map
+  // state) where this text sums flat — equal by decimal associativity.
+  private def qRevenueViewSqlOver(where: String) =
+    s"""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS year,
+       |round(${SUMX("l_extendedprice * (1 - l_discount)")}, 4) AS revenue,
+       |CAST(count(*) AS BIGINT) AS n_lines
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey$where
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private lazy val QRichlistGiniSql = qRichlistGiniSqlOver("")
   // rebuild-on-base∖removed: the identical gini text over the
   // accounts surviving BalanceWarehouse.isRetractedCust
@@ -1405,6 +1430,11 @@ object SparkEntry {
         |SELECT e.event_id, round(e.value, 4) AS amount, round(p.p_value, 4) AS price_at_ts
         |FROM events e LEFT JOIN p ON e.ts >= p.p_ts AND (p.p_next_ts IS NULL OR e.ts < p.p_next_ts)
         |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_revenue_view_probe" -> qRevenueViewSqlOver(""),
+    // rebuild-on-base∖removed: the identical join-rollup text over
+    // the orders surviving JoinViewWarehouse.isRetractedOrder
+    "q_revenue_view_retracted" ->
+      qRevenueViewSqlOver(" WHERE o_orderkey % 7 <> 0"),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms FROM events),
         |l AS (SELECT user_id, event_id, ts, ts_ms,

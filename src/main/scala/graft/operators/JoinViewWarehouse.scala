@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Exact.{roundx, sumx}
+import graft.sources.Tables
+
+/** Incremental maintenance of a JOIN view — the one algebraic shape
+  * the warehouse matrix lacked.  Every other member maintains a UNARY
+  * operator over one input (a rollup, an index, a sketch); fcd's
+  * dashboard collector maintains joined rollups (reference:
+  * src/collector/dashboard/collectDashboard.ts:23 — each cycle joins
+  * new blocks/txs against standing reference rows before upserting
+  * the rollup), and the general form of that maintenance is the
+  * classic delta rule for binary operators (Blakeley et al. 1986;
+  * DBToaster's map states, Koch et al. 2014 — public IVM
+  * literature):
+  *
+  *   Δ(O ⋈ L) = ΔO ⋈ L  ∪  O ⋈ ΔL  ∪  ΔO ⋈ ΔL
+  *
+  * Instance: the priority × year revenue view
+  * `orders ⋈ lineitem ON orderkey → GROUP BY (o_orderpriority,
+  * year(o_orderdate)) → (sum revenue, count lines)`.
+  *
+  * The rule is implemented as SEQUENCED unary refreshes:
+  * `refreshLines(ΔL)` folds O_standing ⋈ ΔL, then `refreshOrders(ΔO)`
+  * folds ΔO ⋈ L_standing — and because refreshLines appended ΔL
+  * first, the second term covers ΔO ⋈ (L_old ∪ ΔL) = ΔO ⋈ L_old ∪
+  * ΔO ⋈ ΔL.  Sequential composition IS the three-term delta rule, so
+  * there is no special combined verb to get wrong, and ANY
+  * interleaving of order/line batches folds to the same state
+  * (spec-pinned: lines-first, orders-first, and alternating all
+  * bit-equal).
+  *
+  * CONTRACT — the bit-equal rung, with the honest asymmetry stated:
+  * the view deltas are (DECIMAL revenue, LONG line-count) rows and
+  * both fold by exact associative sums, so any refresh sequence ==
+  * one-shot rebuild on the union BIT-FOR-BIT.  But unlike the unary
+  * members, a join-view refresh is NOT O(batch) pure-local: each
+  * batch must join the STANDING opposite side — O(batch ⋈ index),
+  * the information-theoretic floor for join views (the batch's
+  * contribution depends on rows it has never seen).  At 100 TB both
+  * side states are bucketed by the join key, so each delta term is a
+  * co-located join (no standing-side shuffle; the batch side
+  * broadcasts when small), and both side states are COLUMN-PRUNED to
+  * join key + view attributes only — the L side further
+  * PRE-AGGREGATED to one (rev, n) row per orderkey (a DBToaster-
+  * style map state), so standing-L is bounded by distinct keys, not
+  * line rows.
+  *
+  * RETRACTION — the delete verb composes through the SAME rule with
+  * negated deltas: retracting orders R appends −(R ⋈ L_standing) to
+  * the view and marks R's side rows with op = −1 (side states carry
+  * the (vsum, n)-discipline count column; a key whose net op reaches
+  * 0 drops at merge, so a later line batch for a retracted order
+  * finds no match and correctly contributes nothing).  retract ∘
+  * refresh == rebuild-on-(base ∖ removed), bit-for-bit — the
+  * TsWarehouse/Balance rung, now also on a binary view.
+  *
+  * Layout: `path` = append-only view deltas (prio, year, rev
+  * DECIMAL, n LONG); `path.o` = orders side state (k, prio, year,
+  * op ±1); `path.l` = line side state (k, rev DECIMAL, n LONG).
+  * `compact` merges all three (probe-bit-invariant; single-writer
+  * maintenance window as everywhere in the matrix). */
+object JoinViewWarehouse {
+
+  private def oPath(path: String) = path + ".o"
+  private def lPath(path: String) = path + ".l"
+
+  /** Per-row revenue — the deterministic double product; exactness
+    * comes from the DECIMAL sum above it (Exact.sumx). */
+  private def revExpr = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** L-side delta map: one (rev, n) row per orderkey in the batch. */
+  private def lineDeltas(lines: DataFrame): DataFrame =
+    lines.groupBy(col("l_orderkey").as("k"))
+      .agg(sum(revExpr.cast("decimal(30,6)")).as("rev"), count(lit(1)).as("n"))
+
+  /** O-side state rows: join key + the view's group attributes, op-
+    * signed (+1 live, −1 retracted). */
+  private def orderRows(orders: DataFrame, op: Int): DataFrame =
+    orders.select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).cast("long").as("year"),
+      lit(op.toLong).as("op"))
+
+  /** The merged O-side map: one live (k, prio, year) row per
+    * surviving order (net-op 0 keys — retracted orders — drop). */
+  private def mergedOrders(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(oPath(path))
+      .groupBy(col("k"), col("prio"), col("year"))
+      .agg(sum(col("op")).as("op"))
+      .filter(col("op") =!= 0)
+      .select(col("k"), col("prio"), col("year"))
+
+  /** The merged L-side map: one (rev, n) row per orderkey with
+    * surviving lines. */
+  private def mergedLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(lPath(path))
+      .groupBy(col("k"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Group a joined (prio, year, rev, n) frame to view-delta rows,
+    * `sign`-ed (+1 refresh, −1 retract). */
+  private def viewDeltas(joined: DataFrame, sign: Int): DataFrame =
+    joined.groupBy(col("prio"), col("year"))
+      .agg((lit(sign) * sum(col("rev"))).as("rev"),
+        (lit(sign.toLong) * sum(col("n"))).as("n"))
+
+  /** INGEST — one-shot build from both sides; also the refresh-
+    * equivalence spec's reference builder. */
+  def materializeFrom(orders: DataFrame, lines: DataFrame, path: String): Unit = {
+    orderRows(orders, 1).write.mode("overwrite").parquet(oPath(path))
+    lineDeltas(lines).write.mode("overwrite").parquet(lPath(path))
+    viewDeltas(orderRows(orders, 1).join(lineDeltas(lines), Seq("k")), 1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** REFRESH, line side — fold a lineitem batch: view += O_standing ⋈
+    * ΔL.  The view-delta write happens FIRST and the side-state
+    * append LAST (an interrupted refresh that wrote deltas but not
+    * the side rows is detectable by re-running lineDeltas — but
+    * unlike EdgeWarehouse there is no cross-batch guard to violate:
+    * re-running the batch double-counts, so the caller's exactly-once
+    * contract is the same one refresh itself has everywhere in the
+    * matrix). */
+  def refreshLines(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val dl = lineDeltas(batch).localCheckpoint()
+    viewDeltas(mergedOrders(spark, path).join(dl, Seq("k")), 1)
+      .write.mode("append").parquet(path)
+    dl.write.mode("append").parquet(lPath(path))
+  }
+
+  /** REFRESH, order side — fold an orders batch: view += ΔO ⋈
+    * L_standing.  Sequencing this after refreshLines(ΔL) yields the
+    * full three-term delta rule (see object doc). */
+  def refreshOrders(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val dOrd = orderRows(batch, 1).localCheckpoint()
+    viewDeltas(dOrd.join(mergedLines(spark, path), Seq("k")), 1)
+      .write.mode("append").parquet(path)
+    dOrd.write.mode("append").parquet(oPath(path))
+  }
+
+  /** RETRACT, order side — remove orders: view −= R ⋈ L_standing,
+    * and R's side rows fold out via op = −1 (net-0 keys drop, so
+    * later line batches for a retracted order contribute nothing).
+    * Precondition: removed ⊆ ingested, the matrix-wide caller
+    * contract. */
+  def retractOrders(spark: SparkSession, removed: DataFrame, path: String): Unit = {
+    val rOrd = orderRows(removed, 1).localCheckpoint()
+    viewDeltas(rOrd.join(mergedLines(spark, path), Seq("k")), -1)
+      .write.mode("append").parquet(path)
+    rOrd.withColumn("op", lit(-1L)).write.mode("append").parquet(oPath(path))
+  }
+
+  /** COMPACT — merge all three states to one row per key; probes
+    * bit-identical before/after (associative DECIMAL/LONG sums;
+    * zero-count keys purge physically). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v = spark.read.parquet(path)
+      .groupBy(col("prio"), col("year"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0).localCheckpoint()
+    v.write.mode("overwrite").parquet(path)
+    val o = mergedOrders(spark, path).withColumn("op", lit(1L)).localCheckpoint()
+    o.write.mode("overwrite").parquet(oPath(path))
+    val l = mergedLines(spark, path).localCheckpoint()
+    l.write.mode("overwrite").parquet(lPath(path))
+  }
+
+  /** The probe-side merge — exposed un-checkpointed so the spec can
+    * assert its plan scans ONLY the view deltas (never orders/
+    * lineitem, and not even the side states: the view is self-
+    * contained at serve time). */
+  private[graft] def mergedView(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("prio"), col("year"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Registered `q_revenue_view_probe` / `q_revenue_view_retracted`:
+    * the maintained view served at rest — group-key metadata scale
+    * (priorities × years), ORACLED with the plain join-rollup SQL
+    * (verbatim body, parameterized only on the survivor predicate
+    * for the retracted twin). */
+  def probe(spark: SparkSession, path: String): DataFrame =
+    mergedView(spark, path)
+      .select(col("prio").as("o_orderpriority"), col("year"),
+        roundx(col("rev").cast("double"), 4).as("revenue"),
+        col("n").as("n_lines"))
+      .orderBy(col("o_orderpriority"), col("year"))
+
+  /** The two-sided generation split (mod-10 on each side's own key —
+    * cross-cutting: an order's lines can arrive before or after the
+    * order row itself, and the delta rule does not care). */
+  private[graft] def isBaseOrder = pmod(col("o_orderkey"), lit(10L)) < 8
+  private[graft] def isBaseLine = pmod(col("l_orderkey") + col("l_linenumber"), lit(10L)) < 8
+
+  /** The slice the registered retraction removes — cross-cutting
+    * mod-7 on o_orderkey (orders from base and incoming generations
+    * alike, cascading to every line of those orders). */
+  private[graft] def isRetractedOrder = pmod(col("o_orderkey"), lit(7L)) === 0
+
+  /** Once-per-JVM build: base generations of BOTH sides, then the
+    * incoming line batch, then the incoming order batch — the
+    * sequenced delta rule exercising all three terms. */
+  def builtPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("join_view_warehouse", dir) { p =>
+      val t = Tables(spark, dir)
+      materializeFrom(t.orders.filter(isBaseOrder),
+        t.lineitem.filter(isBaseLine), p)
+      refreshLines(spark, t.lineitem.filter(!isBaseLine), p)
+      refreshOrders(spark, t.orders.filter(!isBaseOrder), p)
+    }
+
+  /** The retraction build: full two-sided ingest + refresh, then
+    * retract the cross-cutting order slice. */
+  def builtRetractedPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("join_view_warehouse_retracted", dir) { p =>
+      val t = Tables(spark, dir)
+      materializeFrom(t.orders.filter(isBaseOrder),
+        t.lineitem.filter(isBaseLine), p)
+      refreshLines(spark, t.lineitem.filter(!isBaseLine), p)
+      refreshOrders(spark, t.orders.filter(!isBaseOrder), p)
+      retractOrders(spark, t.orders.filter(isRetractedOrder), p)
+    }
+
+  /** The refresh's ONLINE twin — a lineitem stream folding against
+    * the standing orders side inside foreachBatch (the collector
+    * loop's actual shape: line-grain facts arrive continuously,
+    * reference dimensions change slowly).  Any batching folds to the
+    * same state (sequenced delta rule + associative sums;
+    * spec-pinned). */
+  def streamingRefreshLines(lines: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // idle-trigger guard (the matrix-wide convention)
+        if (!batch.isEmpty) refreshLines(batch.sparkSession, batch, path)
+      }
+      .start()
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinViewWarehouse
+import graft.sources.Tables
+
+/** The join-view warehouse contract: any interleaving of order/line
+  * batch refreshes equals the one-shot rebuild bit-for-bit (the
+  * sequenced delta rule), retraction composes through the same rule
+  * (rebuild-on-survivors, and a late line batch for a retracted
+  * order contributes nothing), the probe plan reads ONLY the view
+  * deltas, compaction is probe-bit-invariant, and the streaming twin
+  * folds micro-batches to the same state. */
+class JoinViewWarehouseSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-jvw-$tag").resolve("idx").toString
+
+  private def viewOf(path: String): Set[(String, Long, java.math.BigDecimal, Long)] =
+    spark.read.parquet(path)
+      .groupBy(col("prio"), col("year"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2), r.getLong(3)))
+      .toSet
+
+  private def t = Tables(spark, Dir)
+
+  test("any interleaving of batch refreshes equals the one-shot rebuild bit-for-bit") {
+    val ref = tmp("oneshot")
+    JoinViewWarehouse.materializeFrom(t.orders, t.lineitem, ref)
+    val expected = viewOf(ref)
+    assert(expected.nonEmpty)
+
+    // lines-first (the builtPath sequencing)
+    val a = tmp("lines-first")
+    JoinViewWarehouse.materializeFrom(
+      t.orders.filter(JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(JoinViewWarehouse.isBaseLine), a)
+    JoinViewWarehouse.refreshLines(spark,
+      t.lineitem.filter(!JoinViewWarehouse.isBaseLine), a)
+    JoinViewWarehouse.refreshOrders(spark,
+      t.orders.filter(!JoinViewWarehouse.isBaseOrder), a)
+    assert(viewOf(a) == expected, "lines-first sequencing diverges from rebuild")
+
+    // orders-first — the opposite interleaving covers the same three
+    // delta terms in the other association
+    val b = tmp("orders-first")
+    JoinViewWarehouse.materializeFrom(
+      t.orders.filter(JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(JoinViewWarehouse.isBaseLine), b)
+    JoinViewWarehouse.refreshOrders(spark,
+      t.orders.filter(!JoinViewWarehouse.isBaseOrder), b)
+    JoinViewWarehouse.refreshLines(spark,
+      t.lineitem.filter(!JoinViewWarehouse.isBaseLine), b)
+    assert(viewOf(b) == expected, "orders-first sequencing diverges from rebuild")
+  }
+
+  test("retract ∘ refresh equals rebuild-on-survivors, and late lines for a retracted order fold to nothing") {
+    val a = tmp("retract")
+    JoinViewWarehouse.materializeFrom(
+      t.orders.filter(JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(JoinViewWarehouse.isBaseLine), a)
+    JoinViewWarehouse.refreshLines(spark,
+      t.lineitem.filter(!JoinViewWarehouse.isBaseLine), a)
+    JoinViewWarehouse.refreshOrders(spark,
+      t.orders.filter(!JoinViewWarehouse.isBaseOrder), a)
+    JoinViewWarehouse.retractOrders(spark,
+      t.orders.filter(JoinViewWarehouse.isRetractedOrder), a)
+
+    val ref = tmp("survivors")
+    JoinViewWarehouse.materializeFrom(
+      t.orders.filter(!JoinViewWarehouse.isRetractedOrder), t.lineitem, ref)
+    assert(viewOf(a) == viewOf(ref), "retracted view diverges from rebuild-on-survivors")
+
+    // a line batch arriving AFTER its order was retracted finds no
+    // live O-side row (net-op 0 dropped) and contributes nothing
+    val s = spark
+    import s.implicits._
+    val retractedKey = t.orders.filter(JoinViewWarehouse.isRetractedOrder)
+      .select(col("o_orderkey")).head().getLong(0)
+    val late = Seq((retractedKey, 1000.0, 0.1))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    JoinViewWarehouse.refreshLines(spark, late, a)
+    assert(viewOf(a) == viewOf(ref),
+      "a late line batch for a retracted order changed the view")
+  }
+
+  test("the probe plan reads ONLY the view deltas — not orders, lineitem, or the side states") {
+    val path = JoinViewWarehouse.builtPath(spark, Dir)
+    val scans = JoinViewWarehouse.mergedView(spark, path)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a view-delta scan")
+    val roots = scans.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.forall(r => r.endsWith(path.split('/').last) || r.contains(path)),
+      s"unexpected scan roots: $roots")
+    assert(!roots.exists(r => r.endsWith(".o") || r.endsWith(".l")),
+      "probe reads a side state")
+    assert(!roots.exists(r => r.contains("orders") || r.contains("lineitem")),
+      "probe re-reads a base table")
+  }
+
+  test("compaction is probe-bit-invariant and physically purges retracted keys") {
+    val p = tmp("compact")
+    JoinViewWarehouse.materializeFrom(
+      t.orders.filter(JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(JoinViewWarehouse.isBaseLine), p)
+    JoinViewWarehouse.refreshLines(spark,
+      t.lineitem.filter(!JoinViewWarehouse.isBaseLine), p)
+    JoinViewWarehouse.refreshOrders(spark,
+      t.orders.filter(!JoinViewWarehouse.isBaseOrder), p)
+    JoinViewWarehouse.retractOrders(spark,
+      t.orders.filter(JoinViewWarehouse.isRetractedOrder), p)
+    val before = viewOf(p)
+    val preRows = spark.read.parquet(p).count()
+    JoinViewWarehouse.compact(spark, p)
+    assert(viewOf(p) == before, "compaction changed the merged view")
+    assert(spark.read.parquet(p).count() < preRows, "compaction did not merge deltas")
+    // the O side holds no trace of the retracted orders
+    val oKeys = spark.read.parquet(p + ".o").select(col("k"))
+      .filter(pmod(col("k"), lit(7L)) === 0)
+    assert(oKeys.count() == 0, "compacted O side still holds retracted keys")
+  }
+
+  test("streaming line refresh across micro-batches equals the one-shot fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .limit(300).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val p = tmp("stream")
+    // standing orders, no lines yet
+    JoinViewWarehouse.materializeFrom(t.orders,
+      t.lineitem.filter(lit(false)), p)
+    val mem = MemoryStream[(Long, Double, Double)]
+    val q = JoinViewWarehouse.streamingRefreshLines(
+      mem.toDF().toDF("l_orderkey", "l_extendedprice", "l_discount"), p)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ref = tmp("stream-ref")
+    JoinViewWarehouse.materializeFrom(t.orders,
+      rows.toIndexedSeq.toDF("l_orderkey", "l_extendedprice", "l_discount"), ref)
+    assert(viewOf(p) == viewOf(ref), "streamed fold diverges from one-shot")
+  }
+}
