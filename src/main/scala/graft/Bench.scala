@@ -114,7 +114,11 @@ object Bench {
     // builds amortize per JVM via Materialized)
     "q_richlist_gini_retracted", "d_dedup_retracted",
     "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
-    "d_dedup_groups_retracted", "q_proposals_page", "q_txvol_salted_join")
+    "d_dedup_groups_retracted", "q_proposals_page", "q_txvol_salted_join",
+    // round-10 second arc: the rollup's (vsum, n) retract and the
+    // join-view family (probe + retracted twin)
+    "q_ts_anomaly_probe_retracted",
+    "q_revenue_view_probe", "q_revenue_view_retracted")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -136,7 +140,8 @@ object Bench {
     "q_gas_quantiles_window_sketch", "t_heavy_hitters_probe",
     "q_richlist_gini_retracted", "d_dedup_retracted",
     "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
-    "d_dedup_groups_retracted")
+    "d_dedup_groups_retracted", "q_ts_anomaly_probe_retracted",
+    "q_revenue_view_probe", "q_revenue_view_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -295,8 +300,9 @@ object Bench {
   private val DigestBudget = 1860
 
   /** Reserved bytes for the probes map — sized to hold EVERY current
-    * probe row at worst-case width (BenchDigestSpec pins that all 26
-    * ride), so a probe-path regression is always driver-visible. */
+    * probe row at worst-case width (BenchDigestSpec pins that all 29
+    * ride: 891 B at uniform 99.99 s widths, 69 B headroom), so a
+    * probe-path regression is always driver-visible. */
   private val ProbesBudget = 960
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
