@@ -227,6 +227,50 @@ object JoinViewWarehouse {
       retractOrders(spark, t.orders.filter(isRetractedOrder), p)
     }
 
+  /** Op-signed order-change rows — the CDC shape: op = +1 inserts an
+    * order, −1 deletes one; an UPDATE (e.g. a priority correction) is
+    * the (−1 old row, +1 new row) pair. */
+  private def orderChangeRows(changes: DataFrame): DataFrame =
+    changes.select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"),
+      year(col("o_orderdate")).cast("long").as("year"),
+      col("op").cast("long").as("op"))
+
+  /** Fold one order-change batch: view += Σ op · (row ⋈ L_standing),
+    * side state += the op-signed rows.  The explicit decimal cast
+    * pins the view-delta schema to the refresh/retract writes'. */
+  def refreshOrderChanges(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val ch = orderChangeRows(batch).localCheckpoint()
+    ch.join(mergedLines(spark, path), Seq("k"))
+      .groupBy(col("prio"), col("year"))
+      .agg(sum(col("op").cast("decimal(10,0)") * col("rev"))
+        .cast("decimal(38,6)").as("rev"),
+        sum(col("op") * col("n")).as("n"))
+      .write.mode("append").parquet(path)
+    ch.write.mode("append").parquet(oPath(path))
+  }
+
+  /** The CDC twin on the ORDERS side — insert, update (−old/+new)
+    * and delete in ONE verb, against a view whose value depends on
+    * the OTHER input.  The binary case has a subtlety the Balance
+    * CDC twin does not: each change half joins L_standing AT ITS OWN
+    * FOLD TIME, so when a line batch lands BETWEEN an update's −old
+    * and +new halves, the two halves see different line states — and
+    * the ledger still telescopes to the final state: −old cancels
+    * exactly what old contributed (same L it was folded against,
+    * plus every line folded while old was live), the in-between line
+    * batch finds NO live row for the key (old's op netted to 0, new
+    * not yet arrived) and contributes nothing, and +new then joins
+    * the FULL standing line state.  JoinViewWarehouseSpec drives
+    * exactly that interleaving and pins bit-equality with the
+    * updated-orders rebuild. */
+  def streamingOrderChanges(changes: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) refreshOrderChanges(batch.sparkSession, batch, path)
+      }
+      .start()
+
   /** The refresh's ONLINE twin — a lineitem stream folding against
     * the standing orders side inside foreachBatch (the collector
     * loop's actual shape: line-grain facts arrive continuously,

@@ -127,6 +127,51 @@ class JoinViewWarehouseSpec extends GraftSpec {
     assert(oKeys.count() == 0, "compacted O side still holds retracted keys")
   }
 
+  test("CDC twin: an order update split across micro-batches, with a line batch landing between the halves, folds to the updated-orders rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // the order whose priority the update corrects — ODD key, so its
+    // remaining lines are exactly the ones landing BETWEEN the halves
+    val target = t.orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1)
+      .orderBy(col("o_orderkey")).head()
+    val k = target.getLong(0)
+    val oldPrio = target.getString(5)
+    val newPrio = if (oldPrio == "1-URGENT") "5-LOW" else "1-URGENT"
+    // o_orderdate reads as TIMESTAMP_NTZ (LocalDateTime); the stream
+    // carries an instant — same wall time under the UTC session tz
+    val date = java.sql.Timestamp.valueOf(target.getAs[java.time.LocalDateTime](4))
+
+    // base: all orders, HALF the lines; the other half splits around
+    // the update so some of the target's lines land between the halves
+    val lines = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val p = tmp("cdc")
+    JoinViewWarehouse.materializeFrom(t.orders,
+      lines.filter(pmod(col("l_orderkey"), lit(2L)) === 0), p)
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = JoinViewWarehouse.streamingOrderChanges(
+      mem.toDF().toDF("o_orderkey", "o_orderpriority", "o_orderdate", "op"), p)
+    try {
+      mem.addData((k, oldPrio, date, -1L)) // the update's first half
+      q.processAllAvailable()
+      // a line batch BETWEEN the halves — includes the target's lines
+      JoinViewWarehouse.refreshLines(spark,
+        lines.filter(pmod(col("l_orderkey"), lit(2L)) === 1), p)
+      mem.addData((k, newPrio, date, 1L)) // the update's second half
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ref = tmp("cdc-ref")
+    val updatedOrders = t.orders.withColumn("o_orderpriority",
+      when(col("o_orderkey") === k, lit(newPrio)).otherwise(col("o_orderpriority")))
+    JoinViewWarehouse.materializeFrom(updatedOrders, lines, ref)
+    assert(viewOf(p) == viewOf(ref), "CDC fold diverges from updated-orders rebuild")
+  }
+
   test("streaming line refresh across micro-batches equals the one-shot fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
