@@ -118,7 +118,10 @@ object Bench {
     // round-10 second arc: the rollup's (vsum, n) retract and the
     // join-view family (probe + retracted twin)
     "q_ts_anomaly_probe_retracted",
-    "q_revenue_view_probe", "q_revenue_view_retracted")
+    "q_revenue_view_probe", "q_revenue_view_retracted",
+    // round-10 third arc: the snapshot log's as-of read (gen-pruned)
+    // and the top-k warehouse's probe + retracted twin
+    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -141,7 +144,8 @@ object Bench {
     "q_richlist_gini_retracted", "d_dedup_retracted",
     "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
     "d_dedup_groups_retracted", "q_ts_anomaly_probe_retracted",
-    "q_revenue_view_probe", "q_revenue_view_retracted")
+    "q_revenue_view_probe", "q_revenue_view_retracted",
+    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -300,10 +304,11 @@ object Bench {
   private val DigestBudget = 1860
 
   /** Reserved bytes for the probes map — sized to hold EVERY current
-    * probe row at worst-case width (BenchDigestSpec pins that all 29
-    * ride: 891 B at uniform 99.99 s widths, 69 B headroom), so a
-    * probe-path regression is always driver-visible. */
-  private val ProbesBudget = 960
+    * probe row at worst-case width (BenchDigestSpec pins that all 32
+    * ride at uniform 99.99 s widths with headroom), so a probe-path
+    * regression is always driver-visible.  The queries map flexes to
+    * absorb the reservation (its smallest rows fold into q_other). */
+  private val ProbesBudget = 1020
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

@@ -111,6 +111,21 @@ object SparkEntry {
     "q_delegations_page" -> (Staking.delegationsPage _),
     "q_delegators_top" -> (Staking.delegatorsTop _),
     "q_richlist" -> (Staking.richlist _),
+    // the reference's richlist COLLECTOR (richlist.ts materializes top
+    // holders nightly) as a maintained top-k view — the matrix's
+    // order-statistic shape: per-denom top-K buffers merge bit-equal
+    // by the truncation-semilattice identity; probe re-ranks KB-scale
+    // buffer rows and never rescans accounts — holds q_richlist's
+    // oracle VERBATIM
+    "q_richlist_probe" -> ((s: SparkSession, d: String) =>
+      RichlistWarehouse.probe(s, RichlistWarehouse.builtPath(s, d))),
+    // the delete verb on an ORDER STATISTIC: exact total subtraction +
+    // key tombstones + refill of ONLY the denoms whose buffers lost a
+    // row (deletion can PROMOTE truncated-away rows — the pruned-
+    // recompute rung, upstream read pruned to the dirty denoms);
+    // ORACLED with the richlist SQL verbatim over the survivors
+    "q_richlist_retracted" -> ((s: SparkSession, d: String) =>
+      RichlistWarehouse.probe(s, RichlistWarehouse.builtRetractedPath(s, d))),
     "q_richlist_denom" -> ((s: SparkSession, d: String) => Staking.richlistByDenom(s, d)),
     // per-denom wealth concentration: histogram-computed Gini; the
     // row_number oracle is equal by the tie-block identity
@@ -128,6 +143,13 @@ object SparkEntry {
     // base ∖ removed (retract∘refresh == rebuild, bit-for-bit)
     "q_richlist_gini_retracted" -> ((s: SparkSession, d: String) =>
       BalanceWarehouse.giniProbe(s, BalanceWarehouse.builtRetractedPath(s, d))),
+    // the snapshot log's as-of read (time travel): generation-
+    // partitioned delta dirs, asOf(1) re-serves the PRE-retraction
+    // state bit-for-bit from a log whose head has already deleted
+    // every third account — so the oracle is the plain full-corpus
+    // gini SQL VERBATIM (reproducible-training-snapshot contract)
+    "q_richlist_gini_asof" -> ((s: SparkSession, d: String) =>
+      BalanceWarehouse.giniAsOf(s, BalanceWarehouse.builtGenPath(s, d), 1)),
     "q_total_supply" -> (Staking.totalSupply _),
     "q_balance_lookup" -> (Staking.balanceLookup _),
     "q_claims_page" -> (Staking.claimsPage _),
@@ -958,6 +980,21 @@ object SparkEntry {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey$where
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Hoisted q_richlist body, shared VERBATIM by the buffer-served
+  // q_richlist_probe (RichlistWarehouse: top-K-preserving order-
+  // statistic buffers + additive totals) and — parameterized ONLY on
+  // the survivor predicate — by its retraction twin.
+  private def qRichlistSqlOver(where: String) =
+    s"""WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer$where),
+       |t AS (SELECT ${SUMX("c_acctbal")} AS total_bal FROM c),
+       |top AS (SELECT * FROM c ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
+       |SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance,
+       |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin
+
+  private lazy val QRichlistSql = qRichlistSqlOver("")
+  private lazy val QRichlistRetractedSql =
+    qRichlistSqlOver(" WHERE c_custkey % 3 <> 0")
+
   private lazy val QRichlistGiniSql = qRichlistGiniSqlOver("")
   // rebuild-on-base∖removed: the identical gini text over the
   // accounts surviving BalanceWarehouse.isRetractedCust
@@ -1362,11 +1399,13 @@ object SparkEntry {
          |CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY delegated DESC, o_custkey) AS BIGINT) AS delegator_rank FROM pp)
          |SELECT l_suppkey, o_custkey, round(delegated, 2) AS delegated, delegator_rank
          |FROM r WHERE delegator_rank <= 5""".stripMargin,
-    "q_richlist" ->
-      s"""WITH t AS (SELECT ${SUMX("c_acctbal")} AS total_bal FROM customer),
-         |top AS (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20)
-         |SELECT c_custkey, c_name, round(c_acctbal, 2) AS balance,
-         |round(c_acctbal / total_bal, 8) AS share FROM top, t""".stripMargin,
+    "q_richlist" -> QRichlistSql,
+    // buffers preserve the per-denom top-K multiset and the folded
+    // total equals sumx ⇒ the inline oracle VERBATIM
+    "q_richlist_probe" -> QRichlistSql,
+    // rebuild-on-survivors: the identical richlist text over
+    // base ∖ removed (the mod-3 takedown slice)
+    "q_richlist_retracted" -> QRichlistRetractedSql,
     "q_richlist_denom" ->
       s"""WITH mem AS (SELECT c_custkey, c_name, c_acctbal FROM customer
          |JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
@@ -1385,6 +1424,9 @@ object SparkEntry {
     // ⇒ the histogram equals a rebuild on the surviving accounts, so
     // the probe holds the gini text VERBATIM over base ∖ removed
     "q_richlist_gini_retracted" -> QRichlistGiniRetractedSql,
+    // as-of generation 1 == all accounts, before the gen-2 retraction
+    // ⇒ the plain full-corpus gini text VERBATIM — the snapshot claim
+    "q_richlist_gini_asof" -> QRichlistGiniSql,
     "q_total_supply" ->
       s"""SELECT n_name AS denom, round(${SUMX("c_acctbal")}, 2) AS total_supply, count(*) AS n_accounts
          |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,

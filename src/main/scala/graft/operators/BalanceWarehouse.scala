@@ -164,6 +164,104 @@ object BalanceWarehouse {
       }
       .start()
 
+  // ------------------------------------------------------------------
+  // SNAPSHOT LOG — as-of generation reads (time travel over the delta
+  // log).  A training run must be able to name the EXACT corpus state
+  // it read ("the warehouse as of generation g") and re-serve it
+  // bit-for-bit after later refreshes AND retractions have landed —
+  // the reproducibility verb a production data pipeline needs next to
+  // refresh/retract.  Mechanism: generations are DIRECTORY PARTITIONS
+  // (`path/gen=N/`), so
+  //   - stamping costs nothing (the gen never rides in the rows; it is
+  //     the directory name),
+  //   - an as-of read is PARTITION PRUNING — `gen <= g` drops newer
+  //     generations at file listing, so a snapshot read costs
+  //     O(state up to g) and never even lists later deltas
+  //     (spec-asserted via listFiles, the matrix's pruning pattern),
+  //   - the contract is exact by the same associativity that gives
+  //     refresh its bit-equal rung: asOf(g) == the probe at the moment
+  //     gen g was the head, bit-for-bit, forever — including
+  //     asOf(pre-retraction g), which re-serves deleted accounts'
+  //     influence WITHOUT any standing row having been rewritten.
+  // RETENTION: `compactHorizon(h)` folds gens <= h into one merged
+  // gen=h base — every asOf(g >= h) is bit-invariant, and asOf(g < h)
+  // becomes EMPTY (the retention contract made visible: history
+  // before the horizon is gone; spec-pinned).  The pattern is
+  // member-generic — any append-only delta member gets it by routing
+  // its writes through gen dirs; it is registered here on the member
+  // whose refresh AND retract rungs are already oracled, so the
+  // snapshot claim composes with both.
+  //
+  // Interplay with retraction-based takedown (right-to-be-forgotten):
+  // a retraction only forgets FORWARD — snapshots at g < retraction
+  // still serve the removed rows' influence by design.  A takedown
+  // that must also erase history is compactHorizon past the
+  // retraction gen (physical erasure of the pre-horizon state).
+  // ------------------------------------------------------------------
+
+  private def genDir(path: String, gen: Int) = s"$path/gen=$gen"
+
+  /** REFRESH into generation `gen` — the plain refresh routed to the
+    * generation's directory partition. */
+  def refreshAt(batch: DataFrame, path: String, gen: Int): Unit =
+    deltas(batch).write.mode("append").parquet(genDir(path, gen))
+
+  /** RETRACT as generation `gen` — negated deltas, gen-routed. */
+  def retractAt(removed: DataFrame, path: String, gen: Int): Unit =
+    deltas(removed)
+      .select(col("denom"), col("q"), (-col("c")).as("c"))
+      .write.mode("append").parquet(genDir(path, gen))
+
+  /** The as-of merge: fold only generations <= `gen`.  The filter is
+    * on the PARTITION column, so later generations' files are pruned
+    * at listing (spec-asserted), not read-and-dropped. */
+  private[graft] def mergedHistAsOf(spark: SparkSession, path: String,
+      gen: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("gen") <= gen)
+      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
+
+  /** Registered `q_richlist_gini_asof`: the concentration report AS OF
+    * generation 1 (base + incoming, BEFORE the gen-2 retraction) —
+    * served from a log whose head has already retracted every third
+    * account.  Because asOf(1) reconstructs the full-account histogram
+    * exactly, the oracle is the plain q_richlist_gini SQL VERBATIM —
+    * the strongest snapshot claim available: the pre-delete state
+    * re-served bit-for-bit from the post-delete log. */
+  def giniAsOf(spark: SparkSession, path: String, gen: Int): DataFrame =
+    Staking.giniOfHist(mergedHistAsOf(spark, path, gen).localCheckpoint())
+
+  /** RETENTION — fold all generations <= `horizon` into one merged
+    * gen=`horizon` base partition, leaving later generations' delta
+    * files untouched (they are rewritten verbatim only because the
+    * static overwrite replaces the whole tree; row content is
+    * preserved).  asOf(g >= horizon) is bit-invariant (associative
+    * integer sums); asOf(g < horizon) becomes empty — the retention
+    * boundary.  Single-writer maintenance window, as everywhere. */
+  def compactHorizon(spark: SparkSession, path: String, horizon: Int): Unit = {
+    val later = spark.read.parquet(path)
+      .filter(col("gen") > horizon)
+      .select(col("denom"), col("q"), col("c"), col("gen"))
+    val atHorizon = mergedHistAsOf(spark, path, horizon)
+      .withColumn("gen", lit(horizon))
+      .select(col("denom"), col("q"), col("c"), col("gen"))
+    val all = atHorizon.unionByName(later).localCheckpoint()
+    all.write.mode("overwrite").partitionBy("gen").parquet(path)
+  }
+
+  /** The three-generation snapshot-log build: gen 0 = base ingest,
+    * gen 1 = incoming refresh, gen 2 = the cross-cutting retraction —
+    * the same slices as builtRetractedPath, so gen-2's head state is
+    * bit-comparable to the flat retracted log's. */
+  def builtGenPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("balance_warehouse_gen", dir) { p =>
+      val c = Tables(spark, dir).customer
+      refreshAt(balancesOf(spark, dir, c.filter(isBaseCust)), p, 0)
+      refreshAt(balancesOf(spark, dir, c.filter(!isBaseCust)), p, 1)
+      retractAt(balancesOf(spark, dir, c.filter(isRetractedCust)), p, 2)
+    }
+
   /** Op-weighted histogram deltas of a change batch: op = +1 inserts
     * a balance, −1 deletes one; an UPDATE is the documented
     * (−1 old value, +1 new) pair — the Scaladoc's production note

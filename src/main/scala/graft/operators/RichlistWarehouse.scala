@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Exact.{roundx, sumx}
+import graft.sources.Tables
+
+/** The reference's richlist collector as a MAINTAINED top-k view —
+  * a new algebraic shape for the warehouse matrix: bounded
+  * ORDER-STATISTIC state (fcd materializes top holders nightly,
+  * reference: src/collector/richlist.ts:20; this member keeps the
+  * same view standing under refresh AND retraction instead of
+  * recomputing it per cycle).
+  *
+  * State: per-denom top-K BUFFERS (k rows × ~25 denoms — KB-scale at
+  * any corpus size) + an additive (total, n) side state per denom for
+  * the share denominator.  The total order is deterministic
+  * (bal DESC, custkey ASC — no ties), which makes every claim below
+  * bit-grade rather than probabilistic.
+  *
+  * REFRESH — the mergeable rung, by the truncation-semilattice
+  * identity: topK(A ∪ B) == topK(topK(A) ∪ topK(B)) for any disjoint
+  * batches A, B under a total order.  Each batch appends its own
+  * per-denom top-K rows (O(batch)) plus its (total, n) deltas; the
+  * probe merges buffers and re-ranks — bit-equal to a one-shot
+  * rebuild for ANY batching (spec-pinned).
+  *
+  * RETRACT — the honest rung split an order statistic forces:
+  *  - totals subtract exactly (negative DECIMAL/LONG deltas — the
+  *    BalanceWarehouse rung);
+  *  - buffer rows tombstone by key (O(removed) append);
+  *  - and the part no cheaper design can dodge: deleting a buffered
+  *    row may PROMOTE an account that truncation already discarded,
+  *    so retract detects DIRTY denoms (removed ∩ merged buffer —
+  *    a metadata-scale check) and refills ONLY those from the
+  *    upstream store, survivors-filtered (cumulative tombstones) and
+  *    PRUNED to the dirty denoms — at 100 TB with balances
+  *    partitioned by denom that is partition pruning, the
+  *    EdgeWarehouse affected-components pattern applied to order
+  *    statistics.  A retraction touching none of the buffers is pure
+  *    tombstone+deltas: NO upstream read (spec-asserted).
+  *  Everything stays append-only: the refill appends the promoted
+  *  rows; the merged view (buffers ∖ tombstones, distinct, re-rank)
+  *  serves the survivors' true top-K — probe-equal to
+  *  rebuild-on-(base ∖ removed), spec-pinned on BOTH retract paths.
+  *
+  * COMPACT — merge to the live top-K rows per denom + one total row;
+  * probes bit-identical (rank of a superset that dominates == rank of
+  * the exact set); tombstones clear (they are folded in).
+  */
+object RichlistWarehouse {
+
+  private val K = 20
+
+  private def bufPath(path: String) = path + ".buf"
+  private def totPath(path: String) = path + ".tot"
+  private def tombPath(path: String) = path + ".tomb"
+
+  /** Deterministic per-denom order — ties impossible (custkey unique). */
+  private def rankOrder = Window.partitionBy(col("denom"))
+    .orderBy(col("bal").desc, col("custkey"))
+
+  /** A batch's own per-denom top-K — the O(batch) buffer contribution. */
+  private[graft] def topkOf(rows: DataFrame): DataFrame =
+    rows.withColumn("__r", row_number().over(rankOrder))
+      .filter(col("__r") <= K).drop("__r")
+
+  /** A batch's additive share-denominator deltas — the Exact.sumx
+    * cast (DECIMAL(30,6)) so the folded grand total is bit-equal to
+    * the inline sumx over all rows (decimal sums associate). */
+  private def totDeltas(rows: DataFrame): DataFrame =
+    rows.groupBy(col("denom"))
+      .agg(sum(col("bal").cast("decimal(30,6)")).as("tot"),
+        count(lit(1)).as("n"))
+
+  /** The (denom, custkey, name, bal) frame of a customer slice — the
+    * nation join paid at ingest, as in BalanceWarehouse. */
+  private[graft] def rowsOf(spark: SparkSession, dir: String,
+      slice: DataFrame): DataFrame =
+    slice.join(broadcast(Tables(spark, dir).nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("denom"), col("c_custkey").as("custkey"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+
+  /** INGEST / REFRESH — append the batch's top-K + total deltas. */
+  def refresh(batch: DataFrame, path: String): Unit = {
+    topkOf(batch).write.mode("append").parquet(bufPath(path))
+    totDeltas(batch).write.mode("append").parquet(totPath(path))
+  }
+
+  /** Live buffer rows: appended buffers ∖ tombstoned keys, distinct
+    * (a refill may re-append a surviving row; distinct is the
+    * self-healing normalization). */
+  private def liveBuffer(spark: SparkSession, path: String): DataFrame = {
+    val buf = spark.read.parquet(bufPath(path)).distinct()
+    val live =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath(path))))
+        buf.join(broadcast(spark.read.parquet(tombPath(path))),
+          Seq("custkey"), "left_anti")
+      else buf
+    // the equi-join key moves to the front — pin the buffer schema
+    live.select(col("denom"), col("custkey"), col("name"), col("bal"))
+  }
+
+  /** RETRACT — remove accounts: exact total subtraction + key
+    * tombstones, then refill ONLY the denoms whose buffers lost a row
+    * (promotion candidates exist only there).  `upstream` is the
+    * standing account store (denom-pruned at 100 TB); it is read ONLY
+    * when some buffer is dirty, and only for the dirty denoms. */
+  def retract(spark: SparkSession, removed: DataFrame, path: String,
+      upstream: DataFrame): Unit = {
+    val rem = removed.select(col("denom"), col("custkey"), col("bal"))
+      .localCheckpoint()
+    totDeltas(rem).select(col("denom"), (-col("tot")).as("tot"),
+      (-col("n")).as("n")).write.mode("append").parquet(totPath(path))
+    // dirty check BEFORE tombstoning (against the pre-retract buffers)
+    val dirty = liveBuffer(spark, path)
+      .join(rem.select(col("custkey")), Seq("custkey"), "left_semi")
+      .select(col("denom")).distinct().collect().map(_.getString(0))
+    rem.select(col("custkey")).write.mode("append").parquet(tombPath(path))
+    if (dirty.nonEmpty) {
+      // pruned refill: dirty denoms only, survivors only (cumulative
+      // tombstones), each denom's fresh top-K appended to the buffer
+      val tomb = broadcast(spark.read.parquet(tombPath(path)))
+      val survivors = upstream
+        .filter(col("denom").isin(dirty.toIndexedSeq: _*))
+        .join(tomb, Seq("custkey"), "left_anti")
+      topkOf(survivors).write.mode("append").parquet(bufPath(path))
+    }
+  }
+
+  /** COMPACT — fold buffers/tombstones/totals to the live state:
+    * top-K rows per denom, one total row per denom, empty tombstones. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val buf = topkOf(liveBuffer(spark, path)).localCheckpoint()
+    val tot = spark.read.parquet(totPath(path))
+      .groupBy(col("denom"))
+      .agg(sum(col("tot")).as("tot"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0).localCheckpoint()
+    buf.write.mode("overwrite").parquet(bufPath(path))
+    tot.write.mode("overwrite").parquet(totPath(path))
+    val t = tombPath(path)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(t)))
+      spark.range(0).select(col("id").as("custkey"))
+        .write.mode("overwrite").parquet(t)
+  }
+
+  /** The probe-side merge — exposed so the spec can assert its plan
+    * scans ONLY the warehouse (never customer/nation). */
+  private[graft] def mergedTopK(spark: SparkSession, path: String): DataFrame =
+    topkOf(liveBuffer(spark, path))
+
+  /** Registered `q_richlist_probe` / `q_richlist_retracted`: the
+    * global top-20 with share of total supply, served from the
+    * buffers at rest.  Global top-20 is recoverable from per-denom
+    * top-20s because every account carries exactly one denom; the
+    * share denominator is the folded additive total — so the result
+    * equals q_richlist row-for-row and holds its oracle VERBATIM
+    * (parameterized only on the survivor predicate for the retracted
+    * twin). */
+  def probe(spark: SparkSession, path: String): DataFrame = {
+    // the sumx tail: decimal fold, one cast to double (so the share
+    // division below is the inline query's double/double, bit-equal)
+    val total = spark.read.parquet(totPath(path))
+      .agg(sum(col("tot")).cast("double").as("total_bal"))
+    mergedTopK(spark, path)
+      .orderBy(col("bal").desc, col("custkey"))
+      .limit(K)
+      .crossJoin(broadcast(total))
+      .select(col("custkey").as("c_custkey"), col("name").as("c_name"),
+        roundx(col("bal"), 2).as("balance"),
+        roundx(col("bal") / col("total_bal"), 8).as("share"))
+  }
+
+  /** The standard two-generation build (mod-10 on custkey). */
+  def builtPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("richlist_warehouse", dir) { p =>
+      val c = Tables(spark, dir).customer
+      refresh(rowsOf(spark, dir, c.filter(BalanceWarehouse.isBaseCust)), p)
+      refresh(rowsOf(spark, dir, c.filter(!BalanceWarehouse.isBaseCust)), p)
+    }
+
+  /** The retraction build: both generations, then retract the
+    * cross-cutting mod-3 slice — which removes top holders too, so
+    * the registered path exercises the DIRTY branch (promotion via
+    * pruned refill), not just the tombstone fast path. */
+  def builtRetractedPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("richlist_warehouse_retracted", dir) { p =>
+      val c = Tables(spark, dir).customer
+      refresh(rowsOf(spark, dir, c.filter(BalanceWarehouse.isBaseCust)), p)
+      refresh(rowsOf(spark, dir, c.filter(!BalanceWarehouse.isBaseCust)), p)
+      retract(spark,
+        rowsOf(spark, dir, c.filter(BalanceWarehouse.isRetractedCust)), p,
+        upstream = rowsOf(spark, dir, c))
+    }
+}
