@@ -119,9 +119,12 @@ object Bench {
     // join-view family (probe + retracted twin)
     "q_ts_anomaly_probe_retracted",
     "q_revenue_view_probe", "q_revenue_view_retracted",
-    // round-10 third arc: the snapshot log's as-of read (gen-pruned)
-    // and the top-k warehouse's probe + retracted twin
-    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted")
+    // round-10 third arc: the snapshot log's as-of read (gen-pruned),
+    // the top-k warehouse's probe + retracted twin, and the two
+    // selection verbs (representative choice over warehouse labels,
+    // budgeted selection via the threshold decomposition)
+    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
+    "d_dedup_keep_best", "d_budget_select")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -145,7 +148,8 @@ object Bench {
     "s_bm25_probe_retracted", "t_perplexity_probe_retracted",
     "d_dedup_groups_retracted", "q_ts_anomaly_probe_retracted",
     "q_revenue_view_probe", "q_revenue_view_retracted",
-    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted")
+    "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
+    "d_dedup_keep_best")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -308,7 +312,7 @@ object Bench {
     * ride at uniform 99.99 s widths with headroom), so a probe-path
     * regression is always driver-visible.  The queries map flexes to
     * absorb the reservation (its smallest rows fold into q_other). */
-  private val ProbesBudget = 1020
+  private val ProbesBudget = 1080
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

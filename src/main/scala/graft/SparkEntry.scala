@@ -302,6 +302,12 @@ object SparkEntry {
     // equal the full recompute over the survivor corpus
     "d_dedup_groups_retracted" -> ((s: SparkSession, d: String) =>
       graft.dedup.EdgeWarehouse.retractedGroups(s, d)),
+    // the dedup ENDGAME: one representative per near-dup cluster by
+    // quality argmax (not min-id — near-dup members are DIFFERENT
+    // texts); group_id-partitioned window over warehouse labels,
+    // quality at scan speed; ORACLED by composing the hoisted groups
+    // + quality bodies verbatim
+    "d_dedup_keep_best" -> (Dedup.keepBest _),
     // the grouping story's SCALE PATH: the J-channel from MinHash-LSH-
     // verified pairs (banded candidates, exact verify) instead of the
     // AllPairs prefix join — registered INLINE so the bench row prices
@@ -458,6 +464,13 @@ object SparkEntry {
     "d_contamination_report" -> ((s: SparkSession, d: String) => TrainPrep.contaminationReport(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
     "d_dsir_sample" -> ((s: SparkSession, d: String) => TrainPrep.dsirSample(s, d)),
+    // greedy selection under a token budget — the scale plan is the
+    // threshold decomposition (bucket totals + driver prefix fold +
+    // a window over ONLY the boundary bucket), oracled per-row
+    // against the naive global-cumsum SQL: the equality is the
+    // decomposition's correctness proof
+    "d_budget_select" -> ((s: SparkSession, d: String) =>
+      TrainPrep.budgetSelect(s, d)),
     "d_split_leakage_safe" -> (TrainPrep.leakageSafeSplit _),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
@@ -1721,6 +1734,18 @@ object SparkEntry {
     // corpus — the pruned re-CC must be indistinguishable from the
     // full recompute on corpus ∖ removed
     "d_dedup_groups_retracted" -> dDedupGroupsSqlOver(" WHERE doc_id % 13 <> 0"),
+    // representative selection: the hoisted groups body (verbatim, as
+    // a subquery CTE) joined to the hoisted quality body, argmax by
+    // (quality DESC, doc_id) per group
+    "d_dedup_keep_best" ->
+      s"""WITH g AS ($DDedupGroupsSql), q AS ($TQualitySql),
+         |j AS (SELECT g.doc_id AS doc_id, g.group_id AS group_id,
+         |g.group_size AS group_size, q.quality_score AS quality_score
+         |FROM g JOIN q ON g.doc_id = q.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+         |ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+         |SELECT group_id, doc_id AS kept_doc_id, group_size,
+         |quality_score AS best_quality FROM r WHERE rn = 1""".stripMargin,
     // the incremental fold must equal the full recompute exactly —
     // same oracle, same hash gate
     "d_dedup_groups_incremental" ->
@@ -1885,6 +1910,17 @@ object SparkEntry {
     // λ's ratio is a quotient of quotients of exact integers (no
     // product form — nothing to overflow), ln through the s_bm25
     // 9-dp + DECIMAL route; ordering/cut compare the 6-dp round
+    // the NAIVE global-cumsum form — the registered plan's threshold
+    // decomposition must equal it per-row (quality roundx'd to 4 dp
+    // makes the buckets engine-stable; doc_id is the tiebreak)
+    "d_budget_select" ->
+      s"""WITH q AS ($TQualitySql),
+         |j AS (SELECT q.doc_id AS doc_id, q.quality_score AS quality_score,
+         |CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens
+         |FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT doc_id, quality_score, re_tokens,
+         |CAST(sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id) <= 10000 AS BIGINT) AS kept
+         |FROM j""".stripMargin,
     "d_dsir_sample" ->
       """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
         |tb AS (SELECT doc_id, lang, ('0x' || substring(md5(term), 1, 15))::BIGINT % 1024 AS b FROM tk),

@@ -649,6 +649,40 @@ object Dedup {
     withGroupSizes(connectedComponents(
       documents.select(col("doc_id")), nearDupEdgesLsh(documents)))
 
+  /** `d_dedup_keep_best`: the dedup ENDGAME — canonical-representative
+    * selection.  Grouping alone doesn't finish the pipeline verb: a
+    * training corpus keeps ONE document per near-dup cluster, and the
+    * right one is the best-quality member, not the lowest doc_id (the
+    * md5-exact `is_canonical` convention d_corpus_funnel uses is only
+    * correct for byte-identical copies; near-dup clusters hold
+    * DIFFERENT texts — a truncated or boilerplate-padded variant can
+    * carry the smaller id).  One row per group: argmax by
+    * (quality_score DESC, doc_id ASC) over the group members.
+    *
+    * Scale: quality is scan-speed column math (qualityScoreCol,
+    * roundx'd to 4 so the ordering is engine-stable), the argmax is
+    * row_number over a window PARTITIONED BY group_id — group-bounded,
+    * one shuffle on group_id, no global window; labels come from the
+    * warehouse at rest (dedupGroups' EdgeWarehouse read).  ORACLED by
+    * composing the hoisted groups + quality SQL bodies verbatim (the
+    * d_corpus_funnel composition rule). */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestFrom(dedupGroups(spark, dir),
+      Tables(spark, dir).documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScoreCol(col("text"))
+          .as("quality_score")))
+
+  /** Frame-level representative selection — the spec entry point:
+    * `groups` = (doc_id, group_id, group_size), `quality` =
+    * (doc_id, quality_score). */
+  def keepBestFrom(groups: DataFrame, quality: DataFrame): DataFrame =
+    groups.join(quality, Seq("doc_id"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("group_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("__r") === 1)
+      .select(col("group_id"), col("doc_id").as("kept_doc_id"),
+        col("group_size"), col("quality_score").as("best_quality"))
+
   /** The near-dup edge set dedupGroups runs CC over: exact-dup ∪
     * ngram-Jaccard≥0.8 ∪ edit-distance≤10 (a_id, b_id) pairs. */
   private[graft] def nearDupEdges(documents: DataFrame): DataFrame =

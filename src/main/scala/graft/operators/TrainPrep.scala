@@ -533,4 +533,63 @@ object TrainPrep {
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
   }
+
+  /** `d_budget_select`: greedy corpus selection under a TOKEN BUDGET —
+    * keep documents in (quality DESC, doc_id) order while the running
+    * token total stays ≤ B (the data-selection step between scoring
+    * and packing: "the best N-token corpus this scorer can buy").
+    *
+    * The naive plan is a GLOBAL cumulative-sum window — an
+    * unpartitioned window over the whole corpus, the exact
+    * scale-killer this repo's plan rules forbid.  The registered plan
+    * is the distributed threshold form, EXACTLY equal to the greedy
+    * prefix because quality is roundx'd to 4 dp (engine-stable
+    * buckets) and the order's tiebreak is doc_id:
+    *  1. one scan → (quality bucket, token sum, doc count) — a
+    *     group-by over ≤ ~10⁴ distinct rounded scores;
+    *  2. the driver folds the DESC-sorted buckets' prefix sums
+    *     (metadata-scale collect, the bucket-pruning-list class) to
+    *     find the BOUNDARY bucket s* and its remaining budget r;
+    *  3. buckets above s* keep wholesale, buckets below drop
+    *     wholesale — scan-speed filters, no window at all; ONLY the
+    *     boundary bucket pays a cumsum window, partitioned to that
+    *     single bucket (bounded by its membership, not the corpus).
+    * ORACLED against the global-cumsum SQL — the equality IS the
+    * threshold decomposition's correctness proof, run per-row. */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
+      graft.functions.TextFunctions.regexTokenCount(col("text"))
+        .cast("long").as("re_tokens"))
+    // phase 1+2: per-bucket totals, driver-side prefix fold (DESC)
+    val buckets = scored.groupBy(col("quality_score"))
+      .agg(sum(col("re_tokens")).as("tok")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, _) => -s }
+    var prefix = 0L
+    var sStar = Double.NegativeInfinity // all kept if budget ≥ total
+    var r = 0L
+    val it = buckets.iterator
+    while (it.hasNext && sStar == Double.NegativeInfinity) {
+      val (s, tok) = it.next()
+      if (prefix + tok > budget) { sStar = s; r = budget - prefix }
+      else prefix += tok
+    }
+    // phase 3: wholesale keeps/drops + the boundary bucket's window
+    if (sStar == Double.NegativeInfinity)
+      scored.withColumn("kept", lit(1L))
+    else {
+      val above = scored.filter(col("quality_score") > sStar)
+        .withColumn("kept", lit(1L))
+      val boundary = scored.filter(col("quality_score") === sStar)
+        .withColumn("__ct", sum(col("re_tokens")).over(
+          Window.partitionBy(col("quality_score")).orderBy(col("doc_id"))))
+        .withColumn("kept", (col("__ct") <= r).cast("long")).drop("__ct")
+      val below = scored.filter(col("quality_score") < sStar)
+        .withColumn("kept", lit(0L))
+      above.unionByName(boundary).unionByName(below)
+    }
+  }
 }
