@@ -356,27 +356,42 @@ object Bench {
       if (stress == "null") None
       else Some(s""""stress":${StressBench.countsOnly(stress)}""")
     val (pRows, pRest) = fillRows(probes, ProbesBudget, f2)
-    val probeParts = Seq(Some(s""""probes":{$pRows}"""), otherOf("p_other", pRest))
+    val probesFull = Seq(Some(s""""probes":{$pRows}"""), otherOf("p_other", pRest))
+    // degenerate-rung probe section: the whole map folded to one rollup
+    val probesFolded = Seq(otherOf("p_other", probes))
+    val failedFull = s""""failed":$failed"""
     def assemble(qRows: String, qOther: Option[String],
+        probeParts: Seq[Option[String]], failedPart: String,
         opt: Seq[Option[String]]): String =
       (Seq(Some(s""""queries":{$qRows}"""), qOther,
-        Some(s""""failed":$failed"""), Some(s""""sf":"$sfShort"""")) ++
+        Some(failedPart), Some(s""""sf":"$sfShort"""")) ++
         probeParts ++ opt).flatten.mkString(
         s"""{"metric":"total","value":${f3(total)},"unit":"sec",""", ",", "}")
     // size the queries sub-budget from what everything ELSE costs,
     // reserving worst-case q_other width; fill greedily, then drop
-    // optional sections (stress first, then ann) only if a degenerate
-    // input still overflows
+    // optional sections (stress first, then ann), then — the
+    // mass-failure rung where `failed` alone can be KB-scale — fold
+    // the probes map into one p_other rollup and the failed array
+    // into a count, so SOME parseable digest always fits the window
     val opts = Seq(annPart, stressPart)
-    val fixed = assemble("", Some(""""q_other":{"n":9999,"sec":99999.99}"""), opts)
+    val fixed = assemble("", Some(""""q_other":{"n":9999,"sec":99999.99}"""),
+      probesFull, failedFull, opts)
     val (qRows, qRest) = fillRows(results, math.max(0, DigestBudget - fixed.length), f2)
-    val full = assemble(qRows, otherOf("q_other", qRest), opts)
-    if (full.length <= DigestBudget) full
-    else {
-      val noStress = assemble(qRows, otherOf("q_other", qRest), Seq(annPart))
-      if (noStress.length <= DigestBudget) noStress
-      else assemble(qRows, otherOf("q_other", qRest), Seq.empty)
-    }
+    val qOther = otherOf("q_other", qRest)
+    val ladder = Seq(
+      () => assemble(qRows, qOther, probesFull, failedFull, opts),
+      () => assemble(qRows, qOther, probesFull, failedFull, Seq(annPart)),
+      () => assemble(qRows, qOther, probesFull, failedFull, Seq.empty),
+      () => assemble(qRows, qOther, probesFolded, failedFull, Seq.empty),
+      () => assemble(qRows, qOther, probesFolded,
+        s""""failed_n":${results.count(_._2 < 0)}""", Seq.empty),
+      // absolute floor: counts only — always well under budget
+      () => assemble("", Some(s""""q_other":{"n":${results.size},"sec":${
+        f2(results.map(_._2).filter(_ >= 0).sum)}}"""), probesFolded,
+        s""""failed_n":${results.count(_._2 < 0)}""", Seq.empty))
+    ladder.iterator.map(_())
+      .find(_.length <= DigestBudget)
+      .getOrElse(ladder.last())
   }
 
   /** recall@10 per approximate single-query ANN path vs the exact

@@ -125,21 +125,13 @@ object MinHashWarehouse {
     removedIds.select(col("doc_id"))
       .write.mode("append").parquet(tombPath(path))
 
-  private def tombExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Drop tombstoned candidates: one anti-join on the candidate PAIR
-    * set's base side — O(candidates), pruned far below index size.
-    * Plans untouched when no retraction ever happened (the common
-    * case keeps its exact old shape). */
+    * set's base side — O(candidates), pruned far below index size
+    * (graft.sources.Tombstones — the shared doc-keyed-rung mechanics;
+    * the no-tomb common case keeps its exact old plan). */
   private def dropTombstoned(spark: SparkSession, cand: DataFrame,
       path: String): DataFrame =
-    if (!tombExists(spark, path)) cand
-    else cand.join(spark.read.parquet(tombPath(path))
-        .select(col("doc_id").as("base_id")),
-      Seq("base_id"), "left_anti")
+    graft.sources.Tombstones.drop(spark, cand, tombPath(path), key = "base_id")
 
   /** COMPACT — physically remove tombstoned rows from `.docs` and the
     * banded index, then clear the tombstone set.  Probes bit-identical
@@ -147,17 +139,15 @@ object MinHashWarehouse {
     * like every compact in the matrix, amortizing the retract verb's
     * O(removed) appends.  Single-writer maintenance window assumed. */
   def compact(spark: SparkSession, path: String): Unit =
-    if (tombExists(spark, path)) {
-      val tomb = spark.read.parquet(tombPath(path))
-        .select(col("doc_id")).distinct().localCheckpoint()
+    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
+      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path))
       val docs = spark.read.parquet(docsPath(path))
         .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
       docs.write.mode("overwrite").parquet(docsPath(path))
       val idx = spark.read.parquet(path)
         .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
       idx.write.mode("overwrite").partitionBy("band").parquet(path)
-      val p = new org.apache.hadoop.fs.Path(tombPath(path))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Tombstones.clear(spark, tombPath(path))
     }
 
   /** The retraction build for the registered `d_dedup_retracted`

@@ -100,10 +100,8 @@ object BalanceWarehouse {
     * before/after (integer-sum order freedom); single-writer
     * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
-      .filter(col("c") =!= 0)
-      .localCheckpoint()
+    // persist exactly what probes serve: the one merged-reader body
+    val merged = mergedHist(spark, path).localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 

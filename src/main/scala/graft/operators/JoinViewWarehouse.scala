@@ -112,9 +112,13 @@ object JoinViewWarehouse {
   /** INGEST — one-shot build from both sides; also the refresh-
     * equivalence spec's reference builder. */
   def materializeFrom(orders: DataFrame, lines: DataFrame, path: String): Unit = {
-    orderRows(orders, 1).write.mode("overwrite").parquet(oPath(path))
-    lineDeltas(lines).write.mode("overwrite").parquet(lPath(path))
-    viewDeltas(orderRows(orders, 1).join(lineDeltas(lines), Seq("k")), 1)
+    // pin both side maps once — the view join reuses them instead of
+    // re-scanning and re-aggregating each input a second time
+    val o = orderRows(orders, 1).localCheckpoint()
+    val l = lineDeltas(lines).localCheckpoint()
+    o.write.mode("overwrite").parquet(oPath(path))
+    l.write.mode("overwrite").parquet(lPath(path))
+    viewDeltas(o.join(l, Seq("k")), 1)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -159,10 +163,9 @@ object JoinViewWarehouse {
     * bit-identical before/after (associative DECIMAL/LONG sums;
     * zero-count keys purge physically). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val v = spark.read.parquet(path)
-      .groupBy(col("prio"), col("year"))
-      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
-      .filter(col("n") =!= 0).localCheckpoint()
+    // the merged READER is the one definition of the folded state —
+    // compact must persist exactly what probes serve
+    val v = mergedView(spark, path).localCheckpoint()
     v.write.mode("overwrite").parquet(path)
     val o = mergedOrders(spark, path).withColumn("op", lit(1L)).localCheckpoint()
     o.write.mode("overwrite").parquet(oPath(path))

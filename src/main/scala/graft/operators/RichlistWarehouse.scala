@@ -95,11 +95,8 @@ object RichlistWarehouse {
     * self-healing normalization). */
   private def liveBuffer(spark: SparkSession, path: String): DataFrame = {
     val buf = spark.read.parquet(bufPath(path)).distinct()
-    val live =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath(path))))
-        buf.join(broadcast(spark.read.parquet(tombPath(path))),
-          Seq("custkey"), "left_anti")
-      else buf
+    val live = graft.sources.Tombstones.drop(spark, buf, tombPath(path),
+      key = "custkey", tombCol = "custkey")
     // the equi-join key moves to the front — pin the buffer schema
     live.select(col("denom"), col("custkey"), col("name"), col("bal"))
   }
@@ -123,10 +120,9 @@ object RichlistWarehouse {
     if (dirty.nonEmpty) {
       // pruned refill: dirty denoms only, survivors only (cumulative
       // tombstones), each denom's fresh top-K appended to the buffer
-      val tomb = broadcast(spark.read.parquet(tombPath(path)))
-      val survivors = upstream
-        .filter(col("denom").isin(dirty.toIndexedSeq: _*))
-        .join(tomb, Seq("custkey"), "left_anti")
+      val survivors = graft.sources.Tombstones.drop(spark,
+        upstream.filter(col("denom").isin(dirty.toIndexedSeq: _*)),
+        tombPath(path), key = "custkey", tombCol = "custkey")
       topkOf(survivors).write.mode("append").parquet(bufPath(path))
     }
   }
@@ -141,10 +137,8 @@ object RichlistWarehouse {
       .filter(col("n") =!= 0).localCheckpoint()
     buf.write.mode("overwrite").parquet(bufPath(path))
     tot.write.mode("overwrite").parquet(totPath(path))
-    val t = tombPath(path)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(t)))
-      spark.range(0).select(col("id").as("custkey"))
-        .write.mode("overwrite").parquet(t)
+    if (graft.sources.Tombstones.exists(spark, tombPath(path)))
+      graft.sources.Tombstones.clear(spark, tombPath(path))
   }
 
   /** The probe-side merge — exposed so the spec can assert its plan

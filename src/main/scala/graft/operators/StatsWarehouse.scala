@@ -75,11 +75,8 @@ object StatsWarehouse {
     * while the overwrite is in flight — the BigramLmWarehouse refresh
     * contract). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .groupBy(col("lang"), col("nw"))
-      .agg(sum(col("cnt")).as("cnt"), sum(col("ncs")).as("ncs"))
-      .filter(col("cnt") =!= 0)
-      .localCheckpoint()
+    // persist exactly what probes serve: the one merged-reader body
+    val merged = mergedHist(spark, path).localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 

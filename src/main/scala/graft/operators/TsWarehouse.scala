@@ -97,11 +97,10 @@ object TsWarehouse {
     * while the overwrite is in flight — the BigramLmWarehouse refresh
     * contract). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .groupBy(col("date"), col("event_type"))
-      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
-      .filter(col("n") =!= 0)
-      .localCheckpoint()
+    // persist exactly the fold probes serve (foldedDeltas is the one
+    // definition of the merged state; mergedDaily is its probe-side
+    // projection)
+    val merged = foldedDeltas(spark, path).localCheckpoint()
     merged.write.mode("overwrite").parquet(path)
   }
 
@@ -112,11 +111,14 @@ object TsWarehouse {
     * count column never reaches a consumer.  Exposed un-checkpointed
     * so the spec can assert its plan scans ONLY the warehouse (zero
     * events scans). */
-  private[graft] def mergedDaily(spark: SparkSession, path: String): DataFrame =
+  private def foldedDeltas(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("date"), col("event_type"))
       .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
+
+  private[graft] def mergedDaily(spark: SparkSession, path: String): DataFrame =
+    foldedDeltas(spark, path)
       .select(col("date"), col("event_type"),
         roundx(col("vsum").cast("double"), 3).as("v"))
 

@@ -151,18 +151,12 @@ object Bm25Warehouse {
     writeStats(spark, path, st.getLong(0) - n, st.getLong(1) - sl)
   }
 
-  private def tombExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Drop tombstoned docs from a hit set — O(hits); the no-tomb path
-    * (the common case) keeps its exact old plan. */
+    * (the common case) keeps its exact old plan
+    * (graft.sources.Tombstones — the shared doc-keyed-rung mechanics). */
   private def dropTombstoned(spark: SparkSession, hits: DataFrame,
       path: String): DataFrame =
-    if (!tombExists(spark, path)) hits
-    else hits.join(spark.read.parquet(tombPath(path)).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+    graft.sources.Tombstones.drop(spark, hits, tombPath(path), key = "doc_id")
 
   /** COMPACT — the segment-merge maintenance pass a refresh cadence
     * needs: every refresh appends one (term, dfd) delta row per batch
@@ -192,14 +186,12 @@ object Bm25Warehouse {
     merged.write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
     // physically remove tombstoned postings and clear the tombstones —
     // the posting side's one semantic compaction case (see Scaladoc)
-    if (tombExists(spark, path)) {
-      val tomb = spark.read.parquet(tombPath(path))
-        .select(col("doc_id")).distinct().localCheckpoint()
+    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
+      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path))
       val pruned = spark.read.parquet(path)
         .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
       pruned.write.mode("overwrite").partitionBy("tb").parquet(path)
-      val p = new org.apache.hadoop.fs.Path(tombPath(path))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Tombstones.clear(spark, tombPath(path))
     }
   }
 

@@ -88,6 +88,34 @@ class BenchDigestSpec extends AnyFunSuite {
     Bench.probeNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
   }
 
+  test("mass-failure rung: a KB-scale failed array still yields an under-budget digest") {
+    // the degenerate round the ladder's last rungs exist for: most
+    // headliners fail (-1 times), so `failed` alone is ~1.9 KB and
+    // can never ride verbatim — the digest must fold probes into
+    // p_other and failed into a count rather than overflow the
+    // driver's tail window
+    // every real headliner failing: the ladder folds probes into
+    // p_other and the full failed array still rides (the
+    // maximum-information rung that fits)
+    val failedNames = Bench.headlinerNames
+    val results = failedNames.map(_ -> -1.0)
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = Bench.digestLine(results, Bench.probeNames.map(_ -> -1.0),
+      -1.0, failedJson, "/root/testdata/sf0.1", stress, ann)
+    assert(line.length <= 1860, s"mass-failure digest ${line.length}B over budget")
+    assert(line.contains("\"failed\":[") && line.endsWith("}"))
+    // pathological names: the failed array alone exceeds the budget,
+    // so the last rungs must fold it to a count rather than overflow
+    val huge = (1 to 60).map(i => f"imaginary_catastrophic_failure_with_a_long_name_$i%02d" -> -1.0)
+    val hugeJson = huge.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val line2 = Bench.digestLine(huge, Bench.probeNames.map(_ -> -1.0),
+      -1.0, hugeJson, "/root/testdata/sf0.1", stress, ann)
+    assert(line2.length <= 1860, s"pathological digest ${line2.length}B over budget")
+    assert(line2.contains("\"failed_n\":" + huge.size),
+      "failure count missing from the degenerate digest")
+    assert(line2.endsWith("}"))
+  }
+
   test("null stress/ann produce a clean digest; failed rows surface") {
     val line = Bench.digestLine(Seq("q1" -> 1.0, "q2" -> -1.0),
       Seq("p1" -> 0.5), 1.0, """["q2"]""", "/root/testdata/sf0.1", "null", "null")

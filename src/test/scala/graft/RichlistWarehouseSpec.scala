@@ -158,7 +158,7 @@ class RichlistWarehouseSpec extends GraftSpec {
       "compaction changed the probe")
     val postBuf = spark.read.parquet(p + ".buf").count()
     assert(postBuf < preBuf, s"compact did not shrink the buffer ($preBuf -> $postBuf)")
-    assert(spark.read.parquet(p + ".tomb").count() == 0,
+    assert(!new java.io.File(p + ".tomb").exists,
       "compact left tombstones")
   }
 }
