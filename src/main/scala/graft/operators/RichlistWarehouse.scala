@@ -176,6 +176,22 @@ object RichlistWarehouse {
       refresh(rowsOf(spark, dir, c.filter(!BalanceWarehouse.isBaseCust)), p)
     }
 
+  /** The refresh's ONLINE twin (the matrix-wide convention): each
+    * arriving micro-batch of (denom, custkey, name, bal) rows folds
+    * its own top-K + total deltas inside foreachBatch.  The
+    * truncation-semilattice identity makes ANY batching serve a
+    * bit-equal top-K (each batch's buffer contribution is a superset
+    * of its share of the true top-K), and the additive totals fold
+    * order-free — spec-pinned against the one-shot build.  No state
+    * store, no watermark. */
+  def streamingRefresh(rows: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
+        if (!batch.isEmpty) refresh(batch, path)
+      }
+      .start()
+
   /** The retraction build: both generations, then retract the
     * cross-cutting mod-3 slice — which removes top holders too, so
     * the registered path exercises the DIRTY branch (promotion via

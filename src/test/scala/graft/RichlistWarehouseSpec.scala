@@ -145,6 +145,35 @@ class RichlistWarehouseSpec extends GraftSpec {
       "retracted probe diverges from the survivors' inline richlist")
   }
 
+  test("streaming refresh across micro-batches equals the one-shot fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = planted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val p = tmp("stream")
+    val mem = MemoryStream[(String, Long, String, Double)]
+    val q = RichlistWarehouse.streamingRefresh(
+      mem.toDF().toDF("denom", "custkey", "name", "bal"), p)
+    try {
+      // uneven split so each micro-batch's own top-K truncates
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = tmp("stream-ref")
+    RichlistWarehouse.refresh(planted, oneShot)
+    assert(topkRows(p) == topkRows(oneShot),
+      "streamed fold diverges from one-shot")
+    // and the probe's share denominator folded exactly
+    def shares(path: String) = RichlistWarehouse.probe(spark, path)
+      .collect().map(_.toString).toSeq
+    assert(shares(p) == shares(oneShot))
+  }
+
   test("compact is probe-bit-invariant and physically truncates to K per denom") {
     val p = tmp("compact")
     RichlistWarehouse.refresh(planted.filter(col("custkey") % 2 === 0), p)
