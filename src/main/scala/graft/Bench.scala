@@ -124,7 +124,9 @@ object Bench {
     // selection verbs (representative choice over warehouse labels,
     // budgeted selection via the threshold decomposition)
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
-    "d_dedup_keep_best", "d_budget_select")
+    "d_dedup_keep_best", "d_budget_select",
+    // the doc-keyed as-of (bitemporal tombstones)
+    "d_dedup_asof")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -149,7 +151,7 @@ object Bench {
     "d_dedup_groups_retracted", "q_ts_anomaly_probe_retracted",
     "q_revenue_view_probe", "q_revenue_view_retracted",
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
-    "d_dedup_keep_best")
+    "d_dedup_keep_best", "d_dedup_asof")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

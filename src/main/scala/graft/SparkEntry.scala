@@ -279,6 +279,13 @@ object SparkEntry {
       graft.dedup.MinHashWarehouse.retractedDedup(s, d,
         graft.sources.Materialized.pathFor("minhash_retracted", d)(
           graft.dedup.MinHashWarehouse.materializeRetracted(s, d, _)))),
+    // the snapshot verb on the DOC-KEYED rung (bitemporal: tombstones
+    // carry their takedown generation): dedup as of gen 1, BEFORE the
+    // gen-2 takedown of the mod-7 docs — matches against the
+    // later-removed docs re-served from the post-takedown log ⇒
+    // ORACLED with the incremental SQL verbatim (full-base predicate)
+    "d_dedup_asof" -> ((s: SparkSession, d: String) =>
+      graft.dedup.MinHashWarehouse.asOfDedup(s, d, 1)),
     // the crawl loop CLOSED: generation A (doc_id ≡ 8 mod 10) dedups
     // against the base index, its survivors FOLD INTO the index at
     // rest (append-only refresh), generation B (≡ 9) probes the
@@ -1658,6 +1665,9 @@ object SparkEntry {
     // same recall argument as d_dedup_minhash_verified (both sides
     // restricted to the deterministic doc_id mod 10 base/incoming split)
     "d_dedup_incremental" -> dDedupIncrementalSqlVs("y.doc_id % 10 < 8"),
+    // as-of gen 1 == the full base split, before the gen-2 takedown ⇒
+    // the incremental text VERBATIM — the doc-keyed snapshot claim
+    "d_dedup_asof" -> dDedupIncrementalSqlVs("y.doc_id % 10 < 8"),
     // the retraction rung's oracle: the IDENTICAL incremental text
     // over the base minus the tombstoned mod-7 docs — probe-after-
     // retract must equal probe-against-rebuild-on-base∖removed

@@ -213,18 +213,26 @@ object MinHashWarehouse {
     probeAgainst(spark, docs.filter(!isBase), path)
 
   /** Dedup an arbitrary batch frame against the index at `path`. */
-  private[graft] def probeAgainst(spark: SparkSession, batch: DataFrame, path: String): DataFrame = {
+  private[graft] def probeAgainst(spark: SparkSession, batch: DataFrame, path: String): DataFrame =
+    probeCore(batch, spark.read.parquet(path),
+      spark.read.parquet(docsPath(path)), dropTombstoned(spark, _, path))
+
+  /** The probe body over EXPLICIT index/docs frames — shared by the
+    * standing probe and the snapshot (as-of) probe, so the two read
+    * paths cannot drift. */
+  private def probeCore(batch: DataFrame, idx: DataFrame,
+      docsStore: DataFrame, dropTomb: DataFrame => DataFrame): DataFrame = {
     val in = signed(batch)
     val inBanded = in.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val cand = dropTombstoned(spark, inBanded.as("a")
-      .join(spark.read.parquet(path).as("b"),
+    val cand = dropTomb(inBanded.as("a")
+      .join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id")), path)
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id")))
     cand
       .join(in.select(col("doc_id").as("new_id"), col("shs").as("a_shs")), Seq("new_id"))
-      .join(spark.read.parquet(docsPath(path))
+      .join(docsStore
         .select(col("doc_id").as("base_id"), col("shs").as("b_shs")), Seq("base_id"))
       .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -232,6 +240,79 @@ object MinHashWarehouse {
       .filter(col("jaccard") >= 0.8)
       .select(col("new_id"), col("base_id"), roundx(col("jaccard"), 4).as("jaccard"))
   }
+
+  // ------------------------------------------------------------------
+  // SNAPSHOT LOG — as-of reads on the DOC-KEYED rung (the bitemporal
+  // case the histogram rung doesn't have): here a retraction is an
+  // appended tombstone, so time travel must time-filter THREE stores —
+  // index rows, shingle sets, AND tombstones.  A takedown is itself a
+  // generation-stamped event: asOf(g < takedown) re-serves matches
+  // against the later-removed docs (the reproducibility contract —
+  // "which corpus did this training run dedup against"), asOf(g ≥
+  // takedown) excludes them; erasing history too = compacting past the
+  // takedown generation, exactly the BalanceWarehouse snapshot-log
+  // contract restated for tombstones.  Mechanism identical: every
+  // store routes writes through `gen=N/` directory partitions, reads
+  // filter `gen <= g` (partition pruning at listing — free stamping,
+  // no row-level gen column).
+  // ------------------------------------------------------------------
+
+  private def genDir(p: String, gen: Int) = s"$p/gen=$gen"
+
+  /** INGEST/REFRESH into generation `gen` — the plain two-store write,
+    * gen-routed. */
+  def refreshAt(docs: DataFrame, path: String, gen: Int): Unit = {
+    val base = signed(docs)
+    base.write.mode("append").parquet(genDir(docsPath(path), gen))
+    base.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .write.mode("append").partitionBy("band").parquet(genDir(path, gen))
+  }
+
+  /** RETRACT as generation `gen` — tombstones carry their takedown
+    * time as their directory partition. */
+  def retractAt(removedIds: DataFrame, path: String, gen: Int): Unit =
+    removedIds.select(col("doc_id")).write.mode("append")
+      .parquet(genDir(tombPath(path), gen))
+
+  /** The as-of probe: dedup `batch` against the corpus AS OF
+    * generation `g` — index and shingle stores fold gens <= g, and
+    * tombstones apply only if their takedown gen <= g. */
+  def probeAsOf(spark: SparkSession, batch: DataFrame, path: String,
+      g: Int): DataFrame = {
+    val dropT: DataFrame => DataFrame = cand =>
+      if (!graft.sources.Tombstones.exists(spark, tombPath(path))) cand
+      else cand.join(
+        spark.read.parquet(tombPath(path)).filter(col("gen") <= g)
+          .select(col("doc_id").as("base_id")),
+        Seq("base_id"), "left_anti")
+    probeCore(batch,
+      spark.read.parquet(path).filter(col("gen") <= g),
+      spark.read.parquet(docsPath(path)).filter(col("gen") <= g),
+      dropT)
+  }
+
+  /** The three-generation snapshot-log build: gen 0 = base ingest
+    * (doc_id mod 10 in 0..6), gen 1 = refresh (mod 7 — after which
+    * the standing set is the FULL base split), gen 2 = takedown of
+    * the mod-7 docs.  asOf(1) therefore equals d_dedup_incremental's
+    * standing answer (matches against the later-removed docs
+    * included), and the head equals d_dedup_retracted's. */
+  def builtGenPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("minhash_gen", dir) { p =>
+      val d = Tables(spark, dir).documents
+      refreshAt(d.filter(pmod(col("doc_id"), lit(10)) < 7), p, 0)
+      refreshAt(d.filter(pmod(col("doc_id"), lit(10)) === 7), p, 1)
+      retractAt(d.filter(isRetractedDoc).select(col("doc_id")), p, 2)
+    }
+
+  /** Registered `d_dedup_asof`: the incoming split deduped against
+    * the corpus as of gen 1 — BEFORE the gen-2 takedown — served from
+    * the post-takedown log; ORACLED with d_dedup_incremental's SQL
+    * VERBATIM (the full-base predicate). */
+  def asOfDedup(spark: SparkSession, dir: String, g: Int): DataFrame =
+    probeAsOf(spark, Tables(spark, dir).documents.filter(!isBase),
+      builtGenPath(spark, dir), g)
 
   /** The crawl STREAM deduping against the warehouse in flight —
     * `incrementalDedup`'s online twin: each arriving doc signs once,

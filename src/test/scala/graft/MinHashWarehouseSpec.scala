@@ -137,4 +137,39 @@ class MinHashWarehouseSpec extends GraftSpec {
       "compact left tombstoned index rows behind")
     assert(pairs(retracted) == retractedPairs, "compact changed the probe result")
   }
+
+  test("AS-OF: time travel over the gen log, tombstones takedown-time-filtered") {
+    val s = spark
+    val gen = MinHashWarehouse.builtGenPath(s, Dir)
+    val batch = sources.Tables(s, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // asOf(1) == the standing full-base probe (matches against the
+    // later-removed mod-7 docs INCLUDED — the pre-takedown snapshot)
+    val asOf1 = pairsOf(MinHashWarehouse.probeAsOf(s, batch, gen, 1))
+    val standing = pairsOf(MinHashWarehouse.incrementalDedup(s, Dir, path))
+    assert(asOf1 == standing, "asOf(pre-takedown) diverges from the standing probe")
+    assert(asOf1.exists(_._2 % 10 == 7),
+      "degenerate: no mod-7 partner — the takedown distinction is untested")
+    // asOf(2) — the head — excludes them, exactly the retracted answer
+    val asOf2 = pairsOf(MinHashWarehouse.probeAsOf(s, batch, gen, 2))
+    assert(asOf2 == standing.filter(_._2 % 10 != 7),
+      "asOf(head) diverges from the takedown-filtered answer")
+    // asOf(0): only the gen-0 corpus (mod 0..6) exists to match
+    val asOf0 = pairsOf(MinHashWarehouse.probeAsOf(s, batch, gen, 0))
+    assert(asOf0 == standing.filter(_._2 % 10 < 7),
+      "asOf(0) diverges from the gen-0-only answer")
+    // the as-of index read PRUNES later generations at file listing
+    val scan = s.read.parquet(gen).filter(col("gen") <= 0)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no index scan"))
+    val all = scan.relation.location.listFiles(Nil, Nil)
+      .map(_.values.toString).distinct.length
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.toString).distinct.length
+    assert(pruned < all, s"asOf(0) listed all $all partitions")
+  }
 }
