@@ -125,8 +125,9 @@ object Bench {
     // budgeted selection via the threshold decomposition)
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
     "d_dedup_keep_best", "d_budget_select",
-    // the doc-keyed as-of (bitemporal tombstones)
-    "d_dedup_asof")
+    // the doc-keyed as-of (bitemporal tombstones) and the context
+    // LM's delete verb
+    "d_dedup_asof", "t_perplexity_bigram_probe_retracted")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -151,7 +152,8 @@ object Bench {
     "d_dedup_groups_retracted", "q_ts_anomaly_probe_retracted",
     "q_revenue_view_probe", "q_revenue_view_retracted",
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
-    "d_dedup_keep_best", "d_dedup_asof")
+    "d_dedup_keep_best", "d_dedup_asof",
+    "t_perplexity_bigram_probe_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -314,7 +316,7 @@ object Bench {
     * ride at uniform 99.99 s widths with headroom), so a probe-path
     * regression is always driver-visible.  The queries map flexes to
     * absorb the reservation (its smallest rows fold into q_other). */
-  private val ProbesBudget = 1080
+  private val ProbesBudget = 1140
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

@@ -524,6 +524,19 @@ object SparkEntry {
     // COMPACT both delta tables, then probe — index content equals the
     // plain base build, so the probe holds t_perplexity_bigram_probe's
     // oracle verbatim
+    // the CONTEXT LM's delete verb — negative unigram AND bigram
+    // deltas + exact (nb, v) decrement; a fully-retracted bigram
+    // falls through to backoff (the probe's zero-drop), a vanished
+    // unigram scores the exact Laplace UNK — ORACLED with the bigram
+    // probe SQL verbatim over the surviving base (% 10 < 7)
+    "t_perplexity_bigram_probe_retracted" -> ((s: SparkSession, d: String) =>
+      BigramLmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bigram_lm_retracted", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          BigramLmWarehouse.materialize(s, d, p)
+          BigramLmWarehouse.retract(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+        })),
     "t_perplexity_bigram_probe_compacted" -> ((s: SparkSession, d: String) =>
       BigramLmWarehouse.probeIncoming(s, d,
         graft.sources.Materialized.pathFor("bigram_lm_compacted", d) { p =>
@@ -729,13 +742,13 @@ object SparkEntry {
   // bigram-LM probes (the SBm25ProbeSql pairing): compaction merges
   // delta rows under integer sums, so the compacted index is held to
   // the identical answer
-  private val TPerplexityBigramProbeSql =
-    """WITH tk AS (SELECT doc_id,
+  private def tPerplexityBigramProbeSqlVs(basePred: String) =
+    s"""WITH tk AS (SELECT doc_id,
       |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
       |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 >= 8 AND doc_id < 1000),
       |bt AS (SELECT doc_id,
       |CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
-      |unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 10 < 8),
+      |unnest(string_split(text, ' ')) AS w FROM documents WHERE $basePred),
       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bt GROUP BY 1),
       |c2 AS (SELECT a.w AS pw, b.w AS w, CAST(count(*) AS BIGINT) AS c2
       |FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
@@ -754,6 +767,11 @@ object SparkEntry {
       |CAST(sum(hit) AS BIGINT) AS bigram_hits,
       |round(CAST(sum(CAST(nll_tok AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS nll
       |FROM sc GROUP BY 1""".stripMargin
+  private val TPerplexityBigramProbeSql =
+    tPerplexityBigramProbeSqlVs("doc_id % 10 < 8")
+  // rebuild-on-survivors: the identical bigram text over base \u2216 removed
+  private val TPerplexityBigramProbeRetractedSql =
+    tPerplexityBigramProbeSqlVs("doc_id % 10 < 7")
 
   // parameterized ONLY on the base predicate so the retraction
   // demonstration runs the IDENTICAL text over base ∖ removed
@@ -2110,6 +2128,10 @@ object SparkEntry {
     // index answers the identical SQL
     "t_perplexity_bigram_probe_compacted" ->
       TPerplexityBigramProbeSql,
+    // retract∘train == train-on-survivors: the identical bigram text
+    // over the base minus the mod-7 takedown slice
+    "t_perplexity_bigram_probe_retracted" ->
+      TPerplexityBigramProbeRetractedSql,
     // the LM at rest: OPEN-vocab smoothing over v+1 classes (v = BASE
     // vocab + shared UNK — an index cannot know future probes'
     // vocabularies), base/incoming split + batch bound mirrored

@@ -154,15 +154,57 @@ object BigramLmWarehouse {
     fs.delete(old, true)
   }
 
+  /** RETRACT — the delete verb on the BIT-EQUAL rung, the
+    * LmWarehouse.retract mirror on BOTH tables: removing docs appends
+    * their unigram AND bigram counts NEGATED, after which every
+    * probe-side per-key sum is literally the rebuild-on-survivors
+    * integer.  The stats decrement is exact (nb loses the removed
+    * token count; v loses the terms whose entire standing count the
+    * removal erases — the bucket-pruned standing-sum compare, O(removed
+    * vocab)).  A fully-retracted UNIGRAM then probes as OOV seamlessly
+    * (cnt 0 scores the exact Laplace UNK — coalesce makes 0 ≡ absent);
+    * a fully-retracted BIGRAM must fall through to BACKOFF, which is
+    * why the probe's c2 fold drops zero-sum keys (a 0-count bigram row
+    * would otherwise score probability 0 — infinite NLL — instead of
+    * the rebuild's backoff branch).  Precondition: removed docs were
+    * ingested with this exact text (the crawl contract mirrored). */
+  def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
+    val tk = toks(removed).localCheckpoint()
+    val (c1, c2) = counts(tk)
+    val delta1 = c1.localCheckpoint()
+    val buckets = delta1.select(bucket(col("w")).as("wb"))
+      .distinct().collect().map(_.getLong(0))
+    val standing = spark.read.parquet(c1Path(path))
+      .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
+    val vanished = delta1.join(standing, Seq("w"))
+      .filter(col("scnt") === col("cnt")).count()
+    val removedTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
+    val st = spark.read.parquet(statsPath(path)).head()
+    delta1.select(col("w"), (-col("cnt")).as("cnt"))
+      .withColumn("wb", bucket(col("w")))
+      .write.mode("append").partitionBy("wb").parquet(c1Path(path))
+    c2.select(col("pw"), col("w"), (-col("cnt")).as("cnt"))
+      .withColumn("pwb", bucket(col("pw")))
+      .write.mode("append").partitionBy("pwb").parquet(c2Path(path))
+    writeStatsAtomic(spark, path,
+      st.getLong(0) - removedTokens, st.getLong(1) - vanished)
+  }
+
   /** COMPACT — merge both delta tables to one row per key; stats are
-    * already exact.  Probes bit-identical (integer delta sums). */
+    * already exact.  Probes bit-identical (integer delta sums);
+    * fully-retracted keys fold to 0 and DROP, making both compacted
+    * tables literally the rebuild-on-survivors state (vacuous when
+    * nothing was retracted: positive-delta sums are positive). */
   def compact(spark: SparkSession, path: String): Unit = {
     val m1 = spark.read.parquet(c1Path(path))
       .groupBy(col("w"), col("wb")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
       .localCheckpoint()
     m1.write.mode("overwrite").partitionBy("wb").parquet(c1Path(path))
     val m2 = spark.read.parquet(c2Path(path))
       .groupBy(col("pw"), col("w"), col("pwb")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
       .localCheckpoint()
     m2.write.mode("overwrite").partitionBy("pwb").parquet(c2Path(path))
   }
@@ -181,6 +223,12 @@ object BigramLmWarehouse {
     val c2 = spark.read.parquet(c2Path(path))
       .filter(col("pwb").isin(wBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("pw"), col("w")).agg(sum(col("cnt")).as("cnt2"))
+      // fully-retracted bigrams (sum 0) must fall through to the
+      // BACKOFF branch exactly as a rebuild's absent row would — a
+      // kept 0 row would score probability 0 (infinite NLL).  The
+      // unigram side needs no twin filter: coalesce(0)+1 is already
+      // the rebuild's Laplace UNK.  Vacuous without retraction.
+      .filter(col("cnt2") =!= 0)
     val scored = tk
       .join(tk.select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("w").as("pw")), Seq("doc_id", "pos"), "left")

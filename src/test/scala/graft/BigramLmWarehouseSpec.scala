@@ -137,4 +137,48 @@ class BigramLmWarehouseSpec extends GraftSpec {
     assert(got.toSet ==
       rows(BigramLmWarehouse.probeIncoming(spark, Dir, path)))
   }
+
+  test("retract == train-on-survivors bit-for-bit; vanished bigrams fall to backoff") {
+    import spark.implicits._
+    val docs = sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select(col("doc_id"), col("text"))
+    val retracted = tmp("retr"); val rebuilt = tmp("rebuilt")
+    BigramLmWarehouse.materializeFrom(docs, retracted)
+    BigramLmWarehouse.retract(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 7), retracted)
+    BigramLmWarehouse.materializeFrom(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), rebuilt)
+    val probeDocs = sources.Tables(spark, Dir).documents
+      .filter(pmod(col("doc_id"), lit(10)) >= 8 && col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    assert(rows(BigramLmWarehouse.probe(spark, retracted, probeDocs)) ==
+      rows(BigramLmWarehouse.probe(spark, rebuilt, probeDocs)),
+      "retracted LM diverges from the survivors rebuild")
+    // the vanished-bigram branch specifically: a planted corpus where
+    // one doc owns the only "red apple" bigram; after its takedown the
+    // pair must score BACKOFF, not probability 0 (infinite NLL)
+    val planted = Seq((1L, "red apple pie"), (2L, "red wine red car"))
+      .toDF("doc_id", "text")
+    val p2 = tmp("vanish")
+    BigramLmWarehouse.materializeFrom(planted, p2)
+    BigramLmWarehouse.retract(spark, planted.filter(col("doc_id") === 1), p2)
+    val q = Seq((9L, "red apple")).toDF("doc_id", "text")
+    val got = BigramLmWarehouse.probe(spark, p2, q).collect().head
+    val ref = tmp("vanish-ref")
+    BigramLmWarehouse.materializeFrom(
+      planted.filter(col("doc_id") === 2), ref)
+    val want = BigramLmWarehouse.probe(spark, ref, q).collect().head
+    assert(got.toSeq == want.toSeq,
+      s"vanished bigram scored ${got.toSeq}, rebuild says ${want.toSeq}")
+    assert(got.getAs[Long]("bigram_hits") == 0, "a retracted bigram still hit")
+    assert(!got.getAs[Double]("nll").isInfinite, "zero-probability leak")
+    // compact physically drops the zeroed rows, probe-invariant
+    val before = rows(BigramLmWarehouse.probe(spark, retracted, probeDocs))
+    val c2Before = spark.read.parquet(s"$retracted.c2").count()
+    BigramLmWarehouse.compact(spark, retracted)
+    assert(rows(BigramLmWarehouse.probe(spark, retracted, probeDocs)) == before)
+    assert(spark.read.parquet(s"$retracted.c2").count() < c2Before,
+      "compact dropped no retracted bigram rows")
+  }
 }
