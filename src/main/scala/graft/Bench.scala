@@ -127,7 +127,9 @@ object Bench {
     "d_dedup_keep_best", "d_budget_select",
     // the doc-keyed as-of (bitemporal tombstones) and the context
     // LM's delete verb
-    "d_dedup_asof", "t_perplexity_bigram_probe_retracted")
+    "d_dedup_asof", "t_perplexity_bigram_probe_retracted",
+    // the ANN family's delete verb + the banded layout at rest
+    "s_range_search_probe", "s_range_search_retracted")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -153,7 +155,8 @@ object Bench {
     "q_revenue_view_probe", "q_revenue_view_retracted",
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
     "d_dedup_keep_best", "d_dedup_asof",
-    "t_perplexity_bigram_probe_retracted")
+    "t_perplexity_bigram_probe_retracted",
+    "s_range_search_probe", "s_range_search_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -316,7 +319,7 @@ object Bench {
     * ride at uniform 99.99 s widths with headroom), so a probe-path
     * regression is always driver-visible.  The queries map flexes to
     * absorb the reservation (its smallest rows fold into q_other). */
-  private val ProbesBudget = 1140
+  private val ProbesBudget = 1200
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

@@ -330,6 +330,26 @@ object SparkEntry {
     "s_knn_batch" -> ((s: SparkSession, d: String) => Knn.knnBatch(s, d)),
     "s_range_search" -> ((s: SparkSession, d: String) => Knn.rangeSearch(s, d)),
     "s_range_search_lsh" -> ((s: SparkSession, d: String) => Knn.rangeSearchLsh(s, d)),
+    // the banded layout AT REST (LshWarehouse): probe band keys become
+    // a literal partition-pruning predicate — the serving-path twin of
+    // the inline s_range_search_lsh, same oracle verbatim
+    "s_range_search_probe" -> ((s: SparkSession, d: String) =>
+      graft.similarity.LshWarehouse.rangeProbe(s,
+        graft.sources.Materialized.pathFor("lsh_warehouse_reg", d)(
+          graft.similarity.LshWarehouse.materialize(s, d, _)))),
+    // the delete verb on the ANN family: tombstone takedown of a
+    // cross-cutting corpus slice (queries avoided — a takedown changes
+    // which vectors can ANSWER, not who can ask); ORACLED with the
+    // range-search SQL verbatim over the survivors
+    "s_range_search_retracted" -> ((s: SparkSession, d: String) =>
+      graft.similarity.LshWarehouse.rangeProbe(s,
+        graft.sources.Materialized.pathFor("lsh_warehouse_retracted", d) { p =>
+          graft.similarity.LshWarehouse.materialize(s, d, p)
+          graft.similarity.LshWarehouse.retract(
+            graft.sources.Tables(s, d).embeddings
+              .filter(pmod(col("vec_id"), lit(5L)) === 3 && col("vec_id") >= 10)
+              .select(col("vec_id")), p)
+        })),
     "s_knn_lsh" -> (Knn.lshAnn _),
     "s_knn_lsh_mp" -> (Knn.lshAnnMulti _),
     // batched multi-probe serving shape (no oracle: spec vs the
@@ -703,13 +723,19 @@ object SparkEntry {
   // one SQL body for BOTH range-search plans: the brute scan is the
   // definition, and the LSH-banded plan is recall-1.0 on the fixed
   // corpus+seed so it is held to the identical exact answer
-  private val SRangeSearchSql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  // parameterized on the CORPUS-side survivor predicate so the
+  // warehouse retraction twin runs the identical text over the
+  // survivors (queries are external — the takedown slice avoids them)
+  private def sRangeSearchSqlOver(where: String) =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       |FROM embeddings WHERE vec_id < 10)
       |SELECT query_id, vec_id,
       |round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
-      |FROM embeddings, q WHERE vec_id <> query_id
+      |FROM embeddings, q WHERE vec_id <> query_id$where
       |AND round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.3""".stripMargin
+  private val SRangeSearchSql = sRangeSearchSqlOver("")
+  private val SRangeSearchRetractedSql =
+    sRangeSearchSqlOver(" AND NOT (vec_id % 5 = 3 AND vec_id >= 10)")
   // one SQL body for BOTH the refreshed and the refreshed+compacted
   // warehouse probes: compaction merges delta rows without changing
   // any sum, so the compacted index is held to the identical answer
@@ -1895,6 +1921,11 @@ object SparkEntry {
     // (RangeSearchSpec), so the banded path is held to the SAME exact
     // brute-force SQL — the d_neardup_cosine oracle pairing
     "s_range_search_lsh" -> SRangeSearchSql,
+    // the at-rest banded layout answers the identical range query
+    "s_range_search_probe" -> SRangeSearchSql,
+    // rebuild-on-survivors: the identical text over the corpus minus
+    // the takedown slice (vec_id % 5 == 3, queries exempt)
+    "s_range_search_retracted" -> SRangeSearchRetractedSql,
     "s_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |FROM embeddings WHERE vec_id < 10),

@@ -64,6 +64,34 @@ object LshWarehouse {
       bitsPerBand: Int = 2, bands: Int = 32): Unit =
     materializeFrom(batch, path, bitsPerBand, bands, overwrite = false)
 
+  private def tombPath(path: String): String = s"$path.tomb"
+
+  /** RETRACT — takedown of vectors from the standing ANN index: the
+    * doc-keyed rung's tombstone verb extended to the similarity
+    * family (every index row depends only on its own vector — no
+    * corpus statistics — so pruning IS the rebuild).  O(removed)
+    * append; probes drop tombstoned candidates on the candidate set
+    * (O(candidates), never O(index)); compact physically removes.
+    * Queries are external to the index, so a takedown never changes
+    * WHO can ask — only which vectors can answer. */
+  def retract(removedIds: DataFrame, path: String): Unit =
+    removedIds.select(col("vec_id"))
+      .write.mode("append").parquet(tombPath(path))
+
+  /** COMPACT — physically remove tombstoned rows from both stores and
+    * clear the tombstones; probes bit-identical before/after. */
+  def compact(spark: SparkSession, path: String): Unit =
+    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
+      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path), "vec_id")
+      val vecs = spark.read.parquet(vectorsPath(path))
+        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+      vecs.write.mode("overwrite").parquet(vectorsPath(path))
+      val idx = spark.read.parquet(path)
+        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+      idx.write.mode("overwrite").partitionBy("bb").parquet(path)
+      graft.sources.Tombstones.clear(spark, tombPath(path))
+    }
+
   /** Radius probe over the warehouse: the query batch's band keys
     * become a literal partition-pruning predicate (|Q|·bands driver
     * scalars — serving-batch metadata, like IvfWarehouse's probe
@@ -85,12 +113,14 @@ object LshWarehouse {
 
     val firstMatchingBand = graft.functions.FirstMatchingBand(
       col("sig"), col("qsig"), bitsPerBand, bands)
-    val cand = spark.read.parquet(path)
-      .filter(col("bb").isin(probeBbs.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .join(broadcast(probes), Seq("bb"))
-      .filter(col("vec_id") =!= col("query_id") &&
-        col("band").cast("long") === firstMatchingBand)
-      .select(col("query_id"), col("vec_id"))
+    val cand = graft.sources.Tombstones.drop(spark,
+      spark.read.parquet(path)
+        .filter(col("bb").isin(probeBbs.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+        .join(broadcast(probes), Seq("bb"))
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("band").cast("long") === firstMatchingBand)
+        .select(col("query_id"), col("vec_id")),
+      tombPath(path), key = "vec_id", tombCol = "vec_id")
     cand
       .join(broadcast(vecs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),

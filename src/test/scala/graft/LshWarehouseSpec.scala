@@ -42,4 +42,37 @@ class LshWarehouseSpec extends GraftSpec {
     assert(pruned <= 32, s"probe scanned $pruned of $allParts partitions")
     assert(df.count() >= 0) // plan must execute
   }
+
+  test("RETRACT: probe-after-takedown == probe-against-rebuild-on-survivors; compact physical") {
+    def probeRows(p: String): Set[Seq[Any]] =
+      LshWarehouse.rangeProbe(spark, p).collect().map(_.toSeq).toSet
+    val removedPred = pmod(col("vec_id"), lit(5L)) === 3 && col("vec_id") >= 10
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft-lshw-retr-").toString + "/index"
+    LshWarehouse.materialize(spark, Dir, retracted)
+    LshWarehouse.retract(sources.Tables(spark, Dir).embeddings
+      .filter(removedPred).select(col("vec_id")), retracted)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-lshw-rebuilt-").toString + "/index"
+    LshWarehouse.materializeFrom(sources.Tables(spark, Dir).embeddings
+      .filter(!removedPred)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")),
+      rebuilt)
+    val got = probeRows(retracted)
+    assert(got == probeRows(rebuilt),
+      "tombstone pruning diverges from the physical rebuild")
+    // the takedown actually bit: the full index answers with removed ids
+    assert(probeRows(path).exists(r =>
+      r(1).asInstanceOf[Long] % 5 == 3 && r(1).asInstanceOf[Long] >= 10),
+      "degenerate: no removed-slice answer exists — retraction untested")
+    assert(got.forall(r =>
+      !(r(1).asInstanceOf[Long] % 5 == 3 && r(1).asInstanceOf[Long] >= 10)))
+    // COMPACT physically removes and is probe-invariant
+    val vecsBefore = spark.read.parquet(s"$retracted.vectors").count()
+    LshWarehouse.compact(spark, retracted)
+    assert(spark.read.parquet(s"$retracted.vectors").count() < vecsBefore,
+      "compact removed no tombstoned vectors")
+    assert(probeRows(retracted) == got, "compact changed the probe result")
+  }
 }
