@@ -315,10 +315,11 @@ object Bench {
   private val DigestBudget = 1860
 
   /** Reserved bytes for the probes map — sized to hold EVERY current
-    * probe row at worst-case width (BenchDigestSpec pins that all 32
-    * ride at uniform 99.99 s widths with headroom), so a probe-path
-    * regression is always driver-visible.  The queries map flexes to
-    * absorb the reservation (its smallest rows fold into q_other). */
+    * probe row at worst-case width (BenchDigestSpec derives the pin
+    * from probeNames itself, so re-running it validates any list
+    * change), so a probe-path regression is always driver-visible.
+    * The queries map flexes to absorb the reservation (its smallest
+    * rows fold into q_other). */
   private val ProbesBudget = 1200
 
   /** Greedy PREFIX fill over rows sorted by descending time (name

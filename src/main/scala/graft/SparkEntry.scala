@@ -544,6 +544,16 @@ object SparkEntry {
     // COMPACT both delta tables, then probe — index content equals the
     // plain base build, so the probe holds t_perplexity_bigram_probe's
     // oracle verbatim
+    "t_perplexity_bigram_probe_compacted" -> ((s: SparkSession, d: String) =>
+      BigramLmWarehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bigram_lm_compacted", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          BigramLmWarehouse.materializeFrom(
+            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+          BigramLmWarehouse.refresh(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+          BigramLmWarehouse.compact(s, p)
+        })),
     // the CONTEXT LM's delete verb — negative unigram AND bigram
     // deltas + exact (nb, v) decrement; a fully-retracted bigram
     // falls through to backoff (the probe's zero-drop), a vanished
@@ -556,16 +566,6 @@ object SparkEntry {
           BigramLmWarehouse.materialize(s, d, p)
           BigramLmWarehouse.retract(s,
             docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
-        })),
-    "t_perplexity_bigram_probe_compacted" -> ((s: SparkSession, d: String) =>
-      BigramLmWarehouse.probeIncoming(s, d,
-        graft.sources.Materialized.pathFor("bigram_lm_compacted", d) { p =>
-          val docs = graft.sources.Tables(s, d).documents
-          BigramLmWarehouse.materializeFrom(
-            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
-          BigramLmWarehouse.refresh(s,
-            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
-          BigramLmWarehouse.compact(s, p)
         })),
     "t_perplexity_probe" -> ((s: SparkSession, d: String) =>
       LmWarehouse.probeIncoming(s, d,

@@ -279,18 +279,14 @@ object MinHashWarehouse {
     * generation `g` — index and shingle stores fold gens <= g, and
     * tombstones apply only if their takedown gen <= g. */
   def probeAsOf(spark: SparkSession, batch: DataFrame, path: String,
-      g: Int): DataFrame = {
-    val dropT: DataFrame => DataFrame = cand =>
-      if (!graft.sources.Tombstones.exists(spark, tombPath(path))) cand
-      else cand.join(
-        spark.read.parquet(tombPath(path)).filter(col("gen") <= g)
-          .select(col("doc_id").as("base_id")),
-        Seq("base_id"), "left_anti")
+      g: Int): DataFrame =
     probeCore(batch,
       spark.read.parquet(path).filter(col("gen") <= g),
       spark.read.parquet(docsPath(path)).filter(col("gen") <= g),
-      dropT)
-  }
+      // the shared tombstone drop, time-filtered: only takedowns with
+      // generation <= g apply to this snapshot
+      graft.sources.Tombstones.drop(spark, _, tombPath(path),
+        key = "base_id", tombFilter = _.filter(col("gen") <= g)))
 
   /** The three-generation snapshot-log build: gen 0 = base ingest
     * (doc_id mod 10 in 0..6), gen 1 = refresh (mod 7 — after which

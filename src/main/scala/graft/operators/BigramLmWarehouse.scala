@@ -106,11 +106,18 @@ object BigramLmWarehouse {
     val tk = toks(batch).localCheckpoint()
     val (c1, c2) = counts(tk)
     val delta1 = c1.localCheckpoint()
+    if (delta1.isEmpty) return // empty batch: nothing to fold, stats exact
     val buckets = delta1.select(bucket(col("w")).as("wb"))
       .distinct().collect().map(_.getLong(0))
+    // standing vocab by SUMMED count ≠ 0 (not row distinct): a
+    // fully-retracted term's zero-sum rows must read as absent, or a
+    // later re-ingest of that term is missed by the new-term count
+    // and v permanently undercounts (retract∘refresh == rebuild)
     val standing = spark.read.parquet(c1Path(path))
       .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .select(col("w")).distinct()
+      .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
+      .filter(col("scnt") =!= 0)
+      .select(col("w"))
     val newTerms = delta1.join(standing, Seq("w"), "left_anti").count()
     val batchTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
     val st = spark.read.parquet(statsPath(path)).head()
@@ -172,6 +179,7 @@ object BigramLmWarehouse {
     val tk = toks(removed).localCheckpoint()
     val (c1, c2) = counts(tk)
     val delta1 = c1.localCheckpoint()
+    if (delta1.isEmpty) return // empty takedown list: warehouse untouched
     val buckets = delta1.select(bucket(col("w")).as("wb"))
       .distinct().collect().map(_.getLong(0))
     val standing = spark.read.parquet(c1Path(path))

@@ -82,11 +82,19 @@ object LmWarehouse {
     val delta = batch.select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    if (delta.isEmpty) return // empty batch: nothing to fold, stats exact
     val buckets = delta.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
+    // standing vocab = terms whose SUMMED count is nonzero — a
+    // fully-retracted term leaves zero-sum delta rows behind, and a
+    // distinct-over-rows check would misread it as still-known,
+    // undercounting v when the term re-enters (retract∘refresh ==
+    // rebuild requires the sum-based membership retract itself uses)
     val standing = spark.read.parquet(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .select(col("term")).distinct()
+      .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
+      .filter(col("scnt") =!= 0)
+      .select(col("term"))
     val newTerms = delta.join(standing, Seq("term"), "left_anti").count()
     val batchTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
     val st = spark.read.parquet(statsPath(path)).head()
@@ -121,6 +129,7 @@ object LmWarehouse {
     val delta = removed.select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    if (delta.isEmpty) return // empty takedown list: warehouse untouched
     val buckets = delta.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     val standing = spark.read.parquet(path)

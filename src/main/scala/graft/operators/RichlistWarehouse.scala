@@ -187,8 +187,11 @@ object RichlistWarehouse {
   def streamingRefresh(rows: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch, path)
+        // pin once: the idle-trigger guard plus refresh's two writes
+        // (top-K + totals) would otherwise re-scan the micro-batch
+        // source three times per trigger
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) refresh(b, path)
       }
       .start()
 

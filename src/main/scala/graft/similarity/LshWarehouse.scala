@@ -72,8 +72,12 @@ object LshWarehouse {
     * corpus statistics — so pruning IS the rebuild).  O(removed)
     * append; probes drop tombstoned candidates on the candidate set
     * (O(candidates), never O(index)); compact physically removes.
-    * Queries are external to the index, so a takedown never changes
-    * WHO can ask — only which vectors can answer. */
+    * EXTERNAL queries are unaffected by a takedown — but the
+    * registered probe sources its query batch from the primary store
+    * (test convenience), and a taken-down vector is GONE entirely:
+    * it neither answers nor appears as a stored query (rangeProbe
+    * reads the store through the same tombstones), which is what
+    * makes probes bit-invariant under compact's physical removal. */
   def retract(removedIds: DataFrame, path: String): Unit =
     removedIds.select(col("vec_id"))
       .write.mode("append").parquet(tombPath(path))
@@ -101,7 +105,12 @@ object LshWarehouse {
   def rangeProbe(spark: SparkSession, path: String,
       nQueries: Int = 10, tau: Double = 0.3,
       bitsPerBand: Int = 2, bands: Int = 32): DataFrame = {
-    val vecs = spark.read.parquet(vectorsPath(path))
+    // the LIVE primary store: tombstoned vectors are gone on both the
+    // query and the answer side (see retract's Scaladoc) — this is
+    // what keeps probes bit-invariant across compact's physical prune
+    val vecs = graft.sources.Tombstones.drop(spark,
+      spark.read.parquet(vectorsPath(path)),
+      tombPath(path), key = "vec_id", tombCol = "vec_id")
     val probes = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
         posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))

@@ -25,12 +25,16 @@ object Tombstones {
 
   /** Anti-join `rows` against the tombstoned key set: the tombstone
     * column (`tombCol`, the set's on-disk name) matches `rows`' `key`
-    * column.  No-op when no tombstone set exists. */
+    * column.  No-op when no tombstone set exists.  `tombFilter`
+    * restricts which tombstones apply — the snapshot (as-of) probes
+    * pass a generation cut here, so the time-filtered path shares
+    * this one implementation instead of hand-rolling the anti-join. */
   def drop(spark: SparkSession, rows: DataFrame, tombPath: String,
-      key: String, tombCol: String = "doc_id"): DataFrame =
+      key: String, tombCol: String = "doc_id",
+      tombFilter: DataFrame => DataFrame = identity): DataFrame =
     if (!exists(spark, tombPath)) rows
     else rows.join(
-      spark.read.parquet(tombPath).select(col(tombCol).as(key)),
+      tombFilter(spark.read.parquet(tombPath)).select(col(tombCol).as(key)),
       Seq(key), "left_anti")
 
   /** The distinct tombstoned key set, pinned — compact's prune input. */

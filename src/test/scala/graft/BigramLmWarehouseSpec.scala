@@ -181,4 +181,30 @@ class BigramLmWarehouseSpec extends GraftSpec {
     assert(spark.read.parquet(s"$retracted.c2").count() < c2Before,
       "compact dropped no retracted bigram rows")
   }
+
+  test("retract then refresh re-counts a re-entering term — v stays exact; empty verbs are no-ops") {
+    import spark.implicits._
+    val planted = Seq((1L, "red apple pie"), (2L, "red wine red car"))
+      .toDF("doc_id", "text")
+    val p = tmp("rr")
+    BigramLmWarehouse.materializeFrom(planted, p)
+    // takedown fully erases 'apple' and 'pie'; a later batch
+    // re-introduces 'apple' — the new-term count must see the
+    // zero-sum rows as ABSENT or v permanently undercounts
+    BigramLmWarehouse.retract(spark, planted.filter(col("doc_id") === 1), p)
+    val reentry = Seq((3L, "apple juice")).toDF("doc_id", "text")
+    BigramLmWarehouse.refresh(spark, reentry, p)
+    val ref = tmp("rr-ref")
+    BigramLmWarehouse.materializeFrom(
+      planted.filter(col("doc_id") === 2).unionByName(reentry), ref)
+    val q = Seq((9L, "apple snake")).toDF("doc_id", "text")
+    assert(rows(BigramLmWarehouse.probe(spark, p, q)) ==
+      rows(BigramLmWarehouse.probe(spark, ref, q)),
+      "retract-then-refresh diverges from the survivors+batch rebuild (v drift)")
+    // empty takedown list / empty batch leave the warehouse untouched
+    BigramLmWarehouse.retract(spark, planted.filter(col("doc_id") === 99), p)
+    BigramLmWarehouse.refresh(spark, planted.filter(col("doc_id") === 99), p)
+    assert(rows(BigramLmWarehouse.probe(spark, p, q)) ==
+      rows(BigramLmWarehouse.probe(spark, ref, q)))
+  }
 }

@@ -145,4 +145,32 @@ class LmWarehouseSpec extends GraftSpec {
     assert(lmRows(retracted) == lmRows(rebuilt),
       "compacted LM table diverges from the rebuild's")
   }
+
+  test("retract then refresh re-counts a re-entering term — v stays exact") {
+    import spark.implicits._
+    val planted = Seq((1L, "red apple pie"), (2L, "red wine red car"))
+      .toDF("doc_id", "text")
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-lmw-rr-").toString + "/index"
+    LmWarehouse.materializeFrom(planted, p)
+    LmWarehouse.retract(spark, planted.filter(col("doc_id") === 1), p)
+    val reentry = Seq((3L, "apple juice")).toDF("doc_id", "text")
+    LmWarehouse.refresh(spark, reentry, p)
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-lmw-rr-ref-").toString + "/index"
+    LmWarehouse.materializeFrom(
+      planted.filter(col("doc_id") === 2).unionByName(reentry), ref)
+    // 'apple' was fully retracted then re-ingested: the new-term
+    // count must treat the zero-sum rows as absent (v back to 5)
+    def stats(q: String) = spark.read.parquet(s"$q.stats").head().toSeq
+    assert(stats(p) == stats(ref),
+      s"v drifted on re-entry: ${stats(p)} vs ${stats(ref)}")
+    val q = Seq((9L, "apple snake")).toDF("doc_id", "text")
+    assert(LmWarehouse.probe(spark, p, q).collect().map(_.toSeq).toSet ==
+      LmWarehouse.probe(spark, ref, q).collect().map(_.toSeq).toSet)
+    // empty takedown / empty batch are no-ops
+    LmWarehouse.retract(spark, planted.filter(col("doc_id") === 99), p)
+    LmWarehouse.refresh(spark, planted.filter(col("doc_id") === 99), p)
+    assert(stats(p) == stats(ref))
+  }
 }

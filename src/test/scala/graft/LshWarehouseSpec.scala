@@ -75,4 +75,24 @@ class LshWarehouseSpec extends GraftSpec {
       "compact removed no tombstoned vectors")
     assert(probeRows(retracted) == got, "compact changed the probe result")
   }
+
+  test("a taken-down QUERY id is gone on both sides — bit-invariant under compact") {
+    val s = spark
+    import s.implicits._
+    def probeRows(p: String): Set[Seq[Any]] =
+      LshWarehouse.rangeProbe(spark, p).collect().map(_.toSeq).toSet
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-lshw-qtd-").toString + "/index"
+    LshWarehouse.materialize(spark, Dir, p)
+    val before = probeRows(p)
+    assert(before.exists(_(0) == 3L), "degenerate: query 3 answers nothing")
+    LshWarehouse.retract(Seq(3L).toDF("vec_id"), p)
+    val after = probeRows(p)
+    // the vector is GONE entirely: neither asks nor answers
+    assert(after == before.filter(r => r(0) != 3L && r(1) != 3L),
+      "takedown of a stored query id did not remove it from both sides")
+    LshWarehouse.compact(spark, p)
+    assert(probeRows(p) == after,
+      "compact changed the probe after a query-id takedown")
+  }
 }
