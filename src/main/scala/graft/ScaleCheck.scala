@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * BENCH rows would confound the word-prefix perturbation). */
 object ScaleCheck {
 
-  /** The five most expensive BENCH_r09 rows (the ask's list). */
+  /** The five most expensive BENCH_r09 rows (the ask's list) — the
+    * default; extra args override (any registered query whose inputs
+    * are documents/embeddings, the two tables `derive` replicates). */
   private val Queries = Seq("s_logreg_ovr5", "d_dedup_groups_lsh",
     "d_dedup_simhash_verified", "s_bm25_probe_compacted", "d_dedup_editdist")
 
@@ -50,17 +52,18 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 10
+    val queries = if (args.length > 2) args.drop(2).toSeq else Queries
     val out = s"/root/repo/target/scalecheck-x$reps"
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     derive(spark, src, out, reps)
-    Queries.foreach { n => // warm codegen/classloading off the clock
+    queries.foreach { n => // warm codegen/classloading off the clock
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    Queries.foreach { n =>
+    queries.foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE x$reps $n ${(System.nanoTime() - t0) / 1e9}%.2f")
