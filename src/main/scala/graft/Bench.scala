@@ -129,7 +129,10 @@ object Bench {
     // LM's delete verb
     "d_dedup_asof", "t_perplexity_bigram_probe_retracted",
     // the ANN family's delete verb + the banded layout at rest
-    "s_range_search_probe", "s_range_search_retracted")
+    "s_range_search_probe", "s_range_search_retracted",
+    // round 11: the end-to-end funnel composition and the IVF
+    // family's delete verb
+    "d_pipeline_e2e", "s_knn_ivf_retracted")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -156,7 +159,8 @@ object Bench {
     "q_richlist_gini_asof", "q_richlist_probe", "q_richlist_retracted",
     "d_dedup_keep_best", "d_dedup_asof",
     "t_perplexity_bigram_probe_retracted",
-    "s_range_search_probe", "s_range_search_retracted")
+    "s_range_search_probe", "s_range_search_retracted",
+    "d_pipeline_e2e", "s_knn_ivf_retracted")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -178,6 +182,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+
+    // ONE-TIME BUILD PHASE (round 11, VERDICT-r10 ask #2): run every
+    // warehouse-served query once at the bench SF, OUTSIDE all
+    // per-query timing — their once-per-JVM materializations land
+    // here, so the min-of-3 rows below time ONLY the probe, and the
+    // aggregate build cost is reported once as its own digest bucket
+    // (`build_sec` = materialization + one untimed probe per query)
+    // instead of hiding inside whichever family member runs first.
+    val tBuild0 = System.nanoTime()
+    val warehousedSet = Warehoused.toSet
+    (Headliners ++ Probes).filter(warehousedSet).distinct.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
 
     // 3 INTERLEAVED rounds over the whole set, min per query: this host
     // stalls for tens of seconds at random, and back-to-back repeats of
@@ -290,10 +310,10 @@ object Bench {
       val up = ManagementFactory.getRuntimeMXBean.getUptime
       s"""{"uptime_ms":$up,"gc_ms":$gcMs,"gc_count":$gcN}"""
     }
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":3,"agg":"min","build_sec":$buildSec,"queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
     val digest = digestLine(results,
       Probes.map(n => n -> probeTimes.getOrElse(n, -1.0)), total, failed,
-      sfDir, stress, ann)
+      sfDir, stress, ann, buildSec)
     spark.stop()
     println(detail)
     println(digest)
@@ -346,7 +366,8 @@ object Bench {
 
   private[graft] def digestLine(results: Seq[(String, Double)],
       probes: Seq[(String, Double)], total: Double, failed: String,
-      sfDir: String, stress: String, ann: String): String = {
+      sfDir: String, stress: String, ann: String,
+      buildSec: Double = -1.0): String = {
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // per-query times at 2 dp: at 55+ headliners the third decimal is
     // what pushed the line past the tail window; drift grading at 1%
@@ -368,21 +389,27 @@ object Bench {
     // degenerate-rung probe section: the whole map folded to one rollup
     val probesFolded = Seq(otherOf("p_other", probes))
     val failedFull = s""""failed":$failed"""
+    // the audit header (round 11, VERDICT-r10 ask #2): reps + min
+    // marker and the one-time build bucket ride EVERY digest rung, so
+    // a driver-side reader can tell a probe-cost move from a
+    // materialization or rep-count artifact without the detail line
     def assemble(qRows: String, qOther: Option[String],
         probeParts: Seq[Option[String]], failedPart: String,
         opt: Seq[Option[String]]): String =
       (Seq(Some(s""""queries":{$qRows}"""), qOther,
         Some(failedPart), Some(s""""sf":"$sfShort"""")) ++
         probeParts ++ opt).flatten.mkString(
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec",""", ",", "}")
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":3,"agg":"min","build_sec":${f2(buildSec)},""", ",", "}")
     // size the queries sub-budget from what everything ELSE costs,
-    // reserving worst-case q_other width; fill greedily, then drop
-    // optional sections (stress first, then ann), then — the
-    // mass-failure rung where `failed` alone can be KB-scale — fold
-    // the probes map into one p_other rollup and the failed array
-    // into a count, so SOME parseable digest always fits the window
+    // reserving the REAL worst-case q_other width — the all-rows fold
+    // formatted from this run's actual results (piece width is
+    // monotone in n and sec digits, so every partial fold is narrower;
+    // ADVICE-r10: the fixed {"n":9999,"sec":99999.99} literal would
+    // overflow silently if a real rollup ever printed wider)
     val opts = Seq(annPart, stressPart)
-    val fixed = assemble("", Some(""""q_other":{"n":9999,"sec":99999.99}"""),
+    val worstQOther = otherOf("q_other", results)
+      .getOrElse(""""q_other":{"n":0,"sec":0.00}""")
+    val fixed = assemble("", Some(worstQOther),
       probesFull, failedFull, opts)
     val (qRows, qRest) = fillRows(results, math.max(0, DigestBudget - fixed.length), f2)
     val qOther = otherOf("q_other", qRest)

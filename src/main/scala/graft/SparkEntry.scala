@@ -372,6 +372,12 @@ object SparkEntry {
     // iterative (8 fixed rounds) — no oracle, the s_kmeans stance
     "s_graph_centrality" -> (graft.similarity.Centrality.graphCentrality _),
     "s_knn_ivf" -> (Knn.ivfAnn _),
+    // the ANN delete verb on the coarse-quantized family (r11, ask #6):
+    // ingest → frozen-quantizer refresh → retract → tombstone-aware
+    // probe; no oracle (the s_knn_ivf approximate class) — the spec
+    // pins probe == rebuild-on-survivors under the frozen quantizer
+    "s_knn_ivf_retracted" -> ((s: SparkSession, d: String) =>
+      graft.similarity.IvfWarehouse.retractedProbe(s, d)),
     "s_kmeans" -> (Kmeans.kmeansHistory _),
     // logistic-regression quality classifier: iterative GD trainer
     // (not a DuckDB query; LogregSpec pins gradient parity, monotone
@@ -498,6 +504,12 @@ object SparkEntry {
     // decomposition's correctness proof
     "d_budget_select" -> ((s: SparkSession, d: String) =>
       TrainPrep.budgetSelect(s, d)),
+    // the corpus → training-set funnel END-TO-END (r11, ask #4):
+    // gate → group/keep-best → decontaminate → budget-select → pack →
+    // shard as one staged composition, reported as per-stage
+    // (n_in, n_out) counts and oracled with the stage bodies verbatim
+    "d_pipeline_e2e" -> ((s: SparkSession, d: String) =>
+      TrainPrep.pipelineE2e(s, d)),
     "d_split_leakage_safe" -> (TrainPrep.leakageSafeSplit _),
     // corpus profiling (vocabulary, length distributions, repetition)
     "t_vocab_topk" -> ((s: SparkSession, d: String) => CorpusStats.vocabTopK(s, d)),
@@ -2077,6 +2089,62 @@ object SparkEntry {
     // (hoisted vals above) — composition can't drift from the signals
     "d_corpus_funnel" ->
       DCorpusFunnelSql,
+    // the END-TO-END pipeline (r11): every stage is its registered
+    // oracle body VERBATIM (funnel, groups CC, quality, 8-gram
+    // overlap, budget cumsum, chunk/shard/pack windows), chained on
+    // each stage's survivor id set; the output is the funnel report —
+    // per-stage (n_in, n_out)
+    "d_pipeline_e2e" ->
+      s"""WITH fn AS ($DCorpusFunnelSql),
+         |gated AS (SELECT doc_id FROM fn WHERE keep = 1),
+         |g AS ($DDedupGroupsSql), q AS ($TQualitySql),
+         |jg AS (SELECT g.doc_id AS doc_id, g.group_id AS group_id,
+         |q.quality_score AS quality_score FROM g
+         |JOIN q ON g.doc_id = q.doc_id JOIN gated ON g.doc_id = gated.doc_id),
+         |kb AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER
+         |(PARTITION BY group_id ORDER BY quality_score DESC, doc_id) AS rn
+         |FROM jg) WHERE rn = 1),
+         |docs8 AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+         |string_split(text, ' ') AS a FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id, bucket, array_to_string(a[i : i+7], ' ') AS gram
+         |FROM docs8, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i) t),
+         |cand AS (SELECT d.doc_id FROM docs8 d JOIN kb ON d.doc_id = kb.doc_id
+         |WHERE d.bucket < 80),
+         |tr AS (SELECT g8.doc_id AS doc_id, gram FROM g8 JOIN cand ON g8.doc_id = cand.doc_id),
+         |ev AS (SELECT gram FROM g8 WHERE bucket >= 90),
+         |contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)),
+         |clean AS (SELECT doc_id FROM cand
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |bsj AS (SELECT q.doc_id AS doc_id, q.quality_score AS quality_score,
+         |CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens
+         |FROM q JOIN documents d ON q.doc_id = d.doc_id
+         |JOIN clean c ON q.doc_id = c.doc_id),
+         |sel AS (SELECT doc_id FROM (SELECT doc_id,
+         |CAST(sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id) <= 10000 AS BIGINT) AS kept
+         |FROM bsj) WHERE kept = 1),
+         |sw AS (SELECT w.doc_id AS doc_id, w.a AS a FROM
+         |(SELECT doc_id, string_split(text, ' ') AS a FROM documents) w
+         |JOIN sel ON w.doc_id = sel.doc_id),
+         |sc AS (SELECT doc_id, a,
+         |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM sw),
+         |chunks AS (SELECT doc_id, i AS chunk_id,
+         |CAST(len(a[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
+         |FROM sc, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t),
+         |hh AS (SELECT d.doc_id AS doc_id, ('0x' || substring(md5(d.text), 1, 15))::BIGINT AS h
+         |FROM documents d JOIN sel ON d.doc_id = sel.doc_id),
+         |layout AS (SELECT doc_id, h % 8 AS shard,
+         |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM hh),
+         |pk AS (SELECT l.shard AS shard,
+         |(sum(c.n_tokens) OVER (PARTITION BY l.shard ORDER BY l.pos, c.chunk_id) - c.n_tokens) // 256 AS seq_id
+         |FROM chunks c JOIN layout l ON c.doc_id = l.doc_id)
+         |SELECT '1_gate' AS stage, (SELECT count(*) FROM documents) AS n_in,
+         |(SELECT count(*) FROM gated) AS n_out
+         |UNION ALL SELECT '2_keep_best', (SELECT count(*) FROM gated), (SELECT count(*) FROM kb)
+         |UNION ALL SELECT '3_decontaminate', (SELECT count(*) FROM kb), (SELECT count(*) FROM clean)
+         |UNION ALL SELECT '4_budget_select', (SELECT count(*) FROM clean), (SELECT count(*) FROM sel)
+         |UNION ALL SELECT '5_pack', (SELECT count(*) FROM sel), (SELECT count(*) FROM chunks)
+         |UNION ALL SELECT '6_shard', (SELECT count(*) FROM chunks),
+         |(SELECT count(*) FROM (SELECT DISTINCT shard, seq_id FROM pk))""".stripMargin,
     // the warehouse layout read back from the files: the funnel body
     // (verbatim, hoisted) gates the survivor set, then the
     // d_train_shards window runs over survivors — dense per-shard

@@ -208,18 +208,29 @@ object EdgeWarehouse {
 
   /** The refresh body with the final commit-marker append made
     * switchable, so the spec can simulate a crash in the widest
-    * non-committed window (everything written EXCEPT `.txt`). */
+    * non-committed window (everything written EXCEPT `.txt`).
+    * `guardRecrawl` (ADVICE-r10): the re-crawl guard is one semi-join
+    * + driver collect against the standing `.txt` store per call —
+    * right for batch maintenance, but a per-trigger Spark job whose
+    * cost grows with corpus file count when the caller is the
+    * STREAMING twin; there the crawl frontier upstream already
+    * guarantees fresh ids (that is what a frontier is), so the twin
+    * opts out and the batch verbs keep the loud check. */
   private[graft] def refreshImpl(spark: SparkSession, batch0: DataFrame,
-      path: String, commitTxt: Boolean): Unit = {
+      path: String, commitTxt: Boolean, guardRecrawl: Boolean = true): Unit = {
     val batch = batch0.select(col("doc_id"), col("text")).localCheckpoint()
     val bTxt = txtRows(batch).localCheckpoint()
     val standingTxt = spark.read.parquet(txtPath(path))
 
     // the crawl-contract guard: any batch id already committed (in
-    // `.txt`) is a re-crawl — fail loudly instead of corrupting
-    val recrawled = batch.select(col("doc_id"))
-      .join(standingTxt.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
+    // `.txt`) is a re-crawl — fail loudly instead of corrupting.
+    // Formatting goes through Row.get, not getLong — the guard must
+    // report a wrongly-TYPED doc_id, not die on the cast (ADVICE-r10).
+    val recrawled =
+      if (!guardRecrawl) Array.empty[String]
+      else batch.select(col("doc_id"))
+        .join(standingTxt.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(r => String.valueOf(r.get(0)))
     if (recrawled.nonEmpty)
       throw new IllegalStateException(
         "EdgeWarehouse.refresh: batch contains doc_ids already in the corpus " +
@@ -451,11 +462,15 @@ object EdgeWarehouse {
     * nearDupEdges).  Labels fold at compact cadence, exactly like the
     * batch loop.  Micro-batches are processed serially by the
     * streaming engine, which is the single-writer window every
-    * warehouse in the matrix assumes. */
+    * warehouse in the matrix assumes.  The re-crawl guard is OFF here
+    * (guardRecrawl=false): the upstream crawl frontier owns id
+    * freshness in the streaming deployment, and the guard's per-
+    * trigger semi-join job is exactly the cost ADVICE-r10 flagged. */
   def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
+        if (!batch.isEmpty) refreshImpl(batch.sparkSession, batch, path,
+          commitTxt = true, guardRecrawl = false)
       }
       .start()
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** The per-denom balance VALUE HISTOGRAM at rest — concentration
   * monitoring as a warehouse member: q_richlist_gini already
@@ -78,12 +78,16 @@ object BalanceWarehouse {
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder. */
   def materializeFrom(balances: DataFrame, path: String): Unit =
-    deltas(balances).write.mode("overwrite").parquet(path)
+    CommitLog.transaction(balances.sparkSession, path)(
+      _.replace(deltas(balances), path))
 
   /** REFRESH — fold a batch in at rest: append its histogram deltas.
-    * O(batch); no standing row is read or rewritten. */
+    * O(batch); no standing row is read or rewritten.  One CommitLog
+    * transaction (single-part here, but the committed read means a
+    * concurrent probe can never see a half-landed append and a crashed
+    * write job's files are never even listed). */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
 
   /** RETRACT — remove accounts from the standing histogram: append
     * their deltas NEGATED.  O(removed), append-only like refresh (no
@@ -92,17 +96,17 @@ object BalanceWarehouse {
     * ingested, i.e. counts never go net-negative — the caller's
     * contract, exactly like refresh's batch-freshness one. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
-    deltas(removed)
-      .select(col("denom"), col("q"), (-col("c")).as("c"))
-      .write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(deltas(removed)
+      .select(col("denom"), col("q"), (-col("c")).as("c")), path))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after (integer-sum order freedom); single-writer
     * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
     // persist exactly what probes serve: the one merged-reader body
-    val merged = mergedHist(spark, path).localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    // (the replace writes a NEW generation dir, never its own source)
+    CommitLog.transaction(spark, path)(_.replace(mergedHist(spark, path), path))
+    CommitLog.vacuum(spark, path)
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -112,7 +116,7 @@ object BalanceWarehouse {
     * accounts, not merely probe-equal (the retract contract's
     * bit-for-bit claim). */
   private[graft] def mergedHist(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
       .filter(col("c") =!= 0)
 
@@ -168,57 +172,67 @@ object BalanceWarehouse {
   // it read ("the warehouse as of generation g") and re-serve it
   // bit-for-bit after later refreshes AND retractions have landed —
   // the reproducibility verb a production data pipeline needs next to
-  // refresh/retract.  Mechanism: generations are DIRECTORY PARTITIONS
-  // (`path/gen=N/`), so
+  // refresh/retract.  Since round 11 the mechanism IS the shared
+  // CommitLog (VERDICT-r10 asks #1+#3 combined): every maintenance
+  // verb is one committed transaction, generations are the log's own
+  // transaction numbers, and
   //   - stamping costs nothing (the gen never rides in the rows; it is
-  //     the directory name),
-  //   - an as-of read is PARTITION PRUNING — `gen <= g` drops newer
-  //     generations at file listing, so a snapshot read costs
-  //     O(state up to g) and never even lists later deltas
-  //     (spec-asserted via listFiles, the matrix's pruning pattern),
+  //     the committed directory),
+  //   - an as-of read folds the log to the live generations <= g and
+  //     reads EXACTLY those directories — later generations are not
+  //     pruned-after-listing, they are never listed at all
+  //     (spec-asserted on the scan roots),
   //   - the contract is exact by the same associativity that gives
   //     refresh its bit-equal rung: asOf(g) == the probe at the moment
   //     gen g was the head, bit-for-bit, forever — including
   //     asOf(pre-retraction g), which re-serves deleted accounts'
-  //     influence WITHOUT any standing row having been rewritten.
-  // RETENTION: `compactHorizon(h)` folds gens <= h into one merged
-  // gen=h base — every asOf(g >= h) is bit-invariant, and asOf(g < h)
-  // becomes EMPTY (the retention contract made visible: history
-  // before the horizon is gone; spec-pinned).  The pattern is
-  // member-generic — any append-only delta member gets it by routing
-  // its writes through gen dirs; it is registered here on the member
-  // whose refresh AND retract rungs are already oracled, so the
-  // snapshot claim composes with both.
+  //     influence WITHOUT any standing row having been rewritten,
+  //   - and CONCURRENT readers are snapshot-isolated: a probe pins one
+  //     committed fold, so a refresh landing (or crashing) mid-probe
+  //     is invisible (WarehouseCommitSpec drives it on this member).
+  // RETENTION: `compactHorizon(h)` is CommitLog's rebase verb — the
+  // state folded to h lands as one new committed dir at horizon h;
+  // every asOf(g >= h) is bit-invariant, asOf(g < h) becomes EMPTY
+  // (the retention contract made visible; spec-pinned), and — better
+  // than the round-9 directory-partition form — later generations'
+  // delta files are NOT rewritten.
   //
   // Interplay with retraction-based takedown (right-to-be-forgotten):
   // a retraction only forgets FORWARD — snapshots at g < retraction
   // still serve the removed rows' influence by design.  A takedown
   // that must also erase history is compactHorizon past the
-  // retraction gen (physical erasure of the pre-horizon state).
+  // retraction gen + vacuum (physical erasure of the pre-horizon
+  // state).
   // ------------------------------------------------------------------
 
-  private def genDir(path: String, gen: Int) = s"$path/gen=$gen"
+  /** REFRESH as the next committed generation. */
+  def refreshGen(batch: DataFrame, path: String): Unit =
+    CommitLog.transaction(batch.sparkSession, path)(
+      _.append(deltas(batch), path))
 
-  /** REFRESH into generation `gen` — the plain refresh routed to the
-    * generation's directory partition. */
-  def refreshAt(batch: DataFrame, path: String, gen: Int): Unit =
-    deltas(batch).write.mode("append").parquet(genDir(path, gen))
+  /** RETRACT as the next committed generation — negated deltas. */
+  def retractGen(removed: DataFrame, path: String): Unit =
+    CommitLog.transaction(removed.sparkSession, path)(
+      _.append(deltas(removed)
+        .select(col("denom"), col("q"), (-col("c")).as("c")), path))
 
-  /** RETRACT as generation `gen` — negated deltas, gen-routed. */
-  def retractAt(removed: DataFrame, path: String, gen: Int): Unit =
-    deltas(removed)
-      .select(col("denom"), col("q"), (-col("c")).as("c"))
-      .write.mode("append").parquet(genDir(path, gen))
-
-  /** The as-of merge: fold only generations <= `gen`.  The filter is
-    * on the PARTITION column, so later generations' files are pruned
-    * at listing (spec-asserted), not read-and-dropped. */
+  /** The as-of merge: fold only committed generations <= `gen` — the
+    * CommitLog fold reads exactly those directories (later generations
+    * are never listed).  Behind the retention horizon the state is
+    * EMPTY, not an error. */
   private[graft] def mergedHistAsOf(spark: SparkSession, path: String,
       gen: Int): DataFrame =
-    spark.read.parquet(path)
-      .filter(col("gen") <= gen)
-      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
-      .filter(col("c") =!= 0)
+    CommitLog.snapshot(spark, path).readOpt(path, gen.toLong)
+      .map(_.groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+        .filter(col("c") =!= 0))
+      .getOrElse(emptyHist(spark))
+
+  private def emptyHist(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("denom", StringType),
+        StructField("q", LongType), StructField("c", LongType))))
+  }
 
   /** Registered `q_richlist_gini_asof`: the concentration report AS OF
     * generation 1 (base + incoming, BEFORE the gen-2 retraction) —
@@ -230,22 +244,17 @@ object BalanceWarehouse {
   def giniAsOf(spark: SparkSession, path: String, gen: Int): DataFrame =
     Staking.giniOfHist(mergedHistAsOf(spark, path, gen).localCheckpoint())
 
-  /** RETENTION — fold all generations <= `horizon` into one merged
-    * gen=`horizon` base partition, leaving later generations' delta
-    * files untouched (they are rewritten verbatim only because the
-    * static overwrite replaces the whole tree; row content is
-    * preserved).  asOf(g >= horizon) is bit-invariant (associative
+  /** RETENTION — CommitLog's rebase: the state folded to `horizon`
+    * lands as ONE new committed dir sorted at the horizon; generations
+    * <= horizon die for every reader (head and as-of alike) and vacuum
+    * reclaims them physically; later generations' delta files are NOT
+    * touched.  asOf(g >= horizon) is bit-invariant (associative
     * integer sums); asOf(g < horizon) becomes empty — the retention
-    * boundary.  Single-writer maintenance window, as everywhere. */
+    * boundary.  Single-WRITER maintenance window (readers are free). */
   def compactHorizon(spark: SparkSession, path: String, horizon: Int): Unit = {
-    val later = spark.read.parquet(path)
-      .filter(col("gen") > horizon)
-      .select(col("denom"), col("q"), col("c"), col("gen"))
-    val atHorizon = mergedHistAsOf(spark, path, horizon)
-      .withColumn("gen", lit(horizon))
-      .select(col("denom"), col("q"), col("c"), col("gen"))
-    val all = atHorizon.unionByName(later).localCheckpoint()
-    all.write.mode("overwrite").partitionBy("gen").parquet(path)
+    val merged = mergedHistAsOf(spark, path, horizon)
+    CommitLog.transaction(spark, path)(_.rebase(merged, path, horizon.toLong))
+    CommitLog.vacuum(spark, path)
   }
 
   /** The three-generation snapshot-log build: gen 0 = base ingest,
@@ -255,9 +264,9 @@ object BalanceWarehouse {
   def builtGenPath(spark: SparkSession, dir: String): String =
     graft.sources.Materialized.pathFor("balance_warehouse_gen", dir) { p =>
       val c = Tables(spark, dir).customer
-      refreshAt(balancesOf(spark, dir, c.filter(isBaseCust)), p, 0)
-      refreshAt(balancesOf(spark, dir, c.filter(!isBaseCust)), p, 1)
-      retractAt(balancesOf(spark, dir, c.filter(isRetractedCust)), p, 2)
+      refreshGen(balancesOf(spark, dir, c.filter(isBaseCust)), p)
+      refreshGen(balancesOf(spark, dir, c.filter(!isBaseCust)), p)
+      retractGen(balancesOf(spark, dir, c.filter(isRetractedCust)), p)
     }
 
   /** Op-weighted histogram deltas of a change batch: op = +1 inserts
@@ -287,7 +296,8 @@ object BalanceWarehouse {
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          deltasSigned(batch).write.mode("append").parquet(path)
+          CommitLog.transaction(batch.sparkSession, path)(
+            _.append(deltasSigned(batch), path))
       }
       .start()
 }

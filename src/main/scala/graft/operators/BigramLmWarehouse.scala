@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.MinHashWarehouse.isBase
 import graft.functions.Exact.{roundx, sumx}
 import graft.functions.TextFunctions.words
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** The BIGRAM LM AT REST — the context-aware member of the warehouse
   * family, extending LmWarehouse's CCNet triage with
@@ -79,29 +79,26 @@ object BigramLmWarehouse {
     val tk = toks(docs).localCheckpoint() // one tokenize, three consumers
     val (c1, c2) = counts(tk)
     val c1p = c1.localCheckpoint() // vocabulary-bounded; feeds table + stats
-    c1p.withColumn("wb", bucket(col("w")))
-      .write.mode("overwrite").partitionBy("wb").parquet(c1Path(path))
-    c2.withColumn("pwb", bucket(col("pw")))
-      .write.mode("overwrite").partitionBy("pwb").parquet(c2Path(path))
-    c1p.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v"))
-      .write.mode("overwrite").parquet(statsPath(path))
+    CommitLog.transaction(tk.sparkSession, path) { t =>
+      t.replace(c1p.withColumn("wb", bucket(col("w"))), c1Path(path), Seq("wb"))
+      t.replace(c2.withColumn("pwb", bucket(col("pw"))), c2Path(path), Seq("pwb"))
+      t.replace(c1p.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v")),
+        statsPath(path))
+    }
   }
 
   /** REFRESH — append the batch's unigram/bigram deltas, bump (nb, v).
     * O(batch): the new-term count anti-joins the batch vocabulary
     * against the standing c1 restricted to the batch's own buckets.
     *
-    * Durability contract: the stats overwrite goes through a
-    * write-to-temp + rename swap (`writeStatsAtomic`), so a crash can
-    * never leave the stats row ABSENT or partially written — the old
-    * row stays readable until the new one replaces it in a metadata
-    * rename.  Cross-TABLE atomicity (appended counts visible before
-    * the swapped stats) would need a transactional table format, which
-    * this environment does not ship (287 jars, no Delta/Iceberg/Hudi —
-    * the parquetUpsertSink stance); the refresh contract is therefore
-    * SINGLE-WRITER with no concurrent probe mid-refresh, the same
-    * assumption every non-stats warehouse in this family already
-    * makes implicitly for its multi-file appends. */
+    * Durability contract (round 11 — CommitLog replaces the rename
+    * swap this member carried and DELETES its documented caveat): all
+    * three parts land as ONE transaction behind a commit marker, so
+    * cross-table atomicity holds outright — a crash in any window
+    * leaves probes on the pre-refresh state bit-for-bit, a concurrent
+    * probe's pinned snapshot can never see the appended counts without
+    * the matching denominator, and the retried verb converges with a
+    * clean run (WarehouseCommitSpec drives this member's windows). */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val tk = toks(batch).localCheckpoint()
     val (c1, c2) = counts(tk)
@@ -113,52 +110,22 @@ object BigramLmWarehouse {
     // fully-retracted term's zero-sum rows must read as absent, or a
     // later re-ingest of that term is missed by the new-term count
     // and v permanently undercounts (retract∘refresh == rebuild)
-    val standing = spark.read.parquet(c1Path(path))
+    val snap = CommitLog.snapshot(spark, path)
+    val standing = snap.read(c1Path(path))
       .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
       .filter(col("scnt") =!= 0)
       .select(col("w"))
     val newTerms = delta1.join(standing, Seq("w"), "left_anti").count()
     val batchTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
-    val st = spark.read.parquet(statsPath(path)).head()
-    delta1.withColumn("wb", bucket(col("w")))
-      .write.mode("append").partitionBy("wb").parquet(c1Path(path))
-    c2.withColumn("pwb", bucket(col("pw")))
-      .write.mode("append").partitionBy("pwb").parquet(c2Path(path))
-    writeStatsAtomic(spark, path,
-      st.getLong(0) + batchTokens, st.getLong(1) + newTerms)
-  }
-
-  /** Swap-in stats write: the new (nb, v) row lands in a sibling temp
-    * directory first, then replaces the live one via filesystem
-    * renames — never torn mid-overwrite (a plain `mode("overwrite")`
-    * deletes before it writes, so a crash there would leave NO stats
-    * at all).  Two honest caveats on the contract: HDFS-style
-    * filesystems signal rename failure by RETURNING FALSE, not
-    * throwing, so each rename's return value is checked and a false
-    * fails loudly instead of leaving probes on stale stats; and there
-    * remains a crash WINDOW between rename(stats→old) and
-    * rename(next→stats) during which the live row is absent — the old
-    * row stays recoverable from `.old` (and the new one from `.next`),
-    * but a reader hitting exactly that window sees a missing path.
-    * Closing the window for real needs a table format's atomic commit
-    * (none ships in this environment — the MERGE-sink stance). */
-  private def writeStatsAtomic(spark: SparkSession, path: String,
-      nb: Long, v: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val stats = new Path(statsPath(path))
-    val next = new Path(statsPath(path) + ".next")
-    val old = new Path(statsPath(path) + ".old")
-    spark.range(1).select(lit(nb).as("nb"), lit(v).as("v"))
-      .write.mode("overwrite").parquet(next.toString)
-    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def renameOrThrow(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"stats swap: rename $src -> $dst returned false")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(stats)) renameOrThrow(stats, old)
-    renameOrThrow(next, stats)
-    fs.delete(old, true)
+    val st = snap.read(statsPath(path)).head()
+    CommitLog.transaction(spark, path) { t =>
+      t.append(delta1.withColumn("wb", bucket(col("w"))), c1Path(path), Seq("wb"))
+      t.append(c2.withColumn("pwb", bucket(col("pw"))), c2Path(path), Seq("pwb"))
+      t.replace(spark.range(1)
+        .select(lit(st.getLong(0) + batchTokens).as("nb"),
+          lit(st.getLong(1) + newTerms).as("v")), statsPath(path))
+    }
   }
 
   /** RETRACT — the delete verb on the BIT-EQUAL rung, the
@@ -182,21 +149,23 @@ object BigramLmWarehouse {
     if (delta1.isEmpty) return // empty takedown list: warehouse untouched
     val buckets = delta1.select(bucket(col("w")).as("wb"))
       .distinct().collect().map(_.getLong(0))
-    val standing = spark.read.parquet(c1Path(path))
+    val snap = CommitLog.snapshot(spark, path)
+    val standing = snap.read(c1Path(path))
       .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
     val vanished = delta1.join(standing, Seq("w"))
       .filter(col("scnt") === col("cnt")).count()
     val removedTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
-    val st = spark.read.parquet(statsPath(path)).head()
-    delta1.select(col("w"), (-col("cnt")).as("cnt"))
-      .withColumn("wb", bucket(col("w")))
-      .write.mode("append").partitionBy("wb").parquet(c1Path(path))
-    c2.select(col("pw"), col("w"), (-col("cnt")).as("cnt"))
-      .withColumn("pwb", bucket(col("pw")))
-      .write.mode("append").partitionBy("pwb").parquet(c2Path(path))
-    writeStatsAtomic(spark, path,
-      st.getLong(0) - removedTokens, st.getLong(1) - vanished)
+    val st = snap.read(statsPath(path)).head()
+    CommitLog.transaction(spark, path) { t =>
+      t.append(delta1.select(col("w"), (-col("cnt")).as("cnt"))
+        .withColumn("wb", bucket(col("w"))), c1Path(path), Seq("wb"))
+      t.append(c2.select(col("pw"), col("w"), (-col("cnt")).as("cnt"))
+        .withColumn("pwb", bucket(col("pw"))), c2Path(path), Seq("pwb"))
+      t.replace(spark.range(1)
+        .select(lit(st.getLong(0) - removedTokens).as("nb"),
+          lit(st.getLong(1) - vanished).as("v")), statsPath(path))
+    }
   }
 
   /** COMPACT — merge both delta tables to one row per key; stats are
@@ -205,30 +174,34 @@ object BigramLmWarehouse {
     * tables literally the rebuild-on-survivors state (vacuous when
     * nothing was retracted: positive-delta sums are positive). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val m1 = spark.read.parquet(c1Path(path))
+    val snap = CommitLog.snapshot(spark, path)
+    val m1 = snap.read(c1Path(path))
       .groupBy(col("w"), col("wb")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint()
-    m1.write.mode("overwrite").partitionBy("wb").parquet(c1Path(path))
-    val m2 = spark.read.parquet(c2Path(path))
+    val m2 = snap.read(c2Path(path))
       .groupBy(col("pw"), col("w"), col("pwb")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint()
-    m2.write.mode("overwrite").partitionBy("pwb").parquet(c2Path(path))
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(m1, c1Path(path), Seq("wb"))
+      t.replace(m2, c2Path(path), Seq("pwb"))
+    }
+    CommitLog.vacuum(spark, path)
   }
 
   /** Score `docs` = (doc_id, text) against the bigram LM at rest.
     * Columns (doc_id, n_tokens, bigram_hits, nll). */
   def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
-    val st = spark.read.parquet(statsPath(path)).head()
+    // one snapshot pins c1 + c2 + stats together (no torn denominator)
+    val snap = CommitLog.snapshot(spark, path)
+    val st = snap.read(statsPath(path)).head()
     val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
     val tk = toks(docs).localCheckpoint()
     val wBuckets = tk.select(bucket(col("w")).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val c1 = spark.read.parquet(c1Path(path))
+    val c1 = snap.read(c1Path(path))
       .filter(col("wb").isin(wBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
-    val c2 = spark.read.parquet(c2Path(path))
+    val c2 = snap.read(c2Path(path))
       .filter(col("pwb").isin(wBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("pw"), col("w")).agg(sum(col("cnt")).as("cnt2"))
       // fully-retracted bigrams (sum 0) must fall through to the

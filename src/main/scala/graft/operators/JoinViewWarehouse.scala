@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exact.{roundx, sumx}
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** Incremental maintenance of a JOIN view — the one algebraic shape
   * the warehouse matrix lacked.  Every other member maintains a UNARY
@@ -87,8 +87,8 @@ object JoinViewWarehouse {
 
   /** The merged O-side map: one live (k, prio, year) row per
     * surviving order (net-op 0 keys — retracted orders — drop). */
-  private def mergedOrders(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(oPath(path))
+  private def mergedOrders(snap: CommitLog.Snapshot, path: String): DataFrame =
+    snap.read(oPath(path))
       .groupBy(col("k"), col("prio"), col("year"))
       .agg(sum(col("op")).as("op"))
       .filter(col("op") =!= 0)
@@ -96,8 +96,8 @@ object JoinViewWarehouse {
 
   /** The merged L-side map: one (rev, n) row per orderkey with
     * surviving lines. */
-  private def mergedLines(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(lPath(path))
+  private def mergedLines(snap: CommitLog.Snapshot, path: String): DataFrame =
+    snap.read(lPath(path))
       .groupBy(col("k"))
       .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
@@ -116,25 +116,26 @@ object JoinViewWarehouse {
     // re-scanning and re-aggregating each input a second time
     val o = orderRows(orders, 1).localCheckpoint()
     val l = lineDeltas(lines).localCheckpoint()
-    o.write.mode("overwrite").parquet(oPath(path))
-    l.write.mode("overwrite").parquet(lPath(path))
-    viewDeltas(o.join(l, Seq("k")), 1)
-      .write.mode("overwrite").parquet(path)
+    CommitLog.transaction(o.sparkSession, path) { t =>
+      t.replace(o, oPath(path))
+      t.replace(l, lPath(path))
+      t.replace(viewDeltas(o.join(l, Seq("k")), 1), path)
+    }
   }
 
   /** REFRESH, line side — fold a lineitem batch: view += O_standing ⋈
-    * ΔL.  The view-delta write happens FIRST and the side-state
-    * append LAST (an interrupted refresh that wrote deltas but not
-    * the side rows is detectable by re-running lineDeltas — but
-    * unlike EdgeWarehouse there is no cross-batch guard to violate:
-    * re-running the batch double-counts, so the caller's exactly-once
-    * contract is the same one refresh itself has everywhere in the
-    * matrix). */
+    * ΔL.  View delta and side-state row land as ONE CommitLog
+    * transaction (round 11 — closing the ADVICE-r10 window: a crash
+    * between the two writes previously left a state neither
+    * re-runnable nor skippable; now an interrupted refresh is simply
+    * invisible and the retry converges with a clean run). */
   def refreshLines(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val dl = lineDeltas(batch).localCheckpoint()
-    viewDeltas(mergedOrders(spark, path).join(dl, Seq("k")), 1)
-      .write.mode("append").parquet(path)
-    dl.write.mode("append").parquet(lPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.append(viewDeltas(mergedOrders(snap, path).join(dl, Seq("k")), 1), path)
+      t.append(dl, lPath(path))
+    }
   }
 
   /** REFRESH, order side — fold an orders batch: view += ΔO ⋈
@@ -142,9 +143,11 @@ object JoinViewWarehouse {
     * full three-term delta rule (see object doc). */
   def refreshOrders(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val dOrd = orderRows(batch, 1).localCheckpoint()
-    viewDeltas(dOrd.join(mergedLines(spark, path), Seq("k")), 1)
-      .write.mode("append").parquet(path)
-    dOrd.write.mode("append").parquet(oPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.append(viewDeltas(dOrd.join(mergedLines(snap, path), Seq("k")), 1), path)
+      t.append(dOrd, oPath(path))
+    }
   }
 
   /** RETRACT, order side — remove orders: view −= R ⋈ L_standing,
@@ -154,9 +157,11 @@ object JoinViewWarehouse {
     * contract. */
   def retractOrders(spark: SparkSession, removed: DataFrame, path: String): Unit = {
     val rOrd = orderRows(removed, 1).localCheckpoint()
-    viewDeltas(rOrd.join(mergedLines(spark, path), Seq("k")), -1)
-      .write.mode("append").parquet(path)
-    rOrd.withColumn("op", lit(-1L)).write.mode("append").parquet(oPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.append(viewDeltas(rOrd.join(mergedLines(snap, path), Seq("k")), -1), path)
+      t.append(rOrd.withColumn("op", lit(-1L)), oPath(path))
+    }
   }
 
   /** COMPACT — merge all three states to one row per key; probes
@@ -165,12 +170,13 @@ object JoinViewWarehouse {
   def compact(spark: SparkSession, path: String): Unit = {
     // the merged READER is the one definition of the folded state —
     // compact must persist exactly what probes serve
-    val v = mergedView(spark, path).localCheckpoint()
-    v.write.mode("overwrite").parquet(path)
-    val o = mergedOrders(spark, path).withColumn("op", lit(1L)).localCheckpoint()
-    o.write.mode("overwrite").parquet(oPath(path))
-    val l = mergedLines(spark, path).localCheckpoint()
-    l.write.mode("overwrite").parquet(lPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(mergedViewOf(snap, path), path)
+      t.replace(mergedOrders(snap, path).withColumn("op", lit(1L)), oPath(path))
+      t.replace(mergedLines(snap, path), lPath(path))
+    }
+    CommitLog.vacuum(spark, path)
   }
 
   /** The probe-side merge — exposed un-checkpointed so the spec can
@@ -178,7 +184,10 @@ object JoinViewWarehouse {
     * lineitem, and not even the side states: the view is self-
     * contained at serve time). */
   private[graft] def mergedView(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    mergedViewOf(CommitLog.snapshot(spark, path), path)
+
+  private def mergedViewOf(snap: CommitLog.Snapshot, path: String): DataFrame =
+    snap.read(path)
       .groupBy(col("prio"), col("year"))
       .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
@@ -244,13 +253,15 @@ object JoinViewWarehouse {
     * pins the view-delta schema to the refresh/retract writes'. */
   def refreshOrderChanges(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val ch = orderChangeRows(batch).localCheckpoint()
-    ch.join(mergedLines(spark, path), Seq("k"))
-      .groupBy(col("prio"), col("year"))
-      .agg(sum(col("op").cast("decimal(10,0)") * col("rev"))
-        .cast("decimal(38,6)").as("rev"),
-        sum(col("op") * col("n")).as("n"))
-      .write.mode("append").parquet(path)
-    ch.write.mode("append").parquet(oPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.append(ch.join(mergedLines(snap, path), Seq("k"))
+        .groupBy(col("prio"), col("year"))
+        .agg(sum(col("op").cast("decimal(10,0)") * col("rev"))
+          .cast("decimal(38,6)").as("rev"),
+          sum(col("op") * col("n")).as("n")), path)
+      t.append(ch, oPath(path))
+    }
   }
 
   /** The CDC twin on the ORDERS side — insert, update (−old/+new)

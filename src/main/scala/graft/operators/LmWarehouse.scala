@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.MinHashWarehouse.isBase
 import graft.functions.Exact.{roundx, sumx}
 import graft.functions.TextFunctions.words
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** The unigram LM AT REST — quality scoring's member of the warehouse
   * family (MinHashWarehouse: J-dedup, LshWarehouse: cosine,
@@ -65,10 +65,11 @@ object LmWarehouse {
     val toks = docs.select(explode(words(col("text"))).as("term"))
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // one token pass feeds both the table and (nb, v)
-    lm.withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(path)
-    lm.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v"))
-      .write.mode("overwrite").parquet(statsPath(path))
+    CommitLog.transaction(toks.sparkSession, path) { t =>
+      t.replace(lm.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
+      t.replace(lm.agg(sum(col("cnt")).as("nb"), count(lit(1)).as("v")),
+        statsPath(path))
+    }
   }
 
   /** REFRESH — fold an accepted crawl batch into the LM at rest:
@@ -90,23 +91,23 @@ object LmWarehouse {
     // distinct-over-rows check would misread it as still-known,
     // undercounting v when the term re-enters (retract∘refresh ==
     // rebuild requires the sum-based membership retract itself uses)
-    val standing = spark.read.parquet(path)
+    val snap = CommitLog.snapshot(spark, path)
+    val standing = snap.read(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
       .filter(col("scnt") =!= 0)
       .select(col("term"))
     val newTerms = delta.join(standing, Seq("term"), "left_anti").count()
     val batchTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
-    val st = spark.read.parquet(statsPath(path)).head()
-    // stats BEFORE the model append would also be correct (readers of
-    // the model sum deltas; stats only feed the smoothing denominator)
-    // but append-then-stats keeps a mid-refresh reader conservative
-    delta.withColumn("tb", termBucket(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(path)
-    spark.range(1)
-      .select(lit(st.getLong(0) + batchTokens).as("nb"),
-        lit(st.getLong(1) + newTerms).as("v"))
-      .write.mode("overwrite").parquet(statsPath(path))
+    val st = snap.read(statsPath(path)).head()
+    // model append + stats replace land as ONE transaction — a reader
+    // can never see the deltas without the matching denominator
+    CommitLog.transaction(spark, path) { t =>
+      t.append(delta.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
+      t.replace(spark.range(1)
+        .select(lit(st.getLong(0) + batchTokens).as("nb"),
+          lit(st.getLong(1) + newTerms).as("v")), statsPath(path))
+    }
   }
 
   /** RETRACT — the delete verb on the BIT-EQUAL rung (round 10,
@@ -132,20 +133,21 @@ object LmWarehouse {
     if (delta.isEmpty) return // empty takedown list: warehouse untouched
     val buckets = delta.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
-    val standing = spark.read.parquet(path)
+    val snap = CommitLog.snapshot(spark, path)
+    val standing = snap.read(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
     val vanished = delta.join(standing, Seq("term"))
       .filter(col("scnt") === col("cnt")).count()
     val removedTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
-    val st = spark.read.parquet(statsPath(path)).head()
-    delta.select(col("term"), (-col("cnt")).as("cnt"))
-      .withColumn("tb", termBucket(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(path)
-    spark.range(1)
-      .select(lit(st.getLong(0) - removedTokens).as("nb"),
-        lit(st.getLong(1) - vanished).as("v"))
-      .write.mode("overwrite").parquet(statsPath(path))
+    val st = snap.read(statsPath(path)).head()
+    CommitLog.transaction(spark, path) { t =>
+      t.append(delta.select(col("term"), (-col("cnt")).as("cnt"))
+        .withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
+      t.replace(spark.range(1)
+        .select(lit(st.getLong(0) - removedTokens).as("nb"),
+          lit(st.getLong(1) - vanished).as("v")), statsPath(path))
+    }
   }
 
   /** COMPACT — merge accumulated (term, cnt) delta rows back to ONE
@@ -156,15 +158,15 @@ object LmWarehouse {
     * WarehouseCompactSpec pins it).  Fully-retracted terms fold to 0
     * and DROP, making the compacted table literally the
     * rebuild-on-survivors state (vacuous when nothing was retracted).
-    * The LM table is vocabulary-bounded, so the localCheckpoint pin
-    * before overwriting its own source is metadata-scale at any
-    * corpus size. */
+    * Under CommitLog the merge writes a NEW generation dir (never its
+    * own source), so no pin is needed; vacuum then reclaims the dead
+    * delta generations. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
+    val merged = CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("term"), col("tb")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint()
-    merged.write.mode("overwrite").partitionBy("tb").parquet(path)
+    CommitLog.transaction(spark, path)(_.replace(merged, path, Seq("tb")))
+    CommitLog.vacuum(spark, path)
   }
 
   /** Score `docs` = (doc_id, text) against the LM at rest: per-doc avg
@@ -172,14 +174,16 @@ object LmWarehouse {
     * ≤64 driver values and become the literal partition-pruning
     * predicate (the Bm25Warehouse.probe pattern). */
   def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
-    val st = spark.read.parquet(statsPath(path)).head()
+    // one snapshot pins model + stats together (no torn denominator)
+    val snap = CommitLog.snapshot(spark, path)
+    val st = snap.read(statsPath(path)).head()
     val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val buckets = toks.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     // sum delta rows per term over the pruned slice — the probe-side
     // merge that keeps refresh append-only (vocabulary-bounded agg)
-    val lm = spark.read.parquet(path)
+    val lm = snap.read(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
     val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)

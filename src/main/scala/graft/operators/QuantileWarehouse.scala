@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exact.roundx
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** Per-day gas-price VALUE HISTOGRAMS at rest — the warehouse member
   * for the statistic the daily rollup family can't serve EXACTLY over
@@ -72,12 +72,14 @@ object QuantileWarehouse {
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder.  Partitioned by date: the window probe's pruning story. */
   def materializeFrom(events: DataFrame, path: String): Unit =
-    deltas(events).write.mode("overwrite").partitionBy("date").parquet(path)
+    CommitLog.transaction(events.sparkSession, path)(
+      _.replace(deltas(events), path, Seq("date")))
 
   /** REFRESH — fold a batch in at rest: append its histogram deltas.
     * O(batch); no standing row is read or rewritten. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").partitionBy("date").parquet(path)
+    CommitLog.transaction(spark, path)(
+      _.append(deltas(batch), path, Seq("date")))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract verbatim — integer counts subtract
@@ -88,26 +90,26 @@ object QuantileWarehouse {
     * probe equality that follows).  Precondition: removed ⊆ ingested
     * (the caller's contract, as everywhere on this rung). */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
-    deltas(removed)
-      .select(col("date"), col("denom"), col("q"), (-col("c")).as("c"))
-      .write.mode("append").partitionBy("date").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(deltas(removed)
+      .select(col("date"), col("denom"), col("q"), (-col("c")).as("c")),
+      path, Seq("date")))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after (integer-sum order freedom); fully-retracted keys
     * fold to 0 and drop (vacuous without retraction); single-writer
     * maintenance window assumed, as everywhere in the matrix. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
+    val merged = CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("date"), col("denom"), col("q")).agg(sum(col("c")).as("c"))
       .filter(col("c") =!= 0)
-      .localCheckpoint()
-    merged.write.mode("overwrite").partitionBy("date").parquet(path)
+    CommitLog.transaction(spark, path)(_.replace(merged, path, Seq("date")))
+    CommitLog.vacuum(spark, path)
   }
 
   /** The raw delta read — exposed un-collapsed so specs can assert
     * scan roots and partition pruning on exactly what probes read. */
   private[graft] def histRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
       .select(col("date").cast("date").as("date"), col("denom"), col("q"), col("c"))
 
   /** The shared quantile tail: delta rows (already date-filtered by
@@ -211,13 +213,15 @@ object QuantileWarehouse {
       .groupBy(col("date"), col("denom")).agg(kllSketch(col("value")).as("sk"))
 
   def sketchMaterializeFrom(events: DataFrame, path: String): Unit =
-    sketchDeltas(events).write.mode("overwrite").partitionBy("date").parquet(path)
+    CommitLog.transaction(events.sparkSession, path)(
+      _.replace(sketchDeltas(events), path, Seq("date")))
 
   def sketchRefresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    sketchDeltas(batch).write.mode("append").partitionBy("date").parquet(path)
+    CommitLog.transaction(spark, path)(
+      _.append(sketchDeltas(batch), path, Seq("date")))
 
   private[graft] def sketchRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
       .select(col("date").cast("date").as("date"), col("denom"), col("sk"))
 
   /** Registered `q_gas_quantiles_window_sketch`: the window quantiles

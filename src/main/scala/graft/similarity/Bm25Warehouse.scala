@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.MinHashWarehouse.isBase
 import graft.functions.Exact.{roundx, sumx}
 import graft.functions.TextFunctions.words
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** The BM25 posting table AT REST — the lexical index the warehouse
   * family was missing (MinHashWarehouse: J-dedup; LshWarehouse:
@@ -18,9 +18,15 @@ import graft.sources.Tables
   * index without ever re-reading corpus text.
   *
   * Layout (APPEND-ONLY — every part either never rewrites standing
-  * rows or is a driver-scalar overwrite, so `refresh` can fold an
+  * rows or is a driver-scalar replace, so `refresh` can fold an
   * accepted crawl batch into the index at rest without re-reading any
-  * historical text; the LSM/segment-merge stance):
+  * historical text; the LSM/segment-merge stance).  Since round 11
+  * every maintenance verb is ONE CommitLog transaction — postings +
+  * df + stats (+ tomb) land atomically behind a commit marker, probes
+  * pin a committed snapshot across all four parts, and the old
+  * single-writer/NO-CRASH caveat is dead (graft.sources.CommitLog;
+  * WarehouseCommitSpec kills a refresh between every pair of part
+  * writes and pins pre-refresh probes bit-for-bit):
   *  - `<path>`: posting rows (term, doc_id, tf, len) partitioned by
   *    tb = pmod(xxhash64(term), 64) — term-hash buckets, so a probe
   *    whose term set maps to few buckets PRUNES partitions (the
@@ -85,9 +91,8 @@ object Bm25Warehouse {
     (tf.join(lens, Seq("doc_id")), dfd, st.getLong(0), st.getLong(1))
   }
 
-  private def writeStats(spark: SparkSession, path: String, n: Long, sl: Long): Unit =
+  private def statsFrame(spark: SparkSession, n: Long, sl: Long): DataFrame =
     spark.range(1).select(lit(n).as("n"), lit(sl).as("sl"))
-      .write.mode("overwrite").parquet(statsPath(path))
 
   /** Ingest: tokenize the base corpus once, write the posting table,
     * df delta side and 1-row stats side. */
@@ -96,29 +101,34 @@ object Bm25Warehouse {
       Tables(spark, dir).documents.filter(isBase), path)
 
   /** Frame-level ingest — also the refresh-equivalence spec's one-shot
-    * reference builder. */
+    * reference builder.  ONE CommitLog transaction: all three parts
+    * land atomically (round 11 — the shared protocol replacing this
+    * member's single-writer/no-crash caveat). */
   def materializeFrom(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val (postings, dfd, n, sl) = contribution(docs)
-    postings.withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(path)
-    dfd.withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
-    writeStats(spark, path, n, sl)
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(postings.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
+      t.replace(dfd.withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
+      t.replace(statsFrame(spark, n, sl), statsPath(path))
+    }
   }
 
   /** REFRESH — fold an accepted crawl batch into the index at rest:
     * append the batch's posting rows and df deltas, bump the two stats
-    * scalars.  Cost is O(batch) — tokenizes ONLY the batch, reads only
-    * the 1-row stats side, touches no standing row.  Batch doc_ids
-    * must be new to the corpus (the crawl contract). */
+    * scalars — one atomic transaction (a crash between any two part
+    * writes is invisible to probes; WarehouseCommitSpec kills it in
+    * every window).  Cost is O(batch) — tokenizes ONLY the batch,
+    * reads only the 1-row stats side, touches no standing row.  Batch
+    * doc_ids must be new to the corpus (the crawl contract). */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val (postings, dfd, n, sl) = contribution(batch)
-    postings.withColumn("tb", termBucket(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(path)
-    dfd.withColumn("tb", termBucket(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(dfPath(path))
-    val st = spark.read.parquet(statsPath(path)).head()
-    writeStats(spark, path, st.getLong(0) + n, st.getLong(1) + sl)
+    val st = CommitLog.snapshot(spark, path).read(statsPath(path)).head()
+    CommitLog.transaction(spark, path) { t =>
+      t.append(postings.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
+      t.append(dfd.withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
+      t.replace(statsFrame(spark, st.getLong(0) + n, st.getLong(1) + sl),
+        statsPath(path))
+    }
   }
 
   /** RETRACT — the delete verb, with the STATS DECREMENT this member
@@ -143,20 +153,15 @@ object Bm25Warehouse {
     * rows out.  O(removed) + a 1-row read; no standing row touched. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
     val (_, dfd, n, sl) = contribution(removed)
-    dfd.select(col("term"), (-col("dfd")).as("dfd"))
-      .withColumn("tb", termBucket(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(dfPath(path))
-    removed.select(col("doc_id")).write.mode("append").parquet(tombPath(path))
-    val st = spark.read.parquet(statsPath(path)).head()
-    writeStats(spark, path, st.getLong(0) - n, st.getLong(1) - sl)
+    val st = CommitLog.snapshot(spark, path).read(statsPath(path)).head()
+    CommitLog.transaction(spark, path) { t =>
+      t.append(dfd.select(col("term"), (-col("dfd")).as("dfd"))
+        .withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
+      t.append(removed.select(col("doc_id")), tombPath(path))
+      t.replace(statsFrame(spark, st.getLong(0) - n, st.getLong(1) - sl),
+        statsPath(path))
+    }
   }
-
-  /** Drop tombstoned docs from a hit set — O(hits); the no-tomb path
-    * (the common case) keeps its exact old plan
-    * (graft.sources.Tombstones — the shared doc-keyed-rung mechanics). */
-  private def dropTombstoned(spark: SparkSession, hits: DataFrame,
-      path: String): DataFrame =
-    graft.sources.Tombstones.drop(spark, hits, tombPath(path), key = "doc_id")
 
   /** COMPACT — the segment-merge maintenance pass a refresh cadence
     * needs: every refresh appends one (term, dfd) delta row per batch
@@ -176,23 +181,28 @@ object Bm25Warehouse {
     * each other; its small-file hygiene is plain storage-layer
     * coalescing with no read-path semantics. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(dfPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    val merged = snap.read(dfPath(path))
       .groupBy(col("term"), col("tb")).agg(sum(col("dfd")).as("dfd"))
       // fully-retracted terms fold to 0 and drop — the merged df side
       // becomes literally the rebuild-on-survivors table (vacuous when
       // nothing was retracted: positive-delta sums are positive)
       .filter(col("dfd") =!= 0)
-      .localCheckpoint() // pin before overwriting the source dir
-    merged.write.mode("overwrite").partitionBy("tb").parquet(dfPath(path))
+    val tomb = snap.readOpt(tombPath(path))
+      .map(_.select(col("doc_id")).distinct().localCheckpoint())
     // physically remove tombstoned postings and clear the tombstones —
-    // the posting side's one semantic compaction case (see Scaladoc)
-    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
-      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path))
-      val pruned = spark.read.parquet(path)
-        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
-      pruned.write.mode("overwrite").partitionBy("tb").parquet(path)
-      graft.sources.Tombstones.clear(spark, tombPath(path))
+    // the posting side's one semantic compaction case (see Scaladoc).
+    // The merge and the purge land as ONE transaction; the dead
+    // generations are then physically reclaimed.
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(merged, dfPath(path), Seq("tb"))
+      tomb.foreach { keys =>
+        t.replace(snap.read(path).join(keys, Seq("doc_id"), "left_anti"),
+          path, Seq("tb"))
+        t.clear(tombPath(path))
+      }
     }
+    CommitLog.vacuum(spark, path)
   }
 
   /** Score `queries` = (query_id, term) rows against the index: top-`k`
@@ -201,7 +211,10 @@ object Bm25Warehouse {
     * becomes the literal partition-pruning predicate. */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10): DataFrame = {
-    val st = spark.read.parquet(statsPath(path)).head()
+    // ONE snapshot pins every part — a refresh committing (or dying)
+    // mid-probe cannot tear the view across postings/df/stats/tomb
+    val snap = CommitLog.snapshot(spark, path)
+    val st = snap.read(statsPath(path)).head()
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n
     val buckets = queries.select(termBucket(col("term")).as("tb"))
@@ -211,7 +224,7 @@ object Bm25Warehouse {
     // df = sum of delta rows per term over the SAME pruned buckets —
     // vocabulary-bounded on the probed slice, merged at probe time so
     // refreshes stay append-only (see layout Scaladoc)
-    val dfSide = spark.read.parquet(dfPath(path))
+    val dfSide = snap.read(dfPath(path))
       .filter(bucketPred(col("tb")))
       .groupBy(col("term")).agg(sum(col("dfd")).as("df"))
     // JOIN ORDER is the probe's cost model: restrict the posting scan
@@ -220,9 +233,9 @@ object Bm25Warehouse {
     // already-restricted hits (the delta agg is vocabulary-bounded and
     // broadcasts; measured: df-before-queries doubled the probe by
     // dragging the full posting slice through the df join)
-    val hits = dropTombstoned(spark, spark.read.parquet(path)
-      .filter(bucketPred(col("tb")))
-      .join(queries, Seq("term")), path)
+    val hits = graft.sources.Tombstones.dropDf(
+      snap.read(path).filter(bucketPred(col("tb"))).join(queries, Seq("term")),
+      snap.readOpt(tombPath(path)), key = "doc_id")
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
       (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))

@@ -71,15 +71,29 @@ object Logreg {
     * — the k-means/BPE lineage-pin pattern), so a GD round no longer
     * re-derives the exploded corpus from raw features.  Per round:
     * (a) a doc-level error frame — one sigmoid dot per doc — whose
-    * tiny aggregate carries the bias gradient and loss (these were
+    * scalar aggregate carries the bias gradient and loss (these were
     * previously summed REDUNDANTLY on every exploded row and read off
     * dim 0: ×dims wasted decimal work); (b) the per-dim gradient as a
-    * BROADCAST hash join of those doc errors onto the pinned explode
-    * + the one dims-group shuffle — ONE decimal sum per exploded row
-    * instead of three.  Bit-determinism is untouched: the surviving
-    * terms are the identical roundx(·,9) values on the identical rows,
-    * and DECIMAL sums are order-free (LogregSpec's reference-parity
-    * and determinism pins run unchanged). */
+    * hash join of those doc errors onto the pinned explode + the one
+    * dims-group shuffle — ONE decimal sum per exploded row instead of
+    * three.  Bit-determinism is untouched: the surviving terms are the
+    * identical roundx(·,9) values on the identical rows, and DECIMAL
+    * sums are order-free (LogregSpec's reference-parity and
+    * determinism pins run unchanged).
+    *
+    * SCALE CONTRACT, stated honestly (ADVICE-r10): the error frame is
+    * one row per TRAINING doc and the pinned explode is docs × dims
+    * rows in executor storage — both O(training set), not O(1).  The
+    * error-side broadcast is therefore gated on a row-count threshold:
+    * curated training sets (the production shape for quality
+    * classifiers — labeled data is the scarce side) broadcast; above
+    * the threshold the join falls back to shuffle on vec_id, same
+    * bit-exact sums, one extra exchange per round.  The explode pin is
+    * spill-backed (localCheckpoint stores with replication to disk-
+    * capable StorageLevel), so past-memory training sets degrade to
+    * disk, not OOM. */
+  private[graft] val BroadcastErrRows = 2000000L // ~32 MB of (id, err) rows
+
   def train(eN: DataFrame, dims: Int, iters: Int, lr: Double)
       : ((Array[Double], Double), Seq[(Long, Double)]) = {
     val n = eN.count().toDouble
@@ -97,8 +111,10 @@ object Logreg {
           .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"))
       val d0 = docErr.agg(sumx(roundx(col("err"), 9)).as("esum"),
         sumx(roundx(col("ll"), 9)).as("lsum")).head()
+      val errSide = docErr.select(col("vec_id"), col("err"))
       val g = ex
-        .join(broadcast(docErr.select(col("vec_id"), col("err"))), Seq("vec_id"))
+        .join(if (n <= BroadcastErrRows) broadcast(errSide) else errSide,
+          Seq("vec_id"))
         .groupBy(col("dim"))
         .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"))
         .collect()

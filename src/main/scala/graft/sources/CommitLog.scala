@@ -1,0 +1,313 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ATOMIC MULTI-FILE COMMIT protocol for warehouse maintenance —
+  * the generalization of EdgeWarehouse's commit-marker (round 10) to
+  * every member whose refresh/retract touches more than one file.
+  *
+  * The problem it removes: a warehouse member's state spans sibling
+  * parquet "parts" (Bm25: postings + df + stats; the join view:
+  * view + orders-side + lines-side), and a maintenance verb appends
+  * to several of them.  Without a protocol, a crash between two
+  * appends leaves TORN state that probes read as if committed — the
+  * documented single-writer/no-crash caveat the matrix carried.  The
+  * reference commits a block's whole fan-out in ONE DB transaction
+  * (reference: src/collector/block/block.ts:150,
+  * `.transaction(async (mgr) => ...)`); this is that transaction,
+  * re-expressed for parquet-on-object-store the way the public
+  * log-structured table formats do it (Armbrust et al., "Delta Lake:
+  * High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020 — uncommitted files are invisible garbage; the LOG, not
+  * the directory listing, defines the table):
+  *
+  *  - every transaction gets a fresh GENERATION number; each part it
+  *    touches is written under `part/gen-N/` (its own directory — no
+  *    standing file is ever mutated);
+  *  - the transaction COMMITS by appending its entries — one
+  *    (gen, part, kind, horizon, seq) row per touched part — to the
+  *    side log `<base>.commits` in ONE single-file write, LAST;
+  *  - readers take a SNAPSHOT (one driver-side read of the log,
+  *    metadata-scale: a handful of rows per transaction ever) and
+  *    read each part as the explicit list of its COMMITTED live
+  *    generation directories.  Uncommitted or crash-orphaned dirs are
+  *    never even LISTED, so
+  *      (a) a refresh killed between any two part writes is invisible
+  *          — probes keep serving the pre-refresh state bit-for-bit
+  *          (WarehouseCommitSpec kills refreshes of three differently
+  *          shaped members in every window and pins it);
+  *      (b) re-running the interrupted verb converges with a clean
+  *          run: the retry allocates the same generation (the crash
+  *          committed nothing) and each part write OVERWRITES its own
+  *          orphan dir — self-cleaning, no tombstoned garbage;
+  *      (c) CONCURRENT readers are snapshot-isolated for free: a
+  *          probe pins the committed-log fold once and reads only
+  *          those directories, so a refresh landing mid-probe (or
+  *          crashing mid-flight) cannot tear the probe's view across
+  *          parts — the VERDICT-r10 ask #3 contract, deleting the
+  *          no-concurrent-probe caveat (writers still serialize:
+  *          single-WRITER stays the matrix contract, now with honest
+  *          crash semantics instead of a no-crash assumption).
+  *
+  * Entry KINDS (the fold below is the whole semantics):
+  *  - `append`  — the part gains this generation's rows;
+  *  - `replace` — this generation's dir supersedes every earlier live
+  *    one (compact's merged state; ingest over a prior build);
+  *  - `clear`   — the part has no live rows at all (tombstone sets
+  *    after a physical compact purge — no directory is written);
+  *  - `rebase`  — retention: this dir holds the state folded UP TO
+  *    generation `horizon` (< this txn's own gen); generations ≤
+  *    horizon die for EVERY reader — head and as-of alike — while
+  *    appends in (horizon, now] stay live deltas.  This is
+  *    BalanceWarehouse's compactHorizon contract: asOf(g ≥ h) is
+  *    bit-invariant, asOf(g < h) becomes EMPTY (history before the
+  *    horizon is physically reclaimable), and — better than the
+  *    round-9 directory-partition form — later generations' files are
+  *    NOT rewritten.
+  *
+  * A snapshot folds the log rows in (sortGen, seq) order, where
+  * sortGen(rebase) = its horizon and seq is the commit sequence
+  * (ties: the later commit wins — a rebase AT generation h sorts
+  * after h's own original entry):
+  *    append  g   → live += g        (if g ≤ asOfGen)
+  *    replace g   → live = {g}       (if g ≤ asOfGen)
+  *    clear   g   → live = {}        (if g ≤ asOfGen)
+  *    rebase g,h  → live = {x ∈ live : x > h}; live += g iff h ≤ asOfGen
+  *  (rebase applies its drop UNCONDITIONALLY — retention holds for
+  *   as-of readers too, which is what makes vacuum safe.)
+  *
+  * As-of SNAPSHOT READS fall out of the same fold with a generation
+  * cut — the BalanceWarehouse gen-dir log (round 10) re-based on the
+  * shared protocol, so "the warehouse as of generation g" is now a
+  * verb EVERY member gets by routing its writes here.
+  *
+  * ATOMICITY argument, stated honestly: the commit is one Spark write
+  * job producing one parquet file in the log directory; the committer
+  * exposes it only at job commit (a crash before leaves `_temporary`
+  * droppings every parquet reader ignores), so the marker is all-or-
+  * nothing at the same fidelity as the reference DB's WAL fsync — and
+  * at the same fidelity Delta's `_delta_log` JSON puts-if-absent get
+  * on stores with atomic rename.  The log is append-only and never
+  * rewritten (the one file rewriting could tear); its driver-side
+  * fold is O(transactions ever), metadata-scale by construction.
+  *
+  * `vacuum` is the physical GC: directories no live head-fold
+  * references are deleted (crash orphans included).  Retention
+  * caveat, exactly Delta's: vacuum also drops the ability to read
+  * as-of generations behind the last replace/rebase — run it at the
+  * retention cadence, not per refresh.
+  */
+object CommitLog {
+
+  /** Test-only crash injection (WarehouseCommitSpec): kills the
+    * process-equivalent — an exception out of the transaction body —
+    * AFTER the nth part write (i.e. between writes n and n+1), or
+    * after every write but before the commit marker.  Production code
+    * never sets these. */
+  private[graft] final class InjectedCrash
+    extends RuntimeException("injected crash (test only)")
+  @volatile private[graft] var crashAfterWrites: Int = Int.MaxValue
+  @volatile private[graft] var crashBeforeCommit: Boolean = false
+  private[graft] def resetCrashInjection(): Unit = {
+    crashAfterWrites = Int.MaxValue; crashBeforeCommit = false
+  }
+
+  private def logPath(base: String) = s"$base.commits"
+
+  private val LogSchema = StructType(Seq(
+    StructField("gen", LongType), StructField("part", StringType),
+    StructField("kind", StringType), StructField("horizon", LongType),
+    StructField("seq", LongType)))
+
+  private[sources] final case class Entry(
+      gen: Long, part: String, kind: String, horizon: Long, seq: Long) {
+    def sortGen: Long = if (kind == "rebase") horizon else gen
+  }
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def suffixOf(base: String, part: String): String = {
+    require(part.startsWith(base),
+      s"part '$part' must be a sibling path of base '$base'")
+    part.drop(base.length)
+  }
+
+  private def genDir(part: String, gen: Long) = s"$part/gen-$gen"
+
+  /** One pinned fold of the committed log — take it ONCE per probe
+    * and read every part through it (that single read is the whole
+    * snapshot-isolation mechanism). */
+  final case class Snapshot private[CommitLog] (
+      spark: SparkSession, base: String,
+      private[sources] val entries: Seq[Entry]) {
+
+    def maxGen: Long = entries.iterator.map(_.gen).maxOption.getOrElse(-1L)
+    private[sources] def maxSeq: Long =
+      entries.iterator.map(_.seq).maxOption.getOrElse(-1L)
+
+    /** The live generation numbers of `part` as of `asOfGen` — the
+      * fold in the object Scaladoc, verbatim. */
+    private[sources] def liveGens(part: String, asOfGen: Long): Seq[Long] = {
+      val sfx = suffixOf(base, part)
+      val live = mutable.SortedSet.empty[Long]
+      entries.filter(_.part == sfx)
+        .sortBy(e => (e.sortGen, e.seq))
+        .foreach { e =>
+          e.kind match {
+            case "append" => if (e.gen <= asOfGen) live += e.gen
+            case "replace" => if (e.gen <= asOfGen) { live.clear(); live += e.gen }
+            case "clear" => if (e.gen <= asOfGen) live.clear()
+            case "rebase" =>
+              live.filterInPlace(_ > e.horizon)
+              if (e.horizon <= asOfGen) live += e.gen
+            case other => throw new IllegalStateException(
+              s"CommitLog: unknown entry kind '$other' in ${logPath(base)}")
+          }
+        }
+      live.toSeq
+    }
+
+    /** `part` as of generation `asOfGen`: the union of its live
+      * committed directories — an EXPLICIT path list, so uncommitted
+      * and dead generations are never listed, let alone read.  None
+      * when no live generation exists (pre-ingest, post-clear, or an
+      * as-of cut behind the retention horizon). */
+    def readOpt(part: String, asOfGen: Long = Long.MaxValue): Option[DataFrame] = {
+      val gens = liveGens(part, asOfGen)
+      if (gens.isEmpty) None
+      // one read PER generation root, folded by name: partition
+      // discovery (and therefore partition PRUNING) is per-root, which
+      // a single multi-root read cannot give — Spark refuses mixed
+      // partition depths under one inferred table root
+      else Some(gens.map(g => spark.read.parquet(genDir(part, g)))
+        .reduce(_.unionByName(_)))
+    }
+
+    def read(part: String, asOfGen: Long = Long.MaxValue): DataFrame =
+      readOpt(part, asOfGen).getOrElse(throw new IllegalStateException(
+        s"CommitLog: no committed generations for part '$part'" +
+          (if (asOfGen != Long.MaxValue) s" as of gen $asOfGen" else "") +
+          s" under base '$base'"))
+  }
+
+  def snapshot(spark: SparkSession, base: String): Snapshot = {
+    val lp = logPath(base)
+    val entries =
+      if (!fs(spark, lp).exists(new Path(lp))) Seq.empty[Entry]
+      else spark.read.schema(LogSchema).parquet(lp).collect().toSeq
+        .map(r => Entry(r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    Snapshot(spark, base, entries)
+  }
+
+  /** One transaction: writes land under fresh `part/gen=N` dirs as the
+    * body runs; NOTHING is visible until `commit()` appends the
+    * entries to the log.  A body that throws (or a process that dies)
+    * leaves only orphan dirs the next transaction overwrites and
+    * vacuum deletes. */
+  final class Txn private[CommitLog] (
+      val spark: SparkSession, val base: String, val gen: Long,
+      nextSeq: Long) {
+    private val recorded = mutable.ArrayBuffer.empty[(String, String, Long)]
+    private var nWrites = 0
+
+    private def record(part: String, kind: String, horizon: Long = -1L): Unit = {
+      val sfx = suffixOf(base, part)
+      require(!recorded.exists(_._1 == sfx),
+        s"CommitLog.Txn: part '$sfx' already written in this transaction " +
+          "(one verb per part per txn — compose inside the DataFrame instead)")
+      recorded += ((sfx, kind, horizon))
+    }
+
+    private def write(df: DataFrame, part: String, partitionCols: Seq[String]): Unit = {
+      // overwrite the txn's OWN gen dir: self-cleaning of orphans a
+      // crashed attempt at this same (never-committed) gen left behind
+      val w = df.write.mode("overwrite")
+      // a zero-row partitionBy write leaves a dir with NO data files —
+      // unreadable; keep the partition columns as data columns instead
+      // (one empty file WITH schema; unionByName folds it, and the
+      // zero rows make the lost layout moot)
+      (if (partitionCols.nonEmpty && !df.isEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(genDir(part, gen))
+      nWrites += 1
+      if (nWrites == CommitLog.crashAfterWrites) throw new InjectedCrash
+    }
+
+    def append(df: DataFrame, part: String, partitionCols: Seq[String] = Nil): Unit = {
+      record(part, "append"); write(df, part, partitionCols)
+    }
+
+    def replace(df: DataFrame, part: String, partitionCols: Seq[String] = Nil): Unit = {
+      record(part, "replace"); write(df, part, partitionCols)
+    }
+
+    def clear(part: String): Unit = record(part, "clear")
+
+    /** Retention: `df` is the part's state folded up to `horizon`
+      * (exclusive of later appends, which stay live).  Generations ≤
+      * horizon die for every reader, as-of included. */
+    def rebase(df: DataFrame, part: String, horizon: Long,
+        partitionCols: Seq[String] = Nil): Unit = {
+      require(horizon < gen, s"rebase horizon $horizon must precede txn gen $gen")
+      record(part, "rebase", horizon); write(df, part, partitionCols)
+    }
+
+    /** THE commit marker — the transaction's one atomic step: a
+      * single-file append of this txn's entries to the log.  Nothing
+      * written before this call is visible to any snapshot; after it,
+      * everything is. */
+    def commit(): Unit = {
+      if (CommitLog.crashBeforeCommit) throw new InjectedCrash
+      require(recorded.nonEmpty, "CommitLog.Txn: empty transaction")
+      import spark.implicits._
+      recorded.toSeq
+        .map { case (p, k, h) =>
+          (gen, p, k, if (h < 0) None else Some(h), nextSeq) }
+        .toDF("gen", "part", "kind", "horizon", "seq")
+        .coalesce(1)
+        .write.mode("append").parquet(logPath(base))
+    }
+  }
+
+  /** Open a transaction at the next generation.  private[graft] so
+    * WarehouseCommitSpec can open one, write a PREFIX of a verb's
+    * parts and abandon it — the crash simulation. */
+  private[graft] def begin(spark: SparkSession, base: String): Txn = {
+    val snap = snapshot(spark, base)
+    new Txn(spark, base, snap.maxGen + 1, snap.maxSeq + 1)
+  }
+
+  /** Run `body` as one transaction: every part write it performs
+    * becomes visible atomically at the end, or not at all. */
+  def transaction(spark: SparkSession, base: String)(body: Txn => Unit): Unit = {
+    val txn = begin(spark, base)
+    body(txn)
+    txn.commit()
+  }
+
+  /** Physical GC: delete every `gen=*` directory the head fold no
+    * longer references — dead generations (behind a replace/rebase/
+    * clear) and crash orphans alike.  Parts are discovered from the
+    * log itself.  Retention caveat in the object Scaladoc. */
+  def vacuum(spark: SparkSession, base: String): Unit = {
+    val snap = snapshot(spark, base)
+    snap.entries.map(_.part).distinct.foreach { sfx =>
+      val part = base + sfx
+      val live = snap.liveGens(part, Long.MaxValue).toSet
+      val dir = new Path(part)
+      val f = fs(spark, part)
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("gen-") &&
+            !live.contains(name.stripPrefix("gen-").toLong))
+          f.delete(st.getPath, true)
+      }
+    }
+  }
+}

@@ -37,6 +37,18 @@ object Tombstones {
       tombFilter(spark.read.parquet(tombPath)).select(col(tombCol).as(key)),
       Seq(key), "left_anti")
 
+  /** The frame-based twin of `drop` for members whose tombstone set
+    * lives behind CommitLog (the committed read replaces the path
+    * existence check): None = no tombstones ever — `rows` keeps its
+    * exact old plan. */
+  def dropDf(rows: DataFrame, tomb: Option[DataFrame], key: String,
+      tombCol: String = "doc_id"): DataFrame =
+    tomb match {
+      case None => rows
+      case Some(t) =>
+        rows.join(t.select(col(tombCol).as(key)).distinct(), Seq(key), "left_anti")
+    }
+
   /** The distinct tombstoned key set, pinned — compact's prune input. */
   def keys(spark: SparkSession, tombPath: String, tombCol: String = "doc_id"): DataFrame =
     spark.read.parquet(tombPath).select(col(tombCol)).distinct()

@@ -71,10 +71,11 @@ class BalanceWarehouseSpec extends GraftSpec {
     BalanceWarehouse.refresh(spark,
       b.filter(pmod(col("c_custkey"), lit(10L)) >= 8), p)
     val before = histOf(p)
-    val preCount = spark.read.parquet(p).count()
+    def rawCount() = sources.CommitLog.snapshot(spark, p).read(p).count()
+    val preCount = rawCount()
     BalanceWarehouse.compact(spark, p)
     val after = histOf(p)
-    val postCount = spark.read.parquet(p).count()
+    val postCount = rawCount()
     assert(before == after, "compaction changed the merged histogram")
     assert(postCount == after.size && postCount <= preCount,
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")
@@ -99,7 +100,8 @@ class BalanceWarehouseSpec extends GraftSpec {
     // and compaction physically erases the retracted keys' rows
     BalanceWarehouse.compact(spark, retracted)
     assert(histOf(retracted) == histOf(rebuilt), "compaction broke the retracted state")
-    assert(spark.read.parquet(retracted).count() == histOf(rebuilt).size)
+    assert(sources.CommitLog.snapshot(spark, retracted).read(retracted).count()
+      == histOf(rebuilt).size)
   }
 
   test("retracted Gini probe equals the inline query over the surviving accounts") {

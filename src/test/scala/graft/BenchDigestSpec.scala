@@ -46,10 +46,14 @@ class BenchDigestSpec extends AnyFunSuite {
     // (current max ≈ 11 s) — if THIS stays under budget a real run does
     val results = Bench.headlinerNames.map(n => n -> 99.99)
     val line = Bench.digestLine(results, worstProbes, 4699.953, "[]",
-      "/root/testdata/sf0.1", stress, ann)
+      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99)
     assert(line.length <= 1860, s"digest ${line.length}B over budget")
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
+    // the r11 audit header (VERDICT-r10 ask #2): reps + aggregation
+    // marker + the one-time build bucket ride at worst-case widths
+    assert(line.contains(""""reps":3,"agg":"min","build_sec":999.99"""),
+      "audit header missing from the digest")
     // THE ask-#2 pin: every current probe row is driver-visible data
     assert(line.contains("\"probes\":{"))
     Bench.probeNames.foreach(n =>
@@ -114,6 +118,21 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(line2.contains("\"failed_n\":" + huge.size),
       "failure count missing from the degenerate digest")
     assert(line2.endsWith("}"))
+    // the audit header survives every ladder rung, the floor included
+    assert(line2.contains(""""reps":3,"agg":"min","build_sec":"""),
+      "audit header fell off the degenerate rung")
+  }
+
+  test("q_other reservation is derived from the run's own results (ADVICE-r10)") {
+    // a rollup wider than the old fixed literal {"n":9999,"sec":99999.99}:
+    // 100k+ rows at huge times — the fill must still stay under budget
+    // with EVERYTHING folded into a correctly-sized q_other
+    val wide = (1 to 120).map(i => f"q_$i%03d" -> 999999.99)
+    val line = Bench.digestLine(wide, worstProbes, 120.0 * 999999.99, "[]",
+      "/root/testdata/sf0.1", stress, ann, buildSec = 1.0)
+    assert(line.length <= 1860, s"wide-rollup digest ${line.length}B over budget")
+    assert(line.contains("\"q_other\":{\"n\":"), "wide rollup did not fold")
+    assert(line.endsWith("}"))
   }
 
   test("null stress/ann produce a clean digest; failed rows surface") {

@@ -91,15 +91,20 @@ class Bm25WarehouseSpec extends GraftSpec {
     val tiny = Bm25Warehouse.incomingTerms(spark, Dir)
       .orderBy("query_id", "term").limit(3)
     val df = Bm25Warehouse.probe(spark, path, tiny)
-    val scan = df.queryExecution.sparkPlan.collect {
+    // posting roots are committed generation dirs under <path>/gen-N
+    // since round 11 (CommitLog) — one scan per live generation
+    val scans = df.queryExecution.sparkPlan.collect {
         case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.endsWith("index")) => f
-      }.headOption.getOrElse(fail("no index FileSourceScanExec in plan"))
-    val allParts = scan.relation.location.listFiles(Nil, Nil).length
-    val pruned =
-      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+          if f.relation.location.rootPaths.exists(_.toString.contains("index/gen-")) &&
+            f.schema.fieldNames.contains("tf") => f
+      }
+    assert(scans.nonEmpty, "no index FileSourceScanExec in plan")
+    val allParts = scans.map(_.relation.location.listFiles(Nil, Nil).length).sum
+    val pruned = scans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters).length).sum
     assert(allParts > 8, s"expected many term buckets at rest, got $allParts")
-    assert(pruned <= 3, s"3 terms probed $pruned of $allParts partitions")
+    assert(pruned <= 3 * scans.length,
+      s"3 terms probed $pruned of $allParts partitions")
     assert(df.count() >= 0)
   }
   test("RETRACT: probe-after-retract == probe-on-rebuild-on-survivors, bit-for-bit") {
@@ -119,18 +124,20 @@ class Bm25WarehouseSpec extends GraftSpec {
     assert(rows(path).exists(_(1).asInstanceOf[Long] % 10 == 7),
       "degenerate: no mod-7 doc in any top-k at this SF")
     assert(r.forall(_(1).asInstanceOf[Long] % 10 != 7))
-    // stats decremented to exactly the rebuild's two scalars
-    def stats(p: String) = spark.read.parquet(s"$p.stats").head()
+    // stats decremented to exactly the rebuild's two scalars (parts
+    // read through their committed snapshots — CommitLog layout)
+    def stats(p: String) =
+      sources.CommitLog.snapshot(spark, p).read(s"$p.stats").head()
     assert(stats(retracted).toSeq == stats(rebuilt).toSeq)
     // compact physically removes tombstoned postings and negative df
     // rows, probe-invariant; df side equals the rebuild's merged rows
     Bm25Warehouse.compact(spark, retracted)
     assert(rows(retracted) == r, "compact changed the probe result")
-    assert(spark.read.parquet(retracted)
+    assert(sources.CommitLog.snapshot(spark, retracted).read(retracted)
       .filter(pmod(col("doc_id"), lit(10)) === 7).count() == 0,
       "compact left tombstoned postings behind")
     def dfRows(p: String): Set[(String, Long)] =
-      spark.read.parquet(s"$p.df").groupBy(col("term"))
+      sources.CommitLog.snapshot(spark, p).read(s"$p.df").groupBy(col("term"))
         .agg(sum(col("dfd")).as("dfd")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(dfRows(retracted) == dfRows(rebuilt),

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CommitLog
+
+/** Protocol-level contract of the shared atomic-commit log (the
+  * round-11 generalization of EdgeWarehouse's commit marker): nothing
+  * a transaction wrote is visible before its marker lands; a killed
+  * transaction is invisible and its retry converges with a clean run;
+  * snapshots pin a consistent multi-part view; the rebase fold carries
+  * the as-of/retention semantics; vacuum deletes only dead dirs.
+  * Member-shaped crash windows live in WarehouseCommitSpec.
+  */
+class CommitLogSpec extends GraftSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-clog-$tag").resolve("wh").toString
+
+  private def kv(pairs: (String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toSeq.toDF("k", "v")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("uncommitted writes are invisible; commit exposes all parts at once") {
+    val base = tmp("atomic")
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("a" -> 1L), base)
+      t.append(kv("x" -> 10L), base + ".side")
+    }
+    // a second txn writes BOTH parts but never commits (the crash)
+    val torn = CommitLog.begin(spark, base)
+    torn.append(kv("a" -> 100L), base)
+    torn.append(kv("x" -> 100L), base + ".side")
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base)) == Set("a" -> 1L))
+    assert(rowsOf(snap.read(base + ".side")) == Set("x" -> 10L))
+  }
+
+  test("retry of a killed txn converges with a clean run (orphan self-cleanup)") {
+    val base = tmp("retry")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    // crash mid-verb: one part written, no marker
+    val crashed = CommitLog.begin(spark, base)
+    crashed.append(kv("b" -> 2L), base)
+    // retry the same verb to completion
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("b" -> 2L), base)
+      t.append(kv("s" -> 9L), base + ".side")
+    }
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base)) == Set("a" -> 1L, "b" -> 2L))
+    assert(rowsOf(snap.read(base + ".side")) == Set("s" -> 9L))
+  }
+
+  test("a pinned snapshot is isolated from later commits (concurrent-reader contract)") {
+    val base = tmp("iso")
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("a" -> 1L), base); t.append(kv("x" -> 1L), base + ".side")
+    }
+    val pinned = CommitLog.snapshot(spark, base)
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("a" -> 50L), base); t.append(kv("x" -> 50L), base + ".side")
+    }
+    // the pinned fold still serves the old state on EVERY part
+    assert(rowsOf(pinned.read(base)) == Set("a" -> 1L))
+    assert(rowsOf(pinned.read(base + ".side")) == Set("x" -> 1L))
+    // a fresh snapshot sees the new commit on every part
+    val fresh = CommitLog.snapshot(spark, base)
+    assert(rowsOf(fresh.read(base)) == Set("a" -> 51L))
+    assert(rowsOf(fresh.read(base + ".side")) == Set("x" -> 51L))
+  }
+
+  test("replace supersedes earlier generations; clear empties a part") {
+    val base = tmp("replace")
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("a" -> 1L), base); t.append(kv("t" -> 1L), base + ".tomb")
+    }
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 2L), base))
+    CommitLog.transaction(spark, base) { t =>
+      t.replace(kv("a" -> 3L), base) // the compacted merge
+      t.clear(base + ".tomb")
+    }
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base)) == Set("a" -> 3L))
+    assert(snap.readOpt(base + ".tomb").isEmpty)
+    // later appends stack on top of the replace
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 4L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      Set("a" -> 3L, "b" -> 4L))
+  }
+
+  test("as-of reads cut the fold at a generation; rebase enforces retention") {
+    val base = tmp("asof")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base)) // gen 0
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base)) // gen 1
+    CommitLog.transaction(spark, base)(_.append(kv("c" -> 4L), base)) // gen 2
+    val s0 = CommitLog.snapshot(spark, base)
+    assert(rowsOf(s0.read(base, asOfGen = 0L)) == Set("a" -> 1L))
+    assert(rowsOf(s0.read(base, asOfGen = 1L)) == Set("a" -> 1L, "b" -> 2L))
+    // retention: fold gens <= 1 into a rebase dir (txn gen 3, horizon 1)
+    CommitLog.transaction(spark, base) { t =>
+      t.rebase(kv("a" -> 1L, "b" -> 2L), base, horizon = 1L)
+    }
+    val s1 = CommitLog.snapshot(spark, base)
+    // head and asOf(>= horizon) bit-invariant
+    assert(rowsOf(s1.read(base)) == Set("a" -> 1L, "b" -> 2L, "c" -> 4L))
+    assert(rowsOf(s1.read(base, asOfGen = 1L)) == Set("a" -> 1L, "b" -> 2L))
+    assert(rowsOf(s1.read(base, asOfGen = 2L)) == Set("a" -> 1L, "b" -> 2L, "c" -> 4L))
+    // asOf behind the horizon is EMPTY — the retention boundary
+    assert(s1.readOpt(base, asOfGen = 0L).isEmpty)
+  }
+
+  test("partitioned parts keep partition pruning across generation roots") {
+    val base = tmp("parts")
+    val s = spark
+    import s.implicits._
+    def batch(rows: (Long, Long)*) = rows.toSeq.toDF("tb", "v")
+    CommitLog.transaction(spark, base)(
+      _.append(batch(0L -> 1L, 1L -> 2L), base, Seq("tb")))
+    CommitLog.transaction(spark, base)(
+      _.append(batch(0L -> 3L, 2L -> 4L), base, Seq("tb")))
+    val df = CommitLog.snapshot(spark, base).read(base)
+      .filter(col("tb") === 0L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the filter must prune at file listing, not read-and-drop — one
+    // scan per generation root, each pruning its own tb partitions
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected one scan per generation root, got ${scans.size}")
+    val all = scans.map(_.relation.location.listFiles(Nil, Nil)
+      .map(_.files.length).sum).sum
+    val pruned = scans.map(s => s.relation.location
+      .listFiles(s.partitionFilters, s.dataFilters)
+      .map(_.files.length).sum).sum
+    assert(pruned < all, s"no pruning: $pruned of $all files listed")
+  }
+
+  test("vacuum deletes dead and orphaned generation dirs, keeps live ones") {
+    val base = tmp("vacuum")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base)) // gen 0
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base)) // gen 1
+    CommitLog.transaction(spark, base)(_.replace(kv("a" -> 9L), base)) // gen 2
+    // crash orphan at gen 3
+    CommitLog.begin(spark, base).append(kv("z" -> 7L), base)
+    CommitLog.vacuum(spark, base)
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(dirs == Set("gen-2"), s"unexpected dirs after vacuum: $dirs")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == Set("a" -> 9L))
+  }
+
+  test("one verb per part per transaction is enforced") {
+    val base = tmp("dup")
+    val t = CommitLog.begin(spark, base)
+    t.append(kv("a" -> 1L), base)
+    intercept[IllegalArgumentException](t.append(kv("b" -> 2L), base))
+  }
+}

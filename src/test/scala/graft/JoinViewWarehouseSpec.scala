@@ -21,7 +21,7 @@ class JoinViewWarehouseSpec extends GraftSpec {
     Files.createTempDirectory(s"graft-jvw-$tag").resolve("idx").toString
 
   private def viewOf(path: String): Set[(String, Long, java.math.BigDecimal, Long)] =
-    spark.read.parquet(path)
+    sources.CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("prio"), col("year"))
       .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
@@ -117,12 +117,13 @@ class JoinViewWarehouseSpec extends GraftSpec {
     JoinViewWarehouse.retractOrders(spark,
       t.orders.filter(JoinViewWarehouse.isRetractedOrder), p)
     val before = viewOf(p)
-    val preRows = spark.read.parquet(p).count()
+    def deltaRows() = sources.CommitLog.snapshot(spark, p).read(p).count()
+    val preRows = deltaRows()
     JoinViewWarehouse.compact(spark, p)
     assert(viewOf(p) == before, "compaction changed the merged view")
-    assert(spark.read.parquet(p).count() < preRows, "compaction did not merge deltas")
+    assert(deltaRows() < preRows, "compaction did not merge deltas")
     // the O side holds no trace of the retracted orders
-    val oKeys = spark.read.parquet(p + ".o").select(col("k"))
+    val oKeys = sources.CommitLog.snapshot(spark, p).read(p + ".o").select(col("k"))
       .filter(pmod(col("k"), lit(7L)) === 0)
     assert(oKeys.count() == 0, "compacted O side still holds retracted keys")
   }

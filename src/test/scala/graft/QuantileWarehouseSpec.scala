@@ -70,15 +70,19 @@ class QuantileWarehouseSpec extends GraftSpec {
     // filter must land in partitionFilters of the partitioned layout
     val windowRead = QuantileWarehouse.histRead(spark, path)
       .filter(col("date").between(lit(start).cast("date"), lit(end).cast("date")))
-    val scan = windowRead.queryExecution.sparkPlan.collect {
+    // committed generation roots (CommitLog, r11): one scan per live
+    // generation, each date-pruning its own partitions
+    val scans = windowRead.queryExecution.sparkPlan.collect {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
-      }.headOption.getOrElse(fail("no warehouse FileSourceScanExec in plan"))
-    val allParts = scan.relation.location.listFiles(Nil, Nil).length
-    val pruned =
-      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+      }
+    assert(scans.nonEmpty, "no warehouse FileSourceScanExec in plan")
+    val allParts = scans.map(_.relation.location.listFiles(Nil, Nil).length).sum
+    val pruned = scans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters).length).sum
     assert(allParts >= 28, s"expected ~30 date partitions at rest, got $allParts")
-    assert(pruned <= 14, s"14-day window probed $pruned of $allParts partitions")
+    assert(pruned <= 14 * scans.length,
+      s"14-day window probed $pruned of $allParts partitions")
   }
 
   test("the probe scans ONLY the warehouse — zero events scans") {
@@ -99,10 +103,11 @@ class QuantileWarehouseSpec extends GraftSpec {
     val before = histOf(p)
     val beforeQuants = QuantileWarehouse.probe(spark, p)
       .collect().map(_.toString).toSet
-    val preCount = spark.read.parquet(p).count()
+    def rawCount() = sources.CommitLog.snapshot(spark, p).read(p).count()
+    val preCount = rawCount()
     QuantileWarehouse.compact(spark, p)
     val after = histOf(p)
-    val postCount = spark.read.parquet(p).count()
+    val postCount = rawCount()
     assert(before == after, "compaction changed the merged histogram")
     assert(postCount == after.size && postCount <= preCount,
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")

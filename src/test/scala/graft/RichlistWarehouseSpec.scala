@@ -181,13 +181,14 @@ class RichlistWarehouseSpec extends GraftSpec {
     val top1 = planted.filter(col("custkey") === 100).localCheckpoint()
     RichlistWarehouse.retract(spark, top1, p, upstream = planted)
     val before = RichlistWarehouse.probe(spark, p).collect().toSeq
-    val preBuf = spark.read.parquet(p + ".buf").count()
+    def bufRows() = sources.CommitLog.snapshot(spark, p).read(p + ".buf").count()
+    val preBuf = bufRows()
     RichlistWarehouse.compact(spark, p)
     assert(RichlistWarehouse.probe(spark, p).collect().toSeq == before,
       "compaction changed the probe")
-    val postBuf = spark.read.parquet(p + ".buf").count()
+    val postBuf = bufRows()
     assert(postBuf < preBuf, s"compact did not shrink the buffer ($preBuf -> $postBuf)")
-    assert(!new java.io.File(p + ".tomb").exists,
+    assert(sources.CommitLog.snapshot(spark, p).readOpt(p + ".tomb").isEmpty,
       "compact left tombstones")
   }
 }

@@ -164,4 +164,24 @@ class ScaleSpec extends GraftSpec {
       .select(countDistinct(col("o_orderkey"))).head().getLong(0)
     assert(n == direct)
   }
+
+  test("bucketize survives a stale table location left by a dead session") {
+    sources.Warehouse.bucketize(spark, Dir, 4)
+    // simulate the dead session: catalog entries gone, location dirs
+    // left behind with junk files (the state CREATE TABLE refuses)
+    spark.sql("DROP TABLE lineitem_b")
+    spark.sql("DROP TABLE orders_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("lineitem_b", "orders_b").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(wh, n)
+      val fs = p.getFileSystem(conf)
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "stale-junk"))
+      out.write(1); out.close()
+    }
+    // must clear the stale locations (Hadoop FS rung) and rebuild
+    sources.Warehouse.bucketize(spark, Dir, 4)
+    assert(sources.Warehouse.colocatedOrderRevenue(spark).count() > 0)
+  }
 }

@@ -75,4 +75,25 @@ class SelectionSpec extends GraftSpec {
     val keptN = mid.filter(col("kept") === 1L).count()
     assert(keptN > 0 && keptN < mid.count(), s"default budget degenerate: $keptN")
   }
+
+  test("budgetSelect fails loudly on an unquantized score (the driver-fold domain guard)") {
+    // an over-domain score: one distinct double per row, well past the
+    // 4-dp bucket bound — the silent-corpus-scale-collect hazard
+    val overDomain = spark.range(TrainPrep.MaxQualityBuckets + 50L).select(
+      col("id").as("doc_id"),
+      (col("id").cast("double") / 1e9).as("quality_score"),
+      lit(3L).as("re_tokens"))
+    val e = intercept[IllegalArgumentException](
+      TrainPrep.budgetSelectFrom(overDomain, budget = 100L))
+    assert(e.getMessage.contains("QUANTIZED"),
+      s"wrong failure mode: ${e.getMessage}")
+    // and a quantized frame of the same size folds fine
+    val quantized = spark.range(TrainPrep.MaxQualityBuckets + 50L).select(
+      col("id").as("doc_id"),
+      (pmod(col("id"), lit(7L)).cast("double") / 10000.0).as("quality_score"),
+      lit(3L).as("re_tokens"))
+    val kept = TrainPrep.budgetSelectFrom(quantized, budget = 9L)
+      .filter(col("kept") === 1L).count()
+    assert(kept == 3L, s"quantized fold kept $kept docs for a 9-token budget")
+  }
 }

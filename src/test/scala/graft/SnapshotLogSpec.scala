@@ -42,9 +42,9 @@ class SnapshotLogSpec extends GraftSpec {
   private def freshGenLog(): String = {
     val p = tmp("log")
     val b = balances
-    BalanceWarehouse.refreshAt(b.filter(BalanceWarehouse.isBaseCust), p, 0)
-    BalanceWarehouse.refreshAt(b.filter(!BalanceWarehouse.isBaseCust), p, 1)
-    BalanceWarehouse.retractAt(b.filter(BalanceWarehouse.isRetractedCust), p, 2)
+    BalanceWarehouse.refreshGen(b.filter(BalanceWarehouse.isBaseCust), p)
+    BalanceWarehouse.refreshGen(b.filter(!BalanceWarehouse.isBaseCust), p)
+    BalanceWarehouse.retractGen(b.filter(BalanceWarehouse.isRetractedCust), p)
     p
   }
 
@@ -74,18 +74,21 @@ class SnapshotLogSpec extends GraftSpec {
     assert(probe.nonEmpty)
   }
 
-  test("the as-of read prunes later generations at file listing") {
+  test("the as-of read never even lists later generations (CommitLog fold)") {
     val p = BalanceWarehouse.builtGenPath(spark, Dir)
-    val scan = BalanceWarehouse.mergedHistAsOf(spark, p, 1)
+    val roots = BalanceWarehouse.mergedHistAsOf(spark, p, 1)
       .queryExecution.sparkPlan.collectLeaves()
-      .collectFirst { case f: FileSourceScanExec => f }
-      .getOrElse(fail("no FileSourceScanExec in as-of plan"))
-    val allParts = scan.relation.location.listFiles(Nil, Nil).length
-    val pruned =
-      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
-    assert(allParts == 3, s"expected 3 generation partitions, got $allParts")
-    assert(pruned == 2,
-      s"asOf(1) should list gens {0,1} only, listed $pruned of $allParts")
+      .collect { case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString) }
+      .flatten
+    assert(roots.nonEmpty, "no FileSourceScanExec in as-of plan")
+    // stronger than partition pruning: the retraction generation's
+    // directory is absent from the scan ROOTS — not pruned after
+    // listing, never listed at all
+    assert(roots.exists(_.endsWith("gen-0")) && roots.exists(_.endsWith("gen-1")),
+      s"asOf(1) must read gens 0 and 1: $roots")
+    assert(!roots.exists(_.endsWith("gen-2")),
+      s"asOf(1) listed the later generation: $roots")
   }
 
   test("horizon compaction: asOf(g >= h) bit-invariant, asOf(g < h) empty") {
@@ -98,7 +101,9 @@ class SnapshotLogSpec extends GraftSpec {
     assert(histAsOf(p, 2) == at2, "horizon compaction changed asOf(head)")
     assert(histAsOf(p, 0).isEmpty,
       "asOf before the horizon should be empty — the retention boundary")
-    // the horizon base is physically one row per key
-    assert(spark.read.parquet(p).filter(col("gen") === 1).count() == at1.size)
+    // the horizon base is physically one row per key (the rebase dir
+    // read raw through the committed fold, no merge on top)
+    assert(sources.CommitLog.snapshot(spark, p).read(p, asOfGen = 1L).count()
+      == at1.size)
   }
 }

@@ -21,7 +21,7 @@ class TsWarehouseSpec extends GraftSpec {
     Files.createTempDirectory(s"graft-tsw-$tag").resolve("idx").toString
 
   private def rowsOf(path: String): Set[(String, String, java.math.BigDecimal, Long)] =
-    spark.read.parquet(path)
+    sources.CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("date"), col("event_type"))
       .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
@@ -117,10 +117,11 @@ class TsWarehouseSpec extends GraftSpec {
     TsWarehouse.materializeFrom(e.filter(TsWarehouse.isBaseEvent), p)
     TsWarehouse.refresh(spark, e.filter(!TsWarehouse.isBaseEvent), p)
     val before = rowsOf(p)
-    val preCount = spark.read.parquet(p).count()
+    def rawCount() = sources.CommitLog.snapshot(spark, p).read(p).count()
+    val preCount = rawCount()
     TsWarehouse.compact(spark, p)
     val after = rowsOf(p)
-    val postCount = spark.read.parquet(p).count()
+    val postCount = rawCount()
     assert(before == after, "compaction changed the merged statistic")
     assert(postCount == after.size && postCount < preCount,
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")

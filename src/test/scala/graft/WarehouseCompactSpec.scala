@@ -14,6 +14,10 @@ class WarehouseCompactSpec extends GraftSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/index"
 
+  /** Committed read of one warehouse part (CommitLog layout, r11). */
+  private def readPart(base: String, part: String) =
+    sources.CommitLog.snapshot(spark, base).read(part)
+
   private lazy val docs = sources.Tables(spark, Dir).documents
   private lazy val part1 = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
   private lazy val part2 = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
@@ -34,8 +38,8 @@ class WarehouseCompactSpec extends GraftSpec {
     val dfSide = s"$p.df"
     val before = run()
     assert(before.nonEmpty)
-    val rowsBefore = spark.read.parquet(dfSide).count()
-    val distinctTerms = spark.read.parquet(dfSide)
+    val rowsBefore = readPart(p, dfSide).count()
+    val distinctTerms = readPart(p, dfSide)
       .select(col("term")).distinct().count()
     // the refresh actually created per-term delta accumulation —
     // otherwise compaction is vacuous
@@ -43,12 +47,16 @@ class WarehouseCompactSpec extends GraftSpec {
       s"no overlapping deltas to merge: $rowsBefore rows / $distinctTerms terms")
     Bm25Warehouse.compact(spark, p)
     assert(run() == before, "probe drifted across compaction")
-    assert(spark.read.parquet(dfSide).count() == distinctTerms,
+    assert(readPart(p, dfSide).count() == distinctTerms,
       "compaction did not merge to one row per term")
-    // the bucket layout survives: tb partition dirs still present, so
-    // probe-side partition pruning is untouched
-    val dirs = new java.io.File(dfSide).listFiles().filter(_.isDirectory)
-      .map(_.getName)
+    // the bucket layout survives inside the (single, post-vacuum) live
+    // generation dir: tb partition dirs still present, so probe-side
+    // partition pruning is untouched
+    val genDirs = new java.io.File(dfSide).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("gen-"))
+    assert(genDirs.length == 1,
+      s"expected one live generation after compact+vacuum, got ${genDirs.length}")
+    val dirs = genDirs.head.listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("tb=")),
       s"bucket partitioning lost: ${dirs.take(3).mkString(",")}")
   }
@@ -61,16 +69,16 @@ class WarehouseCompactSpec extends GraftSpec {
       .collect().map(_.toSeq).toSet
     val before = run()
     assert(before.nonEmpty)
-    val statsBefore = spark.read.parquet(s"$p.stats").collect().map(_.toSeq).toSeq
-    val rowsBefore = spark.read.parquet(p).count()
-    val distinctTerms = spark.read.parquet(p)
+    val statsBefore = readPart(p, s"$p.stats").collect().map(_.toSeq).toSeq
+    val rowsBefore = readPart(p, p).count()
+    val distinctTerms = readPart(p, p)
       .select(col("term")).distinct().count()
     assert(rowsBefore > distinctTerms,
       s"no overlapping deltas to merge: $rowsBefore rows / $distinctTerms terms")
     LmWarehouse.compact(spark, p)
     assert(run() == before, "probe drifted across compaction")
-    assert(spark.read.parquet(p).count() == distinctTerms)
-    assert(spark.read.parquet(s"$p.stats").collect().map(_.toSeq).toSeq
+    assert(readPart(p, p).count() == distinctTerms)
+    assert(readPart(p, s"$p.stats").collect().map(_.toSeq).toSeq
       == statsBefore, "stats must not change: refresh already maintains (nb, v) exactly")
   }
 

@@ -141,6 +141,46 @@ class WarehouseRefreshSpec extends GraftSpec {
       s"planted dup not served at cosine 1.0: ${top.take(3).toSeq}")
   }
 
+  test("ivf: retract == rebuild-on-survivors under the frozen quantizer; compact is probe-bit-invariant") {
+    val qv = vecs.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    def run(path: String) = IvfWarehouse.probe(spark, path, qv, k = 10)
+      .collect().map(_.toSeq).toSeq
+
+    val p = tmp("graft-ivfw-retr-")
+    IvfWarehouse.materializeFrom(vBase, p)
+    IvfWarehouse.refresh(spark, vBatch, p)
+    val full = run(p)
+    // the slice over the INDEX's own id set (vBatch ids are shifted)
+    val removed = vBase.select(col("vec_id"))
+      .unionByName(vBatch.select(col("vec_id")))
+      .filter(pmod(col("vec_id"), lit(13)) === 4)
+    IvfWarehouse.retract(removed, p)
+    val got = run(p)
+    assert(got != full, "degenerate: the retraction removed no served vector")
+    assert(got.forall(r => r(0).asInstanceOf[Long] % 13 != 4),
+      "a tombstoned vector still serves")
+
+    // reference: the SAME frozen centroids, posting lists re-assigned
+    // from the survivors only (FAISS remove_ids semantics)
+    val ref = tmp("graft-ivfw-retr-ref-")
+    val survivors = vBase.unionByName(vBatch)
+      .join(removed, Seq("vec_id"), "left_anti")
+    graft.similarity.Knn.assignTo(survivors,
+        spark.read.parquet(p + ".centroids"))
+      .write.mode("overwrite").partitionBy("cid").parquet(ref)
+    spark.read.parquet(p + ".centroids")
+      .write.mode("overwrite").parquet(ref + ".centroids")
+    assert(got == run(ref),
+      "retracted probe diverges from rebuild-on-survivors under the frozen quantizer")
+
+    // physical purge: bit-invariant probe, no tombstoned row on disk
+    IvfWarehouse.compact(spark, p)
+    assert(run(p) == got, "compact changed the probe")
+    assert(spark.read.parquet(p)
+      .filter(pmod(col("vec_id"), lit(13)) === 4).count() == 0,
+      "compact left tombstoned postings behind")
+  }
+
   test("pq: appended codes equal the frozen-codebook encoding; probe stays pruned") {
     val inc = tmp("graft-pqw-inc-")
     // PqWarehouse.materialize trains from the dir's full corpus; here
