@@ -3,8 +3,6 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The ATOMIC MULTI-FILE COMMIT protocol for warehouse maintenance —
@@ -29,9 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every transaction gets a fresh GENERATION number; each part it
   *    touches is written under `part/gen-N/` (its own directory — no
   *    standing file is ever mutated);
-  *  - the transaction COMMITS by appending its entries — one
-  *    (gen, part, kind, horizon, seq) row per touched part — to the
-  *    side log `<base>.commits` in ONE single-file write, LAST;
+  *  - the transaction COMMITS by writing its entries — one
+  *    (gen, part, kind, horizon, seq) line per touched part — as ONE
+  *    marker file atomically renamed into the side log directory
+  *    `<base>.commits`, LAST;
   *  - readers take a SNAPSHOT (one driver-side read of the log,
   *    metadata-scale: a handful of rows per transaction ever) and
   *    read each part as the explicit list of its COMMITTED live
@@ -86,15 +85,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shared protocol, so "the warehouse as of generation g" is now a
   * verb EVERY member gets by routing its writes here.
   *
-  * ATOMICITY argument, stated honestly: the commit is one Spark write
-  * job producing one parquet file in the log directory; the committer
-  * exposes it only at job commit (a crash before leaves `_temporary`
-  * droppings every parquet reader ignores), so the marker is all-or-
-  * nothing at the same fidelity as the reference DB's WAL fsync — and
-  * at the same fidelity Delta's `_delta_log` JSON puts-if-absent get
-  * on stores with atomic rename.  The log is append-only and never
-  * rewritten (the one file rewriting could tear); its driver-side
-  * fold is O(transactions ever), metadata-scale by construction.
+  * ATOMICITY argument, stated honestly: the marker is one small file
+  * written under a temp name and RENAMED into the log directory —
+  * atomic on HDFS and POSIX filesystems, and the same primitive
+  * Delta's `_delta_log` entries rely on (object stores without atomic
+  * rename need their put-if-absent shim there too).  The log is
+  * append-only — a marker file, once named, is never rewritten — and
+  * both committing and snapshotting are DRIVER-SIDE Hadoop FS I/O:
+  * no Spark job on either path, so a probe's snapshot pin costs a
+  * directory listing plus a few ~100 B reads, O(transactions ever),
+  * metadata-scale by construction.
   *
   * `vacuum` is the physical GC: directories no live head-fold
   * references are deleted (crash orphans included).  Retention
@@ -118,11 +118,6 @@ object CommitLog {
   }
 
   private def logPath(base: String) = s"$base.commits"
-
-  private val LogSchema = StructType(Seq(
-    StructField("gen", LongType), StructField("part", StringType),
-    StructField("kind", StringType), StructField("horizon", LongType),
-    StructField("seq", LongType)))
 
   private[sources] final case class Entry(
       gen: Long, part: String, kind: String, horizon: Long, seq: Long) {
@@ -196,13 +191,48 @@ object CommitLog {
           s" under base '$base'"))
   }
 
+  // ---- the log's physical form: one TSV marker FILE per committed
+  // transaction, named by commit sequence, written to a temp name and
+  // atomically RENAMED into place — the Delta `_delta_log` shape.
+  // Driver-side Hadoop FS I/O only: neither committing a transaction
+  // nor pinning a snapshot costs a Spark job (the log is metadata —
+  // a handful of ~100 B lines per transaction ever).
+
+  private def markerName(seq: Long) = f"$seq%020d.commit"
+
+  private def writeMarker(spark: SparkSession, base: String, seq: Long,
+      lines: Seq[String]): Unit = {
+    val dir = new Path(logPath(base))
+    val f = fs(spark, logPath(base))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"_tmp-${markerName(seq)}")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, markerName(seq))
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"CommitLog: marker rename $tmp -> $dst returned false")
+  }
+
   def snapshot(spark: SparkSession, base: String): Snapshot = {
-    val lp = logPath(base)
+    val dir = new Path(logPath(base))
+    val f = fs(spark, logPath(base))
     val entries =
-      if (!fs(spark, lp).exists(new Path(lp))) Seq.empty[Entry]
-      else spark.read.schema(LogSchema).parquet(lp).collect().toSeq
-        .map(r => Entry(r.getLong(0), r.getString(1), r.getString(2),
-          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      if (!f.exists(dir)) Seq.empty[Entry]
+      else f.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".commit"))
+        .flatMap { st =>
+          val in = f.open(st.getPath)
+          val text = try {
+            val buf = new Array[Byte](st.getLen.toInt)
+            in.readFully(0, buf); new String(buf, "UTF-8")
+          } finally in.close()
+          text.split('\n').filter(_.nonEmpty).map { line =>
+            val c = line.split('\t')
+            Entry(c(0).toLong, c(1), c(2), c(3).toLong, c(4).toLong)
+          }
+        }
     Snapshot(spark, base, entries)
   }
 
@@ -265,13 +295,8 @@ object CommitLog {
     def commit(): Unit = {
       if (CommitLog.crashBeforeCommit) throw new InjectedCrash
       require(recorded.nonEmpty, "CommitLog.Txn: empty transaction")
-      import spark.implicits._
-      recorded.toSeq
-        .map { case (p, k, h) =>
-          (gen, p, k, if (h < 0) None else Some(h), nextSeq) }
-        .toDF("gen", "part", "kind", "horizon", "seq")
-        .coalesce(1)
-        .write.mode("append").parquet(logPath(base))
+      writeMarker(spark, base, nextSeq,
+        recorded.toSeq.map { case (p, k, h) => s"$gen\t$p\t$k\t$h\t$nextSeq" })
     }
   }
 
