@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.Exact.roundx
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** IVF at rest: the billion-scale ANN layout (Jégou et al. / FAISS IVF)
   * made concrete as a table layout — embeddings written PARTITIONED BY
@@ -27,8 +27,12 @@ object IvfWarehouse {
     * specs. */
   def materializeFrom(e: DataFrame, path: String, k: Int = 16): Unit = {
     val (centroids, lists) = Knn.coarseQuantizer(e, k)
-    lists.write.mode("overwrite").partitionBy("cid").parquet(path)
-    centroids.write.mode("overwrite").parquet(centroidsPath(path))
+    // lists + centroids land as ONE transaction (r11): posting rows
+    // can never be visible without the codebook that assigned them
+    CommitLog.transaction(e.sparkSession, path) { t =>
+      t.replace(lists, path, Seq("cid"))
+      t.replace(centroids, centroidsPath(path))
+    }
   }
 
   /** REFRESH — fold new vectors into the posting lists at rest: assign
@@ -38,9 +42,11 @@ object IvfWarehouse {
     * contract; distribution drift is the existing `recluster`
     * maintenance pass's job, on its own schedule.  O(batch): K-row
     * centroid broadcast, no standing row read or rewritten. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    Knn.assignTo(batch, spark.read.parquet(centroidsPath(path)))
-      .write.mode("append").partitionBy("cid").parquet(path)
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val assigned = Knn.assignTo(batch,
+      CommitLog.snapshot(spark, path).read(centroidsPath(path)))
+    CommitLog.transaction(spark, path)(_.append(assigned, path, Seq("cid")))
+  }
 
   private def centroidsPath(path: String): String = s"$path.centroids"
   private def tombPath(path: String): String = s"$path.tomb"
@@ -60,31 +66,36 @@ object IvfWarehouse {
     * retract == probe over lists assigned from the survivors with the
     * same frozen centroids, and bit-invariance across compact. */
   def retract(removedIds: DataFrame, path: String): Unit =
-    removedIds.select(col("vec_id"))
-      .write.mode("append").parquet(tombPath(path))
+    CommitLog.transaction(removedIds.sparkSession, path)(
+      _.append(removedIds.select(col("vec_id")), tombPath(path)))
 
   /** COMPACT — physically purge tombstoned vectors from the posting
-    * lists and clear the tombstones; probes bit-identical. */
-  def compact(spark: SparkSession, path: String): Unit =
-    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
-      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path), "vec_id")
-      val pruned = spark.read.parquet(path)
-        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
-      pruned.write.mode("overwrite").partitionBy("cid").parquet(path)
-      graft.sources.Tombstones.clear(spark, tombPath(path))
+    * lists and clear the tombstones in one transaction; probes
+    * bit-identical; vacuum reclaims dead generations. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = CommitLog.snapshot(spark, path)
+    snap.readOpt(tombPath(path)).foreach { t0 =>
+      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
+      CommitLog.transaction(spark, path) { t =>
+        t.replace(snap.read(path).join(tomb, Seq("vec_id"), "left_anti"),
+          path, Seq("cid"))
+        t.clear(tombPath(path))
+      }
     }
+    CommitLog.vacuum(spark, path)
+  }
 
   /** Drop tombstoned vectors from a candidate set — O(candidates);
     * the no-tomb path keeps its exact old plan. */
-  private def live(spark: SparkSession, cands: DataFrame, path: String): DataFrame =
-    graft.sources.Tombstones.drop(spark, cands, tombPath(path),
+  private def live(snap: CommitLog.Snapshot, cands: DataFrame, path: String): DataFrame =
+    Tombstones.dropDf(cands, snap.readOpt(tombPath(path)),
       key = "vec_id", tombCol = "vec_id")
 
   /** The frozen coarse codebook at rest — shared with the SemDeDup
     * probe (cluster-pruned sweeps assign against exactly the centroids
     * that produced the standing posting lists). */
   private[graft] def centroids(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(centroidsPath(path))
+    CommitLog.snapshot(spark, path).read(centroidsPath(path))
 
   /** Probe: rank centroids against the query vector, then top-k exact
     * cosine over ONLY the nprobe nearest posting lists.  Selecting the
@@ -94,13 +105,14 @@ object IvfWarehouse {
     * fully distributed. */
   def probe(spark: SparkSession, path: String, qv: Array[Double],
       nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
     val qvCol = typedLit(qv.toSeq).cast("array<double>")
-    val probeCids = spark.read.parquet(centroidsPath(path))
+    val probeCids = snap.read(centroidsPath(path))
       .select(col("cid"),
         (-dot(col("cv"), qvCol) / norm(col("cv"))).as("dist"))
       .orderBy(col("dist"), col("cid")).limit(nprobe)
       .collect().map(_.getAs[Int]("cid"))
-    live(spark, spark.read.parquet(path)
+    live(snap, snap.read(path)
       .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*)), path)
       .withColumn("cos", roundx(dot(col("v"), qvCol) / (norm(col("v")) * norm(qvCol)), 6))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -127,8 +139,9 @@ object IvfWarehouse {
     * and that probes still prune after the rewrite.) */
   def recluster(spark: SparkSession, path: String, rounds: Int = 2): (Double, Double) = {
     compact(spark, path) // retire outstanding tombstones: the re-fit must see survivors only
-    val e = spark.read.parquet(path)
-      .select(col("vec_id"), col("v")).localCheckpoint() // eager: frees the path for overwrite
+    val snap0 = CommitLog.snapshot(spark, path)
+    val e = snap0.read(path)
+      .select(col("vec_id"), col("v")).localCheckpoint() // pinned input of the re-fit
     def assigned(c: DataFrame): DataFrame =
       e.crossJoin(broadcast(c))
         .withColumn("dist", -dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
@@ -136,7 +149,7 @@ object IvfWarehouse {
         .agg(min(struct(col("dist"), col("cid"))).as("best"), first(col("v")).as("v"))
         .select(col("vec_id"), col("v"),
           col("best.cid").as("cid"), col("best.dist").as("dist"))
-    var cents = spark.read.parquet(centroidsPath(path)).localCheckpoint()
+    var cents = snap0.read(centroidsPath(path)).localCheckpoint()
     val costBefore = assigned(cents).agg(avg(col("dist"))).head.getDouble(0)
     for (_ <- 1 to rounds) {
       // SPHERICAL update: assignment above scores -cosine, so the
@@ -164,9 +177,12 @@ object IvfWarehouse {
     }
     val fin = assigned(cents).localCheckpoint()
     val costAfter = fin.agg(avg(col("dist"))).head.getDouble(0)
-    fin.select(col("vec_id"), col("v"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    cents.write.mode("overwrite").parquet(centroidsPath(path))
+    val newCents = cents
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(fin.select(col("vec_id"), col("v"), col("cid")), path, Seq("cid"))
+      t.replace(newCents, centroidsPath(path))
+    }
+    CommitLog.vacuum(spark, path)
     (costBefore, costAfter)
   }
 
@@ -212,7 +228,8 @@ object IvfWarehouse {
     * WindowGroupLimit partial heaps (the Knn.knnBatch shape). */
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    val cents = snap.read(centroidsPath(path))
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
     // |Q|·K rows of metadata — collected only to build the literal
@@ -230,7 +247,7 @@ object IvfWarehouse {
       .collect().map(_.getAs[Int]("cid"))
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    live(spark, spark.read.parquet(path)
+    live(snap, snap.read(path)
       .filter(col("cid").isin(unionCids.toIndexedSeq.map(Integer.valueOf): _*)), path)
       .join(broadcast(assign), Seq("cid"))
       .withColumn("cos", roundx(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))

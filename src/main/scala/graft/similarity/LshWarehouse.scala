@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact.roundx
 import graft.functions.VectorFunctions._
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** Cosine-LSH at rest — the banded-signature layout `rangeSearchLsh`
   * computes inline, made a physical table the way IvfWarehouse
@@ -50,12 +50,16 @@ object LshWarehouse {
       .withColumn("nrm", norm(col("v")))
       .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
       .localCheckpoint() // sig once per row, not once per band slot
-    val mode = if (overwrite) "overwrite" else "append"
-    e.write.mode(mode).parquet(vectorsPath(path))
-    e.select(col("vec_id"), col("sig"),
+    val idx = e.select(col("vec_id"), col("sig"),
         posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
       .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
-      .write.mode(mode).partitionBy("bb").parquet(path)
+    // primary store + index land as ONE transaction (round 11 — the
+    // CommitLog retrofit): a crash between the two writes can no
+    // longer leave candidates whose exact-verify rows are missing
+    CommitLog.transaction(e.sparkSession, path) { t =>
+      if (overwrite) { t.replace(e, vectorsPath(path)); t.replace(idx, path, Seq("bb")) }
+      else { t.append(e, vectorsPath(path)); t.append(idx, path, Seq("bb")) }
+    }
   }
 
   /** REFRESH — fold new vectors into the index at rest (see
@@ -79,22 +83,26 @@ object LshWarehouse {
     * reads the store through the same tombstones), which is what
     * makes probes bit-invariant under compact's physical removal. */
   def retract(removedIds: DataFrame, path: String): Unit =
-    removedIds.select(col("vec_id"))
-      .write.mode("append").parquet(tombPath(path))
+    CommitLog.transaction(removedIds.sparkSession, path)(
+      _.append(removedIds.select(col("vec_id")), tombPath(path)))
 
   /** COMPACT — physically remove tombstoned rows from both stores and
-    * clear the tombstones; probes bit-identical before/after. */
-  def compact(spark: SparkSession, path: String): Unit =
-    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
-      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path), "vec_id")
-      val vecs = spark.read.parquet(vectorsPath(path))
-        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
-      vecs.write.mode("overwrite").parquet(vectorsPath(path))
-      val idx = spark.read.parquet(path)
-        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
-      idx.write.mode("overwrite").partitionBy("bb").parquet(path)
-      graft.sources.Tombstones.clear(spark, tombPath(path))
+    * clear the tombstones in ONE transaction; probes bit-identical
+    * before/after; vacuum reclaims the dead generations. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = CommitLog.snapshot(spark, path)
+    snap.readOpt(tombPath(path)).foreach { t0 =>
+      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
+      CommitLog.transaction(spark, path) { t =>
+        t.replace(snap.read(vectorsPath(path))
+          .join(tomb, Seq("vec_id"), "left_anti"), vectorsPath(path))
+        t.replace(snap.read(path)
+          .join(tomb, Seq("vec_id"), "left_anti"), path, Seq("bb"))
+        t.clear(tombPath(path))
+      }
     }
+    CommitLog.vacuum(spark, path)
+  }
 
   /** Radius probe over the warehouse: the query batch's band keys
     * become a literal partition-pruning predicate (|Q|·bands driver
@@ -105,12 +113,15 @@ object LshWarehouse {
   def rangeProbe(spark: SparkSession, path: String,
       nQueries: Int = 10, tau: Double = 0.3,
       bitsPerBand: Int = 2, bands: Int = 32): DataFrame = {
-    // the LIVE primary store: tombstoned vectors are gone on both the
+    // ONE snapshot pins index + vectors + tombstones together.  The
+    // LIVE primary store: tombstoned vectors are gone on both the
     // query and the answer side (see retract's Scaladoc) — this is
     // what keeps probes bit-invariant across compact's physical prune
-    val vecs = graft.sources.Tombstones.drop(spark,
-      spark.read.parquet(vectorsPath(path)),
-      tombPath(path), key = "vec_id", tombCol = "vec_id")
+    val snap = CommitLog.snapshot(spark, path)
+    val tomb = snap.readOpt(tombPath(path))
+      .map(_.select(col("vec_id")).distinct().localCheckpoint())
+    val vecs = Tombstones.dropDf(snap.read(vectorsPath(path)), tomb,
+      key = "vec_id", tombCol = "vec_id")
     val probes = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
         posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
@@ -122,14 +133,14 @@ object LshWarehouse {
 
     val firstMatchingBand = graft.functions.FirstMatchingBand(
       col("sig"), col("qsig"), bitsPerBand, bands)
-    val cand = graft.sources.Tombstones.drop(spark,
-      spark.read.parquet(path)
+    val cand = Tombstones.dropDf(
+      snap.read(path)
         .filter(col("bb").isin(probeBbs.toIndexedSeq.map(java.lang.Long.valueOf): _*))
         .join(broadcast(probes), Seq("bb"))
         .filter(col("vec_id") =!= col("query_id") &&
           col("band").cast("long") === firstMatchingBand)
         .select(col("query_id"), col("vec_id")),
-      tombPath(path), key = "vec_id", tombCol = "vec_id")
+      tomb, key = "vec_id", tombCol = "vec_id")
     cand
       .join(broadcast(vecs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact.{roundx, sumx}
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** IVF-PQ at rest — the layout a 100 TB deployment actually ships:
   * posting lists partitioned by coarse-centroid id hold 4-bit PQ CODES
@@ -35,10 +35,15 @@ object PqWarehouse {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val (cents, lists) = Knn.coarseQuantizer(e, k)
     val (codebook, codes) = Pq.encode(e)
-    codes.join(lists.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    codebook.write.mode("overwrite").parquet(codebookPath(path))
-    cents.write.mode("overwrite").parquet(centroidsPath(path))
+    // codes + codebook + centroids land as ONE transaction (r11): a
+    // crash can never leave codes without the quantizers that decode
+    // them, and probes pin all three parts in one snapshot
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(codes.join(lists.select(col("vec_id"), col("cid")), Seq("vec_id")),
+        path, Seq("cid"))
+      t.replace(codebook, codebookPath(path))
+      t.replace(cents, centroidsPath(path))
+    }
   }
 
   /** REFRESH — fold new vectors into the code table at rest: coarse-
@@ -51,11 +56,39 @@ object PqWarehouse {
     * standing row read or rewritten; the KB-scale side tables are
     * untouched. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    val lists = Knn.assignTo(batch, spark.read.parquet(centroidsPath(path)))
+    val snap = CommitLog.snapshot(spark, path)
+    val lists = Knn.assignTo(batch, snap.read(centroidsPath(path)))
       .select(col("vec_id"), col("cid"))
-    Pq.encodeWith(batch, spark.read.parquet(codebookPath(path)))
-      .join(lists, Seq("vec_id"))
-      .write.mode("append").partitionBy("cid").parquet(path)
+    CommitLog.transaction(spark, path)(
+      _.append(Pq.encodeWith(batch, snap.read(codebookPath(path)))
+        .join(lists, Seq("vec_id")), path, Seq("cid")))
+  }
+
+  private def tombPath(path: String) = s"$path.tomb"
+
+  /** RETRACT — the delete verb on the PQ lane (round 11, VERDICT-r10
+    * ask #6's second family): vec_id tombstones, the IvfWarehouse/
+    * LshWarehouse rung verbatim — a code row depends only on its own
+    * vector; the FROZEN quantizers are corpus-level state a member
+    * deletion does not change (FAISS remove_ids).  Probes drop
+    * tombstoned candidates on the pruned candidate set; compact
+    * physically purges the code table. */
+  def retract(removedIds: DataFrame, path: String): Unit =
+    CommitLog.transaction(removedIds.sparkSession, path)(
+      _.append(removedIds.select(col("vec_id")), tombPath(path)))
+
+  /** COMPACT — purge tombstoned codes, clear tombstones, reclaim. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = CommitLog.snapshot(spark, path)
+    snap.readOpt(tombPath(path)).foreach { t0 =>
+      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
+      CommitLog.transaction(spark, path) { t =>
+        t.replace(snap.read(path).join(tomb, Seq("vec_id"), "left_anti"),
+          path, Seq("cid"))
+        t.clear(tombPath(path))
+      }
+    }
+    CommitLog.vacuum(spark, path)
   }
 
   /** Probe: rank stored centroids for the query (K-row metadata),
@@ -75,13 +108,14 @@ object PqWarehouse {
     val qnrm = math.sqrt(acc)
     val qn = qv.map(_ / qnrm)
 
+    val snap = CommitLog.snapshot(spark, path)
     val qvCol = typedLit(qv.toSeq).cast("array<double>")
-    val probeCids = spark.read.parquet(centroidsPath(path))
+    val probeCids = snap.read(centroidsPath(path))
       .select(col("cid"), (-dot(col("cv"), qvCol) / norm(col("cv"))).as("dist"))
       .orderBy(col("dist"), col("cid")).limit(nprobe)
       .collect().map(_.getAs[Int]("cid"))
 
-    val lut = spark.read.parquet(codebookPath(path)).collect().map { r =>
+    val lut = snap.read(codebookPath(path)).collect().map { r =>
       val m = r.getAs[Int]("m")
       val cv = r.getSeq[Double](r.fieldIndex("cv"))
       var part = 0.0
@@ -95,9 +129,10 @@ object PqWarehouse {
     import spark.implicits._
     val lutDf = lut.toSeq.toDF("m", "code", "part")
 
-    spark.read.parquet(path)
+    Tombstones.dropDf(snap.read(path)
       .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
-      .filter(col("vec_id") =!= excludeId)
+      .filter(col("vec_id") =!= excludeId),
+      snap.readOpt(tombPath(path)), key = "vec_id", tombCol = "vec_id")
       .join(broadcast(lutDf), Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(roundx(sumx(col("part")), 6).as("adc_cosine"), first(col("cid")).as("cid"))
@@ -119,11 +154,12 @@ object PqWarehouse {
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
+    val snap = CommitLog.snapshot(spark, path)
     val qs = queries.select(col("query_id"), col("qv")).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getSeq[Double](1).toArray))
-    val cents = spark.read.parquet(centroidsPath(path)).collect()
+    val cents = snap.read(centroidsPath(path)).collect()
       .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("cv")).toArray))
-    val cb = spark.read.parquet(codebookPath(path)).collect()
+    val cb = snap.read(codebookPath(path)).collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
         r.getSeq[Double](r.fieldIndex("cv")).toArray))
 
@@ -153,8 +189,9 @@ object PqWarehouse {
     val unionCids = assign.map(_._2).distinct
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc_cosine").desc, col("vec_id"))
-    spark.read.parquet(path)
-      .filter(col("cid").isin(unionCids.toIndexedSeq.map(Integer.valueOf): _*))
+    Tombstones.dropDf(snap.read(path)
+      .filter(col("cid").isin(unionCids.toIndexedSeq.map(Integer.valueOf): _*)),
+      snap.readOpt(tombPath(path)), key = "vec_id", tombCol = "vec_id")
       .join(broadcast(assign.toSeq.toDF("query_id", "cid")), Seq("cid"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .join(broadcast(lutAll.toSeq.toDF("query_id", "m", "code", "part")),

@@ -117,7 +117,7 @@ object SemDedup {
     * pruned file listing on exactly the frame the probe scans). */
   private[graft] def standingLists(spark: SparkSession, path: String,
       cids: Array[Int]): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.CommitLog.snapshot(spark, path).read(path)
       .filter(col("cid").isin(cids.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("v"), col("cid"))
       .withColumn("nrm", norm(col("v")))

@@ -29,17 +29,22 @@ class LshWarehouseSpec extends GraftSpec {
 
   test("a single query's probe prunes to at most its bands' partitions") {
     val df = LshWarehouse.rangeProbe(spark, path, nQueries = 1)
-    val scan = df.queryExecution.sparkPlan.collect {
+    // index roots are committed generation dirs (<path>/gen-N) since
+    // r11 (CommitLog) — one scan per live generation, each pruning bb
+    val scans = df.queryExecution.sparkPlan.collect {
         case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.endsWith("index")) => f
-      }.headOption.getOrElse(fail("no index FileSourceScanExec in plan"))
-    val allParts = scan.relation.location.listFiles(Nil, Nil).length
-    val pruned =
-      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+          if f.relation.location.rootPaths.exists(_.toString.contains("index/gen-")) &&
+            f.schema.fieldNames.contains("band") => f
+      }
+    assert(scans.nonEmpty, "no index FileSourceScanExec in plan")
+    val allParts = scans.map(_.relation.location.listFiles(Nil, Nil).length).sum
+    val pruned = scans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters).length).sum
     // 32 bands × 2-bit keys = 128 partitions at rest; one query probes
-    // at most its 32 (band, key) pairs
+    // at most its 32 (band, key) pairs per generation root
     assert(allParts > 32, s"expected >32 bb partitions at rest, got $allParts")
-    assert(pruned <= 32, s"probe scanned $pruned of $allParts partitions")
+    assert(pruned <= 32 * scans.length,
+      s"probe scanned $pruned of $allParts partitions")
     assert(df.count() >= 0) // plan must execute
   }
 
@@ -69,9 +74,11 @@ class LshWarehouseSpec extends GraftSpec {
     assert(got.forall(r =>
       !(r(1).asInstanceOf[Long] % 5 == 3 && r(1).asInstanceOf[Long] >= 10)))
     // COMPACT physically removes and is probe-invariant
-    val vecsBefore = spark.read.parquet(s"$retracted.vectors").count()
+    def vecsCount() = sources.CommitLog.snapshot(spark, retracted)
+      .read(s"$retracted.vectors").count()
+    val vecsBefore = vecsCount()
     LshWarehouse.compact(spark, retracted)
-    assert(spark.read.parquet(s"$retracted.vectors").count() < vecsBefore,
+    assert(vecsCount() < vecsBefore,
       "compact removed no tombstoned vectors")
     assert(probeRows(retracted) == got, "compact changed the probe result")
   }

@@ -100,17 +100,16 @@ class ScaleSpec extends GraftSpec {
   test("IVF warehouse: recluster repairs cost, keeps rows, probes still prune") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfr_").toString + "/lists"
     similarity.IvfWarehouse.materialize(spark, Dir, path)
-    val before = spark.read.parquet(path)
+    def idsAtRest() = sources.CommitLog.snapshot(spark, path).read(path)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val before = idsAtRest()
     val (costBefore, costAfter) = similarity.IvfWarehouse.recluster(spark, path)
     // Lloyd from a warm start must not worsen the mean assignment
     // distance (fixed data; each round reassigns-then-recenters)
     assert(costAfter <= costBefore + 1e-9,
       s"recluster worsened cost: $costBefore -> $costAfter")
     // every vector survives the rewrite
-    val after = spark.read.parquet(path)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    assert(after == before)
+    assert(idsAtRest() == before)
     // the rewritten layout still serves pruned probes
     val qv = sources.Tables(spark, Dir).embeddings
       .filter(col("vec_id") === 0).head()

@@ -118,16 +118,17 @@ class WarehouseRefreshSpec extends GraftSpec {
   test("ivf: appended rows are the frozen-centroid assignment; probe serves them") {
     val inc = tmp("graft-ivfw-inc-")
     IvfWarehouse.materializeFrom(vBase, inc)
-    val before = spark.read.parquet(inc)
+    def snap() = sources.CommitLog.snapshot(spark, inc)
+    val before = snap().read(inc)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     IvfWarehouse.refresh(spark, vBatch, inc)
-    val after = spark.read.parquet(inc)
+    val after = snap().read(inc)
       .select(col("vec_id"), col("cid"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
     assert(before.subsetOf(after.keySet), "standing rows lost by refresh")
     // appended assignments == the same frozen-centroid argmin inline
     val expected = graft.similarity.Knn
-      .assignTo(vBatch, spark.read.parquet(inc + ".centroids"))
+      .assignTo(vBatch, snap().read(inc + ".centroids"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
     expected.foreach { case (id, cid) =>
       assert(after.get(id).contains(cid), s"vec $id: cid ${after.get(id)} != $cid")
@@ -161,22 +162,24 @@ class WarehouseRefreshSpec extends GraftSpec {
       "a tombstoned vector still serves")
 
     // reference: the SAME frozen centroids, posting lists re-assigned
-    // from the survivors only (FAISS remove_ids semantics)
+    // from the survivors only (FAISS remove_ids semantics) — written
+    // through the same committed layout the probe reads
     val ref = tmp("graft-ivfw-retr-ref-")
+    val pSnap = sources.CommitLog.snapshot(spark, p)
     val survivors = vBase.unionByName(vBatch)
       .join(removed, Seq("vec_id"), "left_anti")
-    graft.similarity.Knn.assignTo(survivors,
-        spark.read.parquet(p + ".centroids"))
-      .write.mode("overwrite").partitionBy("cid").parquet(ref)
-    spark.read.parquet(p + ".centroids")
-      .write.mode("overwrite").parquet(ref + ".centroids")
+    sources.CommitLog.transaction(spark, ref) { t =>
+      t.replace(graft.similarity.Knn.assignTo(survivors,
+        pSnap.read(p + ".centroids")), ref, Seq("cid"))
+      t.replace(pSnap.read(p + ".centroids"), ref + ".centroids")
+    }
     assert(got == run(ref),
       "retracted probe diverges from rebuild-on-survivors under the frozen quantizer")
 
     // physical purge: bit-invariant probe, no tombstoned row on disk
     IvfWarehouse.compact(spark, p)
     assert(run(p) == got, "compact changed the probe")
-    assert(spark.read.parquet(p)
+    assert(sources.CommitLog.snapshot(spark, p).read(p)
       .filter(pmod(col("vec_id"), lit(13)) === 4).count() == 0,
       "compact left tombstoned postings behind")
   }
@@ -189,17 +192,18 @@ class WarehouseRefreshSpec extends GraftSpec {
     // and refresh a DISJOINT synthetic batch (ids offset, incl. the
     // planted dup), asserting append-exactness and serving
     PqWarehouse.materialize(spark, Dir, inc)
-    val before = spark.read.parquet(inc)
+    def pqSnap() = sources.CommitLog.snapshot(spark, inc)
+    val before = pqSnap().read(inc)
       .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
     PqWarehouse.refresh(spark, vBatch, inc)
-    val rows = spark.read.parquet(inc)
+    val rows = pqSnap().read(inc)
       .select(col("vec_id"), col("m"), col("code"), col("cid"))
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
         (r.getAs[Int]("code"), r.getAs[Int]("cid"))).toMap
     assert(before.subsetOf(rows.keys.map(_._1).toSet), "standing rows lost")
     // appended codes == frozen-codebook encode + frozen-centroid assign
-    val cb = spark.read.parquet(inc + ".codebook")
-    val cents = spark.read.parquet(inc + ".centroids")
+    val cb = pqSnap().read(inc + ".codebook")
+    val cents = pqSnap().read(inc + ".centroids")
     val expCodes = graft.similarity.Pq.encodeWith(vBatch, cb)
       .collect().map(r => (r.getLong(0), r.getAs[Int]("m")) -> r.getAs[Int]("code")).toMap
     val expCids = graft.similarity.Knn.assignTo(vBatch, cents)
@@ -220,6 +224,47 @@ class WarehouseRefreshSpec extends GraftSpec {
     val physical = probe.queryExecution.executedPlan.toString
     assert(physical.contains("PartitionFilters") && physical.contains("cid"))
     assert(probe.collect().length == 10)
+  }
+
+  test("pq: retract == codes re-encoded from the survivors under frozen quantizers; compact physical") {
+    val qv = vecs.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    def run(path: String) = PqWarehouse
+      .probe(spark, path, qv, k = 10, excludeId = 0L)
+      .collect().map(_.toSeq).toSeq
+    val p = tmp("graft-pqw-retr-")
+    PqWarehouse.materialize(spark, Dir, p)
+    val full = run(p)
+    // remove every served non-query vector's residue class so the
+    // retraction visibly bites
+    val victim = full.head(0).asInstanceOf[Long]
+    val removed = vecs.filter(pmod(col("vec_id"), lit(13)) === victim % 13)
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    PqWarehouse.retract(removed, p)
+    val got = run(p)
+    assert(got != full, "degenerate: the retraction removed no served vector")
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !removedIds(r(0).asInstanceOf[Long])),
+      "a tombstoned vector still serves")
+    // reference: survivors re-encoded/assigned with the SAME frozen
+    // codebook + centroids, written through the committed layout
+    val ref = tmp("graft-pqw-retr-ref-")
+    val pSnap = sources.CommitLog.snapshot(spark, p)
+    val survivors = vecs.join(removed, Seq("vec_id"), "left_anti")
+    sources.CommitLog.transaction(spark, ref) { t =>
+      t.replace(graft.similarity.Pq.encodeWith(survivors, pSnap.read(p + ".codebook"))
+        .join(graft.similarity.Knn.assignTo(survivors, pSnap.read(p + ".centroids"))
+          .select(col("vec_id"), col("cid")), Seq("vec_id")), ref, Seq("cid"))
+      t.replace(pSnap.read(p + ".codebook"), ref + ".codebook")
+      t.replace(pSnap.read(p + ".centroids"), ref + ".centroids")
+    }
+    assert(got == run(ref),
+      "retracted PQ probe diverges from rebuild-on-survivors under frozen quantizers")
+    // physical purge, probe-bit-invariant
+    PqWarehouse.compact(spark, p)
+    assert(run(p) == got, "compact changed the probe")
+    assert(sources.CommitLog.snapshot(spark, p).read(p)
+      .join(removed, Seq("vec_id"), "left_semi").count() == 0,
+      "compact left tombstoned codes behind")
   }
 
   test("lm: double refresh accumulates (stats and counts fold twice)") {
