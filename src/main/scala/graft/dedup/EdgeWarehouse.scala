@@ -209,13 +209,10 @@ object EdgeWarehouse {
   /** The refresh body with the final commit-marker append made
     * switchable, so the spec can simulate a crash in the widest
     * non-committed window (everything written EXCEPT `.txt`).
-    * `guardRecrawl` (ADVICE-r10): the re-crawl guard is one semi-join
-    * + driver collect against the standing `.txt` store per call —
-    * right for batch maintenance, but a per-trigger Spark job whose
-    * cost grows with corpus file count when the caller is the
-    * STREAMING twin; there the crawl frontier upstream already
-    * guarantees fresh ids (that is what a frontier is), so the twin
-    * opts out and the batch verbs keep the loud check. */
+    * `guardRecrawl` exists for spec instrumentation only — EVERY
+    * production caller (batch and streaming alike) keeps the loud
+    * check; the streaming twin's per-trigger cost cure is the batchId
+    * marker fast-skip (see streamingRefresh), not a disabled guard. */
   private[graft] def refreshImpl(spark: SparkSession, batch0: DataFrame,
       path: String, commitTxt: Boolean, guardRecrawl: Boolean = true): Unit = {
     val batch = batch0.select(col("doc_id"), col("text")).localCheckpoint()
@@ -462,17 +459,58 @@ object EdgeWarehouse {
     * nearDupEdges).  Labels fold at compact cadence, exactly like the
     * batch loop.  Micro-batches are processed serially by the
     * streaming engine, which is the single-writer window every
-    * warehouse in the matrix assumes.  The re-crawl guard is OFF here
-    * (guardRecrawl=false): the upstream crawl frontier owns id
-    * freshness in the streaming deployment, and the guard's per-
-    * trigger semi-join job is exactly the cost ADVICE-r10 flagged. */
+    * warehouse in the matrix assumes.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once delivery (the
+    * ADVICE-r10 guard-cost cure, re-done after review — disabling the
+    * guard outright traded loud failure for silent double-ingest on
+    * engine replay): the warehouse records the last folded batchId in
+    * a marker file (temp + atomic rename, the CommitLog primitive);
+    * a REPLAYED id ≤ marker skips with ZERO Spark jobs — that is the
+    * cheap per-trigger check ADVICE asked for, and it covers the
+    * common replay case (restart after the checkpoint lag).  A batch
+    * with id > marker runs the full refresh WITH the re-crawl guard
+    * ON, so the one residual window — crash between the `.txt` commit
+    * and the marker write — still FAILS LOUDLY at the guard on
+    * re-delivery instead of corrupting (operator resolution: bump the
+    * marker; the batch is committed).  EdgeWarehouseSpec drives a
+    * replayed micro-batch and pins the no-double-ingest claim. */
   def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) refreshImpl(batch.sparkSession, batch, path,
-          commitTxt = true, guardRecrawl = false)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty && id > lastBatchId(batch.sparkSession, path)) {
+          refresh(batch.sparkSession, batch, path)
+          writeBatchId(batch.sparkSession, path, id)
+        }
       }
       .start()
+
+  private def batchIdPath(p: String) = s"$p.batchid"
+
+  private[graft] def lastBatchId(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(batchIdPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, buf)
+        new String(buf, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeBatchId(spark: SparkSession, path: String, id: Long): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(batchIdPath(path))
+    val tmp = new org.apache.hadoop.fs.Path(batchIdPath(path) + ".tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"batchId marker rename failed: $tmp -> $dst")
+  }
 
   /** The once-per-JVM two-generation build for the registered
     * incremental query: ingest the base split, refresh the incoming

@@ -106,7 +106,6 @@ object BalanceWarehouse {
     // persist exactly what probes serve: the one merged-reader body
     // (the replace writes a NEW generation dir, never its own source)
     CommitLog.transaction(spark, path)(_.replace(mergedHist(spark, path), path))
-    CommitLog.vacuum(spark, path)
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -254,7 +253,6 @@ object BalanceWarehouse {
   def compactHorizon(spark: SparkSession, path: String, horizon: Int): Unit = {
     val merged = mergedHistAsOf(spark, path, horizon)
     CommitLog.transaction(spark, path)(_.rebase(merged, path, horizon.toLong))
-    CommitLog.vacuum(spark, path)
   }
 
   /** The three-generation snapshot-log build: gen 0 = base ingest,

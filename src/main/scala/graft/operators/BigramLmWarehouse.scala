@@ -185,7 +185,6 @@ object BigramLmWarehouse {
       t.replace(m1, c1Path(path), Seq("wb"))
       t.replace(m2, c2Path(path), Seq("pwb"))
     }
-    CommitLog.vacuum(spark, path)
   }
 
   /** Score `docs` = (doc_id, text) against the bigram LM at rest.

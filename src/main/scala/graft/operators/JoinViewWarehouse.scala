@@ -176,7 +176,6 @@ object JoinViewWarehouse {
       t.replace(mergedOrders(snap, path).withColumn("op", lit(1L)), oPath(path))
       t.replace(mergedLines(snap, path), lPath(path))
     }
-    CommitLog.vacuum(spark, path)
   }
 
   /** The probe-side merge — exposed un-checkpointed so the spec can

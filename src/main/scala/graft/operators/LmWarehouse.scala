@@ -159,14 +159,14 @@ object LmWarehouse {
     * and DROP, making the compacted table literally the
     * rebuild-on-survivors state (vacuous when nothing was retracted).
     * Under CommitLog the merge writes a NEW generation dir (never its
-    * own source), so no pin is needed; vacuum then reclaims the dead
-    * delta generations. */
+    * own source), so no pin is needed; CommitLog.vacuum reclaims the
+    * dead generations on the retention cadence (separate verb —
+    * pinned probe snapshots stay readable across this compact). */
   def compact(spark: SparkSession, path: String): Unit = {
     val merged = CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("term"), col("tb")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
     CommitLog.transaction(spark, path)(_.replace(merged, path, Seq("tb")))
-    CommitLog.vacuum(spark, path)
   }
 
   /** Score `docs` = (doc_id, text) against the LM at rest: per-doc avg

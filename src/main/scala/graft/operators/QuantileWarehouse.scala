@@ -103,7 +103,6 @@ object QuantileWarehouse {
       .groupBy(col("date"), col("denom"), col("q")).agg(sum(col("c")).as("c"))
       .filter(col("c") =!= 0)
     CommitLog.transaction(spark, path)(_.replace(merged, path, Seq("date")))
-    CommitLog.vacuum(spark, path)
   }
 
   /** The raw delta read — exposed un-collapsed so specs can assert

@@ -154,7 +154,6 @@ object RichlistWarehouse {
         .filter(col("n") =!= 0), totPath(path))
       if (snap.readOpt(tombPath(path)).nonEmpty) t.clear(tombPath(path))
     }
-    CommitLog.vacuum(spark, path)
   }
 
   /** The probe-side merge — exposed so the spec can assert its plan

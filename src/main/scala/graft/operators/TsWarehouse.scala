@@ -102,7 +102,9 @@ object TsWarehouse {
     // projection)
     graft.sources.CommitLog.transaction(spark, path)(
       _.replace(foldedDeltas(spark, path), path))
-    graft.sources.CommitLog.vacuum(spark, path)
+    // physical reclaim is CommitLog.vacuum on the caller's retention
+    // cadence — never inline here, so a probe snapshot pinned before
+    // this compact keeps serving the pre-compact generations
   }
 
   /** The delta-merge read — the probe-side fold that keeps refresh

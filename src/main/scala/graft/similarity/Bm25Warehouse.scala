@@ -202,7 +202,6 @@ object Bm25Warehouse {
         t.clear(tombPath(path))
       }
     }
-    CommitLog.vacuum(spark, path)
   }
 
   /** Score `queries` = (query_id, term) rows against the index: top-`k`

@@ -70,20 +70,12 @@ object IvfWarehouse {
       _.append(removedIds.select(col("vec_id")), tombPath(path)))
 
   /** COMPACT — physically purge tombstoned vectors from the posting
-    * lists and clear the tombstones in one transaction; probes
-    * bit-identical; vacuum reclaims dead generations. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val snap = CommitLog.snapshot(spark, path)
-    snap.readOpt(tombPath(path)).foreach { t0 =>
-      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
-      CommitLog.transaction(spark, path) { t =>
-        t.replace(snap.read(path).join(tomb, Seq("vec_id"), "left_anti"),
-          path, Seq("cid"))
-        t.clear(tombPath(path))
-      }
-    }
-    CommitLog.vacuum(spark, path)
-  }
+    * lists and clear the tombstones in one transaction (the shared
+    * CommitLog.purgeTombstones); probes bit-identical; vacuum is the
+    * caller's retention verb. */
+  def compact(spark: SparkSession, path: String): Unit =
+    CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
+      Seq(path -> Seq("cid")))
 
   /** Drop tombstoned vectors from a candidate set — O(candidates);
     * the no-tomb path keeps its exact old plan. */

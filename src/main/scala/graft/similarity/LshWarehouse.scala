@@ -87,22 +87,13 @@ object LshWarehouse {
       _.append(removedIds.select(col("vec_id")), tombPath(path)))
 
   /** COMPACT — physically remove tombstoned rows from both stores and
-    * clear the tombstones in ONE transaction; probes bit-identical
-    * before/after; vacuum reclaims the dead generations. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val snap = CommitLog.snapshot(spark, path)
-    snap.readOpt(tombPath(path)).foreach { t0 =>
-      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
-      CommitLog.transaction(spark, path) { t =>
-        t.replace(snap.read(vectorsPath(path))
-          .join(tomb, Seq("vec_id"), "left_anti"), vectorsPath(path))
-        t.replace(snap.read(path)
-          .join(tomb, Seq("vec_id"), "left_anti"), path, Seq("bb"))
-        t.clear(tombPath(path))
-      }
-    }
-    CommitLog.vacuum(spark, path)
-  }
+    * clear the tombstones in ONE transaction (the shared
+    * CommitLog.purgeTombstones); probes bit-identical before/after;
+    * CommitLog.vacuum reclaims dead generations on the caller's
+    * retention cadence. */
+  def compact(spark: SparkSession, path: String): Unit =
+    CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
+      Seq(vectorsPath(path) -> Nil, path -> Seq("bb")))
 
   /** Radius probe over the warehouse: the query batch's band keys
     * become a literal partition-pruning predicate (|Q|·bands driver

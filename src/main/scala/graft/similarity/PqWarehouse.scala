@@ -77,19 +77,12 @@ object PqWarehouse {
     CommitLog.transaction(removedIds.sparkSession, path)(
       _.append(removedIds.select(col("vec_id")), tombPath(path)))
 
-  /** COMPACT — purge tombstoned codes, clear tombstones, reclaim. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val snap = CommitLog.snapshot(spark, path)
-    snap.readOpt(tombPath(path)).foreach { t0 =>
-      val tomb = t0.select(col("vec_id")).distinct().localCheckpoint()
-      CommitLog.transaction(spark, path) { t =>
-        t.replace(snap.read(path).join(tomb, Seq("vec_id"), "left_anti"),
-          path, Seq("cid"))
-        t.clear(tombPath(path))
-      }
-    }
-    CommitLog.vacuum(spark, path)
-  }
+  /** COMPACT — purge tombstoned codes + clear tombstones in one
+    * transaction (the shared CommitLog.purgeTombstones); vacuum is
+    * the caller's retention verb. */
+  def compact(spark: SparkSession, path: String): Unit =
+    CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
+      Seq(path -> Seq("cid")))
 
   /** Probe: rank stored centroids for the query (K-row metadata),
     * build the ADC LUT from the stored codebook (128-row metadata,

@@ -73,12 +73,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sortGen(rebase) = its horizon and seq is the commit sequence
   * (ties: the later commit wins — a rebase AT generation h sorts
   * after h's own original entry):
-  *    append  g   → live += g        (if g ≤ asOfGen)
-  *    replace g   → live = {g}       (if g ≤ asOfGen)
-  *    clear   g   → live = {}        (if g ≤ asOfGen)
+  *    append  g   → live += g                   (if g ≤ asOfGen)
+  *    replace g   → live = {}; live += g         (add iff g ≤ asOfGen)
+  *    clear   g   → live = {}
   *    rebase g,h  → live = {x ∈ live : x > h}; live += g iff h ≤ asOfGen
-  *  (rebase applies its drop UNCONDITIONALLY — retention holds for
-  *   as-of readers too, which is what makes vacuum safe.)
+  *  (the DESTRUCTIVE half of replace/clear/rebase applies
+  *   UNCONDITIONALLY — retention holds for as-of readers too, which
+  *   is what makes vacuum safe: asOf behind the latest destructive
+  *   fold is EMPTY, never a read of reclaimed directories.)
   *
   * As-of SNAPSHOT READS fall out of the same fold with a generation
   * cut — the BalanceWarehouse gen-dir log (round 10) re-based on the
@@ -135,6 +137,20 @@ object CommitLog {
 
   private def genDir(part: String, gen: Long) = s"$part/gen-$gen"
 
+  /** Does `dir` hold at least one non-hidden data file?  One driver
+    * FS listing — the zero-row-write detector. */
+  private def hasDataFile(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
   /** One pinned fold of the committed log — take it ONCE per probe
     * and read every part through it (that single read is the whole
     * snapshot-isolation mechanism). */
@@ -156,8 +172,14 @@ object CommitLog {
         .foreach { e =>
           e.kind match {
             case "append" => if (e.gen <= asOfGen) live += e.gen
-            case "replace" => if (e.gen <= asOfGen) { live.clear(); live += e.gen }
-            case "clear" => if (e.gen <= asOfGen) live.clear()
+            // the DESTRUCTIVE half of replace/clear/rebase applies to
+            // EVERY reader, as-of cuts included — retention must hold
+            // for time travel too, or vacuum would leave an as-of read
+            // pointing at deleted directories (asOf behind the latest
+            // replace/rebase/clear is EMPTY, not an error)
+            case "replace" =>
+              live.clear(); if (e.gen <= asOfGen) live += e.gen
+            case "clear" => live.clear()
             case "rebase" =>
               live.filterInPlace(_ > e.horizon)
               if (e.horizon <= asOfGen) live += e.gen
@@ -258,13 +280,18 @@ object CommitLog {
     private def write(df: DataFrame, part: String, partitionCols: Seq[String]): Unit = {
       // overwrite the txn's OWN gen dir: self-cleaning of orphans a
       // crashed attempt at this same (never-committed) gen left behind
+      val dir = genDir(part, gen)
       val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(dir)
       // a zero-row partitionBy write leaves a dir with NO data files —
-      // unreadable; keep the partition columns as data columns instead
-      // (one empty file WITH schema; unionByName folds it, and the
-      // zero rows make the lost layout moot)
-      (if (partitionCols.nonEmpty && !df.isEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(genDir(part, gen))
+      // unreadable.  Detected AFTER the write with one FS listing (no
+      // extra Spark action on the hot path — df.isEmpty would re-run
+      // the part's plan once per write); the rewrite keeps the
+      // partition columns as data columns (one empty file WITH schema;
+      // unionByName folds it, and zero rows make the lost layout moot)
+      if (partitionCols.nonEmpty && !hasDataFile(spark, dir))
+        df.limit(0).write.mode("overwrite").parquet(dir)
       nWrites += 1
       if (nWrites == CommitLog.crashAfterWrites) throw new InjectedCrash
     }
@@ -316,10 +343,35 @@ object CommitLog {
     txn.commit()
   }
 
-  /** Physical GC: delete every `gen=*` directory the head fold no
+  /** The tombstone-purge COMPACT shared by the doc/vector-keyed index
+    * members (Lsh/Ivf/Pq — one implementation instead of a copy per
+    * member): anti-join every listed part against the committed
+    * tombstone key set and commit the pruned replacements + the
+    * tombstone clear as ONE transaction.  No-op when no tombstone set
+    * exists.  Physical reclaim stays the caller's separate `vacuum`
+    * at the retention cadence. */
+  def purgeTombstones(spark: SparkSession, base: String, tombPart: String,
+      key: String, parts: Seq[(String, Seq[String])]): Unit = {
+    val snap = snapshot(spark, base)
+    snap.readOpt(tombPart).foreach { t0 =>
+      val tomb = t0.select(t0.col(key)).distinct().localCheckpoint()
+      transaction(spark, base) { t =>
+        parts.foreach { case (part, pcols) =>
+          t.replace(snap.read(part).join(tomb, Seq(key), "left_anti"), part, pcols)
+        }
+        t.clear(tombPart)
+      }
+    }
+  }
+
+  /** Physical GC — a SEPARATE retention verb, never bundled into
+    * compact: delete every generation directory the head fold no
     * longer references — dead generations (behind a replace/rebase/
     * clear) and crash orphans alike.  Parts are discovered from the
-    * log itself.  Retention caveat in the object Scaladoc. */
+    * log itself.  Run it at the retention cadence with pinned readers
+    * drained (a probe snapshot taken BEFORE a compact still reads the
+    * pre-compact generations until vacuum reclaims them — that grace
+    * window is the concurrent-reader contract's other half). */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val snap = snapshot(spark, base)
     snap.entries.map(_.part).distinct.foreach { sfx =>

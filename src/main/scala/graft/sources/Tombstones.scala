@@ -46,7 +46,10 @@ object Tombstones {
     tomb match {
       case None => rows
       case Some(t) =>
-        rows.join(t.select(col(tombCol).as(key)).distinct(), Seq(key), "left_anti")
+        // no distinct: a left_anti join is insensitive to right-side
+        // duplicates, so deduping here would only add a shuffle per
+        // probe (callers that reuse a tomb frame may pre-pin it)
+        rows.join(t.select(col(tombCol).as(key)), Seq(key), "left_anti")
     }
 
   /** The distinct tombstoned key set, pinned — compact's prune input. */

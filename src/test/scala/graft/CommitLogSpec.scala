@@ -144,6 +144,21 @@ class CommitLogSpec extends GraftSpec {
     assert(pruned < all, s"no pruning: $pruned of $all files listed")
   }
 
+  test("as-of behind a replace is EMPTY — vacuum-safe time travel (review r11)") {
+    val base = tmp("replasof")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base)) // gen 0
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base)) // gen 1
+    CommitLog.transaction(spark, base)(_.replace(kv("a" -> 1L, "b" -> 2L), base)) // gen 2
+    CommitLog.vacuum(spark, base) // reclaims gens 0-1 physically
+    val s1 = CommitLog.snapshot(spark, base)
+    // the destructive half of replace applies to EVERY reader: an
+    // as-of cut behind it is EMPTY, never a read of deleted dirs
+    assert(s1.readOpt(base, asOfGen = 1L).isEmpty,
+      "asOf behind a vacuumed replace must be empty, not a dangling read")
+    assert(rowsOf(s1.read(base, asOfGen = 2L)) == Set("a" -> 1L, "b" -> 2L))
+    assert(rowsOf(s1.read(base)) == Set("a" -> 1L, "b" -> 2L))
+  }
+
   test("vacuum deletes dead and orphaned generation dirs, keeps live ones") {
     val base = tmp("vacuum")
     CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base)) // gen 0

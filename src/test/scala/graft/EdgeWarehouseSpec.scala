@@ -175,6 +175,41 @@ class EdgeWarehouseSpec extends GraftSpec {
       s"extra=${(streamed -- oneShot).take(5)} missing=${(oneShot -- streamed).take(5)}")
   }
 
+  test("streaming replay protection: a batchId at-or-below the marker skips — no double ingest, no throw") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = sources.Tables(spark, Dir).documents
+    val p = tmp("replay")
+    dedup.EdgeWarehouse.ingest(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), p)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = dedup.EdgeWarehouse.streamingRefresh(
+      mem.toDF().toDF("doc_id", "text"), p)
+    try {
+      mem.addData(incoming.toIndexedSeq)
+      q.processAllAvailable()
+      // the marker recorded the folded batch
+      assert(dedup.EdgeWarehouse.lastBatchId(spark, p) == 0L)
+      val txtAfterFirst = spark.read.parquet(s"$p.txt").count()
+      // simulate at-least-once re-delivery: the engine hands the SAME
+      // docs under an id the marker already covers — the fold must
+      // SKIP (no double ingest, and crucially no guard throw that
+      // would kill the query)
+      dedup.EdgeWarehouse.writeBatchId(spark, p, 7L)
+      mem.addData(incoming.toIndexedSeq) // engine id 1 <= marker 7
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$p.txt").count() == txtAfterFirst,
+        "a replayed micro-batch was double-ingested")
+      assert(q.exception.isEmpty, s"replay killed the query: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("GUARD: a re-crawled doc_id fails loudly instead of corrupting the indexes") {
     import org.apache.spark.sql.functions._
     val docs = sources.Tables(spark, Dir).documents

@@ -164,6 +164,16 @@ class WarehouseCommitSpec extends GraftSpec {
     val freshQ = QuantileWarehouse.probe(spark, qp).collect().map(_.toString).toSet
     assert(freshQ != beforeQ, "degenerate: refresh changed no quantile")
 
+    // QuantileWarehouse again, across COMPACT (review r11: compact no
+    // longer vacuums inline, so a probe pinned before it keeps its
+    // directories — physical reclaim is the caller's drained retention
+    // verb)
+    val pinnedQ2 = QuantileWarehouse.probe(spark, qp)
+    val beforeQ2 = pinnedQ2.collect().map(_.toString).toSet
+    QuantileWarehouse.compact(spark, qp)
+    assert(pinnedQ2.collect().map(_.toString).toSet == beforeQ2,
+      "a committed compact tore a pinned probe (inline vacuum regression)")
+
     // Bm25Warehouse — the multi-part index shape: the pinned snapshot
     // must hold postings+df+stats TOGETHER (no torn denominator)
     val docs = t.documents

@@ -49,9 +49,12 @@ class WarehouseCompactSpec extends GraftSpec {
     assert(run() == before, "probe drifted across compaction")
     assert(readPart(p, dfSide).count() == distinctTerms,
       "compaction did not merge to one row per term")
-    // the bucket layout survives inside the (single, post-vacuum) live
-    // generation dir: tb partition dirs still present, so probe-side
-    // partition pruning is untouched
+    // physical reclaim is the caller's separate retention verb (review
+    // r11: inline vacuum would yank directories from under pinned
+    // concurrent probe snapshots) — run it here, drained, then check
+    // the bucket layout inside the single surviving generation dir
+    sources.CommitLog.vacuum(spark, p)
+    assert(run() == before, "vacuum changed the probe result")
     val genDirs = new java.io.File(dfSide).listFiles().filter(_.isDirectory)
       .filter(_.getName.startsWith("gen-"))
     assert(genDirs.length == 1,
