@@ -462,23 +462,32 @@ object EdgeWarehouse {
     * warehouse in the matrix assumes.
     *
     * EXACTLY-ONCE under foreachBatch's at-least-once delivery (the
-    * ADVICE-r10 guard-cost cure, re-done after review — disabling the
-    * guard outright traded loud failure for silent double-ingest on
-    * engine replay): the warehouse records the last folded batchId in
-    * a marker file (temp + atomic rename, the CommitLog primitive);
-    * a REPLAYED id ≤ marker skips with ZERO Spark jobs — that is the
-    * cheap per-trigger check ADVICE asked for, and it covers the
-    * common replay case (restart after the checkpoint lag).  A batch
-    * with id > marker runs the full refresh WITH the re-crawl guard
-    * ON, so the one residual window — crash between the `.txt` commit
-    * and the marker write — still FAILS LOUDLY at the guard on
-    * re-delivery instead of corrupting (operator resolution: bump the
-    * marker; the batch is committed).  EdgeWarehouseSpec drives a
+    * ADVICE-r10 guard-cost cure, re-done TWICE after review —
+    * disabling the guard traded loud failure for silent double-ingest
+    * on engine replay; a single rewritten marker file both lost the
+    * marker in its delete-rename window and silently dropped fresh
+    * batches when a restart without the same checkpoint reset engine
+    * ids to 0): the warehouse records each folded batchId as its OWN
+    * marker file in `<path>.batchid/` (append-only, temp + atomic
+    * rename per file — the CommitLog primitive, no delete window),
+    * and the stream pins its checkpoint NEXT TO THE WAREHOUSE
+    * (`<path>.checkpoint`), so engine batch ids stay monotonic in the
+    * one lineage the marker is meaningful for.  A REPLAYED id ≤
+    * marker skips before any Spark action (the marker read is the
+    * FIRST operand) — the cheap per-trigger check ADVICE asked for.
+    * A batch with id > marker runs the full refresh WITH the re-crawl
+    * guard ON, so the one residual window — crash between the `.txt`
+    * commit and the marker write — still FAILS LOUDLY at the guard on
+    * re-delivery instead of corrupting (operator resolution: record
+    * the id; the batch is committed).  EdgeWarehouseSpec drives a
     * replayed micro-batch and pins the no-double-ingest claim. */
   def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$path.checkpoint")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty && id > lastBatchId(batch.sparkSession, path)) {
+        // marker check FIRST: a replayed id must skip without running
+        // any Spark action (isEmpty would execute the batch's plan)
+        if (id > lastBatchId(batch.sparkSession, path) && !batch.isEmpty) {
           refresh(batch.sparkSession, batch, path)
           writeBatchId(batch.sparkSession, path, id)
         }
@@ -488,26 +497,23 @@ object EdgeWarehouse {
   private def batchIdPath(p: String) = s"$p.batchid"
 
   private[graft] def lastBatchId(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(batchIdPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(0, buf)
-        new String(buf, "UTF-8").trim.toLong
-      } finally in.close()
-    }
+    val dir = new org.apache.hadoop.fs.Path(batchIdPath(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName).filter(_.endsWith(".done"))
+      .map(_.stripSuffix(".done").toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   private[graft] def writeBatchId(spark: SparkSession, path: String, id: Long): Unit = {
-    val dst = new org.apache.hadoop.fs.Path(batchIdPath(path))
-    val tmp = new org.apache.hadoop.fs.Path(batchIdPath(path) + ".tmp")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(batchIdPath(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp-$id")
     val out = fs.create(tmp, true)
-    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$id.done")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"batchId marker rename failed: $tmp -> $dst")
   }

@@ -174,7 +174,8 @@ object IvfWarehouse {
       t.replace(fin.select(col("vec_id"), col("v"), col("cid")), path, Seq("cid"))
       t.replace(newCents, centroidsPath(path))
     }
-    CommitLog.vacuum(spark, path)
+    // physical reclaim stays the caller's separate vacuum (review r11:
+    // inline vacuum tears pinned concurrent probe snapshots)
     (costBefore, costAfter)
   }
 
