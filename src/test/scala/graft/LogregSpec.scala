@@ -71,4 +71,24 @@ class LogregSpec extends GraftSpec {
       s"positive-class mean score ${m(1L)} not above negative ${m(0L)}")
     assert(a.count() == graft.sources.Tables(spark, Dir).embeddings.count())
   }
+
+  test("OVR error-frame broadcast gate: bit-identical weights through both join strategies (VERDICT r11 #3)") {
+    // the gate exists because the OVR docErr frame is K columns wide
+    // per training doc — past the row budget it must shuffle on vec_id
+    // instead of broadcasting; the roundx/sumx DECIMAL route makes the
+    // two plans produce the SAME sums, so the trained model may not
+    // drift by a single bit between strategies
+    val eN = Logreg.preparedAll(spark, Dir).localCheckpoint()
+    val labels = eN.select(col("label")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (wB, bB) = Logreg.trainOvr(eN, labels, dims = 64, iters = 2, lr = 10.0,
+      broadcastErrRows = Long.MaxValue) // force the broadcast path
+    val (wS, bS) = Logreg.trainOvr(eN, labels, dims = 64, iters = 2, lr = 10.0,
+      broadcastErrRows = 0L) // force the shuffle path
+    labels.indices.foreach { j =>
+      assert(java.util.Arrays.equals(wB(j), wS(j)),
+        s"class $j weights differ between broadcast and shuffle strategies")
+      assert(bB(j) == bS(j), s"class $j bias differs: ${bB(j)} vs ${bS(j)}")
+    }
+  }
 }
