@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact.roundx
 import graft.functions.TextFunctions.words
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** MinHash-LSH index of the historical corpus AT REST — the
   * incremental half of near-duplicate deduplication: a production
@@ -93,10 +93,11 @@ object MinHashWarehouse {
 
   private def materializeRaw(docs: DataFrame, path: String): Unit = {
     val base = signed(docs)
-    base.write.mode("overwrite").parquet(docsPath(path))
-    base.select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+    CommitLog.transaction(base.sparkSession, path) { t =>
+      t.replace(base, docsPath(path))
+      t.replace(base.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket"))), path, Seq("band"))
+    }
   }
 
   /** REFRESH — the missing last step of the crawl loop: fold an
@@ -111,44 +112,42 @@ object MinHashWarehouse {
     * hash would guarantee. */
   def refresh(batch: DataFrame, path: String): Unit = {
     val b = signed(batch)
-    b.write.mode("append").parquet(docsPath(path))
-    b.select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-      .write.mode("append").partitionBy("band").parquet(path)
+    CommitLog.transaction(b.sparkSession, path) { t =>
+      t.append(b, docsPath(path))
+      t.append(b.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket"))), path, Seq("band"))
+    }
   }
 
   /** RETRACT — remove docs from the standing index: append their ids
     * to the tombstone set.  O(removed) and append-only; the physical
     * rows disappear at the next `compact`, the LOGICAL removal is
     * immediate (every probe anti-joins the tombstones). */
-  def retract(removedIds: DataFrame, path: String): Unit =
-    removedIds.select(col("doc_id"))
-      .write.mode("append").parquet(tombPath(path))
+  def retract(removedIds: DataFrame, path: String): Unit = {
+    val ids = removedIds.select(col("doc_id"))
+    CommitLog.transaction(ids.sparkSession, path)(_.append(ids, tombPath(path)))
+  }
 
   /** Drop tombstoned candidates: one anti-join on the candidate PAIR
     * set's base side — O(candidates), pruned far below index size
     * (graft.sources.Tombstones — the shared doc-keyed-rung mechanics;
     * the no-tomb common case keeps its exact old plan). */
-  private def dropTombstoned(spark: SparkSession, cand: DataFrame,
+  private def dropTombstoned(snap: CommitLog.Snapshot, cand: DataFrame,
       path: String): DataFrame =
-    graft.sources.Tombstones.drop(spark, cand, tombPath(path), key = "base_id")
+    Tombstones.dropDf(cand, snap.readOpt(tombPath(path)), key = "base_id")
 
   /** COMPACT — physically remove tombstoned rows from `.docs` and the
-    * banded index, then clear the tombstone set.  Probes bit-identical
-    * before/after (they already excluded those candidates); O(index)
-    * like every compact in the matrix, amortizing the retract verb's
-    * O(removed) appends.  Single-writer maintenance window assumed. */
+    * banded index, then clear the tombstone set — ALL as one CommitLog
+    * transaction (the shared purge verb; round 12 — the old form
+    * overwrote the two stores in place SEQUENTIALLY, so a crash
+    * between them lost one store and tore the other).  Probes
+    * bit-identical before/after (they already excluded those
+    * candidates); O(index), amortizing the retract verb's O(removed)
+    * appends; physical reclaim = CommitLog.vacuum at the retention
+    * cadence. */
   def compact(spark: SparkSession, path: String): Unit =
-    if (graft.sources.Tombstones.exists(spark, tombPath(path))) {
-      val tomb = graft.sources.Tombstones.keys(spark, tombPath(path))
-      val docs = spark.read.parquet(docsPath(path))
-        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
-      docs.write.mode("overwrite").parquet(docsPath(path))
-      val idx = spark.read.parquet(path)
-        .join(tomb, Seq("doc_id"), "left_anti").localCheckpoint()
-      idx.write.mode("overwrite").partitionBy("band").parquet(path)
-      graft.sources.Tombstones.clear(spark, tombPath(path))
-    }
+    CommitLog.purgeTombstones(spark, path, tombPath(path), key = "doc_id",
+      parts = Seq((docsPath(path), Nil), (path, Seq("band"))))
 
   /** The retraction build for the registered `d_dedup_retracted`
     * query: index the base split, then retract every base doc with
@@ -213,9 +212,13 @@ object MinHashWarehouse {
     probeAgainst(spark, docs.filter(!isBase), path)
 
   /** Dedup an arbitrary batch frame against the index at `path`. */
-  private[graft] def probeAgainst(spark: SparkSession, batch: DataFrame, path: String): DataFrame =
-    probeCore(batch, spark.read.parquet(path),
-      spark.read.parquet(docsPath(path)), dropTombstoned(spark, _, path))
+  private[graft] def probeAgainst(spark: SparkSession, batch: DataFrame, path: String): DataFrame = {
+    // ONE snapshot pins index + docs + tombstones — a refresh
+    // committing (or dying) mid-probe cannot tear the view
+    val snap = CommitLog.snapshot(spark, path)
+    probeCore(batch, snap.read(path),
+      snap.read(docsPath(path)), dropTombstoned(snap, _, path))
+  }
 
   /** The probe body over EXPLICIT index/docs frames — shared by the
     * standing probe and the snapshot (as-of) probe, so the two read
@@ -242,64 +245,51 @@ object MinHashWarehouse {
   }
 
   // ------------------------------------------------------------------
-  // SNAPSHOT LOG — as-of reads on the DOC-KEYED rung (the bitemporal
-  // case the histogram rung doesn't have): here a retraction is an
-  // appended tombstone, so time travel must time-filter THREE stores —
-  // index rows, shingle sets, AND tombstones.  A takedown is itself a
-  // generation-stamped event: asOf(g < takedown) re-serves matches
-  // against the later-removed docs (the reproducibility contract —
-  // "which corpus did this training run dedup against"), asOf(g ≥
-  // takedown) excludes them; erasing history too = compacting past the
-  // takedown generation, exactly the BalanceWarehouse snapshot-log
-  // contract restated for tombstones.  Mechanism identical: every
-  // store routes writes through `gen=N/` directory partitions, reads
-  // filter `gen <= g` (partition pruning at listing — free stamping,
-  // no row-level gen column).
+  // AS-OF READS — the DOC-KEYED rung's bitemporal case (a retraction
+  // is an appended tombstone, so time travel must time-filter THREE
+  // stores: index rows, shingle sets, AND tombstones).  Since round 12
+  // this is NOT a bespoke lane: every maintenance verb above is
+  // already one CommitLog transaction, so "the corpus as of
+  // generation g" is just the committed fold with an as-of cut —
+  // the protocol's free time-travel verb (the BalanceWarehouse
+  // contract), replacing the round-10 `gen=N` directory-partition
+  // machinery this member carried.  A takedown is itself a
+  // generation-stamped transaction: asOf(g < takedown) re-serves
+  // matches against the later-removed docs (the reproducibility
+  // contract — "which corpus did this training run dedup against"),
+  // asOf(g >= takedown) excludes them; erasing history too =
+  // CommitLog.vacuum past a compact (retention applies to as-of
+  // readers, vacuum-safely).
   // ------------------------------------------------------------------
 
-  private def genDir(p: String, gen: Int) = s"$p/gen=$gen"
-
-  /** INGEST/REFRESH into generation `gen` — the plain two-store write,
-    * gen-routed. */
-  def refreshAt(docs: DataFrame, path: String, gen: Int): Unit = {
-    val base = signed(docs)
-    base.write.mode("append").parquet(genDir(docsPath(path), gen))
-    base.select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-      .write.mode("append").partitionBy("band").parquet(genDir(path, gen))
+  /** The as-of probe: dedup `batch` against the corpus AS OF
+    * generation `g` — index and shingle stores fold committed gens
+    * <= g, and tombstones apply only if their takedown txn gen <= g
+    * (a cut before any takedown reads an EMPTY tombstone set). */
+  def probeAsOf(spark: SparkSession, batch: DataFrame, path: String,
+      g: Int): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
+    probeCore(batch,
+      snap.read(path, asOfGen = g.toLong),
+      snap.read(docsPath(path), asOfGen = g.toLong),
+      Tombstones.dropDf(_, snap.readOpt(tombPath(path), asOfGen = g.toLong),
+        key = "base_id"))
   }
 
-  /** RETRACT as generation `gen` — tombstones carry their takedown
-    * time as their directory partition. */
-  def retractAt(removedIds: DataFrame, path: String, gen: Int): Unit =
-    removedIds.select(col("doc_id")).write.mode("append")
-      .parquet(genDir(tombPath(path), gen))
-
-  /** The as-of probe: dedup `batch` against the corpus AS OF
-    * generation `g` — index and shingle stores fold gens <= g, and
-    * tombstones apply only if their takedown gen <= g. */
-  def probeAsOf(spark: SparkSession, batch: DataFrame, path: String,
-      g: Int): DataFrame =
-    probeCore(batch,
-      spark.read.parquet(path).filter(col("gen") <= g),
-      spark.read.parquet(docsPath(path)).filter(col("gen") <= g),
-      // the shared tombstone drop, time-filtered: only takedowns with
-      // generation <= g apply to this snapshot
-      graft.sources.Tombstones.drop(spark, _, tombPath(path),
-        key = "base_id", tombFilter = _.filter(col("gen") <= g)))
-
-  /** The three-generation snapshot-log build: gen 0 = base ingest
-    * (doc_id mod 10 in 0..6), gen 1 = refresh (mod 7 — after which
-    * the standing set is the FULL base split), gen 2 = takedown of
-    * the mod-7 docs.  asOf(1) therefore equals d_dedup_incremental's
-    * standing answer (matches against the later-removed docs
-    * included), and the head equals d_dedup_retracted's. */
+  /** The three-generation build: gen 0 = base ingest (doc_id mod 10
+    * in 0..6), gen 1 = refresh (mod 7 — after which the standing set
+    * is the FULL base split), gen 2 = takedown of the mod-7 docs —
+    * three plain transactions of the MAIN verbs; the CommitLog
+    * allocates 0, 1, 2.  asOf(1) therefore equals
+    * d_dedup_incremental's standing answer (matches against the
+    * later-removed docs included), and the head equals
+    * d_dedup_retracted's. */
   def builtGenPath(spark: SparkSession, dir: String): String =
     graft.sources.Materialized.pathFor("minhash_gen", dir) { p =>
       val d = Tables(spark, dir).documents
-      refreshAt(d.filter(pmod(col("doc_id"), lit(10)) < 7), p, 0)
-      refreshAt(d.filter(pmod(col("doc_id"), lit(10)) === 7), p, 1)
-      retractAt(d.filter(isRetractedDoc).select(col("doc_id")), p, 2)
+      materializeRaw(d.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+      refresh(d.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+      retract(d.filter(isRetractedDoc).select(col("doc_id")), p)
     }
 
   /** Registered `d_dedup_asof`: the incoming split deduped against
@@ -328,17 +318,21 @@ object MinHashWarehouse {
     * drives it from a MemoryStream across multiple batches and
     * asserts exact agreement with the batch probe.) */
   def streamingDedup(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    // the static index side pins ONE committed snapshot at plan
+    // construction — the stream's whole lifetime reads that fold
+    // (maintenance landing mid-stream serves the next stream start)
+    val snap = CommitLog.snapshot(spark, path)
     val banded = signedCols(docs)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("bands"), col("shs"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
-    dropTombstoned(spark, banded.as("a")
-      .join(spark.read.parquet(path).as("b"),
+    dropTombstoned(snap, banded.as("a")
+      .join(snap.read(path).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.band") === graft.functions.FirstEqualIndex(col("a.bands"), col("b.bands")))
       .select(col("a.doc_id").as("new_id"), col("a.shs").as("a_shs"),
         col("b.doc_id").as("base_id")), path)
-      .join(spark.read.parquet(docsPath(path))
+      .join(snap.read(docsPath(path))
         .select(col("doc_id").as("base_id"), col("shs").as("b_shs")), Seq("base_id"))
       .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** Daily DISTINCT-ACTIVES sketches at rest — the warehouse member for
   * the one dashboard statistic no additive rollup can serve: distinct
@@ -47,30 +47,40 @@ object HllWarehouse {
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
 
   /** Ingest — also the refresh-equivalence spec's one-shot reference
-    * builder. */
-  def materializeFrom(events: DataFrame, path: String): Unit =
-    deltas(events).write.mode("overwrite").parquet(path)
+    * builder.  One CommitLog transaction (round 12 — the sketch lane
+    * joins the shared protocol; its old compact was a destructive
+    * in-place overwrite whose crash window LOST the standing index,
+    * VERDICT-r11 ask #1). */
+  def materializeFrom(events: DataFrame, path: String): Unit = {
+    val d = deltas(events)
+    CommitLog.transaction(d.sparkSession, path)(_.replace(d, path))
+  }
 
-  /** REFRESH — fold a batch in at rest: append its per-day sketches.
-    * O(batch); no standing row is read or rewritten. */
+  /** REFRESH — fold a batch in at rest: append its per-day sketches as
+    * one committed generation.  O(batch); no standing row is read or
+    * rewritten, and a crash before the marker is invisible. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
 
-  /** COMPACT — union delta sketches to one per day.  Probe-invariant:
-    * the max-register merge is associative, so re-unioning the
-    * compacted sketch reaches the same registers.  Single-writer
-    * maintenance window assumed, as everywhere in the matrix. */
+  /** COMPACT — union delta sketches to one per day, committed as a
+    * `replace` generation: probes keep serving the pre-compact
+    * generations bit-for-bit until the marker lands, so a crash
+    * mid-compact can no longer lose the standing index (the old
+    * in-place overwrite's delete-before-commit window, now dead).
+    * Probe-invariant: the max-register merge is associative.
+    * Physical reclaim of dead generations = CommitLog.vacuum at the
+    * retention cadence. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
+    val snap = CommitLog.snapshot(spark, path)
+    val merged = snap.read(path)
       .groupBy(col("date")).agg(expr("hll_union_agg(sk)").as("sk"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    CommitLog.transaction(spark, path)(_.replace(merged, path))
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
     * assert its plan scans ONLY the warehouse (zero events scans). */
   private[graft] def mergedDaily(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("date")).agg(expr("hll_union_agg(sk)").as("sk"))
 
   /** Registered `q_active_accounts_probe`: per-day actives AND the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions.words
 import graft.functions.{MisraGries, MisraGriesMerge}
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** Corpus heavy-hitter summaries at rest — the FREQUENCY family's
   * warehouse member, completing the mergeable-summary matrix:
@@ -62,29 +62,37 @@ object MgWarehouse {
     docs.agg(MisraGries(words(col("text")), k).as("hh"))
 
   /** Ingest — also the refresh-equivalence spec's one-shot reference
-    * builder. */
-  def materializeFrom(docs: DataFrame, path: String): Unit =
-    deltas(docs).write.mode("overwrite").parquet(path)
-
-  /** REFRESH — fold a batch in at rest: append its summary row.
-    * O(batch); no standing row is read or rewritten. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").parquet(path)
-
-  /** COMPACT — merge generation rows to ONE summary.  The merged row
-    * is a valid summary of the union (mergeability), so probes serve
-    * the identical CONTRACT before and after — the guarantee-level
-    * analogue of the bit-invariance the integer warehouses pin. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .agg(MisraGriesMerge(col("hh"), K).as("hh"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    * builder.  One CommitLog transaction (round 12 — the sketch lane
+    * joins the shared protocol, VERDICT-r11 ask #1). */
+  def materializeFrom(docs: DataFrame, path: String): Unit = {
+    val d = deltas(docs)
+    CommitLog.transaction(d.sparkSession, path)(_.replace(d, path))
   }
 
-  /** The stored-rows read — exposed so specs can assert scan roots. */
+  /** REFRESH — fold a batch in at rest: append its summary row as one
+    * committed generation.  O(batch); no standing row is read or
+    * rewritten, and a crash before the marker is invisible. */
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
+
+  /** COMPACT — merge generation rows to ONE summary, committed as a
+    * `replace` generation (the old in-place overwrite's crash window
+    * lost the standing index outright; now pre-compact probes hold
+    * until the marker lands).  The merged row is a valid summary of
+    * the union (mergeability), so probes serve the identical CONTRACT
+    * before and after — the guarantee-level analogue of the
+    * bit-invariance the integer warehouses pin.  Physical reclaim =
+    * CommitLog.vacuum at the retention cadence. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val merged = CommitLog.snapshot(spark, path).read(path)
+      .agg(MisraGriesMerge(col("hh"), K).as("hh"))
+    CommitLog.transaction(spark, path)(_.replace(merged, path))
+  }
+
+  /** The committed-rows read — exposed so specs can assert scan
+    * roots. */
   private[graft] def summaryRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
 
   /** Registered `t_heavy_hitters_probe`: the corpus heavy-hitter
     * report off the summaries at rest — merge the ≤ generations

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions.words
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** The per-language corpus-profile HISTOGRAM at rest — the profiling
   * leg's warehouse member, and the answer to d_corpus_stats' own
@@ -47,14 +47,18 @@ object StatsWarehouse {
       .agg(count(lit(1)).as("cnt"), sum(col("nc")).as("ncs"))
 
   /** Ingest — also the refresh-equivalence spec's one-shot reference
-    * builder. */
-  def materializeFrom(docs: DataFrame, path: String): Unit =
-    deltas(docs).write.mode("overwrite").parquet(path)
+    * builder.  One CommitLog transaction (round 12 — the sketch lane
+    * joins the shared protocol, VERDICT-r11 ask #1). */
+  def materializeFrom(docs: DataFrame, path: String): Unit = {
+    val d = deltas(docs)
+    CommitLog.transaction(d.sparkSession, path)(_.replace(d, path))
+  }
 
-  /** REFRESH — fold a batch in at rest: append its delta rows.
-    * O(batch); no standing row is read or rewritten. */
+  /** REFRESH — fold a batch in at rest: append its delta rows as one
+    * committed generation.  O(batch); no standing row is read or
+    * rewritten, and a crash before the marker is invisible. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    deltas(batch).write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract verbatim): append the removed docs'
@@ -63,21 +67,24 @@ object StatsWarehouse {
     * literally the rebuild-on-survivors histogram (StatsWarehouseSpec
     * pins it).  Precondition: removed ⊆ ingested with this text. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
-    deltas(removed)
-      .select(col("lang"), col("nw"), (-col("cnt")).as("cnt"),
-        (-col("ncs")).as("ncs"))
-      .write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(
+      deltas(removed)
+        .select(col("lang"), col("nw"), (-col("cnt")).as("cnt"),
+          (-col("ncs")).as("ncs")), path))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after; fully-retracted keys fold to 0 and drop (vacuous
-    * without retraction).  Like every compaction in the matrix this
-    * assumes the single-writer maintenance window (no probe is served
-    * while the overwrite is in flight — the BigramLmWarehouse refresh
-    * contract). */
+    * without retraction).  Single-WRITER window as everywhere in the
+    * matrix; concurrent PROBES are safe — they pin the pre-compact
+    * snapshot until the commit marker lands. */
   def compact(spark: SparkSession, path: String): Unit = {
-    // persist exactly what probes serve: the one merged-reader body
-    val merged = mergedHist(spark, path).localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    // persist exactly what probes serve: the one merged-reader body,
+    // committed as a `replace` generation — the old in-place
+    // overwrite's crash window lost the standing index; now
+    // pre-compact probes hold until the marker lands (physical
+    // reclaim = CommitLog.vacuum at the retention cadence)
+    val merged = mergedHist(spark, path)
+    CommitLog.transaction(spark, path)(_.replace(merged, path))
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -86,7 +93,7 @@ object StatsWarehouse {
     * merged state equals a rebuild on the survivors, the retract
     * contract's bit-for-bit claim. */
   private[graft] def mergedHist(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("lang"), col("nw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("ncs")).as("ncs"))
       .filter(col("cnt") =!= 0)

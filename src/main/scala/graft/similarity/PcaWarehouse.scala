@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables}
 
 /** Covariance MOMENTS at rest — the PCA member of the warehouse
   * family, and the one with the strongest refresh contract in the
@@ -42,14 +42,19 @@ object PcaWarehouse {
     materializeFrom(Tables(spark, dir).embeddings.filter(isBaseVec), path)
 
   /** Frame-level ingest — also the refresh-equivalence spec's one-shot
-    * reference builder. */
-  def materializeFrom(emb: DataFrame, path: String): Unit =
-    Pca.moments(emb).write.mode("overwrite").parquet(path)
+    * reference builder.  One CommitLog transaction (round 12 — the
+    * sketch lane joins the shared protocol, VERDICT-r11 ask #1). */
+  def materializeFrom(emb: DataFrame, path: String): Unit = {
+    val m = Pca.moments(emb)
+    CommitLog.transaction(m.sparkSession, path)(_.replace(m, path))
+  }
 
   /** REFRESH — fold a batch into the statistic at rest: append its
-    * moment deltas.  O(batch); no standing row is read or rewritten. */
+    * moment deltas as one committed generation.  O(batch); no standing
+    * row is read or rewritten, and a crash before the marker is
+    * invisible. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    Pca.moments(batch).write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(Pca.moments(batch), path))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract on the moment statistic): append the
@@ -62,17 +67,19 @@ object PcaWarehouse {
     * stays the fixed 2080 cells, so there is no zero-key drop case.
     * Precondition: removed ⊆ ingested vectors. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
-    Pca.moments(removed)
-      .select(col("i"), col("j"), (-col("m")).as("m"))
-      .write.mode("append").parquet(path)
+    CommitLog.transaction(spark, path)(_.append(
+      Pca.moments(removed)
+        .select(col("i"), col("j"), (-col("m")).as("m")), path))
 
-  /** COMPACT — merge delta rows to one per key.  Probes bit-identical
-    * before/after; the localCheckpoint pin is ~2 KB. */
+  /** COMPACT — merge delta rows to one per key, committed as a
+    * `replace` generation (the old in-place overwrite's crash window
+    * lost the standing index; now pre-compact probes hold until the
+    * marker lands).  Probes bit-identical before/after.  Physical
+    * reclaim = CommitLog.vacuum at the retention cadence. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
+    val merged = CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(path)
+    CommitLog.transaction(spark, path)(_.replace(merged, path))
   }
 
   /** Covariance served from the index at rest: sum the deltas per key
@@ -81,7 +88,7 @@ object PcaWarehouse {
     * runs inline, so after base+batch ingest the probe holds
     * s_embed_cov's full-corpus DuckDB oracle verbatim. */
   def cov(spark: SparkSession, path: String): DataFrame =
-    Pca.covFromMoments(spark.read.parquet(path)
+    Pca.covFromMoments(CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m")))
 
   /** Registered `s_embed_cov_probe`: ingest base → refresh incoming →
@@ -142,14 +149,15 @@ object PcaWarehouse {
     }
     val (_, evecs) = Pca.jacobiEigen(a)
     import spark.implicits._
-    (0 until Pca.R).flatMap(r => (0 until Pca.Dims).map(d => (r, d, evecs(r)(d))))
+    val comps = (0 until Pca.R)
+      .flatMap(r => (0 until Pca.Dims).map(d => (r, d, evecs(r)(d))))
       .toDF("r", "dim", "w")
-      .write.mode("overwrite").parquet(compPath(path))
+    CommitLog.transaction(spark, path)(_.replace(comps, compPath(path)))
   }
 
   /** The stored projector as driver metadata (R×64 doubles). */
   private[graft] def projector(spark: SparkSession, path: String): Seq[Seq[Double]] = {
-    val rows = spark.read.parquet(compPath(path)).collect()
+    val rows = CommitLog.snapshot(spark, path).read(compPath(path)).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     (0 until Pca.R).map(r => rows.filter(_._1 == r).sortBy(_._2).map(_._3).toSeq)
   }
@@ -158,8 +166,8 @@ object PcaWarehouse {
     * the projection table — O(batch), bit-identical arithmetic to the
     * rows already standing (spec-pinned). */
   def refreshAnn(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    projectWith(batch, projector(spark, path))
-      .write.mode("append").parquet(projPath(path))
+    CommitLog.transaction(spark, path)(_.append(
+      projectWith(batch, projector(spark, path)), projPath(path)))
 
   private[graft] def projectWith(batch: DataFrame, comps: Seq[Seq[Double]]): DataFrame = {
     import graft.functions.VectorFunctions._
@@ -179,7 +187,7 @@ object PcaWarehouse {
   def annProbe(spark: SparkSession, dir: String, path: String): DataFrame = {
     import graft.functions.Exact.roundx
     import graft.functions.VectorFunctions._
-    val proj = spark.read.parquet(projPath(path))
+    val proj = CommitLog.snapshot(spark, path).read(projPath(path))
     val qp = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
     val short = proj.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qp))

@@ -290,11 +290,17 @@ class EdgeWarehouseSpec extends GraftSpec {
     // index purge: a later refresh must probe survivors only — the
     // .txt/.edpfx stores and the .mh index carry no removed doc rows
     val p = dedup.EdgeWarehouse.builtRetractedPath(spark, Dir)
-    Seq(s"$p.txt", s"$p.edpfx", s"$p.mh.docs").foreach { t =>
+    Seq(s"$p.txt", s"$p.edpfx").foreach { t =>
       assert(spark.read.parquet(t)
         .filter(pmod(col("doc_id"), lit(13)) === 0).count() == 0,
         s"$t still carries retracted docs")
     }
+    // the .mh J-channel index lives behind MinHashWarehouse's own
+    // CommitLog base since round 12 — read its committed fold
+    assert(graft.sources.CommitLog.snapshot(spark, s"$p.mh")
+      .read(s"$p.mh.docs")
+      .filter(pmod(col("doc_id"), lit(13)) === 0).count() == 0,
+      s"$p.mh.docs still carries retracted docs")
     assert(dedup.EdgeWarehouse.allEdges(spark, p)
       .filter(pmod(col("a_id"), lit(13)) === 0 ||
         pmod(col("b_id"), lit(13)) === 0).count() == 0,

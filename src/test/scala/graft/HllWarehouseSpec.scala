@@ -124,10 +124,10 @@ class HllWarehouseSpec extends GraftSpec {
     HllWarehouse.materializeFrom(e.filter(HllWarehouse.isBaseEvent), p)
     HllWarehouse.refresh(spark, e.filter(!HllWarehouse.isBaseEvent), p)
     val before = estimates(p)
-    val preCount = spark.read.parquet(p).count()
+    val preCount = graft.sources.CommitLog.snapshot(spark, p).read(p).count()
     HllWarehouse.compact(spark, p)
     val after = estimates(p)
-    val postCount = spark.read.parquet(p).count()
+    val postCount = graft.sources.CommitLog.snapshot(spark, p).read(p).count()
     assert(before == after, "compaction changed probe estimates")
     assert(postCount == after.size && postCount < preCount,
       s"compact left $postCount rows for ${after.size} days (pre $preCount)")

@@ -57,7 +57,7 @@ class MgWarehouseSpec extends GraftSpec {
     MgWarehouse.materializeFrom(d.filter(MgWarehouse.isBaseDoc), p)
     MgWarehouse.refresh(spark, d.filter(!MgWarehouse.isBaseDoc), p)
     MgWarehouse.compact(spark, p)
-    assert(spark.read.parquet(p).count() == 1, "compact left more than one row")
+    assert(graft.sources.CommitLog.snapshot(spark, p).read(p).count() == 1, "compact left more than one row")
     assertContract(probeMap(p), "compacted")
   }
 

@@ -128,11 +128,15 @@ class MinHashWarehouseSpec extends GraftSpec {
       "degenerate: no mod-7 base partner exists at this SF — retraction untested")
     assert(retractedPairs.forall(_._2 % 10 != 7))
     // COMPACT physically removes tombstoned rows, probe-invariant
-    val docsBefore = spark.read.parquet(s"$retracted.docs").count()
+    // (reads go through the committed fold — round 12's CommitLog
+    // retrofit; compact is now one transaction over both stores)
+    def committed(part: String) =
+      graft.sources.CommitLog.snapshot(spark, retracted).read(part)
+    val docsBefore = committed(s"$retracted.docs").count()
     MinHashWarehouse.compact(spark, retracted)
-    val docsAfter = spark.read.parquet(s"$retracted.docs").count()
+    val docsAfter = committed(s"$retracted.docs").count()
     assert(docsAfter < docsBefore, "compact removed no tombstoned doc rows")
-    assert(spark.read.parquet(retracted)
+    assert(committed(retracted)
       .filter(pmod(col("doc_id"), lit(10)) === 7).count() == 0,
       "compact left tombstoned index rows behind")
     assert(pairs(retracted) == retractedPairs, "compact changed the probe result")
@@ -160,16 +164,21 @@ class MinHashWarehouseSpec extends GraftSpec {
     val asOf0 = pairsOf(MinHashWarehouse.probeAsOf(s, batch, gen, 0))
     assert(asOf0 == standing.filter(_._2 % 10 < 7),
       "asOf(0) diverges from the gen-0-only answer")
-    // the as-of index read PRUNES later generations at file listing
-    val scan = s.read.parquet(gen).filter(col("gen") <= 0)
+    // the as-of index read NEVER LISTS later generations: the
+    // committed fold reads an explicit directory list, so asOf(0)'s
+    // scan roots are exactly the gen-0 dirs — later generations are
+    // pruned at the LOG, before any file listing (stronger than the
+    // old gen=N partition pruning, which still listed all partitions)
+    val snap = graft.sources.CommitLog.snapshot(s, gen)
+    val rootsOf = (g: Long) => snap.read(gen, asOfGen = g)
       .queryExecution.sparkPlan.collectLeaves()
-      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-      .getOrElse(fail("no index scan"))
-    val all = scan.relation.location.listFiles(Nil, Nil)
-      .map(_.values.toString).distinct.length
-    val pruned = scan.relation.location
-      .listFiles(scan.partitionFilters, scan.dataFilters)
-      .map(_.values.toString).distinct.length
-    assert(pruned < all, s"asOf(0) listed all $all partitions")
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths).map(_.toString)
+    val r0 = rootsOf(0L)
+    assert(r0.nonEmpty && r0.forall(_.contains("gen-0")),
+      s"asOf(0) must read only gen-0 roots: $r0")
+    assert(rootsOf(1L).exists(_.contains("gen-1")) &&
+      !rootsOf(1L).exists(_.contains("gen-2")),
+      s"asOf(1) roots wrong: ${rootsOf(1L)}")
   }
 }

@@ -29,7 +29,7 @@ class PcaWarehouseSpec extends GraftSpec {
     assert(got == want, "warehouse cov diverged from one-shot")
     // delta layout really is append-only: two generations of rows
     // (2080 triangle + 64 dim sentinels + 1 count row each)
-    assert(spark.read.parquet(path).count() == 2 * 2145)
+    assert(graft.sources.CommitLog.snapshot(spark, path).read(path).count() == 2 * 2145)
   }
 
   test("pca probe equals the inline eigensolve over the full table") {
@@ -48,7 +48,7 @@ class PcaWarehouseSpec extends GraftSpec {
     PcaWarehouse.refresh(spark, e.filter(col("vec_id") % 2 === 1), path)
     val before = covMap(PcaWarehouse.cov(spark, path))
     PcaWarehouse.compact(spark, path)
-    assert(spark.read.parquet(path).count() == 2145)
+    assert(graft.sources.CommitLog.snapshot(spark, path).read(path).count() == 2145)
     assert(covMap(PcaWarehouse.cov(spark, path)) == before)
     // idempotent
     PcaWarehouse.compact(spark, path)
@@ -69,7 +69,8 @@ class PcaWarehouseSpec extends GraftSpec {
     val dup = e.filter(col("vec_id") === 0)
       .select((col("vec_id") + 99999L).as("vec_id"), col("embedding"))
     PcaWarehouse.refreshAnn(spark, dup, path)
-    val proj = spark.read.parquet(path + ".proj").collect()
+    val proj = graft.sources.CommitLog.snapshot(spark, path)
+      .read(path + ".proj").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(proj(99999L) == proj(0L), "duplicate projection differs from original")
 

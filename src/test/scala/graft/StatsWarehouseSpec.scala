@@ -22,7 +22,7 @@ class StatsWarehouseSpec extends GraftSpec {
     Files.createTempDirectory(s"graft-stw-$tag").resolve("idx").toString
 
   private def rowsOf(path: String): Set[(String, Long, Long, Long)] =
-    spark.read.parquet(path)
+    graft.sources.CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("lang"), col("nw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("ncs")).as("ncs"))
       .collect()
@@ -116,10 +116,10 @@ class StatsWarehouseSpec extends GraftSpec {
     StatsWarehouse.materializeFrom(d.filter(StatsWarehouse.isBaseDoc), p)
     StatsWarehouse.refresh(spark, d.filter(!StatsWarehouse.isBaseDoc), p)
     val before = rowsOf(p)
-    val preCount = spark.read.parquet(p).count()
+    val preCount = graft.sources.CommitLog.snapshot(spark, p).read(p).count()
     StatsWarehouse.compact(spark, p)
     val after = rowsOf(p)
-    val postCount = spark.read.parquet(p).count()
+    val postCount = graft.sources.CommitLog.snapshot(spark, p).read(p).count()
     assert(before == after, "compaction changed the merged histogram")
     assert(postCount == after.size && postCount < preCount,
       s"compact left $postCount rows for ${after.size} keys (pre $preCount)")

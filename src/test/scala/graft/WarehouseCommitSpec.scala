@@ -150,6 +150,76 @@ class WarehouseCommitSpec extends GraftSpec {
       probeOf(p), before, want)
   }
 
+  test("minhash: a refresh killed in every window is invisible; resume == clean run (round 12 retrofit)") {
+    val docs = t.documents
+    val probeBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+    // the refresh batch PLANTS exact copies of probe docs under fresh
+    // ids, so the refresh provably changes the probe answer (no
+    // natural gen-8/gen-9 near-dup exists at this SF)
+    val inc = probeBatch.limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def probeOf(p: String) = () => graft.dedup.MinHashWarehouse
+      .probeAgainst(spark, probeBatch, p)
+      .collect().map(_.toString).toSet
+
+    val clean = tmp("mh-clean")
+    graft.dedup.MinHashWarehouse.materializeFrom(docs, clean) // base split
+    val before = probeOf(clean)()
+    graft.dedup.MinHashWarehouse.refresh(inc, clean)
+    val want = probeOf(clean)()
+    assert(before != want,
+      "degenerate: the planted duplicates changed no probe answer")
+
+    val p = tmp("mh")
+    graft.dedup.MinHashWarehouse.materializeFrom(docs, p)
+    // refresh writes 2 parts: the shingle store and the banded index —
+    // the OLD layout appended them sequentially with no marker, so a
+    // crash between them served candidates with no shingle partner
+    crashEveryWindow(2, () => graft.dedup.MinHashWarehouse.refresh(inc, p),
+      probeOf(p), before, want)
+  }
+
+  test("sketch lane: a compact killed in every window is invisible; resume == clean run (round 12 — the destructive-overwrite fix)") {
+    // StatsWarehouse stands in for the whole single-part sketch lane
+    // (Hll/Mg/Stats/Pca compact all route through the same one-replace
+    // transaction now).  The OLD compact was read -> localCheckpoint ->
+    // overwrite ONTO THE SAME PATH: a crash after the overwrite's
+    // delete lost the standing index outright — strictly worse than
+    // torn state, because no pre-verb state was left to serve.
+    import graft.operators.StatsWarehouse
+    val d = t.documents
+    val p = tmp("stats")
+    StatsWarehouse.materializeFrom(d.filter(StatsWarehouse.isBaseDoc), p)
+    StatsWarehouse.refresh(spark, d.filter(!StatsWarehouse.isBaseDoc), p)
+    def probe() = StatsWarehouse.statsProbe(spark, Dir, p)
+      .collect().map(_.toString).toSet
+    val before = probe()
+    // compact writes 1 part (the merged replace)
+    crashEveryWindow(1, () => StatsWarehouse.compact(spark, p),
+      () => probe(), before, before) // compact is probe-INVARIANT
+    // and the compacted state really is one generation: the committed
+    // read now lists exactly one root
+    val roots = CommitLog.snapshot(spark, p).read(p)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths)
+    assert(roots.size == 1, s"compact left ${roots.size} live generations")
+
+    // HllWarehouse compact through the same windows — the other
+    // sketch shape (binary register states, estimate-level probe)
+    import graft.operators.HllWarehouse
+    val e = t.events
+    val hp = tmp("hll")
+    HllWarehouse.materializeFrom(e.filter(HllWarehouse.isBaseEvent), hp)
+    HllWarehouse.refresh(spark, e.filter(!HllWarehouse.isBaseEvent), hp)
+    def hprobe() = HllWarehouse.probe(spark, hp)
+      .collect().map(_.toString).toSet
+    val hBefore = hprobe()
+    crashEveryWindow(1, () => HllWarehouse.compact(spark, hp),
+      () => hprobe(), hBefore, hBefore)
+  }
+
   test("concurrent reader: a probe pinned before a refresh commits keeps the pre-refresh answer (quantile + bm25, beyond BalanceWarehouse)") {
     // QuantileWarehouse — the windowed-exact shape
     val e = t.events
