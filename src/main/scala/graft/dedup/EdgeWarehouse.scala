@@ -481,7 +481,14 @@ object EdgeWarehouse {
     * re-delivery instead of corrupting (operator resolution: record
     * the id; the batch is committed).  EdgeWarehouseSpec drives a
     * replayed micro-batch and pins the no-double-ingest claim. */
-  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // lineage guard BEFORE the query launches (ADVICE-r11 #4): a
+    // checkpoint deleted/recreated while the batchid markers survive
+    // would restart engine ids at 0 and silently skip every fresh
+    // batch — BatchMarkers stamps a shared run id into both dirs and
+    // fails loudly on any state the markers cannot be trusted in
+    graft.sources.BatchMarkers.ensureLineage(docs.sparkSession,
+      s"$path.checkpoint", batchIdPath(path))
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$path.checkpoint")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -493,30 +500,18 @@ object EdgeWarehouse {
         }
       }
       .start()
+  }
 
   private def batchIdPath(p: String) = s"$p.batchid"
 
-  private[graft] def lastBatchId(spark: SparkSession, path: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(batchIdPath(path))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).iterator
-      .map(_.getPath.getName).filter(_.endsWith(".done"))
-      .map(_.stripSuffix(".done").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  // delegated to the shared BatchMarkers mechanics (round 12 — one
+  // implementation for every streaming twin; Bm25Warehouse rides it
+  // too).  The thin wrappers keep this member's path naming local.
+  private[graft] def lastBatchId(spark: SparkSession, path: String): Long =
+    graft.sources.BatchMarkers.lastBatchId(spark, batchIdPath(path))
 
-  private[graft] def writeBatchId(spark: SparkSession, path: String, id: Long): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(batchIdPath(path))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp-$id")
-    val out = fs.create(tmp, true)
-    try out.write("1".getBytes("UTF-8")) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(dir, s"$id.done")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"batchId marker rename failed: $tmp -> $dst")
-  }
+  private[graft] def writeBatchId(spark: SparkSession, path: String, id: Long): Unit =
+    graft.sources.BatchMarkers.record(spark, batchIdPath(path), id)
 
   /** The once-per-JVM two-generation build for the registered
     * incremental query: ingest the base split, refresh the incoming

