@@ -132,7 +132,11 @@ object Bench {
     "s_range_search_probe", "s_range_search_retracted",
     // round 11: the end-to-end funnel composition and the IVF
     // family's delete verb
-    "d_pipeline_e2e", "s_knn_ivf_retracted")
+    "d_pipeline_e2e", "s_knn_ivf_retracted",
+    // round 12: the retention demonstration — probe after
+    // compact + vacuum + log checkpoint (must price like the
+    // compacted probe: vacuum touches only dead state)
+    "s_bm25_probe_vacuumed")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -160,7 +164,7 @@ object Bench {
     "d_dedup_keep_best", "d_dedup_asof",
     "t_perplexity_bigram_probe_retracted",
     "s_range_search_probe", "s_range_search_retracted",
-    "d_pipeline_e2e", "s_knn_ivf_retracted")
+    "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -340,7 +344,7 @@ object Bench {
     * change), so a probe-path regression is always driver-visible.
     * The queries map flexes to absorb the reservation (its smallest
     * rows fold into q_other). */
-  private val ProbesBudget = 1200
+  private val ProbesBudget = 1260 // 41 rows x (name+9B) + braces = 1223 worst-case; ~37B margin
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

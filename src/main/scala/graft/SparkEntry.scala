@@ -286,6 +286,15 @@ object SparkEntry {
     // ORACLED with the incremental SQL verbatim (full-base predicate)
     "d_dedup_asof" -> ((s: SparkSession, d: String) =>
       graft.dedup.MinHashWarehouse.asOfDedup(s, d, 1)),
+    // DESCRIBE HISTORY (round 12, self-directed): the committed log of
+    // the three-generation dedup index as a DataFrame — the catalog
+    // half of the reproducibility contract (the as-of cut answers
+    // "dedup as of g"; the history answers "WHICH g do I want").
+    // Deterministic: CommitLog allocates gens/seqs by transaction
+    // order, so the oracle is the literal five-entry table
+    "d_dedup_index_history" -> ((s: SparkSession, d: String) =>
+      graft.sources.CommitLog.history(s,
+        graft.dedup.MinHashWarehouse.builtGenPath(s, d))),
     // the crawl loop CLOSED: generation A (doc_id ≡ 8 mod 10) dedups
     // against the base index, its survivors FOLD INTO the index at
     // rest (append-only refresh), generation B (≡ 9) probes the
@@ -413,6 +422,26 @@ object SparkEntry {
           Bm25Warehouse.refresh(s,
             docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
           Bm25Warehouse.compact(s, p)
+        })),
+    // RETENTION demonstrated end-to-end (round 12, VERDICT-r11 ask
+    // #5): ingest -> refresh -> compact -> VACUUM -> probe.  Vacuum
+    // physically deletes the dead pre-compact generations and the
+    // probe still answers s_bm25_probe's oracle VERBATIM — the
+    // committed fold never listed the reclaimed dirs.  (The other
+    // half of the contract — a probe PINNED before vacuum fails
+    // loudly rather than reading partial data — is
+    // Bm25WarehouseSpec's pin.)
+    "s_bm25_probe_vacuumed" -> ((s: SparkSession, d: String) =>
+      Bm25Warehouse.probeIncoming(s, d,
+        graft.sources.Materialized.pathFor("bm25_vacuumed", d) { p =>
+          val docs = graft.sources.Tables(s, d).documents
+          Bm25Warehouse.materializeFrom(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) < 7), p)
+          Bm25Warehouse.refresh(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 7), p)
+          Bm25Warehouse.compact(s, p)
+          graft.sources.CommitLog.vacuum(s, p)
+          graft.sources.CommitLog.checkpoint(s, p)
         })),
     // the delete verb on the scored index (tombstoned postings +
     // NEGATIVE df deltas + stats decrement): probe-after-retract ==
@@ -1724,6 +1753,16 @@ object SparkEntry {
     // as-of gen 1 == the full base split, before the gen-2 takedown ⇒
     // the incremental text VERBATIM — the doc-keyed snapshot claim
     "d_dedup_asof" -> dDedupIncrementalSqlVs("y.doc_id % 10 < 8"),
+    // the literal committed log of the three-generation build: gen 0 =
+    // ingest (replace docs+index), gen 1 = refresh (append docs+index),
+    // gen 2 = takedown (append tomb); horizon -1 = not a rebase
+    "d_dedup_index_history" -> """
+      |SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), '.docs', 'replace', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (0, '', 'replace', -1, 0),
+      |  (1, '.docs', 'append', -1, 1),
+      |  (1, '', 'append', -1, 1),
+      |  (2, '.tomb', 'append', -1, 2)) AS t(gen, part, kind, horizon, seq)""".stripMargin,
     // the retraction rung's oracle: the IDENTICAL incremental text
     // over the base minus the tombstoned mod-7 docs — probe-after-
     // retract must equal probe-against-rebuild-on-base∖removed
@@ -1923,6 +1962,11 @@ object SparkEntry {
     // compaction merges df delta rows without changing any per-term
     // sum — the compacted index answers the identical SQL
     "s_bm25_probe_compacted" ->
+      SBm25ProbeSql,
+    // vacuum (+ log checkpoint) reclaims only DEAD generations and
+    // superseded markers — the served state is untouched, so the
+    // post-retention probe answers the identical SQL
+    "s_bm25_probe_vacuumed" ->
       SBm25ProbeSql,
     // retraction: the identical probe text over base ∖ removed (the
     // tombstone + negative-df + stats-decrement fold must be

@@ -106,7 +106,9 @@ object EmbedDrift {
     * diagonal (i, i) — the index at rest already IS the monitor's
     * left side. */
   private[graft] def statsFromMoments(spark: SparkSession, path: String): DataFrame = {
-    val m = spark.read.parquet(path)
+    // the moments index rides CommitLog since round 12 — read the
+    // committed fold, exactly like PcaWarehouse.cov
+    val m = graft.sources.CommitLog.snapshot(spark, path).read(path)
       .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m"))
     val n = m.filter(col("i") === -1).select(col("m").cast("long").as("n"))
     val sx = m.filter(col("j") === -1 && col("i") >= 0)

@@ -134,9 +134,12 @@ object CommitLog {
   // the ADVICE-r11 window: marker temp file fully written, rename not
   // yet issued — the torn-marker crash the name filter must survive
   @volatile private[graft] var crashBeforeMarkerRename: Boolean = false
+  // checkpoint's widest window: its file renamed into place, the
+  // superseded markers not yet deleted (duplicate-entry state)
+  @volatile private[graft] var crashAfterMarkerRename: Boolean = false
   private[graft] def resetCrashInjection(): Unit = {
     crashAfterWrites = Int.MaxValue; crashBeforeCommit = false
-    crashBeforeMarkerRename = false
+    crashBeforeMarkerRename = false; crashAfterMarkerRename = false
   }
 
   private def logPath(base: String) = s"$base.commits"
@@ -278,6 +281,7 @@ object CommitLog {
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(
         s"CommitLog: marker rename $tmp -> $dst returned false")
+    if (CommitLog.crashAfterMarkerRename) throw new InjectedCrash
   }
 
   private def entryLine(e: Entry): String =
@@ -334,9 +338,18 @@ object CommitLog {
     val snap = snapshot(spark, base)
     if (snap.entries.isEmpty) return
     val upTo = snap.maxSeq
-    writeMarker(spark, base, checkpointName(upTo),
-      snap.entries.sortBy(e => (e.seq, e.part)).map(entryLine))
-    names.filter(n => n != checkpointName(upTo) && seqOfMarker(n) <= upTo)
+    val ckName = checkpointName(upTo)
+    // a RETRY of a checkpoint that crashed between its rename and its
+    // deletes finds the checkpoint file already in place: skip the
+    // write (rename onto an existing name would fail) and just finish
+    // the deletes.  Entries are deduped — that same crash state makes
+    // the snapshot read every entry twice (checkpoint + the markers it
+    // covers), and writing the duplicates verbatim would double the
+    // file per crash cycle.
+    if (!names.contains(ckName))
+      writeMarker(spark, base, ckName,
+        snap.entries.distinct.sortBy(e => (e.seq, e.part)).map(entryLine))
+    names.filter(n => n != ckName && seqOfMarker(n) <= upTo)
       .foreach(n => f.delete(new Path(dir, n), false))
   }
 
@@ -423,6 +436,21 @@ object CommitLog {
     val txn = begin(spark, base)
     body(txn)
     txn.commit()
+  }
+
+  /** DESCRIBE HISTORY — the committed log as a DataFrame, one row per
+    * (transaction, part) entry: (gen, part, kind, horizon, seq).  The
+    * introspection half of the as-of contract ("which corpus did this
+    * training run dedup against" needs the generation CATALOG, not
+    * just the cut) — Delta's DESCRIBE HISTORY for this protocol.
+    * Driver-side: the log is metadata, so this is a small literal
+    * frame, never a scan. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    snapshot(spark, base).entries
+      .sortBy(e => (e.seq, e.part))
+      .map(e => (e.gen, e.part, e.kind, e.horizon, e.seq))
+      .toDF("gen", "part", "kind", "horizon", "seq")
   }
 
   /** The tombstone-purge COMPACT shared by the doc/vector-keyed index

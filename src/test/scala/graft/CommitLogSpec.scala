@@ -217,6 +217,34 @@ class CommitLogSpec extends GraftSpec {
       headBefore + ("b" -> 7L))
   }
 
+  test("checkpoint crash windows: before-rename and after-rename retries both converge") {
+    val base = tmp("ckptcrash")
+    (1 to 4).foreach(i =>
+      CommitLog.transaction(spark, base)(_.append(kv("a" -> i.toLong), base)))
+    val want = rowsOf(CommitLog.snapshot(spark, base).read(base))
+    // window 1: checkpoint dies before its rename — nothing changed
+    CommitLog.crashBeforeMarkerRename = true
+    try intercept[RuntimeException](CommitLog.checkpoint(spark, base))
+    finally CommitLog.resetCrashInjection()
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == want)
+    assert(markerFiles(base).count(_.endsWith(".commit")) == 4)
+    // window 2: checkpoint file lands, deletes never run — the
+    // DUPLICATE-ENTRY state; snapshots must fold it identically
+    CommitLog.crashAfterMarkerRename = true
+    try intercept[RuntimeException](CommitLog.checkpoint(spark, base))
+    finally CommitLog.resetCrashInjection()
+    assert(markerFiles(base).size == 5, s"torn state: ${markerFiles(base)}")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == want,
+      "duplicate checkpoint+marker entries changed the fold")
+    // the retry finds the checkpoint in place, finishes the deletes
+    CommitLog.checkpoint(spark, base)
+    assert(markerFiles(base).size == 1, s"retry left ${markerFiles(base)}")
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == want)
+    // and the log keeps working
+    CommitLog.transaction(spark, base)(_.append(kv("z" -> 9L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == want + ("z" -> 9L))
+  }
+
   test("a crash between marker temp-write and rename is invisible; vacuum reclaims the temp (ADVICE r11)") {
     val base = tmp("tornmarker")
     CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))

