@@ -305,18 +305,6 @@ object Bm25Warehouse {
         explode(words(col("text"))).as("term"))
       .distinct()
 
-  /** The probe's ONLINE twin — decontamination in flight: each arriving
-    * micro-batch of docs scores against the index inside foreachBatch.
-    * A doc's score depends ONLY on its own terms and the index at
-    * rest, so the per-(query, doc) aggregation is batch-LOCAL — no
-    * watermark, no state store, nothing grows with stream length (the
-    * streamingDedup stance; here even the stream-static join lives in
-    * foreachBatch because the score SUM would otherwise be cross-batch
-    * state Spark cannot know is already complete when the doc's row
-    * closes).  `sink` receives each micro-batch's scored top-k frame —
-    * the foreachBatch contract parquetUpsertSink uses.
-    * (Bm25WarehouseSpec drives a MemoryStream across batches and
-    * asserts exact agreement with the batch probe.) */
   /** The REFRESH's online twin — the crawl stream maintaining the
     * index at rest (round 12, VERDICT-r11 ask #6: the first streaming
     * WRITE loop on a CommitLog member).  Each micro-batch folds
@@ -354,6 +342,18 @@ object Bm25Warehouse {
       .start()
   }
 
+  /** The probe's ONLINE twin — decontamination in flight: each arriving
+    * micro-batch of docs scores against the index inside foreachBatch.
+    * A doc's score depends ONLY on its own terms and the index at
+    * rest, so the per-(query, doc) aggregation is batch-LOCAL — no
+    * watermark, no state store, nothing grows with stream length (the
+    * streamingDedup stance; here even the stream-static join lives in
+    * foreachBatch because the score SUM would otherwise be cross-batch
+    * state Spark cannot know is already complete when the doc's row
+    * closes).  `sink` receives each micro-batch's scored top-k frame —
+    * the foreachBatch contract parquetUpsertSink uses.
+    * (Bm25WarehouseSpec drives a MemoryStream across batches and
+    * asserts exact agreement with the batch probe.) */
   def streamingProbe(docs: DataFrame, path: String, k: Int = 10)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")

@@ -31,10 +31,13 @@ import org.apache.spark.sql.SparkSession
   *  - checkpoint stamp lost but markers survive (the ADVICE scenario,
   *    and also legacy unstamped markers) -> THROW — the operator must
   *    either restore the checkpoint or clear the marker directory;
-  *  - marker stamp lost but checkpoint survives (markers were wiped)
-  *    -> re-stamp the marker side and proceed: lastBatchId is -1, so
-  *    re-delivered batches re-run WITH the member's own loud guards
-  *    (e.g. Edge's re-crawl check) instead of silently skipping.
+  *  - marker stamp lost but checkpoint survives: if the marker dir is
+  *    EMPTY of ids (markers wiped in full) re-stamp and proceed —
+  *    lastBatchId is -1, so re-delivered batches re-run WITH the
+  *    member's own loud guards (e.g. Edge's re-crawl check) instead
+  *    of silently skipping; if .done ids SURVIVE without their stamp
+  *    (partial restore) those ids belong to an unknown lineage ->
+  *    THROW (review r12).
   */
 object BatchMarkers {
 
@@ -56,9 +59,22 @@ object BatchMarkers {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Record `id` as folded: temp write + atomic rename, append-only. */
+  /** Record `id` as folded: temp write + atomic rename, then PRUNE
+    * markers below it — the new max lands first, so `lastBatchId`
+    * never observes a gap, and the directory stays O(1) files instead
+    * of one per micro-batch ever (the same unbounded-listing growth
+    * CommitLog.checkpoint kills for the commit log; review r12).
+    * Engine batch ids are monotonic within the lineage the guard
+    * pins, so a pruned lower id can never be needed again. */
   def record(spark: SparkSession, markerDir: String, id: Long): Unit = {
     writeFile(spark, markerDir, s"_tmp-$id", s"$id.done", "1")
+    val dir = new Path(markerDir)
+    val f = fs(spark, markerDir)
+    f.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".done") && n.stripSuffix(".done").toLong < id)
+        f.delete(st.getPath, false)
+    }
   }
 
   private def writeFile(spark: SparkSession, dir0: String, tmpName: String,
@@ -110,10 +126,18 @@ object BatchMarkers {
             "and every fresh batch would silently skip against the surviving " +
             "markers; restore the checkpoint or clear the marker directory")
       case (Some(a), None) =>
-        // markers wiped (or first marker not yet written under a live
-        // checkpoint): adopt the checkpoint's lineage.  lastBatchId is
-        // bounded below by what survives, so nothing can skip that
-        // should run.
+        // the marker-side stamp can only legitimately be absent BEFORE
+        // any .done marker exists (ensureLineage stamps before the
+        // stream starts) — if batch ids survive without their stamp
+        // (partial restore, selective copy), those ids belong to an
+        // UNKNOWN lineage and adopting them would re-enable the silent
+        // skip this guard exists to prevent (review r12)
+        if (lastBatchId(spark, markerDir) >= 0)
+          throw new IllegalStateException(
+            s"BatchMarkers: marker directory $markerDir holds batch ids but " +
+              "no lineage stamp while the checkpoint carries one — the " +
+              "surviving ids cannot be matched to this checkpoint's lineage; " +
+              "clear the marker directory or restore it in full")
         writeFile(spark, markerDir, s"_tmp-$LineageFile", LineageFile, a)
       case (None, None) =>
         if (lastBatchId(spark, markerDir) >= 0)

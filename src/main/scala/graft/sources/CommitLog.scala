@@ -287,7 +287,27 @@ object CommitLog {
   private def entryLine(e: Entry): String =
     s"${e.gen}\t${e.part}\t${e.kind}\t${e.horizon}\t${e.seq}"
 
+  /** Pin the committed fold.  Tolerates a CONCURRENT `checkpoint`:
+    * between this reader's listing and its file opens, a checkpoint
+    * may delete a listed marker (its content now lives in the
+    * checkpoint file, which this listing may predate) — skipping the
+    * vanished file would silently DROP its transactions, so the read
+    * RETRIES the whole listing instead; the checkpoint file is in
+    * place before any delete happens, so the retry's listing is
+    * complete (review r12 — the lock-free concurrent-reader promise
+    * now survives log maintenance, not just commits). */
   def snapshot(spark: SparkSession, base: String): Snapshot = {
+    var backoff = 0
+    while (true) {
+      try return snapshotOnce(spark, base)
+      catch {
+        case _: java.io.FileNotFoundException if backoff < 5 => backoff += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def snapshotOnce(spark: SparkSession, base: String): Snapshot = {
     val dir = new Path(logPath(base))
     val f = fs(spark, logPath(base))
     val entries =
@@ -447,7 +467,10 @@ object CommitLog {
     * frame, never a scan. */
   def history(spark: SparkSession, base: String): DataFrame = {
     import spark.implicits._
-    snapshot(spark, base).entries
+    // distinct: in checkpoint's crash-after-rename state the snapshot
+    // legitimately reads every entry twice (checkpoint + the markers
+    // it covers) — the fold is idempotent, the catalog must be too
+    snapshot(spark, base).entries.distinct
       .sortBy(e => (e.seq, e.part))
       .map(e => (e.gen, e.part, e.kind, e.horizon, e.seq))
       .toDF("gen", "part", "kind", "horizon", "seq")
@@ -499,15 +522,22 @@ object CommitLog {
     val parent = baseP.getParent
     val sweepParts: Seq[String] = {
       val fromLog = snap.entries.map(e => base + e.part)
-      val fromFs =
-        if (parent == null || !f.exists(parent)) Nil
-        else f.listStatus(parent).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(n => (n == baseP.getName ||
-            n.startsWith(baseP.getName + ".")) &&
-            n != baseP.getName + ".commits")
-          .map(n => base + (if (n == baseP.getName) "" else n.stripPrefix(baseP.getName)))
+      val siblingNames: Set[String] =
+        if (parent == null || !f.exists(parent)) Set.empty
+        else f.listStatus(parent).toSeq.map(_.getPath.getName).toSet
+      val fromFs = siblingNames.toSeq
+        .filter(n => n == baseP.getName ||
+          (n.startsWith(baseP.getName + ".") &&
+            n != baseP.getName + ".commits" &&
+            // a dot-suffixed sibling with its OWN commit log is a
+            // NESTED CommitLog base (e.g. EdgeWarehouse's J-channel
+            // index at `<edge>.mh` with `<edge>.mh.commits`) — its
+            // generations are governed by ITS log, and folding THIS
+            // log would compute live = {} and delete committed data
+            // (review r12); only its own vacuum may touch it.  (The
+            // base itself is exempt: `base.commits` IS this log.)
+            !siblingNames.contains(n + ".commits")))
+        .map(n => base + (if (n == baseP.getName) "" else n.stripPrefix(baseP.getName)))
       (fromLog ++ fromFs).distinct
     }
     sweepParts.foreach { part =>

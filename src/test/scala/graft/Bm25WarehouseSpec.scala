@@ -263,6 +263,14 @@ class Bm25WarehouseSpec extends GraftSpec {
     BatchMarkers.ensureLineage(spark, ck, mk)
     BatchMarkers.record(spark, mk, 0L)
     assert(BatchMarkers.lastBatchId(spark, mk) == 0L)
+    // record() prunes markers below the new max (review r12: the
+    // marker dir must not grow one file per micro-batch ever)
+    BatchMarkers.record(spark, mk, 1L)
+    BatchMarkers.record(spark, mk, 5L)
+    assert(BatchMarkers.lastBatchId(spark, mk) == 5L)
+    val doneFiles = new java.io.File(mk).listFiles()
+      .map(_.getName).filter(_.endsWith(".done")).toSeq
+    assert(doneFiles == Seq("5.done"), s"stale markers survived: $doneFiles")
     // the ADVICE scenario: checkpoint deleted/recreated, markers
     // survive -> engine ids would restart at 0 and silently skip
     val fs = new org.apache.hadoop.fs.Path(ck)
@@ -279,5 +287,13 @@ class Bm25WarehouseSpec extends GraftSpec {
     BatchMarkers.record(spark, s"$root/wh3.batchid", 4L)
     intercept[IllegalStateException](
       BatchMarkers.ensureLineage(spark, s"$root/wh3.checkpoint", s"$root/wh3.batchid"))
+    // partial restore: .done ids survive but THEIR stamp is lost while
+    // the checkpoint carries one — adopting would re-enable the silent
+    // skip, so refuse (review r12)
+    BatchMarkers.ensureLineage(spark, s"$root/wh4.checkpoint", s"$root/wh4.batchid")
+    BatchMarkers.record(spark, s"$root/wh4.batchid", 9L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/wh4.batchid/graft-lineage"), false)
+    intercept[IllegalStateException](
+      BatchMarkers.ensureLineage(spark, s"$root/wh4.checkpoint", s"$root/wh4.batchid"))
   }
 }

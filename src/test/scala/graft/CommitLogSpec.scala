@@ -236,6 +236,9 @@ class CommitLogSpec extends GraftSpec {
     assert(markerFiles(base).size == 5, s"torn state: ${markerFiles(base)}")
     assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) == want,
       "duplicate checkpoint+marker entries changed the fold")
+    // DESCRIBE HISTORY must not double-report the torn duplicate
+    // state (review r12: history dedups like the fold does)
+    assert(CommitLog.history(spark, base).count() == 4)
     // the retry finds the checkpoint in place, finishes the deletes
     CommitLog.checkpoint(spark, base)
     assert(markerFiles(base).size == 1, s"retry left ${markerFiles(base)}")
@@ -298,6 +301,26 @@ class CommitLogSpec extends GraftSpec {
     assert(!dirs.contains("gen-3"), s"superseded rebase dir survived vacuum: $dirs")
     assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
       Set("a" -> 1L, "b" -> 2L, "c" -> 4L, "d" -> 8L))
+  }
+
+  test("vacuum never sweeps a NESTED CommitLog base that shares the name prefix (review r12)") {
+    val base = tmp("nested")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    // a dot-suffixed sibling with its OWN commit log — the
+    // EdgeWarehouse `<edge>.mh` shape: governed by ITS log, not ours
+    val nested = base + ".mh"
+    CommitLog.transaction(spark, nested)(_.append(kv("n" -> 7L), nested))
+    CommitLog.vacuum(spark, base)
+    // the nested base's committed generation survives the outer vacuum
+    assert(rowsOf(CommitLog.snapshot(spark, nested).read(nested)) ==
+      Set("n" -> 7L), "outer vacuum destroyed a nested base's data")
+    assert(new java.io.File(nested + "/gen-0").exists())
+    // and the nested base's own vacuum still works on itself
+    CommitLog.transaction(spark, nested)(_.replace(kv("n" -> 9L), nested))
+    CommitLog.vacuum(spark, nested)
+    assert(!new java.io.File(nested + "/gen-0").exists())
+    assert(rowsOf(CommitLog.snapshot(spark, nested).read(nested)) ==
+      Set("n" -> 9L))
   }
 
   test("vacuum sweeps orphan gen dirs of parts with no committed entry (ADVICE r11)") {
