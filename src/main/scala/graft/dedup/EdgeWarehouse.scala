@@ -468,8 +468,10 @@ object EdgeWarehouse {
     * marker in its delete-rename window and silently dropped fresh
     * batches when a restart without the same checkpoint reset engine
     * ids to 0): the warehouse records each folded batchId as its OWN
-    * marker file in `<path>.batchid/` (append-only, temp + atomic
-    * rename per file — the CommitLog primitive, no delete window),
+    * marker file in `<path>.batchid/` (temp + atomic rename per file
+    * — the CommitLog primitive; since round 12 BatchMarkers.record
+    * also prunes markers below the new max AFTER the max lands, so
+    * the value lastBatchId reads is never in a delete window),
     * and the stream pins its checkpoint NEXT TO THE WAREHOUSE
     * (`<path>.checkpoint`), so engine batch ids stay monotonic in the
     * one lineage the marker is meaningful for.  A REPLAYED id ≤

@@ -324,8 +324,24 @@ object Bm25Warehouse {
     * Register-free contract: any batching folds to the same index a
     * one-shot refresh of the union reaches (append-only postings/df,
     * scalar stats adds commute — Bm25WarehouseSpec pins probe
-    * equality and drives a replayed batch). */
-  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    * equality and drives a replayed batch).
+    *
+    * LOG MAINTENANCE AT CADENCE: whenever the marker-file count
+    * exceeds `checkpointEvery` the commit log checkpoints
+    * (fold-and-truncate) — exactly the streaming-cadence growth
+    * CommitLog.checkpoint exists for, run from inside foreachBatch
+    * where the single-writer window is the engine's own
+    * serialization; concurrent PROBES stay safe because snapshot()
+    * retries a listing raced by the checkpoint's deletes.  Triggering
+    * on the COUNT (one driver listing) rather than id divisibility is
+    * self-healing: a skipped/empty/replayed batch or a crash between
+    * record and checkpoint just defers one trigger, never a whole
+    * cycle — marker files stay <= checkpointEvery + 1 at ANY stream
+    * length (spec-pinned). */
+  def streamingRefresh(docs: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery")
     val markers = s"$path.batchid"
     graft.sources.BatchMarkers.ensureLineage(docs.sparkSession,
       s"$path.checkpoint", markers)
@@ -337,6 +353,8 @@ object Bm25Warehouse {
             !batch.isEmpty) {
           refreshTxn(s, batch, path, batchId = Some(id))
           graft.sources.BatchMarkers.record(s, markers, id)
+          if (graft.sources.CommitLog.markerCount(s, path) > checkpointEvery)
+            graft.sources.CommitLog.checkpoint(s, path)
         }
       }
       .start()

@@ -12,9 +12,14 @@ import org.apache.spark.sql.SparkSession
   * foreachBatch is AT-LEAST-ONCE: after a crash the engine re-delivers
   * the last unacknowledged micro-batch with the same batchId.  The
   * warehouse therefore records each FOLDED id as its own marker file
-  * (append-only, temp + atomic rename — the CommitLog primitive, no
-  * delete window), and the per-trigger check `id <= lastBatchId` skips
-  * a replay with one driver FS listing BEFORE any Spark action.
+  * (temp + atomic rename — the CommitLog primitive), and the
+  * per-trigger check `id <= lastBatchId` skips a replay with one
+  * driver FS listing BEFORE any Spark action.  `record` then PRUNES
+  * markers below the new max: the max lands by rename FIRST, so
+  * `lastBatchId` can never observe a value lower than one it already
+  * served — a crash mid-prune just leaves extra lower markers, never
+  * a missing max (this replaces the earlier strictly-append-only
+  * form, whose directory grew one file per micro-batch ever).
   *
   * LINEAGE GUARD (ADVICE-r11 #4): the marker ids are only meaningful
   * in the ONE checkpoint lineage that produced them — if the stream's

@@ -301,7 +301,13 @@ object CommitLog {
     while (true) {
       try return snapshotOnce(spark, base)
       catch {
-        case _: java.io.FileNotFoundException if backoff < 5 => backoff += 1
+        case _: java.io.FileNotFoundException if backoff < 5 =>
+          backoff += 1
+          // real backoff (review r12 second pass): the racing
+          // checkpoint deletes its superseded markers one at a time,
+          // so give its sweep time to finish — 10/20/40/80/160 ms
+          // before the relist, vs six instant collisions
+          Thread.sleep(10L << (backoff - 1))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -326,6 +332,17 @@ object CommitLog {
           }
         }
     Snapshot(spark, base, entries)
+  }
+
+  /** Number of marker files the log currently holds — one driver FS
+    * listing; the streaming twins trigger `checkpoint` off this count
+    * (self-healing across skipped/replayed batches, unlike an
+    * id-divisibility schedule; review r12 second pass). */
+  def markerCount(spark: SparkSession, base: String): Int = {
+    val dir = new Path(logPath(base))
+    val f = fs(spark, logPath(base))
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).count(st => isMarkerName(st.getPath.getName))
   }
 
   /** LOG CHECKPOINT — the fold-and-truncate verb that bounds
@@ -522,21 +539,29 @@ object CommitLog {
     val parent = baseP.getParent
     val sweepParts: Seq[String] = {
       val fromLog = snap.entries.map(e => base + e.part)
-      val siblingNames: Set[String] =
+      // sibling DIRECTORIES only (review r12 second pass: files must
+      // neither enter the sweep nor masquerade as a nested log)
+      val dirNames: Set[String] =
         if (parent == null || !f.exists(parent)) Set.empty
-        else f.listStatus(parent).toSeq.map(_.getPath.getName).toSet
-      val fromFs = siblingNames.toSeq
+        else f.listStatus(parent).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).toSet
+      // a dot-suffixed sibling with its OWN commit log is a NESTED
+      // CommitLog base (e.g. EdgeWarehouse's J-channel index at
+      // `<edge>.mh` with `<edge>.mh.commits`) — ITS root AND its own
+      // dot-suffixed parts (`<edge>.mh.docs`, `<edge>.mh.tomb`) are
+      // governed by ITS log, and folding THIS log would compute
+      // live = {} and delete committed data; only its own vacuum may
+      // touch any of them.  (The base itself is exempt: `base.commits`
+      // IS this log.)
+      val nestedBases = dirNames.filter(n =>
+        n != baseP.getName && n.startsWith(baseP.getName + ".") &&
+          dirNames.contains(n + ".commits"))
+      val fromFs = dirNames.toSeq
         .filter(n => n == baseP.getName ||
           (n.startsWith(baseP.getName + ".") &&
-            n != baseP.getName + ".commits" &&
-            // a dot-suffixed sibling with its OWN commit log is a
-            // NESTED CommitLog base (e.g. EdgeWarehouse's J-channel
-            // index at `<edge>.mh` with `<edge>.mh.commits`) — its
-            // generations are governed by ITS log, and folding THIS
-            // log would compute live = {} and delete committed data
-            // (review r12); only its own vacuum may touch it.  (The
-            // base itself is exempt: `base.commits` IS this log.)
-            !siblingNames.contains(n + ".commits")))
+            !n.endsWith(".commits") &&
+            !nestedBases.contains(n) &&
+            !nestedBases.exists(nb => n.startsWith(nb + "."))))
         .map(n => base + (if (n == baseP.getName) "" else n.stripPrefix(baseP.getName)))
       (fromLog ++ fromFs).distinct
     }

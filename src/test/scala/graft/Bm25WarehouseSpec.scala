@@ -169,8 +169,12 @@ class Bm25WarehouseSpec extends GraftSpec {
       .createTempDirectory("graft-bm25w-stream-").toString + "/index"
     Bm25Warehouse.materializeFrom(s, base, p)
     val stream = MemoryStream[(Long, String)]
+    // checkpointEvery = 1: the commit log folds-and-truncates after
+    // EVERY folded batch — the harshest maintenance cadence, under
+    // which the probes must still see every committed transaction
     val query = Bm25Warehouse.streamingRefresh(stream.toDF()
-      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), p)
+      .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text"), p,
+      checkpointEvery = 1)
     try {
       val (b1, b2) = incoming.splitAt(incoming.length / 2)
       stream.addData(b1.toIndexedSeq)
@@ -180,6 +184,11 @@ class Bm25WarehouseSpec extends GraftSpec {
     } finally query.stop()
     assert(probeRows(p) == want,
       "streamed refresh diverged from the one-shot refresh")
+    // the log stayed bounded: one checkpoint file, zero commit files
+    val markerNames = new java.io.File(p + ".commits").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".commit") || n.endsWith(".checkpoint"))
+    assert(markerNames.length == 1,
+      s"streaming-cadence log checkpoint left ${markerNames.toSeq}")
 
     // EXACTLY-ONCE, residual window: a batch whose TXN committed but
     // whose external marker was lost is re-delivered — the committed

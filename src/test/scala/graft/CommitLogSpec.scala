@@ -309,12 +309,22 @@ class CommitLogSpec extends GraftSpec {
     // a dot-suffixed sibling with its OWN commit log — the
     // EdgeWarehouse `<edge>.mh` shape: governed by ITS log, not ours
     val nested = base + ".mh"
-    CommitLog.transaction(spark, nested)(_.append(kv("n" -> 7L), nested))
+    CommitLog.transaction(spark, nested) { t =>
+      t.append(kv("n" -> 7L), nested)
+      // the nested base's own dot-suffixed PART — review r12 second
+      // pass: the outer sweep must skip `<base>.mh.docs` too, not
+      // just the nested root
+      t.append(kv("d" -> 3L), nested + ".docs")
+    }
     CommitLog.vacuum(spark, base)
-    // the nested base's committed generation survives the outer vacuum
+    // the nested base's committed generations survive the outer
+    // vacuum — root part AND its dot-suffixed part
     assert(rowsOf(CommitLog.snapshot(spark, nested).read(nested)) ==
       Set("n" -> 7L), "outer vacuum destroyed a nested base's data")
+    assert(rowsOf(CommitLog.snapshot(spark, nested).read(nested + ".docs")) ==
+      Set("d" -> 3L), "outer vacuum destroyed a nested base's PART")
     assert(new java.io.File(nested + "/gen-0").exists())
+    assert(new java.io.File(nested + ".docs/gen-0").exists())
     // and the nested base's own vacuum still works on itself
     CommitLog.transaction(spark, nested)(_.replace(kv("n" -> 9L), nested))
     CommitLog.vacuum(spark, nested)
