@@ -3,7 +3,9 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** The ATOMIC MULTI-FILE COMMIT protocol for warehouse maintenance —
   * the generalization of EdgeWarehouse's commit-marker (round 10) to
@@ -98,6 +100,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory listing plus a few ~100 B reads, O(transactions ever),
   * metadata-scale by construction.
   *
+  * DATA SKIPPING (round 12): a verb may declare `statsCols` — exact
+  * per-generation min/max of those columns are computed INSIDE the
+  * write job (an observe node — zero extra pass) and recorded in the
+  * commit entry.  `Snapshot.readWhere` then drops generations whose
+  * recorded range provably misses a caller's [lo, hi] filter AT THE
+  * LOG, before any file listing — one rung above partition pruning,
+  * which still lists every generation root (Delta's per-file stats
+  * move, VLDB 2020 §4).  Skipping is a pure optimization: generations
+  * without stats are always kept, and the caller applies the real
+  * filter on the returned frame regardless.
+  *
   * `vacuum` is the physical GC: directories no live head-fold
   * references are deleted (crash orphans included).  Retention
   * caveat, exactly Delta's: vacuum also drops the ability to read
@@ -144,10 +157,61 @@ object CommitLog {
 
   private def logPath(base: String) = s"$base.commits"
 
+  /** Per-generation column statistics recorded IN the commit entry —
+    * the Delta data-skipping move (Armbrust et al., VLDB 2020 §4:
+    * per-file min/max in the log lets readers prune before any file
+    * listing).  `kind` picks the comparison: "num" compares as
+    * BigDecimal (negative and scientific-notation forms compare
+    * correctly), "lex" compares lexically (exact for the ISO renderings
+    * of DATE/TIMESTAMP and for plain strings).  min/max are EXACT —
+    * they are computed by `min`/`max` over the rows actually written,
+    * inside the write job itself (an `observe` node: zero extra pass,
+    * no second scan). */
+  final case class ColStats(kind: String, min: String, max: String)
+
   private[sources] final case class Entry(
-      gen: Long, part: String, kind: String, horizon: Long, seq: Long) {
+      gen: Long, part: String, kind: String, horizon: Long, seq: Long,
+      stats: Map[String, ColStats] = Map.empty) {
     def sortGen: Long = if (kind == "rebase") horizon else gen
   }
+
+  /** The stat kind a column's type folds under — None means the type
+    * carries no orderable stats contract here (callers must not
+    * request stats on it). */
+  private def statKindOf(dt: DataType): Option[String] = dt match {
+    case _: NumericType => Some("num")
+    case DateType | StringType | TimestampType | TimestampNTZType => Some("lex")
+    case _ => None
+  }
+
+  /** kind-aware strict less-than over recorded stat strings.  An
+    * unparseable numeric (NaN renderings and such) compares as NOT
+    * less — pruning then keeps the generation, the safe direction. */
+  private def statLt(kind: String, a: String, b: String): Boolean =
+    if (kind == "num")
+      try BigDecimal(a) < BigDecimal(b)
+      catch { case _: NumberFormatException => false }
+    else a < b
+
+  // stats wire form (field 6 of the marker line, absent when empty):
+  // `col~kind~b64(min)~b64(max)` joined by `;` — values are
+  // base64-encoded so arbitrary string data can never collide with the
+  // TSV/record separators; column names are code-chosen identifiers
+  // and are required to be [A-Za-z0-9_]+ at record time.
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private def encodeStats(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"$c~${s.kind}~${b64e(s.min)}~${b64e(s.max)}"
+    }.mkString(";")
+  private def decodeStats(field: String): Map[String, ColStats] =
+    if (field.isEmpty) Map.empty
+    else field.split(';').map { item =>
+      val p = item.split('~')
+      p(0) -> ColStats(p(1), b64d(p(2)), b64d(p(3)))
+    }.toMap
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,30 +261,37 @@ object CommitLog {
       * The map fold is idempotent under duplicate entries, which is
       * what lets `checkpoint` coexist transiently with the markers it
       * supersedes. */
-    private[sources] def liveGens(part: String, asOfGen: Long): Seq[Long] = {
+    private[sources] def liveGens(part: String, asOfGen: Long): Seq[Long] =
+      liveGenEntries(part, asOfGen).map(_._1)
+
+    /** The fold, keeping each live generation's recorded column stats
+      * alongside its position — the data-skipping read needs them. */
+    private[sources] def liveGenEntries(part: String, asOfGen: Long)
+        : Seq[(Long, Map[String, ColStats])] = {
       val sfx = suffixOf(base, part)
-      val live = mutable.LinkedHashMap.empty[Long, Long] // gen -> position
+      // gen -> (position, stats)
+      val live = mutable.LinkedHashMap.empty[Long, (Long, Map[String, ColStats])]
       entries.filter(_.part == sfx)
         .sortBy(e => (e.sortGen, e.seq))
         .foreach { e =>
           e.kind match {
-            case "append" => if (e.gen <= asOfGen) live(e.gen) = e.gen
+            case "append" => if (e.gen <= asOfGen) live(e.gen) = (e.gen, e.stats)
             // the DESTRUCTIVE half of replace/clear/rebase applies to
             // EVERY reader, as-of cuts included — retention must hold
             // for time travel too, or vacuum would leave an as-of read
             // pointing at deleted directories (asOf behind the latest
             // replace/rebase/clear is EMPTY, not an error)
             case "replace" =>
-              live.clear(); if (e.gen <= asOfGen) live(e.gen) = e.gen
+              live.clear(); if (e.gen <= asOfGen) live(e.gen) = (e.gen, e.stats)
             case "clear" => live.clear()
             case "rebase" =>
-              live.filterInPlace((_, pos) => pos > e.horizon)
-              if (e.horizon <= asOfGen) live(e.gen) = e.horizon
+              live.filterInPlace((_, v) => v._1 > e.horizon)
+              if (e.horizon <= asOfGen) live(e.gen) = (e.horizon, e.stats)
             case other => throw new IllegalStateException(
               s"CommitLog: unknown entry kind '$other' in ${logPath(base)}")
           }
         }
-      live.keys.toSeq.sorted
+      live.toSeq.map { case (g, (_, st)) => (g, st) }.sortBy(_._1)
     }
 
     /** `part` as of generation `asOfGen`: the union of its live
@@ -244,6 +315,63 @@ object CommitLog {
         s"CommitLog: no committed generations for part '$part'" +
           (if (asOfGen != Long.MaxValue) s" as of gen $asOfGen" else "") +
           s" under base '$base'"))
+
+    // ---- DATA SKIPPING off the recorded per-generation stats: a
+    // generation is dropped from the read ONLY when its stats PROVE
+    // no row can satisfy lo <= col <= hi — a generation with no
+    // recorded stats for the column is always kept, so skipping is a
+    // pure optimization, never a semantics change.  The pruning
+    // happens at the LOG, before any file listing: at object-store
+    // scale the skipped generations cost zero FS calls, one rung above
+    // partition pruning (which still lists every generation root).
+    // CONTRACT: the caller applies the real `col between lo and hi`
+    // filter on the returned frame (or a stronger one) — the prune
+    // only discards generations that filter would empty anyway.
+
+    /** (kept, pruned) live generation numbers of `part` under the
+      * range test — exposed so specs and plan audits can assert the
+      * skip without reading anything. */
+    def partitionGens(part: String, column: String, lo: Option[String],
+        hi: Option[String], asOfGen: Long = Long.MaxValue): (Seq[Long], Seq[Long]) = {
+      val (kept, pruned) = liveGenEntries(part, asOfGen).partition {
+        case (_, st) => st.get(column) match {
+          case Some(ColStats(kind, mn, mx)) =>
+            !(lo.exists(l => statLt(kind, mx, l)) ||
+              hi.exists(h => statLt(kind, h, mn)))
+          case None => true // no stats — cannot prove, must keep
+        }
+      }
+      (kept.map(_._1), pruned.map(_._1))
+    }
+
+    /** `part` restricted to generations whose stats intersect
+      * [lo, hi] on `column` (each bound optional).  None when nothing
+      * survives — for the caller that means the filtered read is
+      * EMPTY, not an error. */
+    def readWhere(part: String, column: String, lo: Option[String],
+        hi: Option[String], asOfGen: Long = Long.MaxValue): Option[DataFrame] = {
+      val (kept, _) = partitionGens(part, column, lo, hi, asOfGen)
+      if (kept.isEmpty) None
+      else Some(kept.map(g => spark.read.parquet(genDir(part, g)))
+        .reduce(_.unionByName(_)))
+    }
+
+    /** The exact maximum of `column` over the live generations,
+      * answered FROM THE LOG (zero scans) — defined only when every
+      * live generation recorded stats for the column (otherwise the
+      * true max is unknowable without reading; callers fall back to a
+      * scan).  The per-generation maxima are exact (observe-computed
+      * over the written rows), so their fold is the exact part-wide
+      * max. */
+    def statsMax(part: String, column: String,
+        asOfGen: Long = Long.MaxValue): Option[String] = {
+      val gens = liveGenEntries(part, asOfGen)
+      if (gens.isEmpty) return None
+      val sts = gens.map(_._2.get(column))
+      if (sts.exists(_.isEmpty)) None
+      else Some(sts.flatten.reduce((a, b) =>
+        if (statLt(a.kind, a.max, b.max)) b else a).max)
+    }
   }
 
   // ---- the log's physical form: one TSV marker FILE per committed
@@ -285,7 +413,14 @@ object CommitLog {
   }
 
   private def entryLine(e: Entry): String =
-    s"${e.gen}\t${e.part}\t${e.kind}\t${e.horizon}\t${e.seq}"
+    s"${e.gen}\t${e.part}\t${e.kind}\t${e.horizon}\t${e.seq}" +
+      (if (e.stats.isEmpty) "" else s"\t${encodeStats(e.stats)}")
+
+  private def parseLine(line: String): Entry = {
+    val c = line.split('\t')
+    Entry(c(0).toLong, c(1), c(2), c(3).toLong, c(4).toLong,
+      if (c.length >= 6) decodeStats(c(5)) else Map.empty)
+  }
 
   /** Pin the committed fold.  Tolerates a CONCURRENT `checkpoint`:
     * between this reader's listing and its file opens, a checkpoint
@@ -326,10 +461,7 @@ object CommitLog {
             val buf = new Array[Byte](st.getLen.toInt)
             in.readFully(0, buf); new String(buf, "UTF-8")
           } finally in.close()
-          text.split('\n').filter(_.nonEmpty).map { line =>
-            val c = line.split('\t')
-            Entry(c(0).toLong, c(1), c(2), c(3).toLong, c(4).toLong)
-          }
+          text.split('\n').filter(_.nonEmpty).map(parseLine)
         }
     Snapshot(spark, base, entries)
   }
@@ -398,22 +530,45 @@ object CommitLog {
   final class Txn private[CommitLog] (
       val spark: SparkSession, val base: String, val gen: Long,
       nextSeq: Long) {
-    private val recorded = mutable.ArrayBuffer.empty[(String, String, Long)]
+    private final class Rec(val sfx: String, val kind: String,
+        val horizon: Long, var stats: Map[String, ColStats])
+    private val recorded = mutable.ArrayBuffer.empty[Rec]
     private var nWrites = 0
 
-    private def record(part: String, kind: String, horizon: Long = -1L): Unit = {
+    private def record(part: String, kind: String, horizon: Long = -1L): Rec = {
       val sfx = suffixOf(base, part)
-      require(!recorded.exists(_._1 == sfx),
+      require(!recorded.exists(_.sfx == sfx),
         s"CommitLog.Txn: part '$sfx' already written in this transaction " +
           "(one verb per part per txn — compose inside the DataFrame instead)")
-      recorded += ((sfx, kind, horizon))
+      val r = new Rec(sfx, kind, horizon, Map.empty)
+      recorded += r
+      r
     }
 
-    private def write(df: DataFrame, part: String, partitionCols: Seq[String]): Unit = {
+    private def write(df: DataFrame, part: String, partitionCols: Seq[String],
+        statsCols: Seq[String]): Map[String, ColStats] = {
+      // stats ride INSIDE the write job (an observe node computing
+      // exact min/max of the rows as they stream through) — zero extra
+      // pass, no second scan; the commit entry then carries them for
+      // log-level data skipping
+      val kinds: Map[String, String] = statsCols.map { c =>
+        require(c.matches("[A-Za-z0-9_]+"),
+          s"stats column name '$c' must be a plain identifier")
+        val dt = df.schema(c).dataType
+        c -> statKindOf(dt).getOrElse(throw new IllegalArgumentException(
+          s"stats column '$c' has type $dt — no orderable stats contract"))
+      }.toMap
+      val obs = if (statsCols.isEmpty) None else Some(new Observation())
+      val toWrite = obs.fold(df) { o =>
+        val exprs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        df.observe(o, exprs.head, exprs.tail: _*)
+      }
       // overwrite the txn's OWN gen dir: self-cleaning of orphans a
       // crashed attempt at this same (never-committed) gen left behind
       val dir = genDir(part, gen)
-      val w = df.write.mode("overwrite")
+      val w = toWrite.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir)
       // a zero-row partitionBy write leaves a dir with NO data files —
@@ -426,25 +581,42 @@ object CommitLog {
         df.limit(0).write.mode("overwrite").parquet(dir)
       nWrites += 1
       if (nWrites == CommitLog.crashAfterWrites) throw new InjectedCrash
+      obs.map { o =>
+        val row = o.get // completed: the write action above has run
+        statsCols.flatMap { c =>
+          (Option(row(s"mn_$c")), Option(row(s"mx_$c"))) match {
+            // a zero-row or all-null write records NO stats for the
+            // column — readers then always keep the generation (safe)
+            case (Some(mn), Some(mx)) =>
+              Some(c -> ColStats(kinds(c), mn.toString, mx.toString))
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
     }
 
-    def append(df: DataFrame, part: String, partitionCols: Seq[String] = Nil): Unit = {
-      record(part, "append"); write(df, part, partitionCols)
+    def append(df: DataFrame, part: String, partitionCols: Seq[String] = Nil,
+        statsCols: Seq[String] = Nil): Unit = {
+      val r = record(part, "append")
+      r.stats = write(df, part, partitionCols, statsCols)
     }
 
-    def replace(df: DataFrame, part: String, partitionCols: Seq[String] = Nil): Unit = {
-      record(part, "replace"); write(df, part, partitionCols)
+    def replace(df: DataFrame, part: String, partitionCols: Seq[String] = Nil,
+        statsCols: Seq[String] = Nil): Unit = {
+      val r = record(part, "replace")
+      r.stats = write(df, part, partitionCols, statsCols)
     }
 
-    def clear(part: String): Unit = record(part, "clear")
+    def clear(part: String): Unit = { record(part, "clear"); () }
 
     /** Retention: `df` is the part's state folded up to `horizon`
       * (exclusive of later appends, which stay live).  Generations ≤
       * horizon die for every reader, as-of included. */
     def rebase(df: DataFrame, part: String, horizon: Long,
-        partitionCols: Seq[String] = Nil): Unit = {
+        partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
       require(horizon < gen, s"rebase horizon $horizon must precede txn gen $gen")
-      record(part, "rebase", horizon); write(df, part, partitionCols)
+      val r = record(part, "rebase", horizon)
+      r.stats = write(df, part, partitionCols, statsCols)
     }
 
     /** THE commit marker — the transaction's one atomic step: a
@@ -455,7 +627,8 @@ object CommitLog {
       if (CommitLog.crashBeforeCommit) throw new InjectedCrash
       require(recorded.nonEmpty, "CommitLog.Txn: empty transaction")
       writeMarker(spark, base, markerName(nextSeq),
-        recorded.toSeq.map { case (p, k, h) => s"$gen\t$p\t$k\t$h\t$nextSeq" })
+        recorded.toSeq.map(r =>
+          entryLine(Entry(gen, r.sfx, r.kind, r.horizon, nextSeq, r.stats))))
     }
   }
 
@@ -491,6 +664,24 @@ object CommitLog {
       .sortBy(e => (e.seq, e.part))
       .map(e => (e.gen, e.part, e.kind, e.horizon, e.seq))
       .toDF("gen", "part", "kind", "horizon", "seq")
+  }
+
+  /** DESCRIBE DETAIL for the data-skipping metadata: one row per live
+    * (generation, stats column) of `part` — the introspection half of
+    * the skipping contract ("which generations would a window probe
+    * even list" is answerable from this catalog alone).  Driver-side
+    * like `history`: the log is metadata, so this is a small literal
+    * frame, never a scan — and because the recorded values are exact
+    * observe-computed min/max of the written rows, the catalog is
+    * ORACLE-CHECKABLE against the same aggregates over the raw inputs
+    * (q_ts_index_stats does exactly that). */
+  def statsCatalog(spark: SparkSession, base: String, part: String): DataFrame = {
+    import spark.implicits._
+    snapshot(spark, base).liveGenEntries(part, Long.MaxValue)
+      .flatMap { case (g, st) =>
+        st.toSeq.sortBy(_._1).map { case (c, s) => (g, c, s.kind, s.min, s.max) }
+      }
+      .toDF("gen", "stat_col", "kind", "min_v", "max_v")
   }
 
   /** The tombstone-purge COMPACT shared by the doc/vector-keyed index

@@ -333,6 +333,101 @@ class CommitLogSpec extends GraftSpec {
       Set("n" -> 9L))
   }
 
+  // ---- per-generation column stats + log-level data skipping (r12b)
+
+  private def dated(rows: (String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("d", "v").withColumn("d", col("d").cast("date"))
+  }
+
+  test("stats recorded at write prune generations at the log; reads stay exact") {
+    val base = tmp("skip")
+    CommitLog.transaction(spark, base)(_.replace(
+      dated("2024-01-02" -> 1L, "2024-01-06" -> 2L), base, statsCols = Seq("d", "v")))
+    CommitLog.transaction(spark, base)(_.append(
+      dated("2024-01-10" -> 4L, "2024-01-14" -> 8L), base, statsCols = Seq("d", "v")))
+    CommitLog.transaction(spark, base)(_.append(
+      dated("2024-01-20" -> 16L, "2024-01-25" -> 32L), base, statsCols = Seq("d", "v")))
+    val snap = CommitLog.snapshot(spark, base)
+    // a trailing-window filter [2024-01-18, ∞) proves gens 0-1 empty
+    val (kept, pruned) = snap.partitionGens(base, "d", Some("2024-01-18"), None)
+    assert(kept == Seq(2L) && pruned == Seq(0L, 1L),
+      s"expected gens 0,1 skipped: kept=$kept pruned=$pruned")
+    val df = snap.readWhere(base, "d", Some("2024-01-18"), None).get
+      .filter(col("d") >= lit("2024-01-18").cast("date"))
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(16L, 32L))
+    // the skipped generations never reach the plan: scan roots are
+    // exactly the kept generation's directory
+    assert(df.inputFiles.forall(_.contains("/gen-2/")),
+      s"pruned generations leaked into the scan: ${df.inputFiles.toSeq}")
+    // a both-bounds window hitting only the middle generation
+    val (k2, p2) = snap.partitionGens(base, "d", Some("2024-01-08"), Some("2024-01-16"))
+    assert(k2 == Seq(1L) && p2 == Seq(0L, 2L))
+    // numeric kind: negatives compare numerically, not lexically
+    val (k3, _) = snap.partitionGens(base, "v", Some("3"), Some("9"))
+    assert(k3 == Seq(1L), s"numeric range [3,9] must keep only gen 1: $k3")
+    // nothing survives -> None (empty result, not an error)
+    assert(snap.readWhere(base, "d", Some("2025-06-01"), None).isEmpty)
+  }
+
+  test("numeric stats compare as numbers (negatives would invert lexically)") {
+    val base = tmp("skipneg")
+    val s = spark
+    import s.implicits._
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(-50L, -10L).toDF("v"), base, statsCols = Seq("v")))
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(5L, 9L).toDF("v"), base, statsCols = Seq("v")))
+    val snap = CommitLog.snapshot(spark, base)
+    // lexically "-10" < "5" is FALSE ('-' < '5' is true actually) but
+    // "-50" > "-10" lexically (5>1) — numeric kind must order -50 < -10
+    val (kept, pruned) = snap.partitionGens(base, "v", Some("-20"), Some("0"))
+    assert(kept == Seq(0L) && pruned == Seq(1L),
+      s"[-20,0] must keep only the negative gen: kept=$kept pruned=$pruned")
+  }
+
+  test("generations without stats are always kept (skipping never changes semantics)") {
+    val base = tmp("skipnostats")
+    CommitLog.transaction(spark, base)(_.append(
+      dated("2024-01-02" -> 1L), base)) // no statsCols
+    CommitLog.transaction(spark, base)(_.append(
+      dated("2024-01-20" -> 2L), base, statsCols = Seq("d")))
+    val snap = CommitLog.snapshot(spark, base)
+    val (kept, pruned) = snap.partitionGens(base, "d", Some("2024-01-18"), None)
+    assert(kept == Seq(0L, 1L) && pruned.isEmpty,
+      "a stats-less generation must never be pruned")
+    // and an all-null/zero-row write records no stats rather than bad ones
+    CommitLog.transaction(spark, base)(_.append(
+      dated().select(col("d"), col("v")), base, statsCols = Seq("d")))
+    val (kept2, _) = CommitLog.snapshot(spark, base)
+      .partitionGens(base, "d", Some("2024-01-18"), None)
+    assert(kept2.contains(2L), "zero-row write must stay un-prunable")
+  }
+
+  test("stats survive the log checkpoint verbatim; statsMax answers from the log") {
+    val base = tmp("skipckpt")
+    CommitLog.transaction(spark, base)(_.replace(
+      dated("2024-01-02" -> 1L), base, statsCols = Seq("d")))
+    CommitLog.transaction(spark, base)(_.append(
+      dated("2024-01-20" -> 2L, "2024-01-28" -> 3L), base, statsCols = Seq("d")))
+    val before = CommitLog.snapshot(spark, base)
+      .partitionGens(base, "d", Some("2024-01-10"), None)
+    assert(before == (Seq(1L), Seq(0L)))
+    assert(CommitLog.snapshot(spark, base).statsMax(base, "d")
+      .contains("2024-01-28"))
+    CommitLog.checkpoint(spark, base)
+    assert(markerFiles(base).size == 1)
+    val after = CommitLog.snapshot(spark, base)
+    assert(after.partitionGens(base, "d", Some("2024-01-10"), None) == before,
+      "stats must round-trip through the checkpoint fold")
+    assert(after.statsMax(base, "d").contains("2024-01-28"))
+    // statsMax is honest: a stats-less live generation makes it None
+    CommitLog.transaction(spark, base)(_.append(dated("2024-02-05" -> 9L), base))
+    assert(CommitLog.snapshot(spark, base).statsMax(base, "d").isEmpty,
+      "statsMax must refuse when any live generation lacks stats")
+  }
+
   test("vacuum sweeps orphan gen dirs of parts with no committed entry (ADVICE r11)") {
     val base = tmp("orphanpart")
     CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
