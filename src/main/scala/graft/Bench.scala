@@ -136,7 +136,11 @@ object Bench {
     // round 12: the retention demonstration — probe after
     // compact + vacuum + log checkpoint (must price like the
     // compacted probe: vacuum touches only dead state)
-    "s_bm25_probe_vacuumed")
+    "s_bm25_probe_vacuumed",
+    // round 12 second arc: the log-level data-skipping probe — the
+    // trailing window over the week-cadence rollup build (must price
+    // like a two-generation read: three of five gens never listed)
+    "q_ts_recent_window")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -164,7 +168,8 @@ object Bench {
     "d_dedup_keep_best", "d_dedup_asof",
     "t_perplexity_bigram_probe_retracted",
     "s_range_search_probe", "s_range_search_retracted",
-    "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed")
+    "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed",
+    "q_ts_recent_window")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -344,7 +349,7 @@ object Bench {
     * change), so a probe-path regression is always driver-visible.
     * The queries map flexes to absorb the reservation (its smallest
     * rows fold into q_other). */
-  private val ProbesBudget = 1260 // 41 rows x (name+9B) + braces = 1223 worst-case; ~37B margin
+  private val ProbesBudget = 1260 // 42 rows x (name+9B) + braces = 1250 worst-case; 10B margin
 
   /** Greedy PREFIX fill over rows sorted by descending time (name
     * tiebreak): rows ride verbatim until the first that would

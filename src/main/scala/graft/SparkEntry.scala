@@ -248,6 +248,23 @@ object SparkEntry {
       TsWarehouse.decomposeProbe(s, TsWarehouse.builtPath(s, d))),
     "q_ts_forecast_probe" -> ((s: SparkSession, d: String) =>
       TsWarehouse.forecastProbe(s, TsWarehouse.builtPath(s, d))),
+    // the trailing-window monitoring read with LOG-LEVEL DATA
+    // SKIPPING: week-cadence build (five generations), the probe
+    // proves pre-window weeks empty from the commit entries' date
+    // stats and never lists their directories (TsWarehouseSpec
+    // asserts the skip; the oracle is the identical trailing-window
+    // predicate over raw events)
+    "q_ts_recent_window" -> ((s: SparkSession, d: String) =>
+      TsWarehouse.recentWindow(s, TsWarehouse.builtWeeklyPath(s, d))),
+    // the skipping metadata ITSELF, oracled: the catalog's recorded
+    // per-generation min/max(date) must equal DuckDB's true per-week
+    // aggregates over raw events — the strongest possible check that
+    // the observe-computed stats are exact (a wrong min/max would both
+    // fail this AND silently mis-skip; this query makes it loud)
+    "q_ts_index_stats" -> ((s: SparkSession, d: String) => {
+      val p = TsWarehouse.builtWeeklyPath(s, d)
+      graft.sources.CommitLog.statsCatalog(s, p, p)
+    }),
     // the weekday-aware anomaly alerter (z over decompose residuals —
     // fixes the flat-baseline Sunday false-positive) + its probe
     "q_ts_anomaly_seasonal" -> ((s: SparkSession, d: String) =>
@@ -364,6 +381,12 @@ object SparkEntry {
     // batched multi-probe serving shape (no oracle: spec vs the
     // single-query ranking per query)
     "s_knn_lsh_batch" -> ((s: SparkSession, d: String) => Knn.lshBatch(s, d)),
+    // the ANN family's EVALUATION verb: recall@k of the LSH serving
+    // paths vs the brute-force truth, per probing strategy — the
+    // index-quality monitor a production deployment polls at refresh
+    // cadence (no oracle: the LSH class; spec pins the intersection
+    // arithmetic and the multi-probe ≥ single-probe superset lift)
+    "s_knn_recall_report" -> ((s: SparkSession, d: String) => Knn.recallReport(s, d)),
     // the kNN GRAPH pair: exact baseline (oracled) + LSH-blocked scale
     // path (spec: exactly-once, exact cosines, recall vs brute)
     "s_knn_graph" -> ((s: SparkSession, d: String) => Knn.knnGraph(s, d)),
@@ -1653,6 +1676,25 @@ object SparkEntry {
     // so the probe holds the inline query's oracle VERBATIM
     "q_ts_anomaly_probe" -> QTsAnomalySql,
     "q_ts_anomaly_probe_retracted" -> QTsAnomalyRetractedSql,
+    // the trailing-window slice of the daily rollup: delta sums fold
+    // exactly across the week-split generations (DECIMAL
+    // associativity), so the log-skipped probe holds the raw-events
+    // trailing-window SQL verbatim — the skip itself is plan-level
+    // (asserted in TsWarehouseSpec), invisible to the rows
+    "q_ts_recent_window" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS date, event_type,
+         |round(${SUMX("value")}, 3) AS v FROM events GROUP BY 1, 2)
+         |SELECT date, event_type, v FROM daily
+         |WHERE date >= (SELECT max(date) FROM daily) - 6""".stripMargin,
+    // the recorded stats must equal the true per-week-generation
+    // min/max over raw events (builtWeeklyPath: gen w == week w) —
+    // oracling the observe-computed skipping metadata itself
+    "q_ts_index_stats" ->
+      """SELECT CAST((day(CAST(ts AS DATE)) - 1) // 7 AS BIGINT) AS gen,
+        |'date' AS stat_col, 'lex' AS kind,
+        |CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS min_v,
+        |CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     // dow index over the dense grid: DECIMAL-exact dow sums, then two
     // IEEE multiplies + one divide on exactly-rounded inputs; DuckDB
     // dayofweek is 0-based (Sunday=0) vs Spark's 1-based → +1

@@ -67,17 +67,47 @@ object TsWarehouse {
       .agg(sum(col("value").cast("decimal(30,6)")).as("vsum"),
         count(lit(1)).as("n"))
 
+  /** Every verb declares date stats: exact per-generation min/max of
+    * `date` ride in the commit entries (computed inside the write job
+    * — CommitLog's observe node), so window probes skip generations
+    * at the LOG (readWhere) and `statsMax` answers "latest day in the
+    * rollup" with zero scans. */
+  private val DateStats = Seq("date")
+
   /** Ingest — also the refresh-equivalence spec's one-shot reference
     * builder. */
   def materializeFrom(events: DataFrame, path: String): Unit =
     graft.sources.CommitLog.transaction(events.sparkSession, path)(
-      _.replace(deltas(events), path))
+      _.replace(deltas(events), path, statsCols = DateStats))
 
   /** REFRESH — fold a batch in at rest: append its delta rows.
     * O(batch); no standing row is read or rewritten. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    graft.sources.CommitLog.transaction(spark, path)(
-      _.append(deltas(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  private def streamIdPath(path: String): String = s"$path.stream"
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the delta rows — the exactly-once rung
+    * (the Bm25/Quantile pattern, third member): a redelivery whose
+    * external batch marker was lost still folds NOTHING, because the
+    * committed `.stream` part is the ground truth.  Returns false
+    * when `batchId` is already committed. */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean = {
+    val snap = graft.sources.CommitLog.snapshot(spark, path)
+    val seen = batchId.exists(id => snap.readOpt(streamIdPath(path))
+      .exists(_.filter(col("batch_id") === id).limit(1).count() > 0))
+    if (seen) return false
+    graft.sources.CommitLog.transaction(spark, path) { t =>
+      t.append(deltas(batch), path, statsCols = DateStats)
+      batchId.foreach(id => t.append(
+        spark.range(1).select(lit(id).as("batch_id")), streamIdPath(path)))
+    }
+    true
+  }
 
   /** RETRACT — remove events from the standing rollup: append their
     * per-key (vsum, n) deltas NEGATED.  O(removed), append-only like
@@ -88,7 +118,7 @@ object TsWarehouse {
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
     graft.sources.CommitLog.transaction(spark, path)(_.append(deltas(removed)
       .select(col("date"), col("event_type"), (-col("vsum")).as("vsum"),
-        (-col("n")).as("n")), path))
+        (-col("n")).as("n")), path, statsCols = DateStats))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after.  Zero-count keys (fully-retracted days) are
@@ -100,8 +130,14 @@ object TsWarehouse {
     // persist exactly the fold probes serve (foldedDeltas is the one
     // definition of the merged state; mergedDaily is its probe-side
     // projection)
-    graft.sources.CommitLog.transaction(spark, path)(
-      _.replace(foldedDeltas(spark, path), path))
+    val snap = graft.sources.CommitLog.snapshot(spark, path)
+    graft.sources.CommitLog.transaction(spark, path) { t =>
+      t.replace(foldedDeltas(spark, path), path, statsCols = DateStats)
+      // the streaming twin's id part folds to one generation WITHOUT
+      // forgetting ids — replay protection survives compaction
+      snap.readOpt(streamIdPath(path)).foreach(ids =>
+        t.replace(ids.distinct(), streamIdPath(path)))
+    }
     // physical reclaim is CommitLog.vacuum on the caller's retention
     // cadence — never inline here, so a probe snapshot pinned before
     // this compact keeps serving the pre-compact generations
@@ -196,6 +232,57 @@ object TsWarehouse {
       refresh(spark, e.filter(!isBaseEvent), p)
     }
 
+  /** The week-grain ingest split the data-skipping demonstration
+    * rides — the production refresh cadence (one generation per
+    * ingest window), which is exactly what makes the recorded date
+    * stats selective: each generation's [min, max] date range is one
+    * week, so a trailing-window probe proves all earlier weeks empty
+    * AT THE LOG.  (The mod-10 split builds both generations over the
+    * full date range — correct, but nothing to skip.) */
+  private[graft] def weekChunk =
+    floor((dayofmonth(col("ts")) - 1) / 7).cast("int")
+
+  /** The once-per-JVM week-cadence build: five generations, one per
+    * calendar week of the events table. */
+  def builtWeeklyPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("ts_warehouse_weekly", dir) { p =>
+      val e = Tables(spark, dir).events
+      materializeFrom(e.filter(weekChunk === 0), p)
+      (1 to 4).foreach(w => refresh(spark, e.filter(weekChunk === w), p))
+    }
+
+  /** Registered `q_ts_recent_window`: the trailing-`days` slice of the
+    * daily rollup — the monitoring family's hottest read shape ("the
+    * last week of every series"), served with LOG-LEVEL DATA SKIPPING:
+    * the latest date comes from the commit entries' stats (zero
+    * scans), and `readWhere` drops every generation whose recorded
+    * date range ends before the cutoff BEFORE any file listing.  At
+    * ingest cadence the live generation count grows with time; this
+    * probe's scan set stays O(generations overlapping the window) —
+    * bounded by the window, not by history (TsWarehouseSpec asserts
+    * the skipped generations never reach the plan).  The real filter
+    * still applies on the kept generations, so the result equals the
+    * unskipped read row for row — ORACLED against the daily SQL with
+    * the identical trailing-window predicate. */
+  def recentWindow(spark: SparkSession, path: String, days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must be at least one day, got $days")
+    val snap = graft.sources.CommitLog.snapshot(spark, path)
+    val latest = snap.statsMax(path, "date").getOrElse(
+      throw new IllegalStateException(
+        s"recentWindow: no date stats on some live generation of '$path' " +
+          "(every TsWarehouse verb records them — was this built elsewhere?)"))
+    val cutoff = java.time.LocalDate.parse(latest).minusDays(days - 1L).toString
+    val kept = snap.readWhere(path, "date", Some(cutoff), None).getOrElse(
+      throw new IllegalStateException( // unreachable: the max-date gen survives
+        s"recentWindow: every generation pruned at cutoff $cutoff"))
+    kept.filter(col("date") >= lit(cutoff).cast("date"))
+      .groupBy(col("date"), col("event_type"))
+      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .select(col("date"), col("event_type"),
+        roundx(col("vsum").cast("double"), 3).as("v"))
+  }
+
   /** The slice the registered retraction removes — deliberately
     * CROSS-CUTTING (mod-7 on event_id, so it takes events from the
     * mod-10 base and incoming generations alike): a delete verb that
@@ -214,17 +301,36 @@ object TsWarehouse {
       retract(spark, e.filter(isRetractedEvent), p)
     }
 
-  /** The refresh's ONLINE twin — the rollup maintained in flight:
-    * each arriving micro-batch folds its per-key decimal partial
-    * sums inside foreachBatch.  Associativity does all the work (any
-    * batching of the stream serves a bit-equal grid; TsWarehouseSpec
-    * drives a MemoryStream in two batches and asserts it) — no
-    * cross-batch state, no watermark, no ordering requirement. */
-  def streamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** The refresh's ONLINE twin at the EXACTLY-ONCE rung — the rollup
+    * maintained in flight: each micro-batch's per-key decimal partial
+    * sums fold in one transaction that also commits the engine batch
+    * id (associativity makes any batching serve a bit-equal grid; the
+    * BatchMarkers fast-skip absorbs common replays with zero Spark
+    * actions; the txn-embedded id closes the marker-lost crash
+    * window; the lineage guard makes checkpoint/marker divergence a
+    * loud failure; the count-triggered log checkpoint bounds marker
+    * I/O).  TsWarehouseSpec drives a MemoryStream in two batches ==
+    * the one-shot fold, plus a redelivered committed batch. */
+  def streamingRefresh(events: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    val markers = s"$path.batchid"
+    graft.sources.BatchMarkers.ensureLineage(events.sparkSession,
+      s"$path.checkpoint", markers)
     events.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .option("checkpointLocation", s"$path.checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
         // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
+        if (id > graft.sources.BatchMarkers.lastBatchId(s, markers) &&
+            !batch.isEmpty) {
+          refreshTxn(s, batch, path, batchId = Some(id))
+          graft.sources.BatchMarkers.record(s, markers, id)
+          if (graft.sources.CommitLog.markerCount(s, path) > checkpointEvery)
+            graft.sources.CommitLog.checkpoint(s, path)
+        }
       }
       .start()
+  }
 }

@@ -270,18 +270,20 @@ object Knn {
     * (No SQL oracle — spec asserts each query's slice equals its
     * single-query lshAnnMulti ranking.) */
   def lshBatch(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
+      nQueries: Int = 10, k: Int = 5, multiProbe: Boolean = true): DataFrame = {
     val NPlanes = 4
     val t = Tables(spark, dir)
     val sig = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), NPlanes))
+    val probeBuckets =
+      if (multiProbe) array(col("qbucket") +:
+        (0 until NPlanes).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)
+      else array(col("qbucket"))
     val probes = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         norm(col("v")).as("qnrm"), col("bucket").as("qbucket"))
-      .withColumn("qbucket",
-        explode(array(col("qbucket") +:
-          (0 until NPlanes).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)))
+      .withColumn("qbucket", explode(probeBuckets))
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     sig
@@ -543,6 +545,49 @@ object Knn {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("cos").as("cosine"), col("bucket"))
+  }
+
+  /** Registered `s_knn_recall_report`: the ANN family's EVALUATION
+    * verb — recall@k of the LSH serving paths against the brute-force
+    * ground truth, per probing strategy.  This is the production
+    * index-quality monitor: every approximate index degrades as the
+    * corpus drifts (bucket skew, hyperplanes aging against the
+    * embedding distribution), and "is the index still good" is a
+    * RECALL number, not a smoke test — the evaluation re-runs at
+    * refresh cadence and alerts when recall dips.  Shape: ground
+    * truth = knnBatch (ONE brute scan for all queries — the verified
+    * baseline), candidates = lshBatch single- and multi-probe; the
+    * per-query intersection is a tiny (|Q|·k)-row join, so the whole
+    * report costs one brute pass + two bucket-pruned probes at ANY
+    * corpus size.  Multi-probe's candidate pool is a superset of
+    * single-probe's, so its recall row can only be ≥ — the Lv et al.
+    * lever made measurable (spec-pinned).  No SQL oracle (the LSH
+    * class); KnnGraphSpec pins the intersection arithmetic against an
+    * independently-computed join and the superset inequality. */
+  def recallReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = knnBatch(spark, dir, nQueries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val matched = truth.join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("m"))
+      // left join from the full query-id domain: a query whose bucket
+      // held NO true neighbor must count 0, not vanish from the avg
+      spark.range(nQueries).select(col("id").as("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .na.fill(0L, Seq("m"))
+        .agg(sum(col("m")).as("matched"), min(col("m")).as("worst_m"))
+        .select(lit(method).as("method"),
+          lit(nQueries.toLong).as("n_queries"), lit(k.toLong).as("k"),
+          col("matched").cast("long").as("matched"),
+          roundx(col("matched").cast("double") / (nQueries.toLong * k), 4)
+            .as("recall"),
+          roundx(col("worst_m").cast("double") / k, 4).as("worst_recall"))
+    }
+    row("lsh", lshBatch(spark, dir, nQueries, k, multiProbe = false))
+      .unionByName(
+        row("lsh_multiprobe", lshBatch(spark, dir, nQueries, k, multiProbe = true)))
   }
 }
 

@@ -157,6 +157,39 @@ class DedupSpec extends GraftSpec {
     assert(slice == single, s"batch $slice vs single $single")
   }
 
+  test("recall report: intersection arithmetic exact, multi-probe >= single-probe") {
+    val (nQ, k) = (10, 5)
+    val rows = similarity.Knn.recallReport(spark, Dir, nQ, k).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("matched"), r.getAs[Double]("recall"),
+          r.getAs[Double]("worst_recall"))).toMap
+    assert(rows.keySet == Set("lsh", "lsh_multiprobe"))
+    // independent recomputation of each method's matched count
+    def matchedOf(multiProbe: Boolean): Long = {
+      val truth = similarity.Knn.knnBatch(spark, Dir, nQ, k)
+        .select(col("query_id"), col("vec_id"))
+      truth.join(
+        similarity.Knn.lshBatch(spark, Dir, nQ, k, multiProbe)
+          .select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id")).count()
+    }
+    assert(rows("lsh")._1 == matchedOf(false),
+      "single-probe matched diverges from the independent join")
+    assert(rows("lsh_multiprobe")._1 == matchedOf(true),
+      "multi-probe matched diverges from the independent join")
+    // the superset lever: multi-probe candidates ⊇ single-probe ⇒
+    // matched (and so recall) can only be >=
+    assert(rows("lsh_multiprobe")._1 >= rows("lsh")._1)
+    rows.values.foreach { case (m, rec, worst) =>
+      assert(m >= 0 && m <= nQ.toLong * k)
+      assert(rec >= 0.0 && rec <= 1.0 && worst >= 0.0 && worst <= 1.0)
+      assert(worst <= rec + 1e-9, "worst recall cannot exceed the average")
+    }
+    // the evaluation has signal on the synthetic corpus: the
+    // multi-probe path finds a nonzero share of true neighbors
+    assert(rows("lsh_multiprobe")._2 > 0.0)
+  }
+
   test("token rarity: hapax docs score 1.0, df bounds hold") {
     val rows = operators.CorpusStats.tokenRarity(spark, Dir).collect()
     assert(rows.length == sources.Tables(spark, Dir).documents.count())

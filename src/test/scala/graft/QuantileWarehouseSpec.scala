@@ -85,6 +85,33 @@ class QuantileWarehouseSpec extends GraftSpec {
       s"14-day window probed $pruned of $allParts partitions")
   }
 
+  test("window probe skips whole generations at the log under an ingest-cadence build (r12)") {
+    val e = Tables(spark, Dir).events
+    val week = floor((dayofmonth(col("ts")) - 1) / 7).cast("int")
+    val p = tmp("skip")
+    QuantileWarehouse.materializeFrom(e.filter(week === 0), p)
+    (1 to 4).foreach(w => QuantileWarehouse.refresh(spark, e.filter(week === w), p))
+    val (start, end) = ("2024-01-08", "2024-01-21")
+    // the log proves weeks 0 (Jan 1-7), 3 (22-28), 4 (29-30) empty for
+    // the window — dropped BEFORE any file listing; weeks 1-2 survive
+    val (kept, pruned) = sources.CommitLog.snapshot(spark, p)
+      .partitionGens(p, "date", Some(start), Some(end))
+    assert(kept == Seq(1L, 2L) && pruned == Seq(0L, 3L, 4L),
+      s"expected log-level skip of weeks 0,3,4: kept=$kept pruned=$pruned")
+    val probe = QuantileWarehouse.windowProbe(spark, p, start, end)
+    // rows: identical to the mod-10 build's window probe (same events)
+    val want = QuantileWarehouse.windowProbe(spark,
+      QuantileWarehouse.builtPath(spark, Dir), start, end)
+    assert(probe.collect().map(_.toString).toSet ==
+      want.collect().map(_.toString).toSet,
+      "log-skipped window probe diverges from the unskipped build's")
+    // the skipped generations never reach the plan
+    val files = QuantileWarehouse.histReadWindow(spark, p, start, end).inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/gen-1/") || f.contains("/gen-2/")),
+      s"pruned generations leaked into the window read: ${files.toSeq}")
+  }
+
   test("the probe scans ONLY the warehouse — zero events scans") {
     val path = QuantileWarehouse.builtPath(spark, Dir)
     val scans = QuantileWarehouse.histRead(spark, path)
@@ -209,6 +236,37 @@ class QuantileWarehouseSpec extends GraftSpec {
       rows.toIndexedSeq.toDF("ts", "event_type", "value")
         .withColumn("ts", col("ts").cast("timestamp")), oneShot)
     assert(histOf(p) == histOf(oneShot), "streamed fold diverges from one-shot")
+  }
+
+  test("streaming exactly-once: a redelivered committed batch folds nothing, even after compact") {
+    def folded(path: String): Set[(String, String, Long, Long)] =
+      QuantileWarehouse.histRead(spark, path)
+        .groupBy(col("date"), col("denom"), col("q")).agg(sum(col("c")).as("c"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val e = Tables(spark, Dir).events
+    val p = tmp("xonce")
+    QuantileWarehouse.materializeFrom(e.filter(QuantileWarehouse.isBaseEvent), p)
+    val batch = e.filter(!QuantileWarehouse.isBaseEvent)
+    // first delivery folds
+    assert(QuantileWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)))
+    val after = folded(p)
+    // the fold equals the mod-10 two-generation build (same events)
+    assert(after == folded(QuantileWarehouse.builtPath(spark, Dir)),
+      "id'd refresh diverges from the plain two-generation build")
+    // redelivery: the committed `.stream` id makes the verb fold NOTHING
+    assert(!QuantileWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)),
+      "redelivered committed batch must skip")
+    assert(folded(p) == after, "redelivery changed the histogram")
+    // compaction folds the id part without forgetting ids
+    QuantileWarehouse.compact(spark, p)
+    assert(folded(p) == after, "compaction changed the histogram")
+    assert(!QuantileWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)),
+      "compaction forgot a committed batch id")
+    // a genuinely new id still folds
+    assert(QuantileWarehouse.refreshTxn(spark,
+      e.filter(QuantileWarehouse.isBaseEvent).limit(50), p, batchId = Some(8L)))
   }
 
   test("RETRACT: negative deltas + compact == rebuild-on-survivors, bit-for-bit") {

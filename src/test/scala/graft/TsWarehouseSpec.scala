@@ -164,6 +164,76 @@ class TsWarehouseSpec extends GraftSpec {
       s"expected only the populated zero-sum key, got $merged")
   }
 
+  test("recent-window probe skips pre-window generations AT THE LOG and stays exact") {
+    val path = TsWarehouse.builtWeeklyPath(spark, Dir)
+    val snap = sources.CommitLog.snapshot(spark, path)
+    // the latest day answers from the log (zero scans) and the cutoff
+    // proves weeks 0-2 empty: events span Jan 1-30, so the trailing-7
+    // cutoff is Jan 24 — gens 0 (Jan 1-7), 1 (8-14), 2 (15-21) prune;
+    // 3 (22-28) and 4 (29-30) survive
+    assert(snap.statsMax(path, "date").contains("2024-01-30"))
+    val (kept, pruned) = snap.partitionGens(path, "date", Some("2024-01-24"), None)
+    assert(pruned == Seq(0L, 1L, 2L) && kept == Seq(3L, 4L),
+      s"expected weeks 0-2 skipped: kept=$kept pruned=$pruned")
+    val probe = TsWarehouse.recentWindow(spark, path, days = 7)
+    // the skipped generations never reach the plan
+    val files = probe.inputFiles.toSeq
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/gen-3/") || f.contains("/gen-4/")),
+      s"pruned generations leaked into the probe scan: $files")
+    // exactness: the skip-served rows equal the unskipped filtered fold
+    val want = TsWarehouse.mergedDaily(spark, path)
+      .filter(col("date") >= lit("2024-01-24").cast("date"))
+      .collect().map(_.toString).toSet
+    val got = probe.collect().map(_.toString).toSet
+    assert(got == want, "log-skipped window diverges from the full fold")
+    assert(got.nonEmpty)
+  }
+
+  test("recent-window stays green and prunable through retract + compact") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("recent")
+    TsWarehouse.materializeFrom(e.filter(TsWarehouse.weekChunk <= 2), p)
+    (3 to 4).foreach(w => TsWarehouse.refresh(spark, e.filter(TsWarehouse.weekChunk === w), p))
+    TsWarehouse.retract(spark, e.filter(TsWarehouse.isRetractedEvent), p)
+    def recent(): Set[String] =
+      TsWarehouse.recentWindow(spark, p, days = 7).collect().map(_.toString).toSet
+    val before = recent()
+    // oracle: rebuild on survivors, filtered the same way
+    val b = tmp("recent-ref")
+    TsWarehouse.materializeFrom(e.filter(!TsWarehouse.isRetractedEvent), b)
+    assert(before == TsWarehouse.recentWindow(spark, b, days = 7)
+      .collect().map(_.toString).toSet,
+      "retracted recent window diverges from rebuild-on-survivors")
+    // compact folds to ONE generation that still carries date stats —
+    // the probe keeps working (nothing prunable, but statsMax intact)
+    TsWarehouse.compact(spark, p)
+    assert(recent() == before, "compaction changed the recent window")
+    assert(sources.CommitLog.snapshot(spark, p).statsMax(p, "date").nonEmpty,
+      "compact must re-record date stats or the probe dies")
+  }
+
+  test("streaming exactly-once: a redelivered committed batch folds nothing, even after compact") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("xonce")
+    TsWarehouse.materializeFrom(e.filter(TsWarehouse.isBaseEvent), p)
+    val batch = e.filter(!TsWarehouse.isBaseEvent)
+    assert(TsWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)))
+    val after = rowsOf(p)
+    // redelivery: the committed `.stream` id makes the verb fold NOTHING
+    assert(!TsWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)),
+      "redelivered committed batch must skip")
+    assert(rowsOf(p) == after, "redelivery changed the rollup")
+    // compaction folds the id part without forgetting ids
+    TsWarehouse.compact(spark, p)
+    assert(rowsOf(p) == after, "compaction changed the rollup")
+    assert(!TsWarehouse.refreshTxn(spark, batch, p, batchId = Some(7L)),
+      "compaction forgot a committed batch id")
+    // a genuinely new id still folds
+    assert(TsWarehouse.refreshTxn(spark,
+      e.filter(TsWarehouse.isBaseEvent).limit(50), p, batchId = Some(8L)))
+  }
+
   test("streaming refresh across micro-batches equals the one-shot fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
