@@ -89,29 +89,24 @@ object QuantileWarehouse {
     assert(done, "unreachable: un-id'd refreshes never skip")
   }
 
-  private def streamIdPath(path: String): String = s"$path.stream"
-
   /** The refresh transaction body, optionally committing a STREAM
     * BATCH ID as one more part of the SAME transaction — the
-    * exactly-once rung the Bm25 twin introduced (round 12), now on
-    * the second member VERDICT-r11 ask #6 named: the id commits
-    * atomically WITH the histogram deltas, so an at-least-once
-    * redelivery whose external marker was lost (crash between txn
-    * commit and marker write) still folds NOTHING — the committed
-    * `.stream` part is the ground truth.  Returns false when
-    * `batchId` is already committed.  The duplicate check is one
-    * filter over the KB-scale id part (one row per folded batch;
-    * compact folds its generations back to one without forgetting). */
+    * exactly-once rung the Bm25 twin introduced (round 12), shared
+    * machinery in StreamTwin: the id commits atomically WITH the
+    * histogram deltas, so an at-least-once redelivery whose external
+    * marker was lost (crash between txn commit and marker write)
+    * still folds NOTHING — the committed `.stream` part is the ground
+    * truth.  Returns false when `batchId` is already committed.  The
+    * dup-check snapshot is taken only on the id'd path — a plain
+    * refresh pays no extra log listing (review r12b). */
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean = {
-    val snap = CommitLog.snapshot(spark, path)
-    val seen = batchId.exists(id => snap.readOpt(streamIdPath(path))
-      .exists(_.filter(col("batch_id") === id).limit(1).count() > 0))
+    val seen = batchId.exists(id => graft.sources.StreamTwin.seenBatch(
+      CommitLog.snapshot(spark, path), path, id))
     if (seen) return false
     CommitLog.transaction(spark, path) { t =>
       t.append(deltas(batch), path, Seq("date"), statsCols = DateStats)
-      batchId.foreach(id => t.append(
-        spark.range(1).select(lit(id).as("batch_id")), streamIdPath(path)))
+      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
     true
   }
@@ -142,8 +137,7 @@ object QuantileWarehouse {
       t.replace(merged, path, Seq("date"), statsCols = DateStats)
       // the streaming twin's id part folds to one generation WITHOUT
       // forgetting ids — replay protection survives compaction
-      snap.readOpt(streamIdPath(path)).foreach(ids =>
-        t.replace(ids.distinct(), streamIdPath(path)))
+      graft.sources.StreamTwin.compactIds(snap, t, path)
     }
   }
 
@@ -165,10 +159,10 @@ object QuantileWarehouse {
       .readWhere(path, "date", Some(start), Some(end))
       .map(_.select(col("date").cast("date").as("date"), col("denom"),
         col("q"), col("c")))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "date DATE, denom STRING, q BIGINT, c BIGINT")))
+      // every generation pruned: empty result of the ONE delta schema
+      // (histRead defines it; generations exist whenever pruning
+      // emptied the kept set, so the limit(0) read cannot throw)
+      .getOrElse(histRead(spark, path).limit(0))
 
   /** The shared quantile tail: delta rows (already date-filtered by
     * the caller) → per-denom p50/p90/p99 of the quantized prices.
@@ -253,28 +247,9 @@ object QuantileWarehouse {
     * trap); and the log self-prunes via the count-triggered
     * checkpoint, so nothing in the loop grows with stream length. */
   def streamingRefresh(events: DataFrame, path: String,
-      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(checkpointEvery > 0,
-      s"checkpointEvery must be positive, got $checkpointEvery")
-    val markers = s"$path.batchid"
-    graft.sources.BatchMarkers.ensureLineage(events.sparkSession,
-      s"$path.checkpoint", markers)
-    events.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$path.checkpoint")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention): an
-        // empty micro-batch would burn a write job for nothing
-        if (id > graft.sources.BatchMarkers.lastBatchId(s, markers) &&
-            !batch.isEmpty) {
-          refreshTxn(s, batch, path, batchId = Some(id))
-          graft.sources.BatchMarkers.record(s, markers, id)
-          if (CommitLog.markerCount(s, path) > checkpointEvery)
-            CommitLog.checkpoint(s, path)
-        }
-      }
-      .start()
-  }
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(events, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 
   // ---- the SKETCH lane: per-day KLL states (the unbounded-domain
   // fallback the histogram Scaladoc names).  Same layout and

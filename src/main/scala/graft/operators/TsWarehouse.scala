@@ -87,24 +87,22 @@ object TsWarehouse {
     assert(done, "unreachable: un-id'd refreshes never skip")
   }
 
-  private def streamIdPath(path: String): String = s"$path.stream"
-
   /** The refresh transaction body, optionally committing a STREAM
     * BATCH ID atomically with the delta rows — the exactly-once rung
-    * (the Bm25/Quantile pattern, third member): a redelivery whose
+    * (StreamTwin, shared with Bm25/Quantile): a redelivery whose
     * external batch marker was lost still folds NOTHING, because the
     * committed `.stream` part is the ground truth.  Returns false
-    * when `batchId` is already committed. */
+    * when `batchId` is already committed.  The dup-check snapshot is
+    * taken only on the id'd path — a plain refresh pays no extra log
+    * listing (review r12b). */
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean = {
-    val snap = graft.sources.CommitLog.snapshot(spark, path)
-    val seen = batchId.exists(id => snap.readOpt(streamIdPath(path))
-      .exists(_.filter(col("batch_id") === id).limit(1).count() > 0))
+    val seen = batchId.exists(id => graft.sources.StreamTwin.seenBatch(
+      graft.sources.CommitLog.snapshot(spark, path), path, id))
     if (seen) return false
     graft.sources.CommitLog.transaction(spark, path) { t =>
       t.append(deltas(batch), path, statsCols = DateStats)
-      batchId.foreach(id => t.append(
-        spark.range(1).select(lit(id).as("batch_id")), streamIdPath(path)))
+      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
     true
   }
@@ -135,8 +133,7 @@ object TsWarehouse {
       t.replace(foldedDeltas(spark, path), path, statsCols = DateStats)
       // the streaming twin's id part folds to one generation WITHOUT
       // forgetting ids — replay protection survives compaction
-      snap.readOpt(streamIdPath(path)).foreach(ids =>
-        t.replace(ids.distinct(), streamIdPath(path)))
+      graft.sources.StreamTwin.compactIds(snap, t, path)
     }
     // physical reclaim is CommitLog.vacuum on the caller's retention
     // cadence — never inline here, so a probe snapshot pinned before
@@ -263,7 +260,18 @@ object TsWarehouse {
     * the skipped generations never reach the plan).  The real filter
     * still applies on the kept generations, so the result equals the
     * unskipped read row for row — ORACLED against the daily SQL with
-    * the identical trailing-window predicate. */
+    * the identical trailing-window predicate.
+    *
+    * ANCHOR CONTRACT (review r12b): the window anchors on the newest
+    * date ever INGESTED — stats are retraction-agnostic (negated
+    * deltas carry the same dates), so retracting the entire tail does
+    * NOT slide the window back; the probe then faithfully reports an
+    * empty (or thinner) recent window until `compact` re-records
+    * stats from the folded survivors.  That is the right monitoring
+    * semantics: an alerter must say "the last week has no surviving
+    * data", never silently re-anchor onto week-old data and call it
+    * recent.  (TsWarehouseSpec pins the tail-retraction case and the
+    * compact heal.) */
   def recentWindow(spark: SparkSession, path: String, days: Int = 7): DataFrame = {
     require(days >= 1, s"window must be at least one day, got $days")
     val snap = graft.sources.CommitLog.snapshot(spark, path)
@@ -312,25 +320,7 @@ object TsWarehouse {
     * I/O).  TsWarehouseSpec drives a MemoryStream in two batches ==
     * the one-shot fold, plus a redelivered committed batch. */
   def streamingRefresh(events: DataFrame, path: String,
-      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(checkpointEvery > 0,
-      s"checkpointEvery must be positive, got $checkpointEvery")
-    val markers = s"$path.batchid"
-    graft.sources.BatchMarkers.ensureLineage(events.sparkSession,
-      s"$path.checkpoint", markers)
-    events.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$path.checkpoint")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (id > graft.sources.BatchMarkers.lastBatchId(s, markers) &&
-            !batch.isEmpty) {
-          refreshTxn(s, batch, path, batchId = Some(id))
-          graft.sources.BatchMarkers.record(s, markers, id)
-          if (graft.sources.CommitLog.markerCount(s, path) > checkpointEvery)
-            graft.sources.CommitLog.checkpoint(s, path)
-        }
-      }
-      .start()
-  }
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(events, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 }

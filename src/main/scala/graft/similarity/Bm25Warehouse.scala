@@ -125,23 +125,22 @@ object Bm25Warehouse {
     assert(done, "unreachable: un-id'd refreshes never skip")
   }
 
-  private def streamIdPath(path: String): String = s"$path.stream"
-
   /** The refresh transaction body, optionally committing a STREAM
     * BATCH ID as one more part of the SAME transaction — the
     * exactly-once move the streaming twin rides (round 12, VERDICT-r11
-    * ask #6): because the id commits atomically WITH the data, an
-    * at-least-once redelivery whose external marker was lost (the
-    * crash window between txn commit and marker write) still skips —
-    * the committed `.stream` part is the ground truth.  Returns false
-    * (and folds NOTHING) when `batchId` is already committed.  The
-    * duplicate check is one filter over the KB-scale id part (one row
-    * per folded batch; compact folds its generations back to one). */
+    * ask #6; shared machinery in StreamTwin): because the id commits
+    * atomically WITH the data, an at-least-once redelivery whose
+    * external marker was lost (the crash window between txn commit and
+    * marker write) still skips — the committed `.stream` part is the
+    * ground truth.  Returns false (and folds NOTHING) when `batchId`
+    * is already committed.  (Unlike the Ts/Quantile twins this member
+    * needs the snapshot on the plain path too — the stats-scalar read
+    * below — so it is taken unconditionally.) */
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean = {
     val snap = CommitLog.snapshot(spark, path)
-    val seen = batchId.exists(id => snap.readOpt(streamIdPath(path))
-      .exists(_.filter(col("batch_id") === id).limit(1).count() > 0))
+    val seen = batchId.exists(id =>
+      graft.sources.StreamTwin.seenBatch(snap, path, id))
     if (seen) return false
     val (postings, dfd, n, sl) = contribution(batch)
     val st = snap.read(statsPath(path)).head()
@@ -150,8 +149,7 @@ object Bm25Warehouse {
       t.append(dfd.withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
       t.replace(statsFrame(spark, st.getLong(0) + n, st.getLong(1) + sl),
         statsPath(path))
-      batchId.foreach(id => t.append(
-        spark.range(1).select(lit(id).as("batch_id")), streamIdPath(path)))
+      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
     true
   }
@@ -229,8 +227,7 @@ object Bm25Warehouse {
       // the streaming twin's id part folds to one generation here —
       // ids stay individually queryable (the exactly-once contains
       // check), only the per-batch generation count resets
-      snap.readOpt(streamIdPath(path)).foreach(ids =>
-        t.replace(ids.distinct(), streamIdPath(path)))
+      graft.sources.StreamTwin.compactIds(snap, t, path)
     }
   }
 
@@ -339,26 +336,9 @@ object Bm25Warehouse {
     * cycle — marker files stay <= checkpointEvery + 1 at ANY stream
     * length (spec-pinned). */
   def streamingRefresh(docs: DataFrame, path: String,
-      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(checkpointEvery > 0,
-      s"checkpointEvery must be positive, got $checkpointEvery")
-    val markers = s"$path.batchid"
-    graft.sources.BatchMarkers.ensureLineage(docs.sparkSession,
-      s"$path.checkpoint", markers)
-    docs.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$path.checkpoint")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        if (id > graft.sources.BatchMarkers.lastBatchId(s, markers) &&
-            !batch.isEmpty) {
-          refreshTxn(s, batch, path, batchId = Some(id))
-          graft.sources.BatchMarkers.record(s, markers, id)
-          if (graft.sources.CommitLog.markerCount(s, path) > checkpointEvery)
-            graft.sources.CommitLog.checkpoint(s, path)
-        }
-      }
-      .start()
-  }
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(docs, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 
   /** The probe's ONLINE twin — decontamination in flight: each arriving
     * micro-batch of docs scores against the index inside foreachBatch.

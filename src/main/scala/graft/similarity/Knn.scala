@@ -562,7 +562,7 @@ object Knn {
     * corpus size.  Multi-probe's candidate pool is a superset of
     * single-probe's, so its recall row can only be ≥ — the Lv et al.
     * lever made measurable (spec-pinned).  No SQL oracle (the LSH
-    * class); KnnGraphSpec pins the intersection arithmetic against an
+    * class); DedupSpec pins the intersection arithmetic against an
     * independently-computed join and the superset inequality. */
   def recallReport(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {

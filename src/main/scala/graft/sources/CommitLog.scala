@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions.{col, max, min}
-import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, TimestampNTZType}
 
 /** The ATOMIC MULTI-FILE COMMIT protocol for warehouse maintenance —
   * the generalization of EdgeWarehouse's commit-marker (round 10) to
@@ -177,10 +177,17 @@ object CommitLog {
 
   /** The stat kind a column's type folds under — None means the type
     * carries no orderable stats contract here (callers must not
-    * request stats on it). */
+    * request stats on it).  TimestampType (the tz-AWARE one) is
+    * deliberately refused: its cast-to-string renders in the SESSION
+    * time zone at write time, so a probe under a different session tz
+    * would compare bounds lexically across zones and could prune a
+    * generation that holds matching rows — silently wrong results.
+    * Callers wanting instant stats pass unix micros (numeric);
+    * TimestampNTZ is wall-clock and renders tz-independently, so its
+    * lexical contract holds (review r12b). */
   private def statKindOf(dt: DataType): Option[String] = dt match {
     case _: NumericType => Some("num")
-    case DateType | StringType | TimestampType | TimestampNTZType => Some("lex")
+    case DateType | StringType | TimestampNTZType => Some("lex")
     case _ => None
   }
 
@@ -209,7 +216,11 @@ object CommitLog {
   private def decodeStats(field: String): Map[String, ColStats] =
     if (field.isEmpty) Map.empty
     else field.split(';').map { item =>
-      val p = item.split('~')
+      // limit -1: an empty-string min/max encodes to an EMPTY b64
+      // token, and the default split drops trailing empties — the
+      // 4th field must survive or one all-empty-string batch would
+      // poison every later parse of the log (review r12b)
+      val p = item.split("~", -1)
       p(0) -> ColStats(p(1), b64d(p(2)), b64d(p(3)))
     }.toMap
 

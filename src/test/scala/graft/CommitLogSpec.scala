@@ -405,6 +405,25 @@ class CommitLogSpec extends GraftSpec {
     assert(kept2.contains(2L), "zero-row write must stay un-prunable")
   }
 
+  test("empty-string stat values round-trip — one all-empty batch must not poison the log (review r12b)") {
+    val base = tmp("skipempty")
+    val s = spark
+    import s.implicits._
+    // min = max = "" encodes to EMPTY b64 tokens: the wire parse must
+    // keep trailing empty fields or every later snapshot of this base
+    // throws, bricking reads AND writes
+    CommitLog.transaction(spark, base)(_.append(
+      Seq("", "").toDF("t"), base, statsCols = Seq("t")))
+    val snap = CommitLog.snapshot(spark, base) // must not throw
+    assert(snap.statsMax(base, "t").contains(""))
+    // pruning over the empty-string bounds stays correct ("" < "a")
+    val (kept, pruned) = snap.partitionGens(base, "t", Some("a"), None)
+    assert(kept.isEmpty && pruned == Seq(0L))
+    // and the log keeps accepting transactions
+    CommitLog.transaction(spark, base)(_.append(Seq("x").toDF("t"), base))
+    assert(CommitLog.snapshot(spark, base).read(base).count() == 3)
+  }
+
   test("stats survive the log checkpoint verbatim; statsMax answers from the log") {
     val base = tmp("skipckpt")
     CommitLog.transaction(spark, base)(_.replace(

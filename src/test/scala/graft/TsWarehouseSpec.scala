@@ -213,6 +213,36 @@ class TsWarehouseSpec extends GraftSpec {
       "compact must re-record date stats or the probe dies")
   }
 
+  test("anchor contract: tail retraction does NOT slide the window back; compact heals (review r12b)") {
+    val s = spark
+    import s.implicits._
+    def ev(day: Int, et: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00"), et, v)
+    val early = (1 to 10).map(d => ev(d, "steady", 1.0))
+    val tail = (25 to 30).map(d => ev(d, "burst", 2.0))
+    val p = tmp("anchor")
+    TsWarehouse.materializeFrom(early.toDF("ts", "event_type", "value"), p)
+    TsWarehouse.refresh(spark, tail.toDF("ts", "event_type", "value"), p)
+    // retract the ENTIRE tail: the anchor stays at the newest date
+    // ever ingested (stats are retraction-agnostic), so the trailing
+    // window is honestly EMPTY — never silently re-anchored onto
+    // week-old data
+    TsWarehouse.retract(spark, tail.toDF("ts", "event_type", "value"), p)
+    assert(sources.CommitLog.snapshot(spark, p).statsMax(p, "date")
+      .contains("2024-03-30"))
+    assert(TsWarehouse.recentWindow(spark, p, days = 5).isEmpty,
+      "a fully-retracted tail must read as an empty recent window")
+    // compact folds to the survivors and re-records stats from them:
+    // the anchor heals onto the newest SURVIVING date
+    TsWarehouse.compact(spark, p)
+    assert(sources.CommitLog.snapshot(spark, p).statsMax(p, "date")
+      .contains("2024-03-10"), "compact must re-anchor stats on survivors")
+    val healed = TsWarehouse.recentWindow(spark, p, days = 5).collect()
+      .map(r => r.getDate(0).toString).toSet
+    assert(healed == (6 to 10).map(d => f"2024-03-$d%02d").toSet,
+      s"post-compact window must anchor on surviving data: $healed")
+  }
+
   test("streaming exactly-once: a redelivered committed batch folds nothing, even after compact") {
     val e = Tables(spark, Dir).events
     val p = tmp("xonce")
