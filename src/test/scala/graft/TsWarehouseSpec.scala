@@ -213,6 +213,32 @@ class TsWarehouseSpec extends GraftSpec {
       "compact must re-record date stats or the probe dies")
   }
 
+  test("probe scan set is bounded by the WINDOW, not by history: 30 daily generations") {
+    val e = Tables(spark, Dir).events
+    val p = tmp("daily")
+    // a month of daily ingest cadence — 30 single-day generations,
+    // the history-grows-forever regime the skip exists for
+    TsWarehouse.materializeFrom(e.filter(dayofmonth(col("ts")) === 1), p)
+    (2 to 30).foreach(d =>
+      TsWarehouse.refresh(spark, e.filter(dayofmonth(col("ts")) === d), p))
+    val snap = sources.CommitLog.snapshot(spark, p)
+    val (kept, pruned) = snap.partitionGens(p, "date", Some("2024-01-24"), None)
+    assert(kept.size == 7 && pruned.size == 23,
+      s"trailing-7 over 30 daily gens must keep 7: kept=$kept")
+    val probe = TsWarehouse.recentWindow(spark, p, days = 7)
+    val scannedGens = probe.inputFiles
+      .map(f => f.split("/gen-")(1).split("/")(0).toLong).toSet
+    assert(scannedGens == kept.toSet,
+      s"probe must list EXACTLY the window's generations: $scannedGens")
+    // and the skip-served rows equal the week-cadence build's — the
+    // ingest batching is invisible to the result (associativity)
+    val want = TsWarehouse.recentWindow(spark,
+      TsWarehouse.builtWeeklyPath(spark, Dir), days = 7)
+      .collect().map(_.toString).toSet
+    assert(probe.collect().map(_.toString).toSet == want,
+      "daily-cadence window diverges from the weekly-cadence build's")
+  }
+
   test("anchor contract: tail retraction does NOT slide the window back; compact heals (review r12b)") {
     val s = spark
     import s.implicits._
