@@ -545,6 +545,10 @@ object SparkEntry {
           TrainWarehouse.materialize(s, d, _)))),
     "t_redact" -> (TrainPrep.redact _),
     "t_pack" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
+    // the packing-efficiency telemetry off the same stream frame —
+    // per shard: chunks, tokens, ceil-div sequence count, boundary
+    // straddlers (attention-masking seams), integer-ppm fill rate
+    "t_pack_stats" -> ((s: SparkSession, d: String) => TrainPrep.packStats(s, d)),
     "d_decontaminate" -> ((s: SparkSession, d: String) => TrainPrep.decontaminate(s, d)),
     "d_contamination_report" -> ((s: SparkSession, d: String) => TrainPrep.contaminationReport(s, d)),
     "d_corpus_funnel" -> ((s: SparkSession, d: String) => TrainPrep.corpusFunnel(s, d)),
@@ -659,6 +663,9 @@ object SparkEntry {
     "t_langid" -> (TextAnalysis.langId _),
     "t_quality" -> (TextAnalysis.quality _),
     "t_tokens" -> (TextAnalysis.tokens _),
+    // tokenizer fertility by language (regex tokens per whitespace
+    // word, integer ppm) — the per-language encoding-cost metric
+    "t_fertility" -> (TextAnalysis.fertility _),
     // Gopher-style heuristic gate (rule flags + conjunction) and the
     // unigram-entropy repetition signal — the two published-filter
     // legs t_quality's composite score doesn't cover
@@ -955,6 +962,24 @@ object SparkEntry {
        |  AND s.kept = 1 AND r.repetitive = 0 AS BIGINT) AS keep
        |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
        |JOIN r ON r.doc_id = c.doc_id JOIN s ON s.doc_id = c.doc_id""".stripMargin
+
+  // Hoisted t_pack CTE chain (chunking + shard layout + per-shard
+  // running sum), shared VERBATIM by t_pack and t_pack_stats — a
+  // packing-layout change must hit both or neither.
+  private lazy val TPackCtesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |c AS (SELECT doc_id, a,
+      |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM w),
+      |x AS (SELECT doc_id, a, i AS chunk_id
+      |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t),
+      |chunks AS (SELECT doc_id, chunk_id,
+      |CAST(len(a[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens FROM x),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents),
+      |layout AS (SELECT doc_id, h % 8 AS shard,
+      |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM h),
+      |s AS (SELECT c.doc_id, c.chunk_id, l.shard, l.pos, c.n_tokens,
+      |sum(c.n_tokens) OVER (PARTITION BY l.shard ORDER BY l.pos, c.chunk_id) - c.n_tokens AS stream_offset
+      |FROM chunks c JOIN layout l ON c.doc_id = l.doc_id)""".stripMargin
 
   private val DAILY =
     s"SELECT CAST(ts AS DATE) AS date, event_type AS denom, ${SUMX("value")} AS vol, " +
@@ -2135,23 +2160,27 @@ object SparkEntry {
         |CAST(CASE WHEN b.bucket < r.keep_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM b JOIN r USING (source)""".stripMargin,
     // packing = the t_chunk body joined to the d_train_shards body +
-    // one per-shard running sum; all-integer math, 256-token sequences
+    // one per-shard running sum; all-integer math, 256-token
+    // sequences.  The CTE chain is hoisted (TPackCtesSql) and shared
+    // VERBATIM by the packing-efficiency report below.
     "t_pack" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |c AS (SELECT doc_id, a,
-        |CASE WHEN len(a) <= 64 THEN 1 ELSE 1 + (len(a) - 64 + 47) // 48 END AS n_chunks FROM w),
-        |x AS (SELECT doc_id, a, i AS chunk_id
-        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) t),
-        |chunks AS (SELECT doc_id, chunk_id,
-        |CAST(len(a[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens FROM x),
-        |h AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents),
-        |layout AS (SELECT doc_id, h % 8 AS shard,
-        |CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos FROM h),
-        |s AS (SELECT c.doc_id, c.chunk_id, l.shard, l.pos, c.n_tokens,
-        |sum(c.n_tokens) OVER (PARTITION BY l.shard ORDER BY l.pos, c.chunk_id) - c.n_tokens AS stream_offset
-        |FROM chunks c JOIN layout l ON c.doc_id = l.doc_id)
+      s"""WITH $TPackCtesSql
         |SELECT doc_id, chunk_id, shard, CAST(stream_offset AS BIGINT) AS stream_offset,
         |CAST(stream_offset // 256 AS BIGINT) AS seq_id FROM s""".stripMargin,
+    // the packing-efficiency telemetry off the same stream frame:
+    // all-integer (ceil-div sequence count, boundary-straddler count,
+    // ppm fill rate), so the report hash-matches exactly
+    "t_pack_stats" ->
+      s"""WITH $TPackCtesSql,
+        |t AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+        |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |CAST(sum(CASE WHEN stream_offset // 256 <> (stream_offset + n_tokens - 1) // 256
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        |FROM s GROUP BY 1)
+        |SELECT shard, n_chunks, n_tokens,
+        |CAST((n_tokens + 255) // 256 AS BIGINT) AS n_seqs, n_straddlers,
+        |CAST(n_tokens * 1000000 // (((n_tokens + 255) // 256) * 256) AS BIGINT) AS fill_ppm
+        |FROM t""".stripMargin,
     "d_decontaminate" ->
       """WITH docs AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
         |string_split(text, ' ') AS a FROM documents),
@@ -2397,6 +2426,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
         |CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""".stripMargin,
+    // per-lang aggregate of the t_tokens measures; the ratio stays
+    // integer (ppm DIV), so the report hash-matches exactly
+    "t_fertility" ->
+      """WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re
+        |FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(re) AS BIGINT) AS re_tokens,
+        |CAST(CAST(sum(re) AS BIGINT) * 1000000 // CAST(sum(ws) AS BIGINT) AS BIGINT) AS fertility_ppm
+        |FROM x GROUP BY 1""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |list_reduce(list_prepend(CAST(0 AS BIGINT),

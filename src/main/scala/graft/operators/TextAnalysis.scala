@@ -78,6 +78,28 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars_computed"))
   }
 
+  /** Registered `t_fertility`: TOKENIZER FERTILITY by language —
+    * regex-tokenizer tokens per whitespace word, the standard measure
+    * of how expensively a tokenizer encodes each language (fertility
+    * ~1 = near word-level; high fertility = the language pays more
+    * sequence positions per word, which skews both training cost and
+    * effective context length — the metric multilingual-corpus teams
+    * track per release).  Pure single-pass column math + one tiny
+    * (lang)-keyed aggregate; the ratio is integer ppm (LONG DIV), so
+    * the report is hash-exact — ORACLED.  Per-doc regex tokens ≥
+    * whitespace words (every word contains at least one token
+    * character), so fertility_ppm ≥ 1,000,000 (spec-pinned). */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        size(words(col("text"))).cast("long").as("ws"),
+        regexTokenCount(col("text")).cast("long").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
+        expr("re_tokens * 1000000 DIV ws_tokens").as("fertility_ppm"))
+
   /** Gopher-style quality rule flags (Rae et al. 2021 §A1.1: the
     * repetition-free heuristic gate MassiveText applies before any
     * model-based scoring).  Six measures, each with its published-

@@ -258,7 +258,16 @@ object TrainPrep {
     * reproduces the identical packing — the property that makes a
     * training run resumable from any step count. */
   def packSequences(spark: SparkSession, dir: String,
-      seqLen: Int = 256): DataFrame = {
+      seqLen: Int = 256): DataFrame =
+    packedChunks(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("stream_offset"),
+        floor(col("stream_offset") / lit(seqLen.toLong)).cast("long").as("seq_id"))
+
+  /** The packing's inner frame — (doc_id, chunk_id, shard, n_tokens,
+    * stream_offset) — shared by the registered layout (packSequences)
+    * and its efficiency report (packStats). */
+  private def packedChunks(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunkDocs(spark, dir)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
     val layout = trainShards(spark, dir)
@@ -266,10 +275,36 @@ object TrainPrep {
     chunks.join(layout, Seq("doc_id"))
       .withColumn("stream_offset",
         (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
-      .select(col("doc_id"), col("chunk_id"), col("shard"),
-        col("stream_offset"),
-        floor(col("stream_offset") / lit(seqLen.toLong)).cast("long").as("seq_id"))
+      .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_tokens"),
+        col("stream_offset"))
   }
+
+  /** Registered `t_pack_stats`: the PACKING EFFICIENCY report — the
+    * telemetry a training-data team reads before every run: per shard,
+    * how many chunks and tokens the stream holds, how many
+    * `seqLen`-token sequences it fills (ceil division), how many
+    * chunks STRADDLE a sequence boundary (each straddler is an
+    * attention-masking seam — the packing-quality number), and the
+    * fill rate of the final layout in integer ppm (the tail sequence's
+    * padding is the only waste under back-to-back packing).
+    * All-integer math over packSequences' own inner frame, so the
+    * report is hash-exact and composes the t_pack oracle body
+    * VERBATIM — a packing-layout change must hit both or neither
+    * (the corpus-funnel hoisting discipline). */
+  def packStats(spark: SparkSession, dir: String,
+      seqLen: Int = 256): DataFrame =
+    packedChunks(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum((expr(s"stream_offset DIV $seqLen") =!=
+          expr(s"(stream_offset + n_tokens - 1) DIV $seqLen")).cast("long"))
+          .as("n_straddlers"))
+      .select(col("shard"), col("n_chunks"), col("n_tokens"),
+        expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen").as("n_seqs"),
+        col("n_straddlers"),
+        expr(s"n_tokens * 1000000 DIV (((n_tokens + ${seqLen - 1}) DIV $seqLen) * $seqLen)")
+          .as("fill_ppm"))
 
   /** Benchmark decontamination: flag train-split docs sharing any word
     * n-gram with the held-out test split (the GPT-3 appendix-C /

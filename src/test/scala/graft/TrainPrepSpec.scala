@@ -136,6 +136,59 @@ class TrainPrepSpec extends GraftSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("pack stats agree with a driver-side recomputation off the packing itself") {
+    val stats = operators.TrainPrep.packStats(spark, Dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("n_straddlers"),
+          r.getAs[Long]("fill_ppm"))).toMap
+    val chunkTokens = operators.TrainPrep.chunkDocs(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) -> r.getAs[Long]("n_tokens"))
+      .toMap
+    val packed = operators.TrainPrep.packSequences(spark, Dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("stream_offset"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    val byShard = packed.groupBy(_._1)
+    assert(stats.keySet == byShard.keySet)
+    byShard.foreach { case (shard, rs) =>
+      val toks = rs.map(r => chunkTokens((r._3, r._4)))
+      val nTokens = toks.sum
+      val nSeqs = (nTokens + 255) / 256
+      val straddlers = rs.count { r =>
+        val t = chunkTokens((r._3, r._4))
+        r._2 / 256 != (r._2 + t - 1) / 256
+      }
+      val fill = nTokens * 1000000L / (nSeqs * 256L)
+      assert(stats(shard) == ((rs.length.toLong, nTokens, nSeqs,
+        straddlers.toLong, fill)),
+        s"shard $shard stats diverge: ${stats(shard)}")
+      // back-to-back packing wastes only the tail sequence's padding
+      assert(fill > 900000L && fill <= 1000000L,
+        s"shard $shard fill rate $fill out of the back-to-back band")
+    }
+  }
+
+  test("fertility: per-lang aggregate of the t_tokens measures; regex >= whitespace") {
+    val rows = operators.TextAnalysis.fertility(spark, Dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("re_tokens"), r.getAs[Long]("fertility_ppm"))).toMap
+    val docs = operators.TextAnalysis.tokens(spark, Dir)
+      .join(sources.Tables(spark, Dir).documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("ws_tokens"), r.getAs[Long]("re_tokens")))
+    val byLang = docs.groupBy(_._1)
+    assert(rows.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val (ws, re) = (ds.map(_._2).sum, ds.map(_._3).sum)
+      assert(rows(lang) == ((ds.length.toLong, ws, re, re * 1000000L / ws)),
+        s"$lang fertility diverges")
+      // every whitespace word holds >= 1 token character, so the
+      // regex tokenization can only refine: fertility >= 1.0
+      assert(rows(lang)._4 >= 1000000L, s"$lang fertility below 1.0")
+    }
+  }
+
   test("shard ordinals are dense 1..count per shard") {
     val bad = TrainPrep.trainShards(spark, Dir)
       .groupBy(col("shard"))
