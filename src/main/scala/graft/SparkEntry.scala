@@ -963,6 +963,11 @@ object SparkEntry {
        |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
        |JOIN r ON r.doc_id = c.doc_id JOIN s ON s.doc_id = c.doc_id""".stripMargin
 
+  // Hoisted regex-tokenizer pattern (mirrors TextFunctions
+  // .regexTokenCount), shared VERBATIM by t_tokens and t_fertility —
+  // a tokenizer change must hit both oracles or neither.
+  private val TokenRegexSql = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'"
+
   // Hoisted t_pack CTE chain (chunking + shard layout + per-shard
   // running sum), shared VERBATIM by t_pack and t_pack_stats — a
   // packing-layout change must hit both or neither.
@@ -2423,14 +2428,16 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_distinct,
         |round(ln(n_tokens) + clog / n_tokens, 6) AS entropy FROM d""".stripMargin,
     "t_tokens" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, $TokenRegexSql)) AS BIGINT) AS re_tokens,
         |CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""".stripMargin,
-    // per-lang aggregate of the t_tokens measures; the ratio stays
-    // integer (ppm DIV), so the report hash-matches exactly
+    // per-lang aggregate of the t_tokens measures (the regex is the
+    // hoisted TokenRegexSql — a tokenizer change hits both queries or
+    // neither); the ratio stays integer (ppm DIV) so the report
+    // hash-matches exactly
     "t_fertility" ->
-      """WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
-        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re
+      s"""WITH x AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |CAST(len(regexp_extract_all(text, $TokenRegexSql)) AS BIGINT) AS re
         |FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(re) AS BIGINT) AS re_tokens,

@@ -86,9 +86,14 @@ object TextAnalysis {
     * effective context length — the metric multilingual-corpus teams
     * track per release).  Pure single-pass column math + one tiny
     * (lang)-keyed aggregate; the ratio is integer ppm (LONG DIV), so
-    * the report is hash-exact — ORACLED.  Per-doc regex tokens ≥
-    * whitespace words (every word contains at least one token
-    * character), so fertility_ppm ≥ 1,000,000 (spec-pinned). */
+    * the report is hash-exact — ORACLED.  On single-spaced text every
+    * whitespace word holds ≥ 1 token character, so regex tokens ≥
+    * whitespace words and fertility_ppm ≥ 1,000,000 — a property of
+    * the corpus contract, not of arbitrary text (consecutive spaces
+    * would produce empty "words"; review r12b).  The synthetic corpus
+    * is punctuation-free, so it reads exactly 1.0 per language — the
+    * registered value exercises the mechanism and the oracle; the
+    * separation shows on real multilingual text. */
   def fertility(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("lang"),

@@ -183,8 +183,10 @@ class TrainPrepSpec extends GraftSpec {
       val (ws, re) = (ds.map(_._2).sum, ds.map(_._3).sum)
       assert(rows(lang) == ((ds.length.toLong, ws, re, re * 1000000L / ws)),
         s"$lang fertility diverges")
-      // every whitespace word holds >= 1 token character, so the
-      // regex tokenization can only refine: fertility >= 1.0
+      // on THIS corpus's single-spaced text every whitespace word
+      // holds >= 1 token character, so the regex tokenization can
+      // only refine: fertility >= 1.0 (a corpus-contract property —
+      // consecutive spaces would produce empty "words"; review r12b)
       assert(rows(lang)._4 >= 1000000L, s"$lang fertility below 1.0")
     }
   }
