@@ -387,6 +387,11 @@ object SparkEntry {
     // cadence (no oracle: the LSH class; spec pins the intersection
     // arithmetic and the multi-probe ≥ single-probe superset lift)
     "s_knn_recall_report" -> ((s: SparkSession, d: String) => Knn.recallReport(s, d)),
+    // batched IVF serving — knnBatch's shape on the centroid-
+    // partitioned layout (lshBatch's analogue; no oracle: the
+    // s_knn_ivf class; spec pins query 0's slice == single-query
+    // ivfAnn and the recall-report arithmetic)
+    "s_knn_ivf_batch" -> ((s: SparkSession, d: String) => Knn.ivfBatch(s, d)),
     // the kNN GRAPH pair: exact baseline (oracled) + LSH-blocked scale
     // path (spec: exactly-once, exact cosines, recall vs brute)
     "s_knn_graph" -> ((s: SparkSession, d: String) => Knn.knnGraph(s, d)),

@@ -242,6 +242,49 @@ object Knn {
       .select(col("vec_id"), col("cos").as("cosine"), col("cid"))
   }
 
+  /** BATCHED IVF serving — knnBatch's shape on the IVF layout, the
+    * analogue of lshBatch for the centroid-partitioned index: every
+    * query ranks the K coarse centroids once (a K×|Q| broadcast-side
+    * computation, corpus never touched) and contributes its `nProbe`
+    * nearest lists to ONE broadcast probe relation carrying the query
+    * vector; the corpus joins it ON LIST EQUALITY in a single pass —
+    * a vector lives in exactly one list, so each (query, vector) pair
+    * scores at most once, no dedup stage — and per-query top-k rides
+    * WindowGroupLimit.  At rest this is IvfWarehouse's partition-
+    * pruned probeBatch; inline over the same parquet it is the
+    * serving-shape baseline.  (No SQL oracle — the s_knn_ivf class;
+    * DedupSpec pins query 0's slice == the single-query ivfAnn
+    * ranking and the recall-report arithmetic.) */
+  def ivfBatch(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val K = 16
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (refined, lists) = coarseQuantizer(e, K)
+    val queries = lists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qnrm"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
+    // (query, centroid) ranking — K×|Q| rows, entirely broadcast-side
+    val probes = refined.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cid"), col("qv"), col("qnrm"),
+        (-dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qnrm"))).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("qv"), col("qnrm"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"),
+        col("cid"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** LSH-bucketed ANN: probe the query's 4-bit hyperplane bucket,
     * sized so buckets hold ~n/16 candidates on the synthetic corpus
     * (at 100 TB: more planes + multi-probe; the plan shape is the same),
@@ -561,9 +604,12 @@ object Knn {
     * report costs one brute pass + two bucket-pruned probes at ANY
     * corpus size.  Multi-probe's candidate pool is a superset of
     * single-probe's, so its recall row can only be ≥ — the Lv et al.
-    * lever made measurable (spec-pinned).  No SQL oracle (the LSH
-    * class); DedupSpec pins the intersection arithmetic against an
-    * independently-computed join and the superset inequality. */
+    * lever made measurable (spec-pinned).  The IVF serving path rides
+    * as a third row (ivfBatch — centroid-list probing vs hyperplane
+    * buckets, the two standard ANN layouts graded side by side).  No
+    * SQL oracle (the LSH/IVF class); DedupSpec pins the intersection
+    * arithmetic against an independently-computed join and the
+    * superset inequality. */
   def recallReport(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val truth = knnBatch(spark, dir, nQueries, k)
@@ -585,7 +631,9 @@ object Knn {
             .as("recall"),
           roundx(col("worst_m").cast("double") / k, 4).as("worst_recall"))
     }
-    row("lsh", lshBatch(spark, dir, nQueries, k, multiProbe = false))
+    row("ivf", ivfBatch(spark, dir, nQueries, k))
+      .unionByName(
+        row("lsh", lshBatch(spark, dir, nQueries, k, multiProbe = false)))
       .unionByName(
         row("lsh_multiprobe", lshBatch(spark, dir, nQueries, k, multiProbe = true)))
   }

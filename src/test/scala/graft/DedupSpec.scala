@@ -163,20 +163,23 @@ class DedupSpec extends GraftSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("matched"), r.getAs[Double]("recall"),
           r.getAs[Double]("worst_recall"))).toMap
-    assert(rows.keySet == Set("lsh", "lsh_multiprobe"))
+    assert(rows.keySet == Set("ivf", "lsh", "lsh_multiprobe"))
     // independent recomputation of each method's matched count
-    def matchedOf(multiProbe: Boolean): Long = {
+    def matchedOf(approx: org.apache.spark.sql.DataFrame): Long = {
       val truth = similarity.Knn.knnBatch(spark, Dir, nQ, k)
         .select(col("query_id"), col("vec_id"))
-      truth.join(
-        similarity.Knn.lshBatch(spark, Dir, nQ, k, multiProbe)
-          .select(col("query_id"), col("vec_id")),
+      truth.join(approx.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id")).count()
     }
-    assert(rows("lsh")._1 == matchedOf(false),
+    assert(rows("lsh")._1 ==
+      matchedOf(similarity.Knn.lshBatch(spark, Dir, nQ, k, multiProbe = false)),
       "single-probe matched diverges from the independent join")
-    assert(rows("lsh_multiprobe")._1 == matchedOf(true),
+    assert(rows("lsh_multiprobe")._1 ==
+      matchedOf(similarity.Knn.lshBatch(spark, Dir, nQ, k, multiProbe = true)),
       "multi-probe matched diverges from the independent join")
+    assert(rows("ivf")._1 ==
+      matchedOf(similarity.Knn.ivfBatch(spark, Dir, nQ, k)),
+      "ivf matched diverges from the independent join")
     // the superset lever: multi-probe candidates ⊇ single-probe ⇒
     // matched (and so recall) can only be >=
     assert(rows("lsh_multiprobe")._1 >= rows("lsh")._1)
@@ -188,6 +191,26 @@ class DedupSpec extends GraftSpec {
     // the evaluation has signal on the synthetic corpus: the
     // multi-probe path finds a nonzero share of true neighbors
     assert(rows("lsh_multiprobe")._2 > 0.0)
+  }
+
+  test("batched ivf: each query's slice equals the single-query ivf ranking") {
+    val batch = similarity.Knn.ivfBatch(spark, Dir, nQueries = 3, k = 5)
+    val rowsB = batch.collect()
+    assert(rowsB.map(_.getAs[Long]("query_id")).toSet == (0L until 3L).toSet)
+    // per-query top-k must compile to WindowGroupLimit partial heaps
+    assert(batch.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // query 0's slice must equal the registered single-query IVF
+    // ranking (same coarse quantizer, same nProbe)
+    val single = similarity.Knn.ivfAnn(spark, Dir).collect().take(5)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val slice = rowsB.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(slice == single, s"batch $slice vs single $single")
+    // a vector lives in exactly one list: no (query, vector) pair
+    // scores twice
+    val pairs = rowsB.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    assert(pairs.distinct.length == pairs.length)
   }
 
   test("token rarity: hapax docs score 1.0, df bounds hold") {
