@@ -174,11 +174,15 @@ class MinHashWarehouseSpec extends GraftSpec {
       .queryExecution.sparkPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
       .flatMap(_.relation.location.rootPaths).map(_.toString)
+    // match the trailing PATH SEGMENT, not a bare substring: the
+    // random temp-dir name can itself contain "gen-<digit>" (a real
+    // flake — "graft-minhash_gen-2379…" matched contains("gen-2"))
+    val genOf = (root: String) => root.split('/').last
     val r0 = rootsOf(0L)
-    assert(r0.nonEmpty && r0.forall(_.contains("gen-0")),
+    assert(r0.nonEmpty && r0.forall(genOf(_) == "gen-0"),
       s"asOf(0) must read only gen-0 roots: $r0")
-    assert(rootsOf(1L).exists(_.contains("gen-1")) &&
-      !rootsOf(1L).exists(_.contains("gen-2")),
+    assert(rootsOf(1L).exists(genOf(_) == "gen-1") &&
+      !rootsOf(1L).exists(genOf(_) == "gen-2"),
       s"asOf(1) roots wrong: ${rootsOf(1L)}")
   }
 }
