@@ -387,6 +387,15 @@ object SparkEntry {
     // cadence (no oracle: the LSH class; spec pins the intersection
     // arithmetic and the multi-probe ≥ single-probe superset lift)
     "s_knn_recall_report" -> ((s: SparkSession, d: String) => Knn.recallReport(s, d)),
+    // the monitor AT REST (r13, ask #1): grade the MAINTAINED
+    // LshWarehouse + IvfWarehouse after refresh + retract + compact —
+    // the drifted index a production poll actually reads, each family
+    // on its own serving verb (probeBatch / rangeProbe).  No oracle
+    // (the LSH/IVF class); RecallMonitorSpec pins fresh-build ==
+    // inline recallReport, compact bit-invariance, and the retracted
+    // query id visibly shrinking the domain
+    "s_knn_recall_report_probe" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.report(s, d)),
     // batched IVF serving — knnBatch's shape on the centroid-
     // partitioned layout (lshBatch's analogue; no oracle: the
     // s_knn_ivf class; spec pins query 0's slice == single-query

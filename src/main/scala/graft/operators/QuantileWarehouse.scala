@@ -100,16 +100,9 @@ object QuantileWarehouse {
     * dup-check snapshot is taken only on the id'd path — a plain
     * refresh pays no extra log listing (review r12b). */
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
-      path: String, batchId: Option[Long]): Boolean = {
-    val seen = batchId.exists(id => graft.sources.StreamTwin.seenBatch(
-      CommitLog.snapshot(spark, path), path, id))
-    if (seen) return false
-    CommitLog.transaction(spark, path) { t =>
-      t.append(deltas(batch), path, Seq("date"), statsCols = DateStats)
-      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
-    }
-    true
-  }
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path, Seq("date"), statsCols = DateStats))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract verbatim — integer counts subtract

@@ -103,7 +103,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
       .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
-        expr("re_tokens * 1000000 DIV ws_tokens").as("fertility_ppm"))
+        // the ppm multiply runs on DECIMAL(38,0), not LONG: past ~9.2e12
+        // tokens per language a LONG re_tokens * 1e6 would wrap silently
+        // (non-ANSI) while the DuckDB oracle promotes to HUGEINT — the
+        // d_corpus_stats wide-type discipline (ADVICE r12); DIV still
+        // returns LONG, so the served schema is unchanged
+        expr("CAST(re_tokens AS DECIMAL(38,0)) * 1000000 DIV ws_tokens")
+          .as("fertility_ppm"))
 
   /** Gopher-style quality rule flags (Rae et al. 2021 §A1.1: the
     * repetition-free heuristic gate MassiveText applies before any

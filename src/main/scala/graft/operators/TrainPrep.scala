@@ -303,7 +303,10 @@ object TrainPrep {
       .select(col("shard"), col("n_chunks"), col("n_tokens"),
         expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen").as("n_seqs"),
         col("n_straddlers"),
-        expr(s"n_tokens * 1000000 DIV (((n_tokens + ${seqLen - 1}) DIV $seqLen) * $seqLen)")
+        // DECIMAL(38,0) before the ppm multiply — same overflow bound
+        // as t_fertility's fertility_ppm (ADVICE r12): a 100 TB shard
+        // stream can exceed 9.2e12 tokens, where LONG * 1e6 wraps
+        expr(s"CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV (((n_tokens + ${seqLen - 1}) DIV $seqLen) * $seqLen)")
           .as("fill_ppm"))
 
   /** Benchmark decontamination: flag train-split docs sharing any word

@@ -96,16 +96,9 @@ object TsWarehouse {
     * taken only on the id'd path — a plain refresh pays no extra log
     * listing (review r12b). */
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
-      path: String, batchId: Option[Long]): Boolean = {
-    val seen = batchId.exists(id => graft.sources.StreamTwin.seenBatch(
-      graft.sources.CommitLog.snapshot(spark, path), path, id))
-    if (seen) return false
-    graft.sources.CommitLog.transaction(spark, path) { t =>
-      t.append(deltas(batch), path, statsCols = DateStats)
-      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
-    }
-    true
-  }
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path, statsCols = DateStats))
 
   /** RETRACT — remove events from the standing rollup: append their
     * per-key (vsum, n) deltas NEGATED.  O(removed), append-only like
@@ -275,20 +268,48 @@ object TsWarehouse {
   def recentWindow(spark: SparkSession, path: String, days: Int = 7): DataFrame = {
     require(days >= 1, s"window must be at least one day, got $days")
     val snap = graft.sources.CommitLog.snapshot(spark, path)
-    val latest = snap.statsMax(path, "date").getOrElse(
+    if (snap.maxGen < 0) // a path with NO committed log stays loud
       throw new IllegalStateException(
-        s"recentWindow: no date stats on some live generation of '$path' " +
-          "(every TsWarehouse verb records them — was this built elsewhere?)"))
-    val cutoff = java.time.LocalDate.parse(latest).minusDays(days - 1L).toString
-    val kept = snap.readWhere(path, "date", Some(cutoff), None).getOrElse(
-      throw new IllegalStateException( // unreachable: the max-date gen survives
-        s"recentWindow: every generation pruned at cutoff $cutoff"))
-    kept.filter(col("date") >= lit(cutoff).cast("date"))
-      .groupBy(col("date"), col("event_type"))
-      .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
-      .filter(col("n") =!= 0)
-      .select(col("date"), col("event_type"),
-        roundx(col("vsum").cast("double"), 3).as("v"))
+        s"recentWindow: no committed generations under '$path' — not a TsWarehouse")
+    // statsMax answers from the log (zero scans) whenever every live
+    // generation recorded date stats — the normal case, since every
+    // TsWarehouse verb declares them.  Two reachable states lack them
+    // (ADVICE r12): (a) the warehouse FOLDED TO EMPTY — retract all
+    // rows then compact writes a zero-row replace, which records no
+    // stats by design; (b) a generation written outside these verbs.
+    // Both fall back to ONE scan of the folded state; an empty fold
+    // serves the probe's empty frame instead of throwing — "the last
+    // week has no surviving data" is an answer, not an error.
+    val latestOpt: Option[String] = snap.statsMax(path, "date").orElse(
+      snap.readOpt(path).flatMap { df =>
+        Option(df.groupBy(col("date"))
+          .agg(sum(col("n")).as("n")).filter(col("n") =!= 0)
+          .agg(max(col("date")).as("mx")).head().getAs[java.sql.Date]("mx"))
+          .map(_.toString)
+      })
+    latestOpt match {
+      case None => // warehouse folded to empty: the probe's empty frame
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("date",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.DoubleType))))
+      case Some(latest) =>
+        val cutoff = java.time.LocalDate.parse(latest).minusDays(days - 1L).toString
+        val kept = snap.readWhere(path, "date", Some(cutoff), None).getOrElse(
+          throw new IllegalStateException( // unreachable: the max-date gen survives
+            s"recentWindow: every generation pruned at cutoff $cutoff"))
+        kept.filter(col("date") >= lit(cutoff).cast("date"))
+          .groupBy(col("date"), col("event_type"))
+          .agg(sum(col("vsum")).as("vsum"), sum(col("n")).as("n"))
+          .filter(col("n") =!= 0)
+          .select(col("date"), col("event_type"),
+            roundx(col("vsum").cast("double"), 3).as("v"))
+    }
   }
 
   /** The slice the registered retraction removes — deliberately

@@ -83,6 +83,15 @@ object IvfWarehouse {
     Tombstones.dropDf(cands, snap.readOpt(tombPath(path)),
       key = "vec_id", tombCol = "vec_id")
 
+  /** The SURVIVING vectors at rest (vec_id, v) — the posting lists
+    * minus outstanding tombstones: the population a probe can serve,
+    * which is exactly the population the at-rest recall monitor must
+    * grade ground truth over (RecallMonitor). */
+  private[similarity] def standingVectors(spark: SparkSession, path: String): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
+    live(snap, snap.read(path), path).select(col("vec_id"), col("v"))
+  }
+
   /** The frozen coarse codebook at rest — shared with the SemDeDup
     * probe (cluster-pruned sweeps assign against exactly the centroids
     * that produced the standing posting lists). */

@@ -95,6 +95,17 @@ object LshWarehouse {
     CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
       Seq(vectorsPath(path) -> Nil, path -> Seq("bb")))
 
+  /** The SURVIVING vectors at rest (vec_id, v, nrm) — the primary
+    * store minus outstanding tombstones: the population the at-rest
+    * recall monitor grades ground truth over (RecallMonitor). */
+  private[similarity] def standingVectors(spark: SparkSession, path: String): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
+    Tombstones.dropDf(snap.read(vectorsPath(path)),
+      snap.readOpt(tombPath(path)).map(_.select(col("vec_id")).distinct()),
+      key = "vec_id", tombCol = "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"))
+  }
+
   /** Radius probe over the warehouse: the query batch's band keys
     * become a literal partition-pruning predicate (|Q|·bands driver
     * scalars — serving-batch metadata, like IvfWarehouse's probe

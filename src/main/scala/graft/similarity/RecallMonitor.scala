@@ -1,0 +1,145 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.roundx
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** The ANN recall monitor AT REST (VERDICT-r12 ask #1) — the
+  * production form of `Knn.recallReport`: grade the MAINTAINED
+  * LshWarehouse and IvfWarehouse indexes, not a fresh inline build.
+  * An approximate index degrades exactly where maintenance has moved
+  * it away from a from-scratch build — IVF refresh assigns new
+  * vectors under the FROZEN coarse quantizer (the FAISS
+  * add-then-retrain split: drift accumulates until recluster),
+  * retraction thins posting lists and buckets unevenly — so the
+  * monitor a production poll runs must probe the index the serving
+  * path actually reads, AFTER a refresh + retract + compact cycle.
+  * That is what this object's registered build does; the reference's
+  * analogue is its collector health checks over the standing
+  * materialized tables (the materialize-then-serve pattern,
+  * reference: src/collector/richlist.ts:20).
+  *
+  * Two rows, one per maintained family, each graded on its OWN
+  * serving verb:
+  *  - `ivf_warehouse_topk`: ground truth = brute top-k over the
+  *    surviving vectors (Knn.knnBatchOf — ONE scan of the standing
+  *    store), candidates = IvfWarehouse.probeBatch (the pruned
+  *    serving path) with self-exclusion;
+  *  - `lsh_warehouse_range`: ground truth = brute radius pairs over
+  *    the surviving vectors, candidates = LshWarehouse.rangeProbe.
+  *    The banded layout's recall-1.0 banding argument predicts 1.0
+  *    here — the row exists to DETECT a maintenance regression that
+  *    breaks it, not to admire it.
+  *
+  * Cost shape at 100 TB: the brute ground-truth pass is the
+  * monitor's one corpus-scale stage (linear, embarrassingly
+  * parallel, |Q| bounded); candidates ride the warehouses' pruned
+  * probes; the intersection is (|Q|·k)- / pair-scale metadata.  A
+  * production deployment samples |Q| queries at refresh cadence and
+  * alerts on the recall column — the whole report is one DataFrame,
+  * no driver-side loops.
+  *
+  * NO SQL oracle (the s_knn_lsh/ivf hash-bucket class);
+  * RecallMonitorSpec pins monitor-on-fresh-build == the inline
+  * recallReport arithmetic, bit-invariance through compact, and that
+  * the retraction visibly thins the query domain. */
+object RecallMonitor {
+
+  /** The monitor build's retraction slice — IvfWarehouse's registered
+    * cross-cutting residue (vec_id ≡ 4 mod 13: takes base and
+    * refreshed vectors alike, including query id 4, so the monitor's
+    * query domain visibly shrinks). */
+  private def isRetracted = IvfWarehouse.isRetractedVec
+
+  private def isBase = pmod(col("vec_id"), lit(10L)) < 8
+
+  private def vecsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  /** Once-per-JVM DRIFTED IVF index: base ingest, frozen-quantizer
+    * refresh, cross-cutting retract, compact — the state a production
+    * poll would find between recluster passes. */
+  def ivfMonitorPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("ivf_warehouse_monitor", dir) { p =>
+      val e = vecsOf(spark, dir)
+      IvfWarehouse.materializeFrom(e.filter(isBase), p)
+      IvfWarehouse.refresh(spark, e.filter(!isBase), p)
+      IvfWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+      IvfWarehouse.compact(spark, p)
+    }
+
+  /** Once-per-JVM maintained LSH index: same cycle (signatures are
+    * per-row, so refresh carries no frozen-state drift — the cycle
+    * still exercises every verb the serving path reads through). */
+  def lshMonitorPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("lsh_warehouse_monitor", dir) { p =>
+      val e = vecsOf(spark, dir)
+      LshWarehouse.materializeFrom(e.filter(isBase), p)
+      LshWarehouse.refresh(e.filter(!isBase), p)
+      LshWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+      LshWarehouse.compact(spark, p)
+    }
+
+  /** One report row from (truth pairs, candidate pairs): n_queries =
+    * the query domain the truth actually holds (a retracted query id
+    * drops out — it must SHRINK the domain, not read as recall 0),
+    * recall = matched / truth_n. */
+  private def rowOf(method: String, truth: DataFrame,
+      cands: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("vec_id")).localCheckpoint()
+    val stats = t.agg(count(lit(1)).as("truth_n"),
+      countDistinct(col("query_id")).as("n_queries"))
+    val matched = t.join(cands.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("matched"))
+    stats.crossJoin(matched)
+      .select(lit(method).as("method"), col("n_queries"), col("truth_n"),
+        col("matched"),
+        roundx(col("matched").cast("double") / col("truth_n"), 4).as("recall"))
+  }
+
+  /** The IVF row over a standing index at `path`. */
+  private[graft] def ivfRow(spark: SparkSession, path: String,
+      nQueries: Int, k: Int, nprobe: Int = 4): DataFrame = {
+    val standing = IvfWarehouse.standingVectors(spark, path).localCheckpoint()
+    val truth = Knn.knnBatchOf(standing, nQueries, k)
+    val queries = standing.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // k+1 then drop self: the query's own row always ranks first in
+    // its own (always-probed) nearest list, so the remainder is the
+    // serving path's true top-k — identical to Knn.ivfBatch's
+    // self-excluded ranking when the quantizer matches
+    val cands = IvfWarehouse.probeBatch(spark, path, queries, nprobe, k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    rowOf("ivf_warehouse_topk", truth, cands)
+  }
+
+  /** The LSH row over a standing index at `path` — range-search
+    * recall, because the radius probe IS this warehouse's serving
+    * verb.  Truth gates on the same raw cosine as rangeProbe. */
+  private[graft] def lshRow(spark: SparkSession, path: String,
+      nQueries: Int, tau: Double): DataFrame = {
+    val standing = LshWarehouse.standingVectors(spark, path).localCheckpoint()
+    val queries = standing.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val truth = standing
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"))
+    val cands = LshWarehouse.rangeProbe(spark, path, nQueries, tau)
+    rowOf("lsh_warehouse_range", truth, cands)
+  }
+
+  /** Registered `s_knn_recall_report_probe`: both maintained indexes
+    * graded after the full maintenance cycle. */
+  def report(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, tau: Double = 0.3): DataFrame =
+    ivfRow(spark, ivfMonitorPath(spark, dir), nQueries, k)
+      .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries, tau))
+}

@@ -200,6 +200,15 @@ object CommitLog {
       catch { case _: NumberFormatException => false }
     else a < b
 
+  /** Can this value serve as a recorded bound of its kind?  "num"
+    * bounds must round-trip through BigDecimal — NaN/Infinity
+    * renderings of a float column are refused at RECORD time (the
+    * write falls back to no-stats, the safe direction), so statsMax
+    * can never hand a caller an unparseable numeric bound. */
+  private def statsParseable(kind: String, v: String): Boolean =
+    kind != "num" || (try { BigDecimal(v); true }
+      catch { case _: NumberFormatException => false })
+
   // stats wire form (field 6 of the marker line, absent when empty):
   // `col~kind~b64(min)~b64(max)` joined by `;` — values are
   // base64-encoded so arbitrary string data can never collide with the
@@ -598,8 +607,17 @@ object CommitLog {
           (Option(row(s"mn_$c")), Option(row(s"mx_$c"))) match {
             // a zero-row or all-null write records NO stats for the
             // column — readers then always keep the generation (safe)
-            case (Some(mn), Some(mx)) =>
+            case (Some(mn), Some(mx))
+                if statsParseable(kinds(c), mn.toString) &&
+                  statsParseable(kinds(c), mx.toString) =>
               Some(c -> ColStats(kinds(c), mn.toString, mx.toString))
+            // a "num" bound that BigDecimal cannot parse (NaN/Infinity
+            // from a float column) is treated like the all-null case:
+            // record nothing, readers keep the generation.  Recording
+            // it would be prune-safe (statLt compares unparseable as
+            // not-less, both directions) but statsMax could then SERVE
+            // "NaN" as the part-wide max string and crash a caller's
+            // parser (ADVICE r12) — refuse at record time instead.
             case _ => None
           }
         }.toMap

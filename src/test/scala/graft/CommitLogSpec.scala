@@ -405,6 +405,33 @@ class CommitLogSpec extends GraftSpec {
     assert(kept2.contains(2L), "zero-row write must stay un-prunable")
   }
 
+  test("NaN/Infinity numeric bounds are refused at record time (ADVICE r12)") {
+    val base = tmp("skipnan")
+    val s = spark
+    import s.implicits._
+    // a float column whose observed min/max render unparseable for
+    // BigDecimal (NaN sorts HIGHEST among doubles, so it lands in the
+    // max) — recording it would be prune-safe but statsMax would then
+    // SERVE "NaN" as a bound and crash a parsing caller; the write
+    // must fall back to the all-null stance: record nothing
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(1.5, Double.NaN).toDF("x"), base, statsCols = Seq("x")))
+    val snap = CommitLog.snapshot(spark, base)
+    assert(snap.statsMax(base, "x").isEmpty,
+      "statsMax must not serve an unparseable numeric bound")
+    val (kept, pruned) = snap.partitionGens(base, "x", Some("99"), None)
+    assert(kept == Seq(0L) && pruned.isEmpty,
+      "a bound-less generation must always be kept")
+    // a clean numeric generation on the same base still records stats
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(2.0, 3.0).toDF("x"), base, statsCols = Seq("x")))
+    assert(CommitLog.snapshot(spark, base).statsMax(base, "x").isEmpty,
+      "part-wide max is unknowable while any live gen lacks stats")
+    CommitLog.transaction(spark, base)(_.replace(
+      Seq(2.0, 3.0).toDF("x"), base, statsCols = Seq("x")))
+    assert(CommitLog.snapshot(spark, base).statsMax(base, "x").contains("3.0"))
+  }
+
   test("empty-string stat values round-trip — one all-empty batch must not poison the log (review r12b)") {
     val base = tmp("skipempty")
     val s = spark

@@ -191,6 +191,17 @@ class DedupSpec extends GraftSpec {
     // the evaluation has signal on the synthetic corpus: the
     // multi-probe path finds a nonzero share of true neighbors
     assert(rows("lsh_multiprobe")._2 > 0.0)
+    // REGRESSION GATE (VERDICT r12, ask #5): the registered SERVING
+    // paths hold their recall floors on this corpus — multi-probe and
+    // IVF are what serving callers use; single-probe is the demoted
+    // candidate-generation baseline (see Knn.lshAnn's Scaladoc) and
+    // deliberately carries NO floor: its monitor row exists to show
+    // why multi-probe exists.  Floors sit below the measured values
+    // (ivf 0.94, multiprobe 0.46 at sf0.1) with drift margin.
+    assert(rows("ivf")._2 >= 0.6,
+      s"IVF serving recall regressed: ${rows("ivf")._2}")
+    assert(rows("lsh_multiprobe")._2 >= 0.25,
+      s"multi-probe serving recall regressed: ${rows("lsh_multiprobe")._2}")
   }
 
   test("batched ivf: each query's slice equals the single-query ivf ranking") {

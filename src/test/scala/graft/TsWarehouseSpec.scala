@@ -269,6 +269,39 @@ class TsWarehouseSpec extends GraftSpec {
       s"post-compact window must anchor on surviving data: $healed")
   }
 
+  test("full retraction + compact serves the EMPTY probe frame, not an error (ADVICE r12)") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 6).map(d =>
+      (java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00"), "steady", 1.0))
+      .toDF("ts", "event_type", "value")
+    val p = tmp("foldempty")
+    TsWarehouse.materializeFrom(rows, p)
+    TsWarehouse.retract(spark, rows, p)
+    // compact's zero-row replace records no date stats BY DESIGN —
+    // this is the reachable no-stats state the probe must distinguish
+    // from "built elsewhere": the folded warehouse is EMPTY, and an
+    // alerter asking for the last week deserves an empty answer
+    TsWarehouse.compact(spark, p)
+    val win = TsWarehouse.recentWindow(spark, p, days = 7)
+    assert(win.isEmpty, "empty-after-compact must serve an empty window")
+    assert(win.columns.toSeq == Seq("date", "event_type", "v"),
+      "the empty frame must keep the probe schema")
+    // a warehouse that was never built at all stays LOUD
+    val unbuilt = tmp("neverbuilt")
+    intercept[IllegalStateException](
+      TsWarehouse.recentWindow(spark, unbuilt, days = 7))
+    // and a stats-less but NON-empty state (a generation written
+    // outside the verbs) falls back to one scan and still serves
+    val q = tmp("nostats")
+    sources.CommitLog.transaction(spark, q)(_.replace(
+      TsWarehouse.deltas(rows), q)) // no statsCols — foreign writer
+    val served = TsWarehouse.recentWindow(spark, q, days = 3).collect()
+      .map(_.getDate(0).toString).toSet
+    assert(served == Set("2024-03-04", "2024-03-05", "2024-03-06"),
+      s"scan fallback must still serve the window: $served")
+  }
+
   test("streaming exactly-once: a redelivered committed batch folds nothing, even after compact") {
     val e = Tables(spark, Dir).events
     val p = tmp("xonce")
