@@ -86,8 +86,18 @@ object BalanceWarehouse {
     * transaction (single-part here, but the committed read means a
     * concurrent probe can never see a half-landed append and a crashed
     * write job's files are never even listed). */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the histogram deltas — the exactly-once
+    * rung (StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path))
 
   /** RETRACT — remove accounts from the standing histogram: append
     * their deltas NEGATED.  O(removed), append-only like refresh (no
@@ -105,7 +115,12 @@ object BalanceWarehouse {
   def compact(spark: SparkSession, path: String): Unit = {
     // persist exactly what probes serve: the one merged-reader body
     // (the replace writes a NEW generation dir, never its own source)
-    CommitLog.transaction(spark, path)(_.replace(mergedHist(spark, path), path))
+    val snap = CommitLog.snapshot(spark, path)
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(mergedHist(spark, path), path)
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
+    }
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -153,17 +168,16 @@ object BalanceWarehouse {
       retract(spark, balancesOf(spark, dir, c.filter(isRetractedCust)), p)
     }
 
-  /** The refresh's ONLINE twin: each arriving micro-batch of (denom,
-    * bal) rows folds its histogram deltas inside foreachBatch —
-    * associativity means any batching serves a bit-equal histogram
-    * (spec-pinned); no state store, no watermark. */
-  def streamingRefresh(balances: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    balances.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
-      }
-      .start()
+  /** The refresh's ONLINE twin at the EXACTLY-ONCE rung (round 13):
+    * each micro-batch of (denom, bal) rows folds its histogram deltas
+    * in one transaction that also commits the engine batch id
+    * (StreamTwin) — associativity means any batching serves a
+    * bit-equal histogram (spec-pinned), and a redelivered committed
+    * batch folds NOTHING. */
+  def streamingRefresh(balances: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(balances, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 
   // ------------------------------------------------------------------
   // SNAPSHOT LOG — as-of generation reads (time travel over the delta
@@ -289,13 +303,21 @@ object BalanceWarehouse {
     * No state store, no watermark; the one ordering requirement is
     * semantic, not operational: the change stream itself must be a
     * valid history (deletes follow the insert they erase), which is
-    * the CDC source's contract, not the sink's. */
-  def streamingChanges(changes: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    changes.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          CommitLog.transaction(batch.sparkSession, path)(
-            _.append(deltasSigned(batch), path))
-      }
-      .start()
+    * the CDC source's contract, not the sink's.  At the EXACTLY-ONCE
+    * rung since round 13: the signed deltas commit atomically with
+    * the engine batch id (StreamTwin) — for CDC this is the rung that
+    * matters MOST, because replaying a committed change batch is not
+    * merely duplicate counting: it re-applies deletes/updates whose
+    * −/+ halves corrupt the histogram instead of inflating it. */
+  def streamingChanges(changes: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(changes, path, checkpointEvery)(
+      (s, batch, id) => { changesTxn(s, batch, path, batchId = Some(id)); () })
+
+  /** The CDC fold's transaction body — signed deltas + the optional
+    * stream batch id in ONE atomic commit. */
+  private[graft] def changesTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltasSigned(batch), path))
 }

@@ -59,8 +59,18 @@ object HllWarehouse {
   /** REFRESH — fold a batch in at rest: append its per-day sketches as
     * one committed generation.  O(batch); no standing row is read or
     * rewritten, and a crash before the marker is invisible. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the sketches — the exactly-once rung
+    * (StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path))
 
   /** COMPACT — union delta sketches to one per day, committed as a
     * `replace` generation: probes keep serving the pre-compact
@@ -74,7 +84,12 @@ object HllWarehouse {
     val snap = CommitLog.snapshot(spark, path)
     val merged = snap.read(path)
       .groupBy(col("date")).agg(expr("hll_union_agg(sk)").as("sk"))
-    CommitLog.transaction(spark, path)(_.replace(merged, path))
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(merged, path)
+      // the streaming twin's id part folds to one generation WITHOUT
+      // forgetting ids — replay protection survives compaction
+      graft.sources.StreamTwin.compactIds(snap, t, path)
+    }
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -149,15 +164,15 @@ object HllWarehouse {
       refresh(spark, e.filter(!isBaseEvent), p)
     }
 
-  /** The refresh's ONLINE twin: each arriving micro-batch folds its
-    * per-day sketches inside foreachBatch — register-merge
-    * associativity means any batching serves probe-identical
-    * estimates (spec-pinned); no state store, no watermark. */
-  def streamingRefresh(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
-      }
-      .start()
+  /** The refresh's ONLINE twin at the EXACTLY-ONCE rung (round 13 —
+    * VERDICT-r12 ask #3): each micro-batch's per-day sketches fold in
+    * one transaction that also commits the engine batch id
+    * (StreamTwin).  Register-merge associativity means any batching
+    * serves probe-identical estimates (spec-pinned); a redelivered
+    * committed batch folds NOTHING even when the external marker was
+    * lost — the txn-embedded id is the ground truth. */
+  def streamingRefresh(events: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(events, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 }

@@ -130,9 +130,21 @@ object JoinViewWarehouse {
     * re-runnable nor skippable; now an interrupted refresh is simply
     * invisible and the retry converges with a clean run). */
   def refreshLines(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshLinesTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The line-side refresh transaction body, optionally committing a
+    * STREAM BATCH ID atomically with both parts — the exactly-once
+    * rung (StreamTwin; round 13).  On a JOIN view replaying a
+    * committed batch is worse than duplicate counting: the replayed
+    * ΔL re-joins an O side that may have changed since, folding in
+    * view deltas a rebuild would never produce. */
+  private[graft] def refreshLinesTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean = {
     val dl = lineDeltas(batch).localCheckpoint()
     val snap = CommitLog.snapshot(spark, path)
-    CommitLog.transaction(spark, path) { t =>
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
       t.append(viewDeltas(mergedOrders(snap, path).join(dl, Seq("k")), 1), path)
       t.append(dl, lPath(path))
     }
@@ -175,6 +187,8 @@ object JoinViewWarehouse {
       t.replace(mergedViewOf(snap, path), path)
       t.replace(mergedOrders(snap, path).withColumn("op", lit(1L)), oPath(path))
       t.replace(mergedLines(snap, path), lPath(path))
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
     }
   }
 
@@ -251,9 +265,17 @@ object JoinViewWarehouse {
     * side state += the op-signed rows.  The explicit decimal cast
     * pins the view-delta schema to the refresh/retract writes'. */
   def refreshOrderChanges(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = orderChangesTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The order-change fold's transaction body — view deltas + side
+    * rows + the optional stream batch id in ONE atomic commit. */
+  private[graft] def orderChangesTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean = {
     val ch = orderChangeRows(batch).localCheckpoint()
     val snap = CommitLog.snapshot(spark, path)
-    CommitLog.transaction(spark, path) { t =>
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
       t.append(ch.join(mergedLines(snap, path), Seq("k"))
         .groupBy(col("prio"), col("year"))
         .agg(sum(col("op").cast("decimal(10,0)") * col("rev"))
@@ -276,25 +298,27 @@ object JoinViewWarehouse {
     * not yet arrived) and contributes nothing, and +new then joins
     * the FULL standing line state.  JoinViewWarehouseSpec drives
     * exactly that interleaving and pins bit-equality with the
-    * updated-orders rebuild. */
-  def streamingOrderChanges(changes: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    changes.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) refreshOrderChanges(batch.sparkSession, batch, path)
-      }
-      .start()
+    * updated-orders rebuild.  At the EXACTLY-ONCE rung since round 13
+    * (StreamTwin): a replayed committed change batch folds NOTHING —
+    * on a CDC ledger a replay re-applies −/+ halves against a
+    * different standing L and corrupts rather than inflates. */
+  def streamingOrderChanges(changes: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(changes, path, checkpointEvery)(
+      (s, batch, id) => { orderChangesTxn(s, batch, path, batchId = Some(id)); () })
 
   /** The refresh's ONLINE twin — a lineitem stream folding against
     * the standing orders side inside foreachBatch (the collector
     * loop's actual shape: line-grain facts arrive continuously,
     * reference dimensions change slowly).  Any batching folds to the
     * same state (sequenced delta rule + associative sums;
-    * spec-pinned). */
-  def streamingRefreshLines(lines: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    lines.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the matrix-wide convention)
-        if (!batch.isEmpty) refreshLines(batch.sparkSession, batch, path)
-      }
-      .start()
+    * spec-pinned).  At the EXACTLY-ONCE rung since round 13
+    * (StreamTwin): the two-part fold + the engine batch id commit in
+    * ONE transaction, so a redelivered committed batch folds NOTHING
+    * — see refreshLinesTxn for why a join-view replay is corruption,
+    * not noise. */
+  def streamingRefreshLines(lines: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(lines, path, checkpointEvery)(
+      (s, batch, id) => { refreshLinesTxn(s, batch, path, batchId = Some(id)); () })
 }

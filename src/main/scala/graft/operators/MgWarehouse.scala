@@ -72,8 +72,18 @@ object MgWarehouse {
   /** REFRESH — fold a batch in at rest: append its summary row as one
     * committed generation.  O(batch); no standing row is read or
     * rewritten, and a crash before the marker is invisible. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the summary — the exactly-once rung
+    * (StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path))
 
   /** COMPACT — merge generation rows to ONE summary, committed as a
     * `replace` generation (the old in-place overwrite's crash window
@@ -84,9 +94,14 @@ object MgWarehouse {
     * bit-invariance the integer warehouses pin.  Physical reclaim =
     * CommitLog.vacuum at the retention cadence. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = CommitLog.snapshot(spark, path).read(path)
+    val snap = CommitLog.snapshot(spark, path)
+    val merged = snap.read(path)
       .agg(MisraGriesMerge(col("hh"), K).as("hh"))
-    CommitLog.transaction(spark, path)(_.replace(merged, path))
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(merged, path)
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
+    }
   }
 
   /** The committed-rows read — exposed so specs can assert scan
@@ -113,14 +128,13 @@ object MgWarehouse {
       refresh(spark, d.filter(!isBaseDoc), p)
     }
 
-  /** The refresh's ONLINE twin: each arriving micro-batch appends its
-    * summary inside foreachBatch — mergeability means any batching
-    * serves a summary satisfying the same bound (spec-pinned); no
-    * state store, no watermark. */
-  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
-      }
-      .start()
+  /** The refresh's ONLINE twin at the EXACTLY-ONCE rung (round 13):
+    * each micro-batch's summary commits atomically with the engine
+    * batch id (StreamTwin) — mergeability means any batching serves a
+    * summary satisfying the same bound (spec-pinned), and a
+    * redelivered committed batch folds NOTHING. */
+  def streamingRefresh(docs: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(docs, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 }

@@ -87,8 +87,17 @@ object RichlistWarehouse {
   /** INGEST / REFRESH — append the batch's top-K + total deltas as
     * one atomic transaction (a probe can never see a buffer without
     * its share denominator, or vice versa). */
-  def refresh(batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(batch.sparkSession, path) { t =>
+  def refresh(batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(batch.sparkSession, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body — buffer + totals + the optional
+    * STREAM BATCH ID in one atomic commit (the exactly-once rung,
+    * StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
       t.append(topkOf(batch), bufPath(path))
       t.append(totDeltas(batch), totPath(path))
     }
@@ -153,6 +162,8 @@ object RichlistWarehouse {
         .agg(sum(col("tot")).as("tot"), sum(col("n")).as("n"))
         .filter(col("n") =!= 0), totPath(path))
       if (snap.readOpt(tombPath(path)).nonEmpty) t.clear(tombPath(path))
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
     }
   }
 
@@ -199,18 +210,21 @@ object RichlistWarehouse {
     * truncation-semilattice identity makes ANY batching serve a
     * bit-equal top-K (each batch's buffer contribution is a superset
     * of its share of the true top-K), and the additive totals fold
-    * order-free — spec-pinned against the one-shot build.  No state
-    * store, no watermark. */
-  def streamingRefresh(rows: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // pin once: the idle-trigger guard plus refresh's two writes
-        // (top-K + totals) would otherwise re-scan the micro-batch
-        // source three times per trigger
-        val b = batch.localCheckpoint()
-        if (!b.isEmpty) refresh(b, path)
-      }
-      .start()
+    * order-free — spec-pinned against the one-shot build.  At the
+    * EXACTLY-ONCE rung since round 13: buffer + totals + the engine
+    * batch id commit in ONE transaction (StreamTwin), so a
+    * redelivered committed batch folds NOTHING — on an order
+    * statistic a replay is not even bounded noise: duplicated totals
+    * shift every served share. */
+  def streamingRefresh(rows: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(rows, path, checkpointEvery) {
+      (s, batch, id) =>
+        // pin once: refresh's two writes (top-K + totals) would
+        // otherwise re-scan the micro-batch source twice per trigger
+        refreshTxn(s, batch.localCheckpoint(), path, batchId = Some(id))
+        ()
+    }
 
   /** The retraction build: both generations, then retract the
     * cross-cutting mod-3 slice — which removes top holders too, so

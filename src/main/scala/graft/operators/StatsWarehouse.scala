@@ -57,8 +57,18 @@ object StatsWarehouse {
   /** REFRESH — fold a batch in at rest: append its delta rows as one
     * committed generation.  O(batch); no standing row is read or
     * rewritten, and a crash before the marker is invisible. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(spark, path)(_.append(deltas(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the deltas — the exactly-once rung
+    * (StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(deltas(batch), path))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract verbatim): append the removed docs'
@@ -83,8 +93,13 @@ object StatsWarehouse {
     // overwrite's crash window lost the standing index; now
     // pre-compact probes hold until the marker lands (physical
     // reclaim = CommitLog.vacuum at the retention cadence)
+    val snap = CommitLog.snapshot(spark, path)
     val merged = mergedHist(spark, path)
-    CommitLog.transaction(spark, path)(_.replace(merged, path))
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(merged, path)
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
+    }
   }
 
   /** The delta-merge read — exposed un-checkpointed so the spec can
@@ -165,15 +180,13 @@ object StatsWarehouse {
       refresh(spark, d.filter(!isBaseDoc), p)
     }
 
-  /** The refresh's ONLINE twin: each arriving micro-batch folds its
-    * histogram deltas inside foreachBatch — associativity means any
-    * batching serves a bit-equal index (spec-pinned); no state, no
-    * watermark. */
-  def streamingRefresh(docs: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
-      }
-      .start()
+  /** The refresh's ONLINE twin at the EXACTLY-ONCE rung (round 13):
+    * each micro-batch's histogram deltas commit atomically with the
+    * engine batch id (StreamTwin) — associativity means any batching
+    * serves a bit-equal index (spec-pinned), and a redelivered
+    * committed batch folds NOTHING. */
+  def streamingRefresh(docs: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(docs, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 }

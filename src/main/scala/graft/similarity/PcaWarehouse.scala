@@ -53,8 +53,18 @@ object PcaWarehouse {
     * moment deltas as one committed generation.  O(batch); no standing
     * row is read or rewritten, and a crash before the marker is
     * invisible. */
-  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit =
-    CommitLog.transaction(spark, path)(_.append(Pca.moments(batch), path))
+  def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the moment deltas — the exactly-once
+    * rung (StreamTwin; round 13 rolls it across the twin matrix). */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
+      _.append(Pca.moments(batch), path))
 
   /** RETRACT — the delete verb on the bit-equal rung (round 10; the
     * BalanceWarehouse contract on the moment statistic): append the
@@ -77,9 +87,14 @@ object PcaWarehouse {
     * marker lands).  Probes bit-identical before/after.  Physical
     * reclaim = CommitLog.vacuum at the retention cadence. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val merged = CommitLog.snapshot(spark, path).read(path)
+    val snap = CommitLog.snapshot(spark, path)
+    val merged = snap.read(path)
       .groupBy(col("i"), col("j")).agg(sum(col("m")).as("m"))
-    CommitLog.transaction(spark, path)(_.replace(merged, path))
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(merged, path)
+      // replay protection survives compaction (StreamTwin)
+      graft.sources.StreamTwin.compactIds(snap, t, path)
+    }
   }
 
   /** Covariance served from the index at rest: sum the deltas per key
@@ -226,12 +241,12 @@ object PcaWarehouse {
     * the one-shot build over everything seen (PcaWarehouseSpec drives
     * a MemoryStream in two batches and asserts it), so there is no
     * cross-batch state, no watermark, no ordering requirement — the
-    * Bm25/Lm streamingProbe stance applied to the WRITE side. */
-  def streamingRefresh(vectors: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // idle-trigger guard (the sketch/Edge/Mg twins' convention)
-        if (!batch.isEmpty) refresh(batch.sparkSession, batch, path)
-      }
-      .start()
+    * Bm25/Lm streamingProbe stance applied to the WRITE side.  At the
+    * EXACTLY-ONCE rung since round 13: the moment deltas commit
+    * atomically with the engine batch id (StreamTwin), so a
+    * redelivered committed batch folds NOTHING. */
+  def streamingRefresh(vectors: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(vectors, path, checkpointEvery)(
+      (s, batch, id) => { refreshTxn(s, batch, path, batchId = Some(id)); () })
 }
