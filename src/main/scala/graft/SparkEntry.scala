@@ -196,6 +196,14 @@ object SparkEntry {
     // predicate
     "q_revenue_view_retracted" -> ((s: SparkSession, d: String) =>
       JoinViewWarehouse.probe(s, JoinViewWarehouse.builtRetractedPath(s, d))),
+    // the trailing-years window over the maintained view with
+    // LOG-LEVEL DATA SKIPPING (r13, ask #4): year-cadence build (one
+    // refreshBoth generation per calendar year), the probe proves
+    // pre-window years empty from the commit entries' year stats and
+    // never lists their directories — ORACLED with the identical
+    // trailing-window predicate over raw orders ⋈ lineitem
+    "q_revenue_view_recent" -> ((s: SparkSession, d: String) =>
+      JoinViewWarehouse.recentYears(s, JoinViewWarehouse.builtYearlyPath(s, d))),
     "q_sessionize" -> (Olap.sessionize _),
     "q_retention_cohort" -> (Olap.retentionCohort _),
     "q_funnel_steps" -> (Olap.funnelSteps _),
@@ -1649,6 +1657,12 @@ object SparkEntry {
     // the orders surviving JoinViewWarehouse.isRetractedOrder
     "q_revenue_view_retracted" ->
       qRevenueViewSqlOver(" WHERE o_orderkey % 7 <> 0"),
+    // the identical join-rollup text under the trailing-2-year window
+    // (the log-level skip is a pure optimization — result equality
+    // with the unskipped read is exactly what this oracle checks)
+    "q_revenue_view_recent" ->
+      qRevenueViewSqlOver(
+        " WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) FROM orders) - 1"),
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms FROM events),
         |l AS (SELECT user_id, event_id, ts, ts_ms,

@@ -55,6 +55,14 @@ import graft.sources.{CommitLog, Tables}
   */
 object BalanceWarehouse {
 
+  /** Every histogram write declares Q stats (round 13, VERDICT-r12
+    * ask #4): exact per-generation min/max of the quantized balance
+    * ride in the commit entries, so a value-band consumer (e.g. a
+    * concentration sweep over one balance band) prunes generations at
+    * the LOG — BalanceWarehouseSpec pins the pruned set on a
+    * band-split ingest. */
+  private val QStats = Seq("q")
+
   /** The customer-side base/incoming split (the warehouse family's
     * mod-10 convention, on c_custkey). */
   private[graft] def isBaseCust = pmod(col("c_custkey"), lit(10L)) < 8
@@ -79,7 +87,7 @@ object BalanceWarehouse {
     * builder. */
   def materializeFrom(balances: DataFrame, path: String): Unit =
     CommitLog.transaction(balances.sparkSession, path)(
-      _.replace(deltas(balances), path))
+      _.replace(deltas(balances), path, statsCols = QStats))
 
   /** REFRESH — fold a batch in at rest: append its histogram deltas.
     * O(batch); no standing row is read or rewritten.  One CommitLog
@@ -97,7 +105,7 @@ object BalanceWarehouse {
   private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean =
     graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
-      _.append(deltas(batch), path))
+      _.append(deltas(batch), path, statsCols = QStats))
 
   /** RETRACT — remove accounts from the standing histogram: append
     * their deltas NEGATED.  O(removed), append-only like refresh (no
@@ -107,7 +115,8 @@ object BalanceWarehouse {
     * contract, exactly like refresh's batch-freshness one. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit =
     CommitLog.transaction(spark, path)(_.append(deltas(removed)
-      .select(col("denom"), col("q"), (-col("c")).as("c")), path))
+      .select(col("denom"), col("q"), (-col("c")).as("c")), path,
+      statsCols = QStats))
 
   /** COMPACT — merge delta rows to one per key.  Probes bit-identical
     * before/after (integer-sum order freedom); single-writer
@@ -117,7 +126,7 @@ object BalanceWarehouse {
     // (the replace writes a NEW generation dir, never its own source)
     val snap = CommitLog.snapshot(spark, path)
     CommitLog.transaction(spark, path) { t =>
-      t.replace(mergedHist(spark, path), path)
+      t.replace(mergedHist(spark, path), path, statsCols = QStats)
       // replay protection survives compaction (StreamTwin)
       graft.sources.StreamTwin.compactIds(snap, t, path)
     }
@@ -221,13 +230,14 @@ object BalanceWarehouse {
   /** REFRESH as the next committed generation. */
   def refreshGen(batch: DataFrame, path: String): Unit =
     CommitLog.transaction(batch.sparkSession, path)(
-      _.append(deltas(batch), path))
+      _.append(deltas(batch), path, statsCols = QStats))
 
   /** RETRACT as the next committed generation — negated deltas. */
   def retractGen(removed: DataFrame, path: String): Unit =
     CommitLog.transaction(removed.sparkSession, path)(
       _.append(deltas(removed)
-        .select(col("denom"), col("q"), (-col("c")).as("c")), path))
+        .select(col("denom"), col("q"), (-col("c")).as("c")), path,
+        statsCols = QStats))
 
   /** The as-of merge: fold only committed generations <= `gen` — the
     * CommitLog fold reads exactly those directories (later generations
@@ -266,7 +276,8 @@ object BalanceWarehouse {
     * boundary.  Single-WRITER maintenance window (readers are free). */
   def compactHorizon(spark: SparkSession, path: String, horizon: Int): Unit = {
     val merged = mergedHistAsOf(spark, path, horizon)
-    CommitLog.transaction(spark, path)(_.rebase(merged, path, horizon.toLong))
+    CommitLog.transaction(spark, path)(
+      _.rebase(merged, path, horizon.toLong, statsCols = QStats))
   }
 
   /** The three-generation snapshot-log build: gen 0 = base ingest,
@@ -319,5 +330,5 @@ object BalanceWarehouse {
   private[graft] def changesTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean =
     graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId)(
-      _.append(deltasSigned(batch), path))
+      _.append(deltasSigned(batch), path, statsCols = QStats))
 }

@@ -68,6 +68,16 @@ object JoinViewWarehouse {
   private def oPath(path: String) = path + ".o"
   private def lPath(path: String) = path + ".l"
 
+  /** Every view-delta write declares YEAR stats (round 13, VERDICT-r12
+    * ask #4 — the statsCols adoption): exact per-generation
+    * min/max(year) ride in the commit entries at zero write-time cost,
+    * so the windowed consumer (`q_revenue_view_recent`) drops
+    * generations whose year range provably misses its trailing window
+    * AT THE LOG, before any file listing — at ingest cadence the live
+    * generation count grows with time, the recent probe's scan set
+    * does not. */
+  private val YearStats = Seq("year")
+
   /** Per-row revenue — the deterministic double product; exactness
     * comes from the DECIMAL sum above it (Exact.sumx). */
   private def revExpr = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -119,7 +129,7 @@ object JoinViewWarehouse {
     CommitLog.transaction(o.sparkSession, path) { t =>
       t.replace(o, oPath(path))
       t.replace(l, lPath(path))
-      t.replace(viewDeltas(o.join(l, Seq("k")), 1), path)
+      t.replace(viewDeltas(o.join(l, Seq("k")), 1), path, statsCols = YearStats)
     }
   }
 
@@ -145,7 +155,8 @@ object JoinViewWarehouse {
     val dl = lineDeltas(batch).localCheckpoint()
     val snap = CommitLog.snapshot(spark, path)
     graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
-      t.append(viewDeltas(mergedOrders(snap, path).join(dl, Seq("k")), 1), path)
+      t.append(viewDeltas(mergedOrders(snap, path).join(dl, Seq("k")), 1), path,
+        statsCols = YearStats)
       t.append(dl, lPath(path))
     }
   }
@@ -157,8 +168,43 @@ object JoinViewWarehouse {
     val dOrd = orderRows(batch, 1).localCheckpoint()
     val snap = CommitLog.snapshot(spark, path)
     CommitLog.transaction(spark, path) { t =>
-      t.append(viewDeltas(dOrd.join(mergedLines(snap, path), Seq("k")), 1), path)
+      t.append(viewDeltas(dOrd.join(mergedLines(snap, path), Seq("k")), 1), path,
+        statsCols = YearStats)
       t.append(dOrd, oPath(path))
+    }
+  }
+
+  /** REFRESH, both sides — fold one ingest window's orders AND lines
+    * in ONE transaction: the full three-term delta rule
+    * Δview = ΔO ⋈ L_old ∪ (O_old ∪ ΔO) ⋈ ΔL, grouped into a single
+    * view-delta generation.  This is the collector loop's real shape
+    * (a block arrives with its orders and their lines together), and
+    * it is what makes the recorded year stats SELECTIVE: a yearly
+    * ingest window lands as one generation whose [min, max] year span
+    * is that window, where the sequenced two-txn form would bracket
+    * an empty no-stats generation per window.  Bit-equal to the
+    * sequenced refreshes for any batching (spec-pinned — the same
+    * associativity argument as the object doc's). */
+  def refreshBoth(spark: SparkSession, orders: DataFrame,
+      lines: DataFrame, path: String): Unit = {
+    val o = orderRows(orders, 1).localCheckpoint()
+    val l = lineDeltas(lines).localCheckpoint()
+    val snap = CommitLog.snapshot(spark, path)
+    val oNew = o.select(col("k"), col("prio"), col("year"))
+    // empty-base tolerance: the first ingest window IS the build
+    // (O_old / L_old absent ⇒ the rule collapses to ΔO ⋈ ΔL)
+    val oAll = snap.readOpt(oPath(path))
+      .map(_ => mergedOrders(snap, path).unionByName(oNew)).getOrElse(oNew)
+    val term1 = oAll.join(l, Seq("k"))
+      .select(col("prio"), col("year"), col("rev"), col("n"))
+    val joined = snap.readOpt(lPath(path))
+      .map(_ => term1.unionByName(oNew.join(mergedLines(snap, path), Seq("k"))
+        .select(col("prio"), col("year"), col("rev"), col("n"))))
+      .getOrElse(term1)
+    CommitLog.transaction(spark, path) { t =>
+      t.append(viewDeltas(joined, 1), path, statsCols = YearStats)
+      t.append(o, oPath(path))
+      t.append(l, lPath(path))
     }
   }
 
@@ -171,7 +217,8 @@ object JoinViewWarehouse {
     val rOrd = orderRows(removed, 1).localCheckpoint()
     val snap = CommitLog.snapshot(spark, path)
     CommitLog.transaction(spark, path) { t =>
-      t.append(viewDeltas(rOrd.join(mergedLines(snap, path), Seq("k")), -1), path)
+      t.append(viewDeltas(rOrd.join(mergedLines(snap, path), Seq("k")), -1), path,
+        statsCols = YearStats)
       t.append(rOrd.withColumn("op", lit(-1L)), oPath(path))
     }
   }
@@ -184,7 +231,7 @@ object JoinViewWarehouse {
     // compact must persist exactly what probes serve
     val snap = CommitLog.snapshot(spark, path)
     CommitLog.transaction(spark, path) { t =>
-      t.replace(mergedViewOf(snap, path), path)
+      t.replace(mergedViewOf(snap, path), path, statsCols = YearStats)
       t.replace(mergedOrders(snap, path).withColumn("op", lit(1L)), oPath(path))
       t.replace(mergedLines(snap, path), lPath(path))
       // replay protection survives compaction (StreamTwin)
@@ -216,6 +263,64 @@ object JoinViewWarehouse {
         roundx(col("rev").cast("double"), 4).as("revenue"),
         col("n").as("n_lines"))
       .orderBy(col("o_orderpriority"), col("year"))
+
+  /** Registered `q_revenue_view_recent`: the trailing-`years` window
+    * of the maintained view — the dashboard's hottest read shape
+    * ("this year and last"), served with LOG-LEVEL DATA SKIPPING: the
+    * latest year comes from the commit entries' stats (zero scans)
+    * and `readWhere` drops every generation whose recorded year range
+    * ends before the window BEFORE any file listing (the
+    * TsWarehouse.recentWindow contract on the binary member).  The
+    * real filter still applies on the kept generations, so the result
+    * equals the unskipped read row for row — ORACLED with the plain
+    * join-rollup SQL under the identical trailing-window predicate. */
+  def recentYears(spark: SparkSession, path: String, years: Int = 2): DataFrame = {
+    require(years >= 1, s"window must be at least one year, got $years")
+    val snap = CommitLog.snapshot(spark, path)
+    val latest = snap.statsMax(path, "year").getOrElse(
+      throw new IllegalStateException(
+        s"recentYears: no year stats on some live generation of '$path' " +
+          "(every view-delta write records them — was this built elsewhere?)"))
+      .toLong
+    val cutoff = latest - (years - 1)
+    val kept = snap.readWhere(path, "year", Some(cutoff.toString), None)
+      .getOrElse(throw new IllegalStateException( // unreachable: max-year gen survives
+        s"recentYears: every generation pruned at cutoff $cutoff"))
+    kept.filter(col("year") >= cutoff)
+      .groupBy(col("prio"), col("year"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .select(col("prio").as("o_orderpriority"), col("year"),
+        roundx(col("rev").cast("double"), 4).as("revenue"),
+        col("n").as("n_lines"))
+      .orderBy(col("o_orderpriority"), col("year"))
+  }
+
+  /** The once-per-JVM YEAR-CADENCE build: one refreshBoth generation
+    * per calendar year of the orders table — the production ingest
+    * cadence (one generation per window), which is exactly what makes
+    * the recorded year stats selective: each generation's [min, max]
+    * span is one year, so the trailing-window probe proves all
+    * earlier years empty AT THE LOG (TsWarehouse.builtWeeklyPath's
+    * rationale on the binary member).  Lines travel with their
+    * order's year (a left-semi prune on the order keys). */
+  def builtYearlyPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("join_view_warehouse_yearly", dir) { p =>
+      val t = Tables(spark, dir)
+      val oy = year(col("o_orderdate")).cast("long")
+      // the year domain is a driver-side scalar list (calendar
+      // metadata, ~7 values), like any partition-pruning predicate
+      val years = t.orders.select(oy.as("y")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      def ordersOf(y: Long) = t.orders.filter(oy === y)
+      def linesOf(orders: DataFrame) = t.lineitem.join(
+        orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      years.foreach { y =>
+        val o = ordersOf(y).localCheckpoint()
+        refreshBoth(spark, o, linesOf(o), p)
+      }
+    }
 
   /** The two-sided generation split (mod-10 on each side's own key —
     * cross-cutting: an order's lines can arrive before or after the

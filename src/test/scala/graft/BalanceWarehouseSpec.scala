@@ -119,6 +119,34 @@ class BalanceWarehouseSpec extends GraftSpec {
     assert(probe.nonEmpty)
   }
 
+  test("band-split generations prune at the log for value-band reads (statsCols, r13)") {
+    val s = spark
+    import s.implicits._
+    def bal(v: Double*) = v.map(x => ("A", x)).toDF("denom", "bal")
+    val p = tmp("band")
+    // two ingest windows with disjoint value bands: q ∈ [100, 200]
+    // then q ∈ [10000, 15000] — the recorded q stats must prove the
+    // low band empty for a high-band read before any file listing
+    BalanceWarehouse.materializeFrom(bal(1.00, 2.00), p)
+    BalanceWarehouse.refresh(spark, bal(100.00, 150.00), p)
+    val snap = sources.CommitLog.snapshot(spark, p)
+    val (kept, pruned) = snap.partitionGens(p, "q", Some("9000"), None)
+    assert(pruned == Seq(0L) && kept == Seq(1L),
+      s"low-band generation must prune at the log: kept=$kept pruned=$pruned")
+    // the pruned read equals the full merge under the same band filter
+    val got = snap.readWhere(p, "q", Some("9000"), None).get
+      .filter(col("q") >= 9000L)
+      .groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
+      .collect().map(_.toString).toSet
+    val want = BalanceWarehouse.mergedHist(spark, p)
+      .filter(col("q") >= 9000L).collect().map(_.toString).toSet
+    assert(got == want && got.nonEmpty, "band read diverges from the full fold")
+    // compact re-records q stats from the folded survivors
+    BalanceWarehouse.compact(spark, p)
+    assert(sources.CommitLog.snapshot(spark, p).statsMax(p, "q")
+      .contains("15000"), "compact must re-record q stats")
+  }
+
   test("streaming refresh across micro-batches equals the one-shot fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

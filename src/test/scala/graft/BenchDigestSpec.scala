@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ALL current probes must ride even at worst-case widths — while the
   * per-query map flexes, folding its smallest rows into a `q_other`
   * rollup; ann + stress counts still ride; the assembler degrades
-  * rather than overflow; the line must stay under the 1860-byte
+  * rather than overflow; the line must stay under the DigestBudget
   * budget in every case below. */
 class BenchDigestSpec extends AnyFunSuite {
 
@@ -29,6 +29,9 @@ class BenchDigestSpec extends AnyFunSuite {
       """"s_knn_pca":0.3,"range_lsh_jaccard":1.0,"range_pairs":147}"""
 
   private def worstProbes = Bench.probeNames.map(n => n -> 99.99)
+  // the itemized build bucket at its widest: every warehoused query
+  // pays a (ridiculous) 999.99 s first run
+  private def worstBuilds = Bench.probeNames.map(n => n -> 999.99)
 
   test("countsOnly keeps movable counts, drops times, strings, inputs, static bounds") {
     val c = StressBench.countsOnly(stress)
@@ -46,8 +49,9 @@ class BenchDigestSpec extends AnyFunSuite {
     // (current max ≈ 11 s) — if THIS stays under budget a real run does
     val results = Bench.headlinerNames.map(n => n -> 99.99)
     val line = Bench.digestLine(results, worstProbes, 4699.953, "[]",
-      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99)
-    assert(line.length <= 1860, s"digest ${line.length}B over budget")
+      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99,
+      builds = worstBuilds)
+    assert(line.length <= Bench.DigestBudget, s"digest ${line.length}B over budget")
     assert(line.startsWith("""{"metric":"total","value":4699.953,"unit":"sec""""))
     assert(line.endsWith("}"))
     // the r11 audit header (VERDICT-r10 ask #2): reps + aggregation
@@ -55,15 +59,32 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(line.contains(""""reps":3,"agg":"min","build_sec":999.99"""),
       "audit header missing from the digest")
     // THE ask-#2 pin: every current probe row is driver-visible data
-    assert(line.contains("\"probes\":{"))
+    // (centisecond integers since round 13 — 99.99 s rides as 9999)
+    assert(line.contains("\"probes_cs\":{"))
     Bench.probeNames.foreach(n =>
-      assert(line.contains("\"" + n + "\":99.99"), s"probe $n fell out of the digest"))
+      assert(line.contains("\"" + n + "\":9999"), s"probe $n fell out of the digest"))
     assert(!line.contains("\"p_other\""), "probes budget too small for the full set")
+    // the round-13 itemized build bucket: the most expensive
+    // materializations ride by name, the remainder is counted —
+    // at worst-case widths at least ONE named row must survive
+    assert(line.contains("\"build_cs\":{") && line.contains(":99999"),
+      "itemized build bucket missing at worst case")
+    assert(line.contains("\"b_other\":{\"n\":"),
+      "build remainder count missing at worst case")
     // the queries map flexes: some rows ride, the rest are counted
     assert(line.contains("\"queries\":{") && line.contains("\"q_other\":{\"n\":"))
     // both optional sections still ride at worst case
     assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
     assert(line.contains("\"stress\":{") && line.contains("\"ngram_pairs\":156384"))
+  }
+
+  test("probes reservation keeps >=10% row-growth headroom (VERDICT-r12 ask #7)") {
+    // worst-case probe map width, derived from the live probe list:
+    // per row 2 quotes + name + colon + 4 cs digits (99.99 s) + comma
+    val worst = Bench.probeNames.map(_.length + 8).sum + 1 // braces − last comma
+    assert(worst <= (Bench.ProbesBudget * 0.9).toInt,
+      s"probes worst-case $worst B leaves <10% of ${Bench.ProbesBudget} — " +
+        "the next probe row would fold the map to p_other")
   }
 
   test("realistic widths: the heavy rows ride by name") {
@@ -73,12 +94,15 @@ class BenchDigestSpec extends AnyFunSuite {
       "s_bm25_probe_compacted" -> 4.04, "d_dedup_editdist" -> 3.75)
     val results = Bench.headlinerNames.map(n => n -> times.getOrElse(n, 0.41))
     val line = Bench.digestLine(results, Bench.probeNames.map(_ -> 0.42),
-      75.145, "[]", "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1860, s"digest ${line.length}B over budget")
+      75.145, "[]", "/root/testdata/sf0.1", stress, ann,
+      buildSec = 170.0, builds = Bench.probeNames.map(_ -> 3.61))
+    assert(line.length <= Bench.DigestBudget, s"digest ${line.length}B over budget")
     times.keys.foreach(n =>
       assert(line.contains("\"" + n + "\":"), s"heavy row $n fell out"))
     Bench.probeNames.foreach(n =>
-      assert(line.contains("\"" + n + "\":0.42"), s"probe $n fell out"))
+      assert(line.contains("\"" + n + "\":42"), s"probe $n fell out"))
+    // realistic build rows ride in centiseconds too
+    assert(line.contains("\"build_cs\":{") && line.contains(":361"))
   }
 
   test("assembler degrades rather than overflow, line stays parseable") {
@@ -87,9 +111,9 @@ class BenchDigestSpec extends AnyFunSuite {
     val many = (1 to 60).map(i => s"imaginary_query_with_a_long_name_$i" -> 1.234)
     val line = Bench.digestLine(many, worstProbes, 74.04, "[]",
       "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1860)
+    assert(line.length <= Bench.DigestBudget)
     assert(line.contains("\"q_other\":{\"n\":") && line.endsWith("}"))
-    Bench.probeNames.foreach(n => assert(line.contains("\"" + n + "\":99.99")))
+    Bench.probeNames.foreach(n => assert(line.contains("\"" + n + "\":9999")))
   }
 
   test("mass-failure rung: a KB-scale failed array still yields an under-budget digest") {
@@ -106,7 +130,7 @@ class BenchDigestSpec extends AnyFunSuite {
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = Bench.digestLine(results, Bench.probeNames.map(_ -> -1.0),
       -1.0, failedJson, "/root/testdata/sf0.1", stress, ann)
-    assert(line.length <= 1860, s"mass-failure digest ${line.length}B over budget")
+    assert(line.length <= Bench.DigestBudget, s"mass-failure digest ${line.length}B over budget")
     assert(line.contains("\"failed\":[") && line.endsWith("}"))
     // pathological names: the failed array alone exceeds the budget,
     // so the last rungs must fold it to a count rather than overflow
@@ -114,7 +138,7 @@ class BenchDigestSpec extends AnyFunSuite {
     val hugeJson = huge.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line2 = Bench.digestLine(huge, Bench.probeNames.map(_ -> -1.0),
       -1.0, hugeJson, "/root/testdata/sf0.1", stress, ann)
-    assert(line2.length <= 1860, s"pathological digest ${line2.length}B over budget")
+    assert(line2.length <= Bench.DigestBudget, s"pathological digest ${line2.length}B over budget")
     assert(line2.contains("\"failed_n\":" + huge.size),
       "failure count missing from the degenerate digest")
     assert(line2.endsWith("}"))
@@ -130,7 +154,7 @@ class BenchDigestSpec extends AnyFunSuite {
     val wide = (1 to 120).map(i => f"q_$i%03d" -> 999999.99)
     val line = Bench.digestLine(wide, worstProbes, 120.0 * 999999.99, "[]",
       "/root/testdata/sf0.1", stress, ann, buildSec = 1.0)
-    assert(line.length <= 1860, s"wide-rollup digest ${line.length}B over budget")
+    assert(line.length <= Bench.DigestBudget, s"wide-rollup digest ${line.length}B over budget")
     assert(line.contains("\"q_other\":{\"n\":"), "wide rollup did not fold")
     assert(line.endsWith("}"))
   }
@@ -139,7 +163,7 @@ class BenchDigestSpec extends AnyFunSuite {
     val line = Bench.digestLine(Seq("q1" -> 1.0, "q2" -> -1.0),
       Seq("p1" -> 0.5), 1.0, """["q2"]""", "/root/testdata/sf0.1", "null", "null")
     assert(line.contains("\"q2\":-1") && line.contains("\"failed\":[\"q2\"]"))
-    assert(line.contains("\"probes\":{\"p1\":0.50}"))
+    assert(line.contains("\"probes_cs\":{\"p1\":50}"))
     assert(!line.contains("\"stress\"") && !line.contains("\"ann\""))
     assert(!line.contains("\"q_other\""), "nothing should fold at this size")
   }

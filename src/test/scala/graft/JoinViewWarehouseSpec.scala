@@ -61,6 +61,45 @@ class JoinViewWarehouseSpec extends GraftSpec {
     assert(viewOf(b) == expected, "orders-first sequencing diverges from rebuild")
   }
 
+  test("refreshBoth (one-txn both sides) equals the sequenced delta rule bit-for-bit") {
+    val ref = tmp("both-ref")
+    JoinViewWarehouse.materializeFrom(t.orders, t.lineitem, ref)
+    val p = tmp("both")
+    // first window IS the build (empty-base rule collapse), second is
+    // the general three-term fold — both cross-cutting splits, so an
+    // order's lines can straddle the windows in either direction
+    JoinViewWarehouse.refreshBoth(spark,
+      t.orders.filter(JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(JoinViewWarehouse.isBaseLine), p)
+    JoinViewWarehouse.refreshBoth(spark,
+      t.orders.filter(!JoinViewWarehouse.isBaseOrder),
+      t.lineitem.filter(!JoinViewWarehouse.isBaseLine), p)
+    assert(viewOf(p) == viewOf(ref), "refreshBoth diverges from rebuild")
+  }
+
+  test("recent-years probe skips pre-window generations AT THE LOG and stays exact (r13)") {
+    val path = JoinViewWarehouse.builtYearlyPath(spark, Dir)
+    val snap = sources.CommitLog.snapshot(spark, path)
+    // the latest year answers from the log (zero scans)
+    val latest = snap.statsMax(path, "year").get.toLong
+    val cutoff = (latest - 1).toString
+    val (kept, pruned) = snap.partitionGens(path, "year", Some(cutoff), None)
+    assert(pruned.nonEmpty, "a multi-year corpus must have prunable years")
+    assert(kept.size <= 2, s"trailing-2 window must keep at most 2 gens: $kept")
+    // the pruned generations never reach the plan
+    val probe = JoinViewWarehouse.recentYears(spark, path, years = 2)
+    val files = probe.inputFiles.toSeq
+    val keptDirs = kept.map(g => s"/gen-$g/")
+    assert(files.nonEmpty && files.forall(f => keptDirs.exists(f.contains)),
+      s"pruned year generations leaked into the probe scan: $files")
+    // exactness: the skip-served window equals the full-fold probe
+    // under the identical filter
+    val want = JoinViewWarehouse.probe(spark, path)
+      .filter(col("year") >= (latest - 1)).collect().map(_.toString).toSet
+    assert(probe.collect().map(_.toString).toSet == want && want.nonEmpty,
+      "log-skipped window diverges from the full fold")
+  }
+
   test("retract ∘ refresh equals rebuild-on-survivors, and late lines for a retracted order fold to nothing") {
     val a = tmp("retract")
     JoinViewWarehouse.materializeFrom(
