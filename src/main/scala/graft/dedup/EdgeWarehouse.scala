@@ -202,7 +202,33 @@ object EdgeWarehouse {
     * double-run of a COMMITTED batch fails loudly at the guard.
     * EdgeWarehouseSpec pins both: interrupt-before-marker + resume
     * converges bit-for-bit with a clean run, and a committed re-run
-    * throws. */
+    * throws.
+    *
+    * CROSS-BASE CRASH CONTRACT (round 13, VERDICT-r12 ask #6 — the
+    * combined two-base resume semantics stated once, here, because
+    * this verb is the one place a single crawl batch touches TWO
+    * CommitLog-independent bases): the J-channel index at `<path>.mh`
+    * is a full MinHashWarehouse under its OWN commit log, and a
+    * CommitLog transaction cannot span two bases — so a crash in this
+    * verb can leave the two members exactly ONE BATCH APART: the
+    * `.mh` txn committed (docs + banded rows + probe-visible), the
+    * `.txt` marker never written (the batch NOT in the corpus).  The
+    * resume rule is the duplicate-erasure clause, applied cross-base:
+    * re-run the SAME batch.  The guard still passes (ids never
+    * committed to `.txt`); the J probe now matches the batch against
+    * its own half-committed `.mh` rows, which the standing-side
+    * anti-join below drops (cross pairs whose standing endpoint is in
+    * the batch); MinHashWarehouse.refresh folds the batch a SECOND
+    * time — exact duplicate index rows whose duplicate candidates the
+    * delta distinct() erases and whose physical copies the next `.mh`
+    * compact folds; and the `.txt` marker finally lands.  Net: the
+    * resumed state is probe-equal and label-equal to a never-crashed
+    * run (EdgeWarehouseSpec's cross-base test asserts the one-batch-
+    * apart gap state itself, then pins convergence).  No protocol
+    * change could delete this clause — migrating `.txt` onto the
+    * shared log would leave the same cross-base window against
+    * `.mh`'s log, just restated (the CommitLog Scaladoc's exception
+    * note). */
   def refresh(spark: SparkSession, batch0: DataFrame, path: String): Unit =
     refreshImpl(spark, batch0, path, commitTxt = true)
 

@@ -261,6 +261,54 @@ class EdgeWarehouseSpec extends GraftSpec {
       "resumed run's folded labels diverged from the clean run's")
   }
 
+  test("CROSS-BASE crash: .mh txn committed, .txt marker lost — gap asserted, resume converges (r13)") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables(spark, Dir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+    val clean = tmp("xbase-clean"); val crashed = tmp("xbase-crashed")
+    dedup.EdgeWarehouse.ingest(spark, base, clean)
+    dedup.EdgeWarehouse.refresh(spark, batch, clean)
+    dedup.EdgeWarehouse.ingest(spark, base, crashed)
+    dedup.EdgeWarehouse.refreshImpl(spark, batch, crashed, commitTxt = false)
+    // THE GAP STATE the contract names, asserted directly: the two
+    // CommitLog-independent bases are exactly one batch apart — the
+    // J-channel index (its own log at <path>.mh) has COMMITTED the
+    // batch while the corpus-membership marker (.txt) has not
+    val batchIds = batch.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val mhDocs = sources.CommitLog.snapshot(spark, s"$crashed.mh")
+      .read(s"$crashed.mh.docs").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(mhDocs),
+      "gap precondition failed: the .mh txn should have committed the batch")
+    val txtIds = spark.read.parquet(s"$crashed.txt").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.intersect(txtIds).isEmpty,
+      "gap precondition failed: .txt must NOT hold the uncommitted batch")
+    // resume = re-run the same batch (the guard passes — never in .txt)
+    dedup.EdgeWarehouse.refresh(spark, batch, crashed)
+    // convergence: edges, labels, and the J probe of a FRESH doc all
+    // equal the never-crashed run (the .mh now holds the batch TWICE;
+    // duplicate candidates must erase, not double)
+    assert(edgeSet(dedup.EdgeWarehouse.allEdges(spark, crashed)) ==
+      edgeSet(dedup.EdgeWarehouse.allEdges(spark, clean)),
+      "cross-base resume: edge set diverged")
+    dedup.EdgeWarehouse.compact(spark, clean)
+    dedup.EdgeWarehouse.compact(spark, crashed)
+    val lab = (p: String) => dedup.EdgeWarehouse.standingLabels(spark, p)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toSet
+    assert(lab(crashed) == lab(clean), "cross-base resume: labels diverged")
+    val probeB = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("doc_id"), col("text"))
+    def jMatches(p: String) = dedup.MinHashWarehouse
+      .probeAgainst(spark, probeB, s"$p.mh")
+      .select(col("new_id"), col("base_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jMatches(crashed) == jMatches(clean),
+      "cross-base resume: duplicated .mh rows changed the probe's match set")
+  }
+
   test("registered incremental fold (labels + deltas at rest) equals dedupGroups") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_id"),
