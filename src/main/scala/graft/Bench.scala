@@ -149,7 +149,12 @@ object Bench {
     // round 13: the trailing-years window over the year-cadence view
     // (must price like a two-generation read — earlier years never
     // listed, the q_ts_recent_window contract on the binary member)
-    "q_revenue_view_recent")
+    "q_revenue_view_recent",
+    // round 13 second arc: the drift-repair loop (two ivf builds +
+    // one recluster amortize per JVM; min-of-3 times the two-phase
+    // monitor read) and the frozen-tokenizer application pass (train
+    // once per JVM; min-of-3 times the pure encode scan)
+    "s_knn_recall_drift_repair", "t_bpe_encode_probe")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -179,7 +184,8 @@ object Bench {
     "s_range_search_probe", "s_range_search_retracted",
     "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed",
     "q_ts_recent_window", "s_knn_recall_report_probe",
-    "q_revenue_view_recent")
+    "q_revenue_view_recent", "s_knn_recall_drift_repair",
+    "t_bpe_encode_probe")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -378,7 +384,7 @@ object Bench {
     * detail line — which shaves 1–2 B per row at every width.
     * BenchDigestSpec derives the worst case from probeNames itself
     * and pins the ≥10% slack, so any list change revalidates. */
-  private[graft] val ProbesBudget = 1420 // 44 rows x (name+8B) + braces = 1270 worst-case; ≥10% slack
+  private[graft] val ProbesBudget = 1480 // 46 rows x (name+8B) + braces = 1329 worst-case; ≥10% slack
 
   // The itemized BUILD map (round 13, VERDICT-r12 ask #2) carries no
   // reservation: it is sized from the RESIDUAL bytes after probes,
@@ -519,7 +525,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .select("vec_id").collect().map(_.getLong(0)).toSet
     val brute = ids("s_knn_brute")
-    val recalls = Seq("s_knn_lsh", "s_knn_lsh_mp", "s_knn_ivf",
+    // the lsh / lsh_mp / ivf single-query recalls left this map in
+    // round 13: the registered s_knn_recall_report (+ its at-rest
+    // probe) now carries those numbers as first-class query rows the
+    // driver dumps every round — keeping them here would spend digest
+    // bytes on duplicates while the quantizer lanes below have no
+    // other driver-visible recall row
+    val recalls = Seq(
         "s_knn_pq", "s_knn_pq_refined", "s_knn_ivfpq", "s_knn_ivfpq_refined",
         "s_knn_pca")
       .map { n =>

@@ -47,6 +47,18 @@ object ScaleCheck {
       .select((col("r") * 1000000L + col("vec_id")).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // orders/lineitem replicate with stride-remapped keys (round 13 —
+    // the join-view verbs joined the checkable set): 10⁷ ≡ 0 mod 10,
+    // so the mod-10 splits keep per-shard semantics; dates are kept,
+    // so the year-cadence build sees the same calendar at reps× rows
+    t.orders.crossJoin(rep)
+      .withColumn("o_orderkey", col("r") * 10000000L + col("o_orderkey"))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    t.lineitem.crossJoin(rep)
+      .withColumn("l_orderkey", col("r") * 10000000L + col("l_orderkey"))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -204,6 +204,13 @@ object SparkEntry {
     // trailing-window predicate over raw orders ⋈ lineitem
     "q_revenue_view_recent" -> ((s: SparkSession, d: String) =>
       JoinViewWarehouse.recentYears(s, JoinViewWarehouse.builtYearlyPath(s, d))),
+    // the skipping metadata on the BINARY member, oracled like
+    // q_ts_index_stats: each yearly generation's recorded min/max
+    // (year) must equal DuckDB's true per-year bounds over raw orders
+    "q_revenue_view_index_stats" -> ((s: SparkSession, d: String) => {
+      val p = JoinViewWarehouse.builtYearlyPath(s, d)
+      graft.sources.CommitLog.statsCatalog(s, p, p)
+    }),
     "q_sessionize" -> (Olap.sessionize _),
     "q_retention_cohort" -> (Olap.retentionCohort _),
     "q_funnel_steps" -> (Olap.funnelSteps _),
@@ -404,6 +411,14 @@ object SparkEntry {
     // query id visibly shrinking the domain
     "s_knn_recall_report_probe" -> ((s: SparkSession, d: String) =>
       graft.similarity.RecallMonitor.report(s, d)),
+    // the monitor's actionable loop closed (r13 second arc): the same
+    // drifted IVF index graded BEFORE and AFTER the recluster
+    // maintenance pass — same brute truth (recluster preserves rows),
+    // so the recall delta isolates the quantizer.  No oracle (the
+    // s_knn_ivf class); RecallMonitorSpec pins truth invariance and
+    // both phases serving from pruned probes
+    "s_knn_recall_drift_repair" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.driftRepairReport(s, d)),
     // batched IVF serving — knnBatch's shape on the centroid-
     // partitioned layout (lshBatch's analogue; no oracle: the
     // s_knn_ivf class; spec pins query 0's slice == single-query
@@ -609,6 +624,15 @@ object SparkEntry {
     // BpeEncode expression in one scan — iterative like the trainer,
     // so no SQL oracle; BpeSpec pins it to the reference encode
     "t_bpe_encode" -> ((s: SparkSession, d: String) => CorpusStats.bpeEncode(s, d)),
+    // the tokenizer as a VERSIONED warehouse artifact (r13 second
+    // arc): the incoming split encoded under the FROZEN base-trained
+    // merge table — production's train-once/apply-everywhere
+    // asymmetry (t_bpe_encode retrains per run: the rehearsal).  No
+    // oracle (the encoder class); TokenizerWarehouseSpec pins
+    // frozen-encode == inline bpeEncode on the same corpus and
+    // version immutability under retrain (as-of re-serves v1)
+    "t_bpe_encode_probe" -> ((s: SparkSession, d: String) =>
+      TokenizerWarehouse.encodeIncoming(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
     // the GK-sketch production swap (no oracle: sketch internals not
     // portably SQL-expressible — the HLL/Bloom class; rank-guarantee
@@ -1663,6 +1687,15 @@ object SparkEntry {
     "q_revenue_view_recent" ->
       qRevenueViewSqlOver(
         " WHERE year(o_orderdate) >= (SELECT max(year(o_orderdate)) FROM orders) - 1"),
+    // the recorded stats must equal the true per-year-generation
+    // bounds over raw orders (builtYearlyPath ingests years in sorted
+    // order, so gen == the year's rank) — oracling the skipping
+    // metadata on the binary member, the q_ts_index_stats pairing
+    "q_revenue_view_index_stats" ->
+      """SELECT CAST(row_number() OVER (ORDER BY y) - 1 AS BIGINT) AS gen,
+        |'year' AS stat_col, 'num' AS kind,
+        |CAST(y AS VARCHAR) AS min_v, CAST(y AS VARCHAR) AS max_v
+        |FROM (SELECT DISTINCT year(o_orderdate) AS y FROM orders)""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms FROM events),
         |l AS (SELECT user_id, event_id, ts, ts_ms,

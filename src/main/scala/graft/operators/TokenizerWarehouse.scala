@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+import graft.sources.{CommitLog, Tables}
+
+/** The TOKENIZER as a versioned warehouse artifact — the production
+  * shape of BPE that t_bpe_merges/t_bpe_encode (train-per-run) only
+  * rehearse: a tokenizer is trained ONCE on a reference corpus, then
+  * FROZEN and applied to every later batch — training-data pipelines
+  * version it like a model artifact, because two corpora encoded under
+  * different merge tables are not comparable (token budgets, packing,
+  * fertility all shift).  This member is the frozen-quantizer stance
+  * (PQ/IVF codebooks, EdgeWarehouse's frozen gram order) taken to its
+  * endpoint: NOTHING folds — the artifact is immutable between
+  * versions, retraining COMMITS A NEW VERSION, and the CommitLog's
+  * as-of read reproduces any shipped version's encoding bit-for-bit
+  * (the reproducible-training-snapshot contract extended to the
+  * tokenizer: "which tokenizer version encoded this training set" is
+  * a generation number, same as "which corpus state did it dedup
+  * against").
+  *
+  * State: `path` = the merge table (version, round, first, second, n)
+  * — K rows of metadata per version.  Every version is one APPEND
+  * generation stamped with its gen number (see materializeFrom for
+  * why not replace); `history` is the version catalog.  The probe
+  * reads the K merge rows
+  * driver-side (tokenizer metadata, like IVF's probe centroids) and
+  * encodes the batch in ONE native BpeEncode scan — zero joins, zero
+  * shuffles, scan-speed at any corpus size (the t_bpe_encode shape,
+  * minus the per-run training loop).
+  *
+  * Retraining stance: REBUILD-ONLY by design, not limitation — merge
+  * ranks are global argmax decisions over the whole training corpus,
+  * so there is no associative fold that "adds a batch" to a trained
+  * tokenizer (the Bloom/HLL rebuild-only class, but deliberate:
+  * production NEVER drift-folds a tokenizer, it ships v2). */
+object TokenizerWarehouse {
+
+  /** TRAIN + COMMIT one version: the deterministic trainer
+    * (CorpusStats.trainMerges — ties broken lexicographically) over
+    * `docs`, committed as an APPEND generation stamped with its own
+    * version (= the txn's generation number).  Append, not replace,
+    * is load-bearing: the commit fold's `replace` erases earlier
+    * generations for AS-OF readers too (the retention contract), and
+    * the whole point of versioning is that v1 stays reproducible
+    * after v2 ships — so versions accumulate as appends and a reader
+    * picks the latest version at its cut.  Retention of old versions
+    * is the caller's rebase + vacuum, like any member. */
+  def materializeFrom(docs: DataFrame, path: String, rounds: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = CorpusStats.trainMerges(docs, rounds)
+      .toDF("round", "first", "second", "n")
+    val t = CommitLog.begin(spark, path)
+    t.append(merges.withColumn("version", lit(t.gen)), path)
+    t.commit()
+  }
+
+  /** RETRAIN — ship the next version (a new replace generation; every
+    * earlier version stays as-of readable until retention rebase). */
+  def retrain(docs: DataFrame, path: String, rounds: Int = 8): Unit =
+    materializeFrom(docs, path, rounds)
+
+  /** The frozen merge list of a VERSION (default: the shipped head),
+    * in rank order — K driver-side rows, the probe's plan constant.
+    * The as-of cut picks the LATEST version at or below the cut from
+    * the accumulated appends (two passes over KB-scale metadata). */
+  private[graft] def frozenMerges(spark: SparkSession, path: String,
+      asOfGen: Long = Long.MaxValue): Seq[(String, String)] = {
+    val all = CommitLog.snapshot(spark, path).read(path, asOfGen)
+      .localCheckpoint()
+    // a corpus with no repeating pair trains ZERO merges — a legal
+    // (identity) tokenizer version, not an error
+    Option(all.agg(max(col("version"))).head().get(0)) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        all.filter(col("version") === latest)
+          .orderBy(col("round"))
+          .collect().map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
+          .toSeq
+    }
+  }
+
+  /** ENCODE a batch against the frozen version: one native BpeEncode
+    * projection with the merge table as a plan constant.  Output
+    * matches t_bpe_encode's shape (raw/encoded counts + the encoded
+    * stream's md5), so the spec's same-corpus pin is row-level. */
+  def encodeProbe(spark: SparkSession, path: String, docs: DataFrame,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
+    val enc = graft.functions.BpeEncode(words(col("text")),
+      frozenMerges(spark, path, asOfGen))
+    docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens_raw"),
+      size(enc).cast("long").as("n_tokens_bpe"),
+      md5(array_join(enc, " ")).as("bpe_md5"))
+  }
+
+  /** The version catalog — CommitLog.history verbatim: one row per
+    * shipped version ("which tokenizer encoded this run" is a
+    * generation number). */
+  def versions(spark: SparkSession, path: String): DataFrame =
+    CommitLog.history(spark, path)
+
+  /** The once-per-JVM registered build: train v1 on the BASE document
+    * split only — the production asymmetry the registered probe then
+    * exercises (encode the INCOMING split under a tokenizer that
+    * never saw it). */
+  def builtPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("tokenizer_warehouse", dir) { p =>
+      materializeFrom(
+        Tables(spark, dir).documents.filter(graft.dedup.MinHashWarehouse.isBase), p)
+    }
+
+  /** Registered `t_bpe_encode_probe`: the incoming split encoded
+    * under the FROZEN base-trained tokenizer — the shape every later
+    * crawl batch takes in production (t_bpe_encode, by contrast,
+    * retrains on the full corpus per run: the rehearsal, not the
+    * deployment).  Bounded to doc_id < 1000 like the LM probes.  NO
+    * SQL oracle (the encoder class — BpeSpec's single-machine
+    * reference covers the expression); TokenizerWarehouseSpec pins
+    * frozen-encode == inline bpeEncode on the same training corpus,
+    * version immutability under retrain (as-of gen re-serves v1's
+    * encoding bit-for-bit), and the zero-shuffle plan. */
+  def encodeIncoming(spark: SparkSession, dir: String): DataFrame =
+    encodeProbe(spark, builtPath(spark, dir),
+      Tables(spark, dir).documents
+        .filter(!graft.dedup.MinHashWarehouse.isBase && col("doc_id") < 1000)
+        .select(col("doc_id"), col("text")))
+}

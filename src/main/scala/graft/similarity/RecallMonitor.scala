@@ -142,4 +142,50 @@ object RecallMonitor {
       nQueries: Int = 10, k: Int = 5, tau: Double = 0.3): DataFrame =
     ivfRow(spark, ivfMonitorPath(spark, dir), nQueries, k)
       .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries, tau))
+
+  /** The drifted build + the same build RECLUSTERED — the drift
+    * repair's before/after states, materialized once per JVM each
+    * (two paths: the monitor must grade the drifted index itself, not
+    * a copy recluster already healed). */
+  private def driftedPath(spark: SparkSession, dir: String): String =
+    ivfMonitorPath(spark, dir) // the registered monitor build IS the drifted state
+
+  private def repairedPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("ivf_warehouse_repaired", dir) { p =>
+      val e = vecsOf(spark, dir)
+      IvfWarehouse.materializeFrom(e.filter(isBase), p)
+      IvfWarehouse.refresh(spark, e.filter(!isBase), p)
+      IvfWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+      IvfWarehouse.compact(spark, p)
+      IvfWarehouse.recluster(spark, p, rounds = 2)
+      ()
+    }
+
+  /** Registered `s_knn_recall_drift_repair`: the monitor's ACTIONABLE
+    * loop closed — the same drifted IVF index graded BEFORE and AFTER
+    * the `recluster` maintenance pass (FAISS's re-train-when-drifted
+    * drill: the monitor says recall dipped, recluster re-fits the
+    * coarse quantizer to the index's CURRENT contents, the monitor
+    * re-grades).  Ground truth is the brute pass over the surviving
+    * vectors, which recluster preserves row-for-row (IvfWarehouseSpec
+    * pins row preservation and cost non-increase), so truth_n is
+    * IDENTICAL across phases and the recall delta isolates the
+    * QUANTIZER's effect — exactly the number an operator acts on.
+    * Honesty note: cost non-increase is mathematical (the spherical
+    * Lloyd argument); a recall LIFT is not guaranteed in general —
+    * mild drift can leave recall flat — which is WHY a production
+    * loop polls the monitor instead of assuming repair; the
+    * registered row demonstrates the loop, the spec pins the
+    * invariants (same truth, both phases served from pruned probes,
+    * arithmetic vs an independent join).  No oracle (the s_knn_ivf
+    * class). */
+  def driftRepairReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    ivfRow(spark, driftedPath(spark, dir), nQueries, k)
+      .withColumn("phase", lit("drifted"))
+      .unionByName(
+        ivfRow(spark, repairedPath(spark, dir), nQueries, k)
+          .withColumn("phase", lit("reclustered")))
+      .select(col("method"), col("phase"), col("n_queries"),
+        col("truth_n"), col("matched"), col("recall"))
 }

@@ -86,6 +86,43 @@ class RecallMonitorSpec extends GraftSpec {
     assert(after._2(4) == 1.0, s"lsh range recall after cycle: ${after._2}")
   }
 
+  test("drift-repair loop: same truth both phases, recall isolates the quantizer") {
+    val rows = SparkEntry.queries("s_knn_recall_drift_repair")(spark, Dir)
+      .collect().map(r => r.getAs[String]("phase") -> r).toMap
+    assert(rows.keySet == Set("drifted", "reclustered"))
+    // recluster preserves the surviving rows, so the brute ground
+    // truth is IDENTICAL across phases — the recall delta is the
+    // quantizer's effect and nothing else
+    assert(rows("drifted").getAs[Long]("truth_n") ==
+      rows("reclustered").getAs[Long]("truth_n"))
+    assert(rows("drifted").getAs[Long]("n_queries") ==
+      rows("reclustered").getAs[Long]("n_queries"))
+    rows.values.foreach { r =>
+      val (tn, m) = (r.getAs[Long]("truth_n"), r.getAs[Long]("matched"))
+      assert(tn > 0L && m >= 0L && m <= tn)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // independent arithmetic check on the reclustered phase: matched
+    // must equal a direct truth ∩ candidates join over that index
+    val p = graft.sources.Materialized.pathFor("ivf_warehouse_repaired", Dir)(
+      _ => fail("repaired index should already be materialized"))
+    val standing = {
+      val snap = sources.CommitLog.snapshot(spark, p)
+      snap.read(p).select(col("vec_id"), col("v")).localCheckpoint()
+    }
+    val truth = Knn.knnBatchOf(standing, 10, 5)
+      .select(col("query_id"), col("vec_id"))
+    val queries = standing.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cands = IvfWarehouse.probeBatch(spark, p, queries, nprobe = 4, k = 6)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    assert(rows("reclustered").getAs[Long]("matched") ==
+      truth.join(cands, Seq("query_id", "vec_id")).count(),
+      "reclustered matched diverges from the independent join")
+  }
+
   test("registered report: two rows, one per maintained family") {
     val rows = SparkEntry.queries("s_knn_recall_report_probe")(spark, Dir)
       .collect()
