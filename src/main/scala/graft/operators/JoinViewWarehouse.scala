@@ -277,23 +277,42 @@ object JoinViewWarehouse {
   def recentYears(spark: SparkSession, path: String, years: Int = 2): DataFrame = {
     require(years >= 1, s"window must be at least one year, got $years")
     val snap = CommitLog.snapshot(spark, path)
-    val latest = snap.statsMax(path, "year").getOrElse(
+    if (snap.maxGen < 0) // a path with NO committed log stays loud
       throw new IllegalStateException(
-        s"recentYears: no year stats on some live generation of '$path' " +
-          "(every view-delta write records them — was this built elsewhere?)"))
-      .toLong
-    val cutoff = latest - (years - 1)
-    val kept = snap.readWhere(path, "year", Some(cutoff.toString), None)
-      .getOrElse(throw new IllegalStateException( // unreachable: max-year gen survives
-        s"recentYears: every generation pruned at cutoff $cutoff"))
-    kept.filter(col("year") >= cutoff)
-      .groupBy(col("prio"), col("year"))
-      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
-      .filter(col("n") =!= 0)
-      .select(col("prio").as("o_orderpriority"), col("year"),
-        roundx(col("rev").cast("double"), 4).as("revenue"),
-        col("n").as("n_lines"))
-      .orderBy(col("o_orderpriority"), col("year"))
+        s"recentYears: no committed generations under '$path' — not a join view")
+    // the zero-scan anchor needs year stats on EVERY live generation;
+    // an empty ingest window (zero-row append — no stats by design)
+    // or a foreign writer drops to ONE scan of the folded view (the
+    // TsWarehouse.recentWindow stance, ADVICE r12's shape)
+    val latestOpt: Option[Long] = snap.statsMax(path, "year")
+      .map(_.toLong)
+      .orElse(Option(snap.read(path)
+        .groupBy(col("year")).agg(sum(col("n")).as("n"))
+        .filter(col("n") =!= 0)
+        .agg(max(col("year")).as("mx")).head().getAs[java.lang.Long]("mx"))
+        .map(_.toLong))
+    latestOpt match {
+      case None => // view folded to empty: the probe's empty frame
+        snap.read(path).filter(lit(false))
+          .groupBy(col("prio"), col("year"))
+          .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+          .select(col("prio").as("o_orderpriority"), col("year"),
+            roundx(col("rev").cast("double"), 4).as("revenue"),
+            col("n").as("n_lines"))
+      case Some(latest) =>
+        val cutoff = latest - (years - 1)
+        val kept = snap.readWhere(path, "year", Some(cutoff.toString), None)
+          .getOrElse(throw new IllegalStateException( // unreachable: max-year gen survives
+            s"recentYears: every generation pruned at cutoff $cutoff"))
+        kept.filter(col("year") >= cutoff)
+          .groupBy(col("prio"), col("year"))
+          .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+          .filter(col("n") =!= 0)
+          .select(col("prio").as("o_orderpriority"), col("year"),
+            roundx(col("rev").cast("double"), 4).as("revenue"),
+            col("n").as("n_lines"))
+          .orderBy(col("o_orderpriority"), col("year"))
+    }
   }
 
   /** The once-per-JVM YEAR-CADENCE build: one refreshBoth generation

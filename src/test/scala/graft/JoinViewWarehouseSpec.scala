@@ -100,6 +100,26 @@ class JoinViewWarehouseSpec extends GraftSpec {
       "log-skipped window diverges from the full fold")
   }
 
+  test("recentYears: empty-after-retraction serves the empty frame; never-built stays loud (r13)") {
+    val p = tmp("recent-empty")
+    val o1 = t.orders.filter(year(col("o_orderdate")) === 1995).localCheckpoint()
+    val l1 = t.lineitem.join(o1.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").localCheckpoint()
+    JoinViewWarehouse.materializeFrom(o1, l1, p)
+    JoinViewWarehouse.retractOrders(spark, o1, p)
+    // compact folds the fully-retracted view to a zero-row replace —
+    // which records NO year stats by design: the probe must serve the
+    // empty window, not throw (the TsWarehouse.recentWindow stance)
+    JoinViewWarehouse.compact(spark, p)
+    val win = JoinViewWarehouse.recentYears(spark, p, years = 2)
+    assert(win.isEmpty, "empty-after-retraction must serve an empty window")
+    assert(win.columns.toSeq ==
+      Seq("o_orderpriority", "year", "revenue", "n_lines"))
+    // a warehouse that was never built at all stays LOUD
+    intercept[IllegalStateException](
+      JoinViewWarehouse.recentYears(spark, tmp("never-built")))
+  }
+
   test("retract ∘ refresh equals rebuild-on-survivors, and late lines for a retracted order fold to nothing") {
     val a = tmp("retract")
     JoinViewWarehouse.materializeFrom(
