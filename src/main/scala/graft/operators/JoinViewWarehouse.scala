@@ -152,13 +152,22 @@ object JoinViewWarehouse {
     * view deltas a rebuild would never produce. */
   private[graft] def refreshLinesTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean = {
-    val dl = lineDeltas(batch).localCheckpoint()
+    // dup-check BEFORE any Spark work (review r13: the localCheckpoint
+    // below materializes the batch — a replayed committed batch must
+    // skip without paying that job); like Bm25's refreshTxn, the one
+    // snapshot serves both the check and the standing-side reads
     val snap = CommitLog.snapshot(spark, path)
-    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+    val seen = batchId.exists(id =>
+      graft.sources.StreamTwin.seenBatch(snap, path, id))
+    if (seen) return false
+    val dl = lineDeltas(batch).localCheckpoint()
+    CommitLog.transaction(spark, path) { t =>
       t.append(viewDeltas(mergedOrders(snap, path).join(dl, Seq("k")), 1), path,
         statsCols = YearStats)
       t.append(dl, lPath(path))
+      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
+    true
   }
 
   /** REFRESH, order side — fold an orders batch: view += ΔO ⋈
@@ -397,16 +406,23 @@ object JoinViewWarehouse {
     * rows + the optional stream batch id in ONE atomic commit. */
   private[graft] def orderChangesTxn(spark: SparkSession, batch: DataFrame,
       path: String, batchId: Option[Long]): Boolean = {
-    val ch = orderChangeRows(batch).localCheckpoint()
+    // dup-check before any Spark work; one snapshot serves check +
+    // standing reads (the refreshLinesTxn rationale)
     val snap = CommitLog.snapshot(spark, path)
-    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+    val seen = batchId.exists(id =>
+      graft.sources.StreamTwin.seenBatch(snap, path, id))
+    if (seen) return false
+    val ch = orderChangeRows(batch).localCheckpoint()
+    CommitLog.transaction(spark, path) { t =>
       t.append(ch.join(mergedLines(snap, path), Seq("k"))
         .groupBy(col("prio"), col("year"))
         .agg(sum(col("op").cast("decimal(10,0)") * col("rev"))
           .cast("decimal(38,6)").as("rev"),
-          sum(col("op") * col("n")).as("n")), path)
+          sum(col("op") * col("n")).as("n")), path, statsCols = YearStats)
       t.append(ch, oPath(path))
+      batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
+    true
   }
 
   /** The CDC twin on the ORDERS side — insert, update (−old/+new)

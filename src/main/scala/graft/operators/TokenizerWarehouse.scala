@@ -59,29 +59,31 @@ object TokenizerWarehouse {
     t.commit()
   }
 
-  /** RETRAIN — ship the next version (a new replace generation; every
+  /** RETRAIN — ship the next version (a new APPEND generation; every
     * earlier version stays as-of readable until retention rebase). */
   def retrain(docs: DataFrame, path: String, rounds: Int = 8): Unit =
     materializeFrom(docs, path, rounds)
 
   /** The frozen merge list of a VERSION (default: the shipped head),
     * in rank order — K driver-side rows, the probe's plan constant.
-    * The as-of cut picks the LATEST version at or below the cut from
-    * the accumulated appends (two passes over KB-scale metadata). */
+    * The version pointer comes from the LOG (Snapshot.latestGen), not
+    * from max(version) over the rows: a version with ZERO merges — a
+    * corpus with no repeating pair trains the identity tokenizer,
+    * legal, not an error — has no rows to vote with, and the
+    * row-side max would silently keep serving the RETIRED previous
+    * version while the catalog lists the new one (review r13). */
   private[graft] def frozenMerges(spark: SparkSession, path: String,
       asOfGen: Long = Long.MaxValue): Seq[(String, String)] = {
-    val all = CommitLog.snapshot(spark, path).read(path, asOfGen)
-      .localCheckpoint()
-    // a corpus with no repeating pair trains ZERO merges — a legal
-    // (identity) tokenizer version, not an error
-    Option(all.agg(max(col("version"))).head().get(0)) match {
-      case None => Seq.empty
-      case Some(latest) =>
-        all.filter(col("version") === latest)
-          .orderBy(col("round"))
-          .collect().map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
-          .toSeq
-    }
+    val snap = CommitLog.snapshot(spark, path)
+    val latest = snap.latestGen(path, asOfGen).getOrElse(
+      throw new IllegalStateException(
+        s"TokenizerWarehouse: no shipped version under '$path'" +
+          (if (asOfGen != Long.MaxValue) s" as of gen $asOfGen" else "")))
+    snap.read(path, asOfGen)
+      .filter(col("version") === latest)
+      .orderBy(col("round"))
+      .collect().map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
+      .toSeq
   }
 
   /** ENCODE a batch against the frozen version: one native BpeEncode

@@ -59,17 +59,24 @@ object RecallMonitor {
     Tables(spark, dir).embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-  /** Once-per-JVM DRIFTED IVF index: base ingest, frozen-quantizer
-    * refresh, cross-cutting retract, compact — the state a production
-    * poll would find between recluster passes. */
+  /** The drifted-IVF build — ONE definition shared by the monitor
+    * path and the drift-repair pair (review r13: the repair report's
+    * 'same drifted state graded before/after recluster' premise must
+    * be structural, not a copy staying in lockstep): base ingest,
+    * frozen-quantizer refresh, cross-cutting retract, compact — the
+    * state a production poll finds between recluster passes. */
+  private def driftedIvfBuild(spark: SparkSession, dir: String, p: String): Unit = {
+    val e = vecsOf(spark, dir)
+    IvfWarehouse.materializeFrom(e.filter(isBase), p)
+    IvfWarehouse.refresh(spark, e.filter(!isBase), p)
+    IvfWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+    IvfWarehouse.compact(spark, p)
+  }
+
+  /** Once-per-JVM DRIFTED IVF index (see driftedIvfBuild). */
   def ivfMonitorPath(spark: SparkSession, dir: String): String =
-    graft.sources.Materialized.pathFor("ivf_warehouse_monitor", dir) { p =>
-      val e = vecsOf(spark, dir)
-      IvfWarehouse.materializeFrom(e.filter(isBase), p)
-      IvfWarehouse.refresh(spark, e.filter(!isBase), p)
-      IvfWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
-      IvfWarehouse.compact(spark, p)
-    }
+    graft.sources.Materialized.pathFor("ivf_warehouse_monitor", dir)(
+      driftedIvfBuild(spark, dir, _))
 
   /** Once-per-JVM maintained LSH index: same cycle (signatures are
     * per-row, so refresh carries no frozen-state drift — the cycle
@@ -152,11 +159,7 @@ object RecallMonitor {
 
   private def repairedPath(spark: SparkSession, dir: String): String =
     graft.sources.Materialized.pathFor("ivf_warehouse_repaired", dir) { p =>
-      val e = vecsOf(spark, dir)
-      IvfWarehouse.materializeFrom(e.filter(isBase), p)
-      IvfWarehouse.refresh(spark, e.filter(!isBase), p)
-      IvfWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
-      IvfWarehouse.compact(spark, p)
+      driftedIvfBuild(spark, dir, p)
       IvfWarehouse.recluster(spark, p, rounds = 2)
       ()
     }

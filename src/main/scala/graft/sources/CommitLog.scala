@@ -330,6 +330,13 @@ object CommitLog {
         .reduce(_.unionByName(_)))
     }
 
+    /** The newest LIVE generation of `part` at the cut — the version
+      * pointer for members whose generations ARE versions
+      * (TokenizerWarehouse): answered from the log, so a zero-row
+      * version is still the head (its rows cannot vote). */
+    def latestGen(part: String, asOfGen: Long = Long.MaxValue): Option[Long] =
+      liveGens(part, asOfGen).lastOption
+
     def read(part: String, asOfGen: Long = Long.MaxValue): DataFrame =
       readOpt(part, asOfGen).getOrElse(throw new IllegalStateException(
         s"CommitLog: no committed generations for part '$part'" +

@@ -56,6 +56,27 @@ class TokenizerWarehouseSpec extends GraftSpec {
     assert(head != v1, "retrain did not change the head encoding")
   }
 
+  test("a zero-merge version becomes the head (identity tokenizer), not a ghost (review r13)") {
+    val p = tmp("identity")
+    TokenizerWarehouse.materializeFrom(docs.filter(col("doc_id") < 300), p, rounds = 4)
+    // no adjacent pair repeats → the trainer ships ZERO merges: a
+    // legal identity version that must TAKE OVER the head (the
+    // row-side max(version) would have kept serving v1 — review r13)
+    val s = spark
+    import s.implicits._
+    val uniq = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    TokenizerWarehouse.retrain(uniq, p, rounds = 4)
+    assert(TokenizerWarehouse.frozenMerges(spark, p).isEmpty,
+      "the zero-merge version must become the head")
+    val sample = docs.filter(col("doc_id") < 20)
+    TokenizerWarehouse.encodeProbe(spark, p, sample).collect().foreach { r =>
+      assert(r.getAs[Long]("n_tokens_bpe") == r.getAs[Long]("n_tokens_raw"),
+        "the identity tokenizer must leave every stream unmerged")
+    }
+    // and v1 stays as-of readable with its real merges
+    assert(TokenizerWarehouse.frozenMerges(spark, p, asOfGen = 0L).nonEmpty)
+  }
+
   test("registered probe: frozen-base tokenizer over the incoming split, zero shuffles") {
     val probe = SparkEntry.queries("t_bpe_encode_probe")(spark, Dir)
     val out = probe.collect()
