@@ -405,6 +405,24 @@ class CommitLogSpec extends GraftSpec {
     assert(kept2.contains(2L), "zero-row write must stay un-prunable")
   }
 
+  test("a zero-row append on a NON-partitioned part stays readable (r13 probe)") {
+    // the partitioned zero-row case needs the hasDataFile rewrite in
+    // Txn.write; the NON-partitioned case relies on Spark writing a
+    // schema-bearing empty part file (the SPARK-23271 lineage) — this
+    // pin keeps that assumption loud across Spark upgrades, because a
+    // regression would brick every reader of a member the moment one
+    // empty batch folds in
+    val base = tmp("emptygen")
+    val s = spark
+    import s.implicits._
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(("a", 1L)).toDF("k", "v"), base))
+    CommitLog.transaction(spark, base)(_.append(
+      Seq(("b", 2L)).toDF("k", "v").repartition(4).filter(lit(false)), base))
+    assert(CommitLog.snapshot(spark, base).read(base).count() == 1L,
+      "an all-empty non-partitioned generation broke the union read")
+  }
+
   test("NaN/Infinity numeric bounds are refused at record time (ADVICE r12)") {
     val base = tmp("skipnan")
     val s = spark
