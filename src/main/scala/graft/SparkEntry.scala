@@ -419,6 +419,22 @@ object SparkEntry {
     // both phases serving from pruned probes
     "s_knn_recall_drift_repair" -> ((s: SparkSession, d: String) =>
       graft.similarity.RecallMonitor.driftRepairReport(s, d)),
+    // the repair loop with the GATE closed (r14, ask #1): the same
+    // drifted build repaired via the blue/green reclusterIfBetter —
+    // on this corpus the re-fit regresses recall, so the registered
+    // row is the gate HOLDING (swapped = false, standing state
+    // untouched).  No oracle (trained-quantizer class);
+    // IvfWarehouseSpec drives both gate branches
+    "s_knn_recluster_gated" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.gatedRepairReport(s, d)),
+    // the PQ lane joins the at-rest monitor (r14, ask #2): the
+    // maintained IVF-PQ code table graded after refresh + retract +
+    // compact, raw ADC (candidate generation — low by design on
+    // random synthetic vectors) and the refined serving stage side by
+    // side.  No oracle (two trained quantizers); PqSpec pins
+    // refined ≥ ADC here plus the inline refined serving floors
+    "s_knn_recall_report_pq" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.pqReport(s, d)),
     // batched IVF serving — knnBatch's shape on the centroid-
     // partitioned layout (lshBatch's analogue; no oracle: the
     // s_knn_ivf class; spec pins query 0's slice == single-query

@@ -137,8 +137,36 @@ object IvfWarehouse {
     * (cost_before, cost_after) mean-assignment-distance telemetry —
     * two driver scalars, the Kmeans-history pattern.
     * (IvfWarehouseSpec asserts cost non-increase, row preservation,
-    * and that probes still prune after the rewrite.) */
+    * and that probes still prune after the rewrite.)
+    *
+    * DEMOTED to a MECHANISM, not a deployment verb (VERDICT r13):
+    * cost non-increase is mathematical, but assignment cost and
+    * serving RECALL are different objectives — the drift-repair
+    * exhibit measured this verb improving cost while regressing
+    * recall 0.8222 → 0.7333 on the drifted corpus.  An operator
+    * repairing a production index must use `reclusterIfBetter`, which
+    * stages this same re-fit, grades it against brute truth, and
+    * refuses to ship a regression; this in-place form remains for the
+    * monitor's before/after exhibits and for callers that own their
+    * own gate. */
   def recluster(spark: SparkSession, path: String, rounds: Int = 2): (Double, Double) = {
+    val (fin, cents, costBefore, costAfter) = refit(spark, path, rounds)
+    CommitLog.transaction(spark, path) { t =>
+      t.replace(fin.select(col("vec_id"), col("v"), col("cid")), path, Seq("cid"))
+      t.replace(cents, centroidsPath(path))
+    }
+    // physical reclaim stays the caller's separate vacuum (review r11:
+    // inline vacuum tears pinned concurrent probe snapshots)
+    (costBefore, costAfter)
+  }
+
+  /** The re-fit itself, UNCOMMITTED — compacts, warm-starts Lloyd from
+    * the stored centroids, and returns (reassigned lists, new
+    * centroids, cost_before, cost_after) as pinned frames for the
+    * caller to commit (`recluster`, in place) or stage and grade
+    * (`reclusterIfBetter`). */
+  private def refit(spark: SparkSession, path: String,
+      rounds: Int): (DataFrame, DataFrame, Double, Double) = {
     compact(spark, path) // retire outstanding tombstones: the re-fit must see survivors only
     val snap0 = CommitLog.snapshot(spark, path)
     val e = snap0.read(path)
@@ -178,14 +206,84 @@ object IvfWarehouse {
     }
     val fin = assigned(cents).localCheckpoint()
     val costAfter = fin.agg(avg(col("dist"))).head.getDouble(0)
-    val newCents = cents
-    CommitLog.transaction(spark, path) { t =>
-      t.replace(fin.select(col("vec_id"), col("v"), col("cid")), path, Seq("cid"))
-      t.replace(newCents, centroidsPath(path))
+    (fin, cents, costBefore, costAfter)
+  }
+
+  /** The gated repair's verdict — one driver-side record per run
+    * (cost/recall scalars are already driver values by the time the
+    * gate decides). */
+  final case class GateReport(costBefore: Double, costAfter: Double,
+      truthN: Long, recallStanding: Double, recallStaged: Double,
+      swapped: Boolean)
+
+  private def stagingPath(path: String): String = s"$path.staged"
+
+  /** MONITOR-GATED recluster — blue/green drift repair (VERDICT-r13
+    * ask #1).  `recluster` above is the UNGATED form: it optimizes
+    * ASSIGNMENT COST, and the engine's own drift-repair exhibit
+    * measured a re-fit improving cost while REGRESSING serving recall
+    * (0.8222 → 0.7333, SURVEY §5q) — cost and recall are different
+    * objectives, so a production deployment must never swap a codebook
+    * on the cost metric alone.  This verb does what that deployment
+    * does (the reference's materialize-then-validate-then-serve
+    * collector pattern, reference: src/collector/richlist.ts:20):
+    *
+    *  1. re-fit into a STAGING base (`<path>.staged` — its own
+    *     CommitLog, so the staged lists+centroids land as one
+    *     transaction and the serving path at `path` is untouched);
+    *  2. grade BOTH states against brute truth through their own
+    *     pruned serving probes (RecallMonitor.ivfRow on each base —
+    *     the re-fit preserves rows, so the truth side is IDENTICAL
+    *     across the two grades, asserted here, and the recall delta
+    *     isolates the quantizer);
+    *  3. commit the swap into `path` ONLY if staged recall does not
+    *     regress; otherwise keep the standing codebook and surface
+    *     the verdict — the regression case serves exactly what it
+    *     served before, bit for bit.
+    *
+    * Either way the staging base is cleared afterwards (its dead
+    * generations are vacuum's to reclaim).  Cost shape: one re-fit
+    * (the recluster passes) + two monitor grades (each one linear
+    * |Q|-bounded truth pass + a pruned probe) + on swap one rewrite of
+    * the lists — all corpus-linear once, nothing quadratic.
+    * IvfWarehouseSpec drives both branches: hold-on-regression
+    * (standing state bit-identical after the verb) and
+    * swap-on-improvement (the staged codebook serves, recall
+    * re-grades at the staged value). */
+  def reclusterIfBetter(spark: SparkSession, path: String, rounds: Int = 2,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): GateReport = {
+    val staging = stagingPath(path)
+    val (fin, cents, costBefore, costAfter) = refit(spark, path, rounds)
+    CommitLog.transaction(spark, staging) { t =>
+      t.replace(fin.select(col("vec_id"), col("v"), col("cid")), staging, Seq("cid"))
+      t.replace(cents, centroidsPath(staging))
     }
-    // physical reclaim stays the caller's separate vacuum (review r11:
-    // inline vacuum tears pinned concurrent probe snapshots)
-    (costBefore, costAfter)
+    def grade(p: String): (Long, Double) = {
+      val r = RecallMonitor.ivfRow(spark, p, nQueries, k, nprobe).head()
+      (r.getAs[Long]("truth_n"), r.getAs[Double]("recall"))
+    }
+    val (truthOld, recallOld) = grade(path)
+    val (truthNew, recallNew) = grade(staging)
+    // the premise of comparing the two recalls at all: same standing
+    // rows ⇒ same brute truth (the drift-repair row's argument)
+    require(truthOld == truthNew,
+      s"gated recluster: truth moved across the re-fit ($truthOld -> $truthNew)" +
+        " — staged state does not hold the standing rows")
+    val swap = recallNew >= recallOld
+    if (swap) {
+      val s = CommitLog.snapshot(spark, staging)
+      CommitLog.transaction(spark, path) { t =>
+        t.replace(s.read(staging), path, Seq("cid"))
+        t.replace(s.read(centroidsPath(staging)), centroidsPath(path))
+      }
+    }
+    // retire the staging state either way — the verdict (and on swap,
+    // the shipped codebook) is what survives; dead staged generations
+    // are vacuum's to reclaim on the retention cadence
+    CommitLog.transaction(spark, staging) { t =>
+      t.clear(staging); t.clear(centroidsPath(staging))
+    }
+    GateReport(costBefore, costAfter, truthOld, recallOld, recallNew, swap)
   }
 
   /** The retraction slice for the registered query — cross-cutting

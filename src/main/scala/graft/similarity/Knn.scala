@@ -67,9 +67,19 @@ object Knn {
     * compute brute ground truth over a warehouse's STANDING vectors
     * instead of the source table. */
   private[graft] def knnBatchOf(e0: DataFrame,
-      nQueries: Int, k: Int): DataFrame = {
-    val queries = e0.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      nQueries: Int, k: Int): DataFrame =
+    knnBatchOver(e0, e0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+
+  /** The same brute batched pass over an EXPLICIT query set
+    * (query_id, qv) — factored from knnBatchOf so the monitors can
+    * grade a seeded hash-mod SAMPLE of the standing ids instead of
+    * the fixed id prefix (VERDICT-r13 ask #7); the default prefix
+    * slice routes through here unchanged, plan-identical. */
+  private[graft] def knnBatchOver(e0: DataFrame,
+      queries0: DataFrame, k: Int): DataFrame = {
+    val queries = queries0
+      .select(col("query_id"), col("qv"))
       .withColumn("qnrm", norm(col("qv")))
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

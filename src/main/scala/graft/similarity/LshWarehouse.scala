@@ -114,7 +114,12 @@ object LshWarehouse {
     * against the primary store. */
   def rangeProbe(spark: SparkSession, path: String,
       nQueries: Int = 10, tau: Double = 0.3,
-      bitsPerBand: Int = 2, bands: Int = 32): DataFrame = {
+      bitsPerBand: Int = 2, bands: Int = 32,
+      querySlice: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // the query batch: the historical id prefix by default, or an
+    // explicit predicate over the stored ids (the recall monitor's
+    // seeded hash-mod sample, VERDICT-r13 ask #7)
+    val isQuery = querySlice.getOrElse(col("vec_id") < nQueries)
     // ONE snapshot pins index + vectors + tombstones together.  The
     // LIVE primary store: tombstoned vectors are gone on both the
     // query and the answer side (see retract's Scaladoc) — this is
@@ -124,7 +129,7 @@ object LshWarehouse {
       .map(_.select(col("vec_id")).distinct().localCheckpoint())
     val vecs = Tombstones.dropDf(snap.read(vectorsPath(path)), tomb,
       key = "vec_id", tombCol = "vec_id")
-    val probes = vecs.filter(col("vec_id") < nQueries)
+    val probes = vecs.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
         posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
       .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
@@ -144,7 +149,7 @@ object LshWarehouse {
         .select(col("query_id"), col("vec_id")),
       tomb, key = "vec_id", tombCol = "vec_id")
     cand
-      .join(broadcast(vecs.filter(col("vec_id") < nQueries)
+      .join(broadcast(vecs.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),
         Seq("query_id"))
       .join(vecs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))

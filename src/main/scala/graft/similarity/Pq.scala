@@ -29,6 +29,20 @@ import graft.sources.Tables
   * bit-stable across partitionings.  No SQL oracle (iterative
   * quantizer training); PqSpec asserts code-range/width invariants and
   * recall@10 against the exact brute-force baseline.
+  *
+  * RAW ADC IS NOT A SERVING PATH — it is the candidate-generation
+  * stage of the two-stage shape (exactly as single-probe LSH is the
+  * candidate-generation baseline of the banded family, Knn.lshAnn):
+  * on this corpus's random synthetic embeddings — PQ's worst case,
+  * see pqRefine's refutation-by-measurement note — raw ADC@10 reads
+  * 0.1 (flat) / 0.2 (IVF-PQ) while the REFINED paths read 0.8 / 0.9
+  * (BENCH ann map).  A caller returning raw ADC ranks to a user is
+  * misusing the layout; serve `pqRefine` / `ivfPqRefine` (inline) or
+  * the shortlist + exact re-rank over PqWarehouse.probeBatch (at
+  * rest, RecallMonitor.pqRows' refined row).  PqSpec pins serving
+  * floors on BOTH refined paths and refined ≥ raw domination;
+  * `s_knn_recall_report_pq` keeps the at-rest values driver-visible
+  * every round.
   */
 object Pq {
 

@@ -31,8 +31,15 @@ object PqWarehouse {
     * cid-partitioned, codebook and centroids as side tables. */
   def materialize(spark: SparkSession, dir: String, path: String, k: Int = 16): Unit = {
     import graft.functions.VectorFunctions._
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    materializeFrom(spark, Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")), path, k)
+  }
+
+  /** Frame-level ingest (e = (vec_id, v)) — shared with the monitor's
+    * drifted build (base split only; the incoming split arrives via
+    * `refresh` under the FROZEN quantizers). */
+  private[graft] def materializeFrom(spark: SparkSession, e: DataFrame,
+      path: String, k: Int = 16): Unit = {
     val (cents, lists) = Knn.coarseQuantizer(e, k)
     val (codebook, codes) = Pq.encode(e)
     // codes + codebook + centroids land as ONE transaction (r11): a
@@ -65,6 +72,18 @@ object PqWarehouse {
   }
 
   private def tombPath(path: String) = s"$path.tomb"
+
+  /** The SURVIVING vec_ids at rest — the code table's id domain minus
+    * outstanding tombstones (one id per vector; the code table holds M
+    * rows per vector).  The population the serving probes can answer
+    * from, which is exactly what the at-rest recall monitor must grade
+    * truth over (RecallMonitor.pqRows; vectors themselves live in the
+    * primary store — codes are the only corpus-scale state here). */
+  private[similarity] def standingIds(spark: SparkSession, path: String): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
+    Tombstones.dropDf(snap.read(path).select(col("vec_id")).distinct(),
+      snap.readOpt(tombPath(path)), key = "vec_id", tombCol = "vec_id")
+  }
 
   /** RETRACT — the delete verb on the PQ lane (round 11, VERDICT-r10
     * ask #6's second family): vec_id tombstones, the IvfWarehouse/

@@ -90,10 +90,30 @@ object RecallMonitor {
       LshWarehouse.compact(spark, p)
     }
 
+  /** Once-per-JVM maintained PQ (IVF-PQ layout) index: the same
+    * drifted cycle as the IVF monitor build — base ingest trains BOTH
+    * quantizers, the incoming split coarse-assigns AND PQ-encodes
+    * under the FROZEN stored state (two frozen quantizers — twice the
+    * drift surface of plain IVF), then the cross-cutting retract +
+    * compact.  The state `s_knn_recall_report_pq` grades. */
+  def pqMonitorPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("pq_warehouse_monitor", dir) { p =>
+      val e = vecsOf(spark, dir)
+      PqWarehouse.materializeFrom(spark, e.filter(isBase), p)
+      PqWarehouse.refresh(spark, e.filter(!isBase), p)
+      PqWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+      PqWarehouse.compact(spark, p)
+    }
+
   /** One report row from (truth pairs, candidate pairs): n_queries =
     * the query domain the truth actually holds (a retracted query id
     * drops out — it must SHRINK the domain, not read as recall 0),
-    * recall = matched / truth_n. */
+    * recall = matched / truth_n.  A VACUOUS truth (no true pairs at
+    * all — a tau above every cosine, or every sampled query id
+    * retracted) reads as recall 1.0, the defined "nothing to recall,
+    * nothing missed" value: the division would otherwise serve NULL,
+    * which an alerter comparing against a floor silently passes
+    * (ADVICE r13 #2; RecallMonitorSpec pins the vacuous case). */
   private def rowOf(method: String, truth: DataFrame,
       cands: DataFrame): DataFrame = {
     val t = truth.select(col("query_id"), col("vec_id")).localCheckpoint()
@@ -105,16 +125,40 @@ object RecallMonitor {
     stats.crossJoin(matched)
       .select(lit(method).as("method"), col("n_queries"), col("truth_n"),
         col("matched"),
-        roundx(col("matched").cast("double") / col("truth_n"), 4).as("recall"))
+        when(col("truth_n") === 0, lit(1.0))
+          .otherwise(roundx(col("matched").cast("double") / col("truth_n"), 4))
+          .as("recall"))
+  }
+
+  /** The monitor's QUERY SLICE over the standing ids (VERDICT-r13 ask
+    * #7): `None` (the default, and what every registered row uses)
+    * keeps the historical deterministic prefix `vec_id < nQueries`;
+    * `Some(seed)` draws a seeded deterministic hash-mod SAMPLE —
+    * one id in `oneIn` — so a production poll's grade is not anchored
+    * to the corpus's OLDEST vectors (a prefix never sees drift that
+    * only newer ingest batches carry).  xxhash64(vec_id, seed) makes
+    * the sample reproducible across polls at the same seed and
+    * disjoint-ish across seeds; it is a filter on the standing frame,
+    * so the truth pass and the serving probe grade exactly the same
+    * ids (RecallMonitorSpec pins determinism and the prefix default's
+    * bit-stability). */
+  private def queriesOf(standing: DataFrame, nQueries: Int,
+      seed: Option[Long], oneIn: Long): DataFrame = {
+    val slice = seed match {
+      case None => col("vec_id") < nQueries
+      case Some(s) => pmod(xxhash64(col("vec_id"), lit(s)), lit(oneIn)) === 0
+    }
+    standing.filter(slice)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
   }
 
   /** The IVF row over a standing index at `path`. */
   private[graft] def ivfRow(spark: SparkSession, path: String,
-      nQueries: Int, k: Int, nprobe: Int = 4): DataFrame = {
+      nQueries: Int, k: Int, nprobe: Int = 4,
+      seed: Option[Long] = None, oneIn: Long = 16L): DataFrame = {
     val standing = IvfWarehouse.standingVectors(spark, path).localCheckpoint()
-    val truth = Knn.knnBatchOf(standing, nQueries, k)
-    val queries = standing.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val queries = queriesOf(standing, nQueries, seed, oneIn).localCheckpoint()
+    val truth = Knn.knnBatchOver(standing, queries, k)
     // k+1 then drop self: the query's own row always ranks first in
     // its own (always-probed) nearest list, so the remainder is the
     // serving path's true top-k — identical to Knn.ivfBatch's
@@ -128,9 +172,14 @@ object RecallMonitor {
     * recall, because the radius probe IS this warehouse's serving
     * verb.  Truth gates on the same raw cosine as rangeProbe. */
   private[graft] def lshRow(spark: SparkSession, path: String,
-      nQueries: Int, tau: Double): DataFrame = {
+      nQueries: Int, tau: Double,
+      seed: Option[Long] = None, oneIn: Long = 16L): DataFrame = {
     val standing = LshWarehouse.standingVectors(spark, path).localCheckpoint()
-    val queries = standing.filter(col("vec_id") < nQueries)
+    val slice = seed match {
+      case None => col("vec_id") < nQueries
+      case Some(s) => pmod(xxhash64(col("vec_id"), lit(s)), lit(oneIn)) === 0
+    }
+    val queries = standing.filter(slice)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val truth = standing
@@ -139,7 +188,8 @@ object RecallMonitor {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .filter(col("cos") >= tau)
       .select(col("query_id"), col("vec_id"))
-    val cands = LshWarehouse.rangeProbe(spark, path, nQueries, tau)
+    val cands = LshWarehouse.rangeProbe(spark, path, nQueries, tau,
+      querySlice = Some(slice))
     rowOf("lsh_warehouse_range", truth, cands)
   }
 
@@ -149,6 +199,58 @@ object RecallMonitor {
       nQueries: Int = 10, k: Int = 5, tau: Double = 0.3): DataFrame =
     ivfRow(spark, ivfMonitorPath(spark, dir), nQueries, k)
       .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries, tau))
+
+  /** The PQ lane's monitor rows over a standing index at `path` —
+    * BOTH serving stages graded against the same brute truth
+    * (VERDICT-r13 ask #2: the LSH demotion discipline applied to the
+    * quantized lane):
+    *  - `pq_warehouse_adc`: the raw ADC top-k off probeBatch — the
+    *    CANDIDATE-GENERATION stage, monitored so its scatter is a
+    *    number, not a surprise (random synthetic embeddings are PQ's
+    *    worst case — see Pq's Scaladoc — so this row reads LOW by
+    *    design);
+    *  - `pq_warehouse_refined`: the SERVING stage — ADC shortlist
+    *    (4k deep) re-ranked by the exact cosine against the standing
+    *    vectors, the Jégou §VI two-stage shape at rest.  This is the
+    *    row a production floor guards (PqSpec pins the inline refined
+    *    paths; the monitor makes the at-rest value driver-visible).
+    * Truth and the exact re-rank read vectors from the PRIMARY store
+    * (the corpus table joined to the code table's surviving ids —
+    * PQ's code rows deliberately hold no floats to fetch). */
+  private[graft] def pqRows(spark: SparkSession, path: String, dir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val standing = vecsOf(spark, dir)
+      .join(PqWarehouse.standingIds(spark, path), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = standing.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint()
+    val truth = Knn.knnBatchOver(standing, queries, k)
+    val adc = PqWarehouse.probeBatch(spark, path, queries, nprobe, k)
+    val shortlist = PqWarehouse.probeBatch(spark, path, queries, nprobe, 4 * k)
+      .select(col("query_id"), col("vec_id"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val refined = shortlist
+      .join(standing, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    rowOf("pq_warehouse_adc", truth, adc)
+      .unionByName(rowOf("pq_warehouse_refined", truth, refined))
+  }
+
+  /** Registered `s_knn_recall_report_pq`: the maintained PQ index
+    * graded at rest through refresh + retract + compact, raw-ADC and
+    * refined stages side by side.  NO SQL oracle (trained-quantizer
+    * class); PqSpec pins refined-dominates-ADC here, serving floors
+    * on the inline refined paths, and bit-invariance through
+    * compact+vacuum is the WarehouseRefreshSpec rung the build rides. */
+  def pqReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    pqRows(spark, pqMonitorPath(spark, dir), dir, nQueries, k)
 
   /** The drifted build + the same build RECLUSTERED — the drift
     * repair's before/after states, materialized once per JVM each
@@ -191,4 +293,44 @@ object RecallMonitor {
           .withColumn("phase", lit("reclustered")))
       .select(col("method"), col("phase"), col("n_queries"),
         col("truth_n"), col("matched"), col("recall"))
+
+  /** Registered `s_knn_recluster_gated` (round 14, VERDICT-r13 ask
+    * #1): the drift-repair loop with the GATE CLOSED — the same
+    * drifted IVF build, repaired through
+    * `IvfWarehouse.reclusterIfBetter` instead of the ungated
+    * in-place swap.  On this corpus the re-fit REGRESSES serving
+    * recall (the 0.82 → 0.73 exhibit the drift-repair row measures),
+    * so the registered row demonstrates the gate HOLDING: swapped =
+    * false, the staged (worse) recall on record, and the standing
+    * index untouched.  The verb runs once per JVM against a dedicated
+    * drifted build and its one-row verdict is cached as parquet (the
+    * Materialized pattern — re-running a full re-fit per read would
+    * bench the trainer, not the report).  NO SQL oracle (the
+    * s_knn_ivf trained-quantizer class); IvfWarehouseSpec drives both
+    * gate branches — hold-on-regression with bit-identical standing
+    * state, swap-on-improvement with the staged codebook serving. */
+  def gatedRepairReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val rp = graft.sources.Materialized.pathFor("ivf_gated_report", dir) { p =>
+      val wh = s"$p.index"
+      driftedIvfBuild(spark, dir, wh)
+      val g = IvfWarehouse.reclusterIfBetter(spark, wh, rounds = 2, nQueries, k)
+      // driver-side 6-dp rounding (the roundx grain, applied to the
+      // two cost scalars so the parquet'd row is rendering-stable)
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq((
+        "ivf_recluster_gate", g.truthN,
+        r6(g.costBefore), r6(g.costAfter),
+        g.recallStanding, g.recallStaged, g.swapped
+      )).toDF("method", "truth_n", "cost_before", "cost_after",
+        "recall_standing", "recall_staged", "swapped")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(rp)
+      .select(col("method"), col("truth_n"), col("cost_before"),
+        col("cost_after"), col("recall_standing"), col("recall_staged"),
+        col("swapped"))
+  }
 }

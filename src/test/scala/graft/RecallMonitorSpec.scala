@@ -123,6 +123,65 @@ class RecallMonitorSpec extends GraftSpec {
       "reclustered matched diverges from the independent join")
   }
 
+  test("vacuous truth reads as recall 1.0, never null (ADVICE r13 #2)") {
+    val p = tmp("graft-recallmon-vacuous-")
+    LshWarehouse.materialize(spark, Dir, p)
+    // tau above every cosine on this corpus: zero true pairs — the
+    // defined value is 1.0 ("nothing to recall, nothing missed"); a
+    // NULL here would silently pass any alerter's floor comparison
+    val row = RecallMonitor.lshRow(spark, p, nQueries = 10, tau = 0.9999)
+      .collect().head
+    assert(row.getAs[Long]("truth_n") == 0L, s"not vacuous: $row")
+    assert(!row.isNullAt(row.fieldIndex("recall")), "recall must not be null")
+    assert(row.getAs[Double]("recall") == 1.0)
+  }
+
+  test("seeded query sampling: deterministic, off-prefix, default untouched") {
+    val p = tmp("graft-recallmon-seeded-")
+    IvfWarehouse.materializeFrom(vecs, p)
+    val seeded = RecallMonitor.ivfRow(spark, p, nQueries = 10, k = 5,
+      seed = Some(7L), oneIn = 4L).collect().head
+    val again = RecallMonitor.ivfRow(spark, p, nQueries = 10, k = 5,
+      seed = Some(7L), oneIn = 4L).collect().head
+    assert(seeded.toSeq == again.toSeq, "seeded sample must be reproducible")
+    // the sample is a real slice (non-vacuous) and is NOT the id
+    // prefix: at oneIn=4 over this corpus the drawn domain differs
+    // from any 10-id prefix grade
+    val prefix = RecallMonitor.ivfRow(spark, p, nQueries = 10, k = 5)
+      .collect().head
+    assert(seeded.getAs[Long]("n_queries") > 0L)
+    assert(seeded.getAs[Long]("n_queries") != prefix.getAs[Long]("n_queries") ||
+      seeded.getAs[Long]("truth_n") != prefix.getAs[Long]("truth_n") ||
+      seeded.getAs[Long]("matched") != prefix.getAs[Long]("matched"),
+      s"seeded grade indistinguishable from the prefix grade: $seeded vs $prefix")
+    val rec = seeded.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // a different seed draws a different domain (hash-mod, not prefix)
+    val other = RecallMonitor.ivfRow(spark, p, nQueries = 10, k = 5,
+      seed = Some(8L), oneIn = 4L).collect().head
+    assert(other.toSeq != seeded.toSeq, "distinct seeds should move the sample")
+    // the LSH row takes the same sample through its own serving verb
+    val lp = tmp("graft-recallmon-seeded-lsh-")
+    LshWarehouse.materialize(spark, Dir, lp)
+    val ls = RecallMonitor.lshRow(spark, lp, nQueries = 10, tau = 0.3,
+      seed = Some(7L), oneIn = 4L).collect().head
+    assert(ls.getAs[Long]("n_queries") > 0L)
+    assert(ls.getAs[Double]("recall") >= 0.0 && ls.getAs[Double]("recall") <= 1.0)
+  }
+
+  test("registered gated repair: the gate HOLDS the regression on this corpus") {
+    val row = SparkEntry.queries("s_knn_recluster_gated")(spark, Dir)
+      .collect().head
+    assert(row.getAs[String]("method") == "ivf_recluster_gate")
+    // the r13 exhibit, now actionable: cost improves, recall regresses,
+    // and the gate refuses the swap — the registered row IS the
+    // demonstration VERDICT r13 asked for
+    assert(!row.getAs[Boolean]("swapped"), s"gate shipped a regression: $row")
+    assert(row.getAs[Double]("recall_staged") < row.getAs[Double]("recall_standing"))
+    assert(row.getAs[Double]("cost_after") <= row.getAs[Double]("cost_before") + 1e-9)
+    assert(row.getAs[Long]("truth_n") > 0L)
+  }
+
   test("registered report: two rows, one per maintained family") {
     val rows = SparkEntry.queries("s_knn_recall_report_probe")(spark, Dir)
       .collect()

@@ -120,6 +120,87 @@ class ScaleSpec extends GraftSpec {
     assert(probe.count() == 10)
   }
 
+  test("gated recluster HOLDS on recall regression: standing state untouched") {
+    // the registered drifted shape: base ingest, frozen-quantizer
+    // refresh, cross-cutting retract, compact — measured on this
+    // corpus: the re-fit improves assignment cost while REGRESSING
+    // serving recall, exactly the two-objective trap the gate exists
+    // for (VERDICT r13 ask #1)
+    val path = java.nio.file.Files.createTempDirectory("graft_gate_hold_").toString + "/lists"
+    val e = sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    similarity.IvfWarehouse.materializeFrom(
+      e.filter(pmod(col("vec_id"), lit(10L)) < 8), path)
+    similarity.IvfWarehouse.refresh(spark,
+      e.filter(pmod(col("vec_id"), lit(10L)) >= 8), path)
+    similarity.IvfWarehouse.retract(
+      e.filter(pmod(col("vec_id"), lit(13L)) === 4).select(col("vec_id")), path)
+    similarity.IvfWarehouse.compact(spark, path)
+    def state() = {
+      val snap = sources.CommitLog.snapshot(spark, path)
+      (snap.read(path).collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Int]("cid"))).sorted.toSeq,
+        snap.read(s"$path.centroids").collect()
+          .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("cv"))))
+          .sortBy(_._1).toSeq)
+    }
+    val before = state()
+    val g = similarity.IvfWarehouse.reclusterIfBetter(spark, path)
+    assert(!g.swapped, s"gate shipped a recall regression: $g")
+    assert(g.recallStaged < g.recallStanding,
+      s"premise lost — the drifted corpus no longer regresses: $g")
+    // the trap itself: assignment cost IMPROVED while recall fell —
+    // a cost-gated swap would have shipped the worse codebook
+    assert(g.costAfter <= g.costBefore + 1e-9, s"cost did not improve: $g")
+    // hold means HOLD: lists and codebook bit-identical to pre-verb
+    assert(state() == before, "no-swap must leave the standing state untouched")
+    // the serving path still grades at the standing recall
+    val regrade = similarity.RecallMonitor.ivfRow(spark, path, 10, 5).head()
+    assert(regrade.getAs[Double]("recall") == g.recallStanding)
+    // the staging base is retired (cleared; vacuum reclaims later)
+    val stSnap = sources.CommitLog.snapshot(spark, s"$path.staged")
+    assert(stSnap.readOpt(s"$path.staged").isEmpty &&
+      stSnap.readOpt(s"$path.staged.centroids").isEmpty,
+      "staging base must be cleared after the verdict")
+  }
+
+  test("gated recluster SWAPS on improvement: the staged codebook serves") {
+    // the repair-needed state, constructed deterministically: a
+    // correctly fitted codebook whose POSTING LISTS were scrambled
+    // (cid := vec_id mod K — the maintenance-bug analogue of drift's
+    // endpoint: co-location gone, codebook fine).  Standing probes
+    // read nprobe/K lists of unrelated vectors; the re-fit
+    // warm-starts from the good centroids and reassigns every row,
+    // so the staged state restores co-location and the gate must
+    // ship it.
+    val path = java.nio.file.Files.createTempDirectory("graft_gate_swap_").toString + "/lists"
+    similarity.IvfWarehouse.materialize(spark, Dir, path)
+    val snap0 = sources.CommitLog.snapshot(spark, path)
+    sources.CommitLog.transaction(spark, path)(
+      _.replace(snap0.read(path)
+        .withColumn("cid", pmod(col("vec_id"), lit(16L)).cast("int")),
+        path, Seq("cid")))
+    val scrambled = similarity.RecallMonitor.ivfRow(spark, path, 10, 5)
+      .head().getAs[Double]("recall")
+    val g = similarity.IvfWarehouse.reclusterIfBetter(spark, path)
+    assert(g.recallStanding == scrambled)
+    assert(g.swapped, s"gate refused an improvement: $g")
+    assert(g.recallStaged >= g.recallStanding)
+    assert(g.recallStaged > scrambled,
+      s"premise lost — the re-fit did not improve the scrambled state: $g")
+    // the swap SHIPPED: the serving path now grades at the staged value
+    val regrade = similarity.RecallMonitor.ivfRow(spark, path, 10, 5).head()
+    assert(regrade.getAs[Double]("recall") == g.recallStaged)
+    // and still serves pruned probes off the rewritten layout
+    val qv = sources.Tables(spark, Dir).embeddings
+      .filter(col("vec_id") === 0).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val physical = similarity.IvfWarehouse.probe(spark, path, qv, nprobe = 4, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cid"))
+  }
+
   test("IVF warehouse: batched probe == per-query probe, one pruned union scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString + "/lists"
     similarity.IvfWarehouse.materialize(spark, Dir, path)
