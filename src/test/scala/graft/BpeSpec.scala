@@ -97,6 +97,43 @@ class BpeSpec extends GraftSpec {
     assert(native == ref)
   }
 
+  test("greedy rank-map apply == the R-sweep on trained merges; fallback engages otherwise") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(toks: Seq[String]): ArrayData =
+      ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+    def strs(a: ArrayData): Vector[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toVector
+    val texts = Seq(
+      "x x x x x", "p q r p q r", "q p q p", "p q p q",
+      "r p q x x", "p q r x", "x", "", "p", "p q")
+    val merges = refBpe(texts.filter(_.nonEmpty), rounds = 6).map(h => (h._2, h._3))
+    val expr = graft.functions.BpeEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), merges)
+    // a real trainer's list is training-ordered: the greedy path runs
+    assert(expr.trainingOrdered, "trained merges must validate as training-ordered")
+    texts.foreach { t =>
+      val in = arr(if (t.isEmpty) Seq.empty else t.split(" ").toSeq)
+      assert(strs(expr.compute(in)) == strs(expr.computeSweep(in)),
+        s"greedy != sweep on '$t'")
+    }
+    // a hand-built list that VIOLATES training order (rank 0 consumes
+    // rank 1's output) — here greedy-by-rank and the sweep genuinely
+    // differ, so compute must take the sweep fallback: on [z, a, b]
+    // the sweep passes rank 0 before "a b" exists (answer [z, "a b"]);
+    // greedy would merge rank 1 first and then rank 0 ([z a b])
+    val bad = Seq(("z", "a b"), ("a", "b"))
+    val badExpr = graft.functions.BpeEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), bad)
+    assert(!badExpr.trainingOrdered)
+    val zab = arr(Seq("z", "a", "b"))
+    assert(strs(badExpr.compute(zab)) == Vector("z", "a b"),
+      "non-training-ordered list must keep the sweep semantics")
+    assert(strs(badExpr.compute(zab)) == strs(badExpr.computeSweep(zab)))
+  }
+
   test("t_bpe_encode counts are consistent and the stream hash is deterministic") {
     val out = CorpusStats.bpeEncode(spark, Dir, rounds = 4)
     val rows = out.collect()

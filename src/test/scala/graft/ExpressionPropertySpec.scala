@@ -38,6 +38,42 @@ class ExpressionPropertySpec extends GraftSpec {
     })
   }
 
+  test("BpeEncode greedy apply == R-sweep on random arrays under training-ordered merges") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(toks: Seq[String]): ArrayData =
+      ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+    def strs(a: ArrayData): Vector[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toVector
+    // random TRAINING-ORDERED merge lists: each merge's inputs are
+    // base tokens or outputs of strictly earlier merges — the
+    // invariant every real trainer emits and the greedy path requires
+    val base = Vector("a", "b", "c", "d")
+    val mergesGen: Gen[List[(String, String)]] =
+      Gen.choose(1, 10).flatMap { n =>
+        def step(vocab: Vector[String], left: Int,
+            acc: List[(String, String)]): Gen[List[(String, String)]] =
+          if (left == 0) Gen.const(acc.reverse)
+          else for {
+            a <- Gen.oneOf(vocab)
+            b <- Gen.oneOf(vocab)
+            r <- step(vocab :+ s"$a $b", left - 1, (a, b) :: acc)
+          } yield r
+        step(base, n, Nil)
+      }
+    val rowGen = Gen.choose(0, 16)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(base)))
+    // equality must hold regardless of the validator's verdict (a
+    // duplicate random pair re-produces an output string and trips
+    // the conservative check → sweep fallback, still equal); the
+    // majority of drawn lists validate and exercise the greedy path
+    holds(forAll(mergesGen, rowGen) { (merges, toks) =>
+      val e = graft.functions.BpeEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), merges)
+      strs(e.compute(arr(toks))) == strs(e.computeSweep(arr(toks)))
+    })
+  }
+
   test("GramHashes positional/distinct modes agree on gram identity") {
     val s = spark
     import s.implicits._
