@@ -142,6 +142,55 @@ class HllWarehouseSpec extends GraftSpec {
     assert(est.getLong(3) == 15L, s"window distinct 15 expected, got ${est.getLong(3)}")
   }
 
+  test("window probe prunes pre/post-window generations at the log (r14 ask #4)") {
+    // the date-cadence build that makes recorded stats selective: one
+    // generation per calendar week (the TsWarehouse.builtWeeklyPath
+    // rationale on the sketch member) — at years of daily generations
+    // the window probe must list O(window), not O(history)
+    val e = Tables(spark, Dir).events
+    val week = floor(datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date")) / 7)
+    val p = tmp("hll-weekly")
+    HllWarehouse.materializeFrom(e.filter(week === 0), p)
+    (1 to 4).foreach(w => HllWarehouse.refresh(spark, e.filter(week === w), p))
+    val snap = sources.CommitLog.snapshot(spark, p)
+    // the registered window [01-08, 01-21] spans exactly weeks 1–2:
+    // the other three generations are provably outside and must be
+    // pruned AT THE LOG, before any file listing
+    val (kept, pruned) = snap.partitionGens(p, "date",
+      Some("2024-01-08"), Some("2024-01-21"))
+    assert(kept.size == 2 && pruned.size == 3,
+      s"expected 2 kept / 3 pruned generations, got $kept / $pruned")
+    // pruned generations never reach the plan
+    val probe = HllWarehouse.windowProbe(spark, p)
+    val roots = probe.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+      .flatMap(_.relation.location.rootPaths).map(_.toString)
+    assert(roots.nonEmpty && roots.forall(r => kept.exists(g => r.endsWith(s"gen-$g"))),
+      s"probe lists non-kept generations: $roots")
+    // skipping is a pure optimization: row equality with the
+    // unskipped read (register-max associativity makes delta-merge
+    // order irrelevant)
+    val row = probe.collect().head
+    val full = snap.read(p)
+      .filter(col("date").between(lit("2024-01-08").cast("date"),
+        lit("2024-01-21").cast("date")))
+      .agg(countDistinct(col("date")).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("act"))
+      .head()
+    assert(row.getLong(2) == full.getLong(0))
+    assert(row.getLong(3) == full.getLong(1))
+    // a window entirely outside recorded history: every generation
+    // pruned, the probe serves the defined zero row without listing
+    // (or scanning) anything
+    val out = HllWarehouse.windowProbe(spark, p, "2030-01-01", "2030-01-07")
+    val (k2, p2) = snap.partitionGens(p, "date",
+      Some("2030-01-01"), Some("2030-01-07"))
+    assert(k2.isEmpty && p2.size == 5)
+    val orow = out.collect().head
+    assert(orow.getLong(2) == 0L && orow.getLong(3) == 0L)
+  }
+
   test("compaction is probe-invariant and leaves one sketch per day") {
     val e = Tables(spark, Dir).events
     val p = tmp("compact")
