@@ -154,7 +154,12 @@ object Bench {
     // one recluster amortize per JVM; min-of-3 times the two-phase
     // monitor read) and the frozen-tokenizer application pass (train
     // once per JVM; min-of-3 times the pure encode scan)
-    "s_knn_recall_drift_repair", "t_bpe_encode_probe")
+    "s_knn_recall_drift_repair", "t_bpe_encode_probe",
+    // round 14: the PQ lane's at-rest monitor (raw ADC + refined
+    // stages over the refreshed+retracted+compacted code table — the
+    // quantized family's recall numbers as driver-visible data; the
+    // build amortizes per JVM, min-of-3 times the monitor read)
+    "s_knn_recall_report_pq")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -185,7 +190,7 @@ object Bench {
     "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed",
     "q_ts_recent_window", "s_knn_recall_report_probe",
     "q_revenue_view_recent", "s_knn_recall_drift_repair",
-    "t_bpe_encode_probe")
+    "t_bpe_encode_probe", "s_knn_recall_report_pq")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -384,7 +389,25 @@ object Bench {
     * detail line — which shaves 1–2 B per row at every width.
     * BenchDigestSpec derives the worst case from probeNames itself
     * and pins the ≥10% slack, so any list change revalidates. */
-  private[graft] val ProbesBudget = 1480 // 46 rows x (name+8B) + braces = 1329 worst-case; ≥10% slack
+  // worst case derived at the SATURATED 5-digit cs width (ADVICE r13
+  // #3 — the old 4-digit assumption broke exactly when a probe
+  // regressed past 100 s): 47 rows x (name+9B) + braces = 1406; the
+  // budget keeps >=10% row-growth headroom on top
+  private[graft] val ProbesBudget = 1570
+
+  /** FLOORS, in rows (round 14): the digest must always name at
+    * least this many build rows (VERDICT-r13 ask #5: the r13 digest
+    * named ONE build row and lumped 49 — a build anomaly was
+    * attributable only from the truncated detail line) and this many
+    * query rows (the heavy headliners drift grading watches — they
+    * must not be squeezed out by the other sections' reservations).
+    * Each floor reserves the RUN'S OWN top rows at their real widths,
+    * so nothing is over-reserved at realistic widths; when floors +
+    * sections exceed the budget, the LADDER sheds stress counts, then
+    * ann — the floors hold on every rung that carries the section.
+    * BenchDigestSpec pins both floors at worst-case widths. */
+  private[graft] val BuildFloorRows = 3
+  private[graft] val QueryFloorRows = 4
 
   // The itemized BUILD map (round 13, VERDICT-r12 ask #2) carries no
   // reservation: it is sized from the RESIDUAL bytes after probes,
@@ -427,8 +450,14 @@ object Bench {
     // of a 1-second query rides the detail line, which keeps 9 dp
     def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     // probe/build rows ride as centisecond integers (self-describing
-    // via the _cs key suffix); -1 still marks a failed row
-    def cs(v: Double): String = if (v < 0) "-1" else math.round(v * 100).toString
+    // via the _cs key suffix); -1 still marks a failed row.  Display
+    // SATURATES at 99999 cs (ADVICE r13 #3: a row regressing past the
+    // assumed width must widen to a bounded 5 digits, not push later
+    // rows into the p_other fold precisely in the regressed round
+    // where visibility matters); full-precision seconds always ride
+    // the detail line
+    def cs(v: Double): String =
+      if (v < 0) "-1" else math.min(99999L, math.round(v * 100)).toString
     def otherOf(tag: String, rest: Seq[(String, Double)]): Option[String] =
       if (rest.isEmpty) None
       else Some(s""""$tag":{"n":${rest.size},"sec":${
@@ -469,44 +498,70 @@ object Bench {
     val opts = Seq(annPart, stressPart)
     val worstQOther = otherOf("q_other", results)
       .getOrElse(""""q_other":{"n":0,"sec":0.00}""")
-    // the queries sub-budget leaves a small RESERVE for the itemized
-    // build section (its b_other rollup plus ~3 named rows) — enough
-    // that the top materializations ride at realistic widths, while
-    // heavy query rows keep priority over the rest of the build list
-    val buildReserve =
-      if (builds.isEmpty) 0
-      else 45 + otherCsOf("b_other", builds).map(_.length + 1).getOrElse(0)
-    val fixed = assemble("", Some(worstQOther),
-      probesFull, Seq.empty, failedFull, opts)
-    val (qRows, qRest) = fillRows(results,
-      math.max(0, DigestBudget - fixed.length - buildReserve), f2)
-    val qOther = otherOf("q_other", qRest)
-    // the itemized build bucket fills exactly the bytes still free
-    // once everything else has claimed its width (worst-case b_other
-    // reserved so a partial fold can never overflow)
-    val buildFull: Seq[Option[String]] =
-      if (builds.isEmpty) Seq.empty
-      else {
-        val base = assemble(qRows, qOther, probesFull, Seq.empty,
-          failedFull, opts).length
-        val bOtherWorst = otherCsOf("b_other", builds).map(_.length + 1).getOrElse(0)
-        // at least one named row always rides (the top materialization
-        // is the whole point of the itemization); if that tips the
-        // full rung over budget the ladder sheds an optional section
-        val bBudget = math.max(40, DigestBudget - base - bOtherWorst - 15)
-        val (bRows, bRest) = fillRows(builds, bBudget, cs)
-        Seq(if (bRows.nonEmpty) Some(s""""build_cs":{$bRows}""") else None,
-          otherCsOf("b_other", bRest))
-      }
+    // ONE RUNG of the ladder, fully re-sized for its own section mix
+    // (round 14 — VERDICT-r13 ask #5 pushed the reservations past what
+    // a single up-front queries fill could absorb: bytes a rung sheds
+    // with ann/stress must flow back to named query rows, so each rung
+    // re-derives the queries sub-budget from ITS OWN fixed cost):
+    //  - the queries fill reserves the worst-case q_other width, the
+    //    width of the run's own top QueryFloorRows rows, and (when the
+    //    build bucket rides) the top BuildFloorRows build rows + worst
+    //    b_other — so the named-row guarantees survive every rung that
+    //    carries the section;
+    //  - the build bucket then fills the bytes actually left, floored
+    //    at its own rows.
+    def topRowBytes(rows: Seq[(String, Double)], n: Int,
+        fmt: Double => String): Int = {
+      val widths = rows.sortBy { case (k, v) => (-v, k) }.take(n)
+        .map { case (k, v) => ("\"" + k + "\":" + fmt(v)).length }
+      if (widths.isEmpty) 0 else widths.sum + widths.size - 1
+    }
+    def rung(probeParts: Seq[Option[String]], withBuilds: Boolean,
+        failedPart: String, opt: Seq[Option[String]]): String = {
+      val bOtherWorst =
+        if (!withBuilds || builds.isEmpty) 0
+        else otherCsOf("b_other", builds).map(_.length + 1).getOrElse(0)
+      val bFloor =
+        if (!withBuilds || builds.isEmpty) 0
+        else topRowBytes(builds, BuildFloorRows, cs)
+      val buildReserve =
+        if (!withBuilds || builds.isEmpty) 0
+        else bFloor + bOtherWorst + 15 // "build_cs":{} wrapper + comma
+      val qFloor = topRowBytes(results, QueryFloorRows, f2)
+      val fixed = assemble("", Some(worstQOther), probeParts, Seq.empty,
+        failedPart, opt)
+      val (qRows, qRest) = fillRows(results,
+        math.max(qFloor, DigestBudget - fixed.length - buildReserve), f2)
+      val qOther = otherOf("q_other", qRest)
+      val buildParts: Seq[Option[String]] =
+        if (!withBuilds || builds.isEmpty) Seq.empty
+        else {
+          val base = assemble(qRows, qOther, probeParts, Seq.empty,
+            failedPart, opt).length
+          // the floor rows always ride (one named row + a lump is not
+          // attributable — the r13 finding); reserved above, so a
+          // partial fold cannot overflow the rung — and if the floors
+          // themselves tip the rung over budget, the ladder sheds the
+          // next optional section rather than fold a floor row
+          val bBudget = math.max(bFloor, DigestBudget - base - bOtherWorst - 15)
+          val (bRows, bRest) = fillRows(builds, bBudget, cs)
+          Seq(if (bRows.nonEmpty) Some(s""""build_cs":{$bRows}""") else None,
+            otherCsOf("b_other", bRest))
+        }
+      assemble(qRows, qOther, probeParts, buildParts, failedPart, opt)
+    }
     val ladder = Seq(
-      () => assemble(qRows, qOther, probesFull, buildFull, failedFull, opts),
-      () => assemble(qRows, qOther, probesFull, buildFull, failedFull, Seq(annPart)),
-      () => assemble(qRows, qOther, probesFull, buildFull, failedFull, Seq.empty),
+      () => rung(probesFull, withBuilds = true, failedFull, opts),
+      // stress counts shed first (inputs/times stay on the detail
+      // line), then ann — named probe/build/query rows are the rarer
+      // diagnostic and keep priority
+      () => rung(probesFull, withBuilds = true, failedFull, Seq(annPart)),
+      () => rung(probesFull, withBuilds = true, failedFull, Seq.empty),
       // the itemized build map yields before any probe visibility does
       // (its total always rides in the audit header)
-      () => assemble(qRows, qOther, probesFull, Seq.empty, failedFull, Seq.empty),
-      () => assemble(qRows, qOther, probesFolded, Seq.empty, failedFull, Seq.empty),
-      () => assemble(qRows, qOther, probesFolded, Seq.empty,
+      () => rung(probesFull, withBuilds = false, failedFull, Seq.empty),
+      () => rung(probesFolded, withBuilds = false, failedFull, Seq.empty),
+      () => rung(probesFolded, withBuilds = false,
         s""""failed_n":${results.count(_._2 < 0)}""", Seq.empty),
       // absolute floor: counts only — always well under budget
       () => assemble("", Some(s""""q_other":{"n":${results.size},"sec":${

@@ -46,9 +46,14 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(c.startsWith("{") && c.endsWith("}"))
   }
 
-  test("worst-case widths: ALL probes ride, heavy queries ride, q_other folds the rest, ann + stress ride") {
+  test("worst-case widths: probes, >=3 build rows and >=4 query rows all ride; optional sections shed") {
     // 99.99 s for every row is wider than any plausible real run
-    // (current max ≈ 11 s) — if THIS stays under budget a real run does
+    // (current max ≈ 11 s) — if THIS stays under budget a real run does.
+    // Round 14 priority order (VERDICT-r13 ask #5): named probe,
+    // build, and heavy-query rows are the rare diagnostics and hold
+    // their floors on every rung; the ladder sheds stress counts, then
+    // ann, when widths leave no room (their full values always ride
+    // the detail line).
     val results = Bench.headlinerNames.map(n => n -> 99.99)
     val line = Bench.digestLine(results, worstProbes, 4699.953, "[]",
       "/root/testdata/sf0.1", stress, ann, buildSec = 999.99,
@@ -66,27 +71,66 @@ class BenchDigestSpec extends AnyFunSuite {
     Bench.probeNames.foreach(n =>
       assert(line.contains("\"" + n + "\":9999"), s"probe $n fell out of the digest"))
     assert(!line.contains("\"p_other\""), "probes budget too small for the full set")
-    // the round-13 itemized build bucket: the most expensive
-    // materializations ride by name, the remainder is counted —
-    // at worst-case widths at least ONE named row must survive
-    assert(line.contains("\"build_cs\":{") && line.contains(":99999"),
-      "itemized build bucket missing at worst case")
+    // the named-row floors (r14): >=3 build rows, >=4 query rows
+    val named = """"build_cs":\{([^}]*)\}""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(',').count(_.nonEmpty)).getOrElse(0)
+    assert(named >= Bench.BuildFloorRows,
+      s"only $named named build rows at worst case")
     assert(line.contains("\"b_other\":{\"n\":"),
       "build remainder count missing at worst case")
-    // the queries map flexes: some rows ride, the rest are counted
-    assert(line.contains("\"queries\":{") && line.contains("\"q_other\":{\"n\":"))
-    // both optional sections still ride at worst case
-    assert(line.contains("\"ann\":{") && line.contains("\"s_knn_ivfpq_refined\":"))
-    assert(line.contains("\"stress\":{") && line.contains("\"ngram_pairs\":156384"))
+    val qNamed = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(',').count(_.nonEmpty)).getOrElse(0)
+    assert(qNamed >= Bench.QueryFloorRows,
+      s"only $qNamed named query rows at worst case")
+    assert(line.contains("\"q_other\":{\"n\":"))
   }
 
   test("probes reservation keeps >=10% row-growth headroom (VERDICT-r12 ask #7)") {
-    // worst-case probe map width, derived from the live probe list:
-    // per row 2 quotes + name + colon + 4 cs digits (99.99 s) + comma
-    val worst = Bench.probeNames.map(_.length + 8).sum + 1 // braces − last comma
+    // worst-case probe map width, derived from the live probe list at
+    // the SATURATED cs width (ADVICE r13 #3: cs clamps at 5 digits, so
+    // this is a true bound, not an assumption): per row 2 quotes +
+    // name + colon + 5 cs digits + comma
+    val worst = Bench.probeNames.map(_.length + 9).sum + 1 // braces − last comma
     assert(worst <= (Bench.ProbesBudget * 0.9).toInt,
       s"probes worst-case $worst B leaves <10% of ${Bench.ProbesBudget} — " +
         "the next probe row would fold the map to p_other")
+  }
+
+  test("a probe regressing past 100s rides saturated, never folds the map (ADVICE r13 #3)") {
+    // every probe at 120.5 s — 5-digit cs rows, the width class the
+    // old 4-digit worst case silently exceeded
+    val regressed = Bench.probeNames.map(_ -> 120.5)
+    val results = Bench.headlinerNames.map(n => n -> 99.99)
+    val line = Bench.digestLine(results, regressed, 4699.953, "[]",
+      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99,
+      builds = worstBuilds)
+    assert(line.length <= Bench.DigestBudget, s"digest ${line.length}B over budget")
+    Bench.probeNames.foreach(n =>
+      assert(line.contains("\"" + n + "\":12050"), s"regressed probe $n fell out"))
+    assert(!line.contains("\"p_other\""),
+      "a >100s probe folded rows out of the map — the regressed-round blind spot")
+    // saturation itself: a 10,000-second row displays as the 5-digit
+    // cap instead of widening past every derived reservation
+    val line2 = Bench.digestLine(results,
+      Bench.probeNames.map(_ -> 10000.0), 4699.953, "[]",
+      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99,
+      builds = worstBuilds)
+    assert(line2.length <= Bench.DigestBudget)
+    Bench.probeNames.foreach(n =>
+      assert(line2.contains("\"" + n + "\":99999"), s"saturated probe $n fell out"))
+  }
+
+  test("digest names at least 3 build rows at worst-case widths (VERDICT-r13 ask #5)") {
+    val results = Bench.headlinerNames.map(n => n -> 99.99)
+    val line = Bench.digestLine(results, worstProbes, 4699.953, "[]",
+      "/root/testdata/sf0.1", stress, ann, buildSec = 999.99,
+      builds = worstBuilds)
+    val bm = """"build_cs":\{([^}]*)\}""".r.findFirstMatchIn(line)
+    assert(bm.isDefined, "build_cs section missing at worst case")
+    val named = bm.get.group(1).split(',').count(_.nonEmpty)
+    assert(named >= 3,
+      s"only $named named build rows at worst case — a build anomaly is " +
+        "not attributable from the driver artifact (the r13 one-row finding)")
   }
 
   test("realistic widths: the heavy rows ride by name") {
@@ -103,8 +147,15 @@ class BenchDigestSpec extends AnyFunSuite {
       assert(line.contains("\"" + n + "\":"), s"heavy row $n fell out"))
     Bench.probeNames.foreach(n =>
       assert(line.contains("\"" + n + "\":42"), s"probe $n fell out"))
-    // realistic build rows ride in centiseconds too
+    // realistic build rows ride in centiseconds too — at least the
+    // floor's worth of named rows (the r14 >=3 contract)
     assert(line.contains("\"build_cs\":{") && line.contains(":361"))
+    val named = """"build_cs":\{([^}]*)\}""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(',').count(_.nonEmpty)).getOrElse(0)
+    assert(named >= Bench.BuildFloorRows, s"only $named build rows at realistic widths")
+    // ann keeps riding at realistic widths (stress counts are the
+    // first shed — their full values live on the detail line)
+    assert(line.contains("\"ann\":{"))
   }
 
   test("assembler degrades rather than overflow, line stays parseable") {
