@@ -292,15 +292,31 @@ object JoinViewWarehouse {
     // the zero-scan anchor needs year stats on EVERY live generation;
     // an empty ingest window (zero-row append — no stats by design)
     // or a foreign writer drops to ONE scan of the folded view (the
-    // TsWarehouse.recentWindow stance, ADVICE r12's shape)
-    val latestOpt: Option[Long] = snap.statsMax(path, "year")
+    // TsWarehouse.recentWindow stance, ADVICE r12's shape).
+    //
+    // ANCHOR SEMANTICS (ADVICE r13 #1): stats are retraction-agnostic
+    // — a retraction generation records the SAME years as the rows it
+    // negates — so a stats anchor on a fully-retracted newest year
+    // would frame the window on years whose net rows are zero and
+    // silently DROP the oldest surviving year.  For a monitoring
+    // surface that is the right contract (TsWarehouse.recentWindow's
+    // documented stance: "the last week has no surviving data" is the
+    // answer); for this DASHBOARD view it is not — "revenue, this
+    // year and last" means the last years that HAVE revenue.  So the
+    // scan fallback anchors on net n != 0, and the stats anchor is
+    // verified below: if the stats-framed window folds to zero net
+    // rows, the probe re-anchors through the same one-scan fallback —
+    // pre-compact and post-compact answers then agree by
+    // construction (JoinViewWarehouseSpec pins the tail-retraction
+    // case).
+    def scanAnchor(): Option[Long] = Option(snap.read(path)
+      .groupBy(col("year")).agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .agg(max(col("year")).as("mx")).head().getAs[java.lang.Long]("mx"))
       .map(_.toLong)
-      .orElse(Option(snap.read(path)
-        .groupBy(col("year")).agg(sum(col("n")).as("n"))
-        .filter(col("n") =!= 0)
-        .agg(max(col("year")).as("mx")).head().getAs[java.lang.Long]("mx"))
-        .map(_.toLong))
-    latestOpt match {
+    val statsAnchor: Option[Long] = snap.statsMax(path, "year").map(_.toLong)
+    val latestOpt: Option[Long] = statsAnchor.orElse(scanAnchor())
+    def resultAt(latestOpt: Option[Long]): DataFrame = latestOpt match {
       case None => // view folded to empty: the probe's empty frame
         snap.read(path).filter(lit(false))
           .groupBy(col("prio"), col("year"))
@@ -322,6 +338,18 @@ object JoinViewWarehouse {
             col("n").as("n_lines"))
           .orderBy(col("o_orderpriority"), col("year"))
     }
+    val framed = resultAt(latestOpt)
+    // VERIFY the stats anchor: the recorded max year always ≥ the max
+    // NET year, with equality whenever the anchor year holds any
+    // surviving rows — so one cheap emptiness check on the group-key-
+    // scale frame ("does the anchor year survive?") detects exactly
+    // the retracted-tail states where the two anchors diverge, and
+    // the fallback re-anchors on net rows.  Every other state keeps
+    // the zero-scan path; after compact the stats re-record from
+    // survivors and the check is free again.
+    val anchorRetracted = statsAnchor.exists(latest =>
+      framed.filter(col("year") === latest).isEmpty)
+    if (anchorRetracted) resultAt(scanAnchor()) else framed
   }
 
   /** The once-per-JVM YEAR-CADENCE build: one refreshBoth generation

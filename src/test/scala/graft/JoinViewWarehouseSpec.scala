@@ -120,6 +120,37 @@ class JoinViewWarehouseSpec extends GraftSpec {
       JoinViewWarehouse.recentYears(spark, tmp("never-built")))
   }
 
+  test("recentYears: a fully-retracted newest year re-anchors on net rows (ADVICE r13 #1)") {
+    val p = tmp("retracted-tail")
+    def yearOf(y: Int) = {
+      val o = t.orders.filter(year(col("o_orderdate")) === y).localCheckpoint()
+      val l = t.lineitem.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi").localCheckpoint()
+      (o, l)
+    }
+    val (o95, l95) = yearOf(1995)
+    val (o96, l96) = yearOf(1996)
+    JoinViewWarehouse.materializeFrom(o95, l95, p)
+    JoinViewWarehouse.refreshBoth(spark, o96, l96, p)
+    JoinViewWarehouse.retractOrders(spark, o96, p)
+    // PRE-COMPACT: the stats anchor says 1996 (retraction generations
+    // record the same years as the rows they negate), but 1996 has no
+    // net rows — the dashboard window must re-anchor on 1995, not
+    // silently frame an empty year
+    val pre = JoinViewWarehouse.recentYears(spark, p, years = 1).collect()
+    assert(pre.nonEmpty, "window silently framed on the retracted year")
+    assert(pre.forall(_.getAs[Long]("year") == 1995L),
+      s"expected a 1995-anchored window, got ${pre.toSeq}")
+    // and it equals BOTH the post-compact answer for the same logical
+    // state (compact re-records stats from survivors) and the
+    // scan-fallback semantics — the three anchors agree by construction
+    val preSet = pre.map(_.toString).toSet
+    JoinViewWarehouse.compact(spark, p)
+    val post = JoinViewWarehouse.recentYears(spark, p, years = 1).collect()
+      .map(_.toString).toSet
+    assert(preSet == post, "pre/post-compact anchor divergence")
+  }
+
   test("retract ∘ refresh equals rebuild-on-survivors, and late lines for a retracted order fold to nothing") {
     val a = tmp("retract")
     JoinViewWarehouse.materializeFrom(

@@ -77,6 +77,43 @@ class TokenizerWarehouseSpec extends GraftSpec {
     assert(TokenizerWarehouse.frozenMerges(spark, p, asOfGen = 0L).nonEmpty)
   }
 
+  test("retention drill: retire v1, vacuum — v2 bit-identical, v1 as-of fails LOUDLY (r14 ask #6)") {
+    val p = tmp("retention")
+    val base = docs.filter(col("doc_id") < 300).localCheckpoint()
+    TokenizerWarehouse.materializeFrom(base, p, rounds = 4) // v1 = gen 0
+    TokenizerWarehouse.retrain(docs, p, rounds = 8)         // v2 = gen 1
+    val sample = docs.filter(col("doc_id") < 50).localCheckpoint()
+    val v2 = rows(TokenizerWarehouse.encodeProbe(spark, p, sample))
+    val v2Merges = TokenizerWarehouse.frozenMerges(spark, p)
+    // RETIRE v1 (horizon = its gen), then physically reclaim
+    TokenizerWarehouse.retire(spark, p, horizonGen = 0L)
+    sources.CommitLog.vacuum(spark, p)
+    // v2 still serves bit-for-bit — from the head AND from its own
+    // as-of cut (the retention rebase dir, logically older, must not
+    // shadow it: the latestGen-by-position contract)
+    assert(TokenizerWarehouse.frozenMerges(spark, p) == v2Merges,
+      "head merge table moved across retention")
+    assert(rows(TokenizerWarehouse.encodeProbe(spark, p, sample)) == v2,
+      "head encoding moved across retention")
+    assert(rows(TokenizerWarehouse.encodeProbe(spark, p, sample, asOfGen = 1L)) == v2)
+    // the v1 as-of read now fails LOUDLY (the Bm25 vacuumed-probe
+    // pattern) — never a silent identity tokenizer
+    val e = intercept[IllegalStateException] {
+      TokenizerWarehouse.frozenMerges(spark, p, asOfGen = 0L)
+    }
+    assert(e.getMessage.contains("retired"), s"wrong failure: ${e.getMessage}")
+    // the catalog reflects retention: both shipped versions plus the
+    // rebase row (gen 2, horizon 0)
+    val hist = TokenizerWarehouse.versions(spark, p).collect()
+      .map(r => (r.getAs[Long]("gen"), r.getAs[String]("kind"),
+        r.getAs[Long]("horizon"))).toSet
+    assert(hist.contains((2L, "rebase", 0L)), s"catalog missing the rebase: $hist")
+    // vacuum physically reclaimed v1's directory
+    assert(!new java.io.File(s"$p/gen-0").exists(),
+      "retired version's directory survived vacuum")
+    assert(new java.io.File(s"$p/gen-1").exists())
+  }
+
   test("registered probe: frozen-base tokenizer over the incoming split, zero shuffles") {
     val probe = SparkEntry.queries("t_bpe_encode_probe")(spark, Dir)
     val out = probe.collect()
