@@ -435,6 +435,12 @@ object SparkEntry {
     // refined ≥ ADC here plus the inline refined serving floors
     "s_knn_recall_report_pq" -> ((s: SparkSession, d: String) =>
       graft.similarity.RecallMonitor.pqReport(s, d)),
+    // ask #7 as driver-visible data (r14): the maintained indexes
+    // graded on a seeded hash-mod sample of the standing ids — the
+    // rotating production poll, vs the prefix-anchored default rows.
+    // No oracle (monitor class); RecallMonitorSpec pins determinism
+    "s_knn_recall_report_seeded" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.seededReport(s, d)),
     // batched IVF serving — knnBatch's shape on the centroid-
     // partitioned layout (lshBatch's analogue; no oracle: the
     // s_knn_ivf class; spec pins query 0's slice == single-query
@@ -649,6 +655,13 @@ object SparkEntry {
     // version immutability under retrain (as-of re-serves v1)
     "t_bpe_encode_probe" -> ((s: SparkSession, d: String) =>
       TokenizerWarehouse.encodeIncoming(s, d)),
+    // the GATED retrain (r14 second arc): ship a candidate merge
+    // table only if its holdout fertility does not regress — the
+    // reclusterIfBetter discipline on the tokenizer artifact.  No
+    // oracle (iterative trainer); TokenizerWarehouseSpec drives both
+    // gate branches
+    "t_bpe_retrain_gate" -> ((s: SparkSession, d: String) =>
+      TokenizerWarehouse.gateReport(s, d)),
     "d_corpus_stats" -> (CorpusStats.corpusStats _),
     // the GK-sketch production swap (no oracle: sketch internals not
     // portably SQL-expressible — the HLL/Bloom class; rank-guarantee

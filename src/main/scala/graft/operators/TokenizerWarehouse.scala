@@ -72,6 +72,71 @@ object TokenizerWarehouse {
   def retrain(docs: DataFrame, path: String, rounds: Int = 8): Unit =
     materializeFrom(docs, path, rounds)
 
+  /** The gated retrain's verdict — driver scalars (fertility =
+    * encoded/raw token ratio over the holdout; lower compresses
+    * better). */
+  final case class RetrainReport(fertilityStanding: Double,
+      fertilityCandidate: Double, shipped: Boolean, version: Option[Long])
+
+  /** GATED RETRAIN — the blue/green discipline of
+    * IvfWarehouse.reclusterIfBetter applied to the tokenizer artifact
+    * (round 14, self-directed: the round's ask-#1 lesson is that a
+    * maintenance re-fit optimizing its TRAINING objective can regress
+    * the SERVING one, and the tokenizer has the same trap — a retrain
+    * on a drifted/narrow corpus can produce merges that compress the
+    * deployment's traffic WORSE than the standing version, and
+    * "retrain = ship" would propagate that into every downstream
+    * token budget).  Unlike the IVF gate no staging base is needed:
+    * the candidate merge table is KB-scale DRIVER metadata, so it is
+    * graded before anything is committed —
+    *  1. train candidate merges on `docs` (the drifted corpus);
+    *  2. encode the HOLDOUT batch under the standing frozen version
+    *     and under the candidate (two scans of the holdout — the
+    *     grade a production pipeline runs on a traffic sample);
+    *  3. ship the candidate as a NEW VERSION only if its fertility
+    *     (encoded/raw tokens — the t_fertility statistic) does not
+    *     regress; otherwise commit NOTHING and surface the verdict.
+    * Exact DECIMAL sums make both fertility scalars bit-stable.
+    * TokenizerWarehouseSpec drives both branches (ship-on-improvement
+    * — a candidate trained on the holdout's own distribution; hold —
+    * a candidate trained on a no-repeats corpus whose identity
+    * encoding cannot beat the standing merges). */
+  def retrainIfBetter(spark: SparkSession, docs: DataFrame,
+      holdout: DataFrame, path: String, rounds: Int = 8): RetrainReport = {
+    import graft.functions.Exact.sumx
+    val standing = frozenMerges(spark, path)
+    val trained = CorpusStats.trainMerges(docs, rounds)
+    val candidate = trained.map(m => (m._2, m._3))
+    def fertility(merges: Seq[(String, String)]): Double = {
+      val enc = graft.functions.BpeEncode(words(col("text")), merges)
+      val r = holdout
+        .select(size(words(col("text"))).cast("long").as("raw"),
+          size(enc).cast("long").as("bpe"))
+        .agg(sumx(col("bpe")).as("b"), sumx(col("raw")).as("r"))
+        .head()
+      // sumx returns double (exact: DECIMAL-summed integer counts well
+      // under 2^53); the ratio of two exact doubles is bit-stable
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val fStanding = fertility(standing)
+    val fCandidate = fertility(candidate)
+    val ship = fCandidate <= fStanding
+    val version: Option[Long] =
+      if (!ship) None
+      else {
+        val t = CommitLog.begin(spark, path)
+        import spark.implicits._
+        // ship the trained rows verbatim (round/n preserved) + the
+        // sentinel — byte-for-byte what materializeFrom would commit
+        val merges = (trained :+ ((-1L, "", "", 0L)))
+          .toDF("round", "first", "second", "n")
+        t.append(merges.withColumn("version", lit(t.gen)), path)
+        t.commit()
+        Some(t.gen)
+      }
+    RetrainReport(fStanding, fCandidate, ship, version)
+  }
+
   /** The frozen merge list of a VERSION (default: the shipped head),
     * in rank order — K driver-side rows, the probe's plan constant.
     * The version pointer comes from the LOG (Snapshot.latestGen), not
@@ -151,6 +216,41 @@ object TokenizerWarehouse {
       materializeFrom(
         Tables(spark, dir).documents.filter(graft.dedup.MinHashWarehouse.isBase), p)
     }
+
+  /** Registered `t_bpe_retrain_gate`: the gated retrain run on the
+    * production asymmetry — standing tokenizer trained on the BASE
+    * split, candidate trained on the INCOMING split, graded on an
+    * incoming holdout (the traffic the deployment actually encodes).
+    * A dedicated tokenizer base is built inside the once-per-JVM
+    * report materialization (shipping a v2 onto the shared
+    * `builtPath` would mutate what `t_bpe_encode_probe` serves —
+    * query results must not depend on execution order), and the
+    * one-row verdict is cached as parquet (the gatedRepairReport
+    * pattern).  NO SQL oracle (iterative trainer);
+    * TokenizerWarehouseSpec drives both gate branches. */
+  def gateReport(spark: SparkSession, dir: String): DataFrame = {
+    val rp = graft.sources.Materialized.pathFor("tokenizer_gate_report", dir) { p =>
+      val wh = s"$p.tok"
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), col("text"))
+      val isBase = graft.dedup.MinHashWarehouse.isBase
+      materializeFrom(docs.filter(isBase), wh)
+      val incoming = docs.filter(!isBase).localCheckpoint()
+      val g = retrainIfBetter(spark, incoming,
+        incoming.filter(col("doc_id") < 1000), wh)
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq(("bpe_retrain_gate", r6(g.fertilityStanding),
+        r6(g.fertilityCandidate), g.shipped, g.version.getOrElse(-1L)))
+        .toDF("method", "fertility_standing", "fertility_candidate",
+          "shipped", "version")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(rp)
+      .select(col("method"), col("fertility_standing"),
+        col("fertility_candidate"), col("shipped"), col("version"))
+  }
 
   /** Registered `t_bpe_encode_probe`: the incoming split encoded
     * under the FROZEN base-trained tokenizer — the shape every later

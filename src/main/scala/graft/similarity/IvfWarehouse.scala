@@ -43,9 +43,37 @@ object IvfWarehouse {
     * maintenance pass's job, on its own schedule.  O(batch): K-row
     * centroid broadcast, no standing row read or rewritten. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    val assigned = Knn.assignTo(batch,
-      CommitLog.snapshot(spark, path).read(centroidsPath(path)))
-    CommitLog.transaction(spark, path)(_.append(assigned, path, Seq("cid")))
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the posting rows — the exactly-once
+    * rung (StreamTwin; round 14 extends the twin matrix to the ANN
+    * family).  Frozen-quantizer assignment is per-row, so any
+    * micro-batch split folds to the same posting lists — refresh is
+    * batching-invariant by construction. */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+      t.append(Knn.assignTo(batch,
+        CommitLog.snapshot(spark, path).read(centroidsPath(path))),
+        path, Seq("cid"))
+    }
+
+  /** The refresh's ONLINE twin at the exactly-once rung: vectors
+    * arrive as a (vec_id, embedding) stream, each micro-batch
+    * coarse-assigns under the FROZEN stored centroids and appends in
+    * one transaction that also commits the engine batch id — a
+    * redelivered committed batch folds nothing even when the external
+    * marker was lost.  The index must be materialized first (the
+    * frozen quantizer IS the standing state a refresh needs). */
+  def streamingRefresh(raw: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.VectorFunctions.toDouble
+    graft.sources.StreamTwin.exactlyOnce(raw, path, checkpointEvery)((s, b, id) =>
+      { refreshTxn(s, b.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+          path, batchId = Some(id)); () })
   }
 
   private def centroidsPath(path: String): String = s"$path.centroids"
@@ -75,7 +103,7 @@ object IvfWarehouse {
     * caller's retention verb. */
   def compact(spark: SparkSession, path: String): Unit =
     CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
-      Seq(path -> Seq("cid")))
+      Seq(path -> Seq("cid")), foldStreamIds = true)
 
   /** Drop tombstoned vectors from a candidate set — O(candidates);
     * the no-tomb path keeps its exact old plan. */

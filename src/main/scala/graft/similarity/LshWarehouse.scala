@@ -65,8 +65,41 @@ object LshWarehouse {
   /** REFRESH — fold new vectors into the index at rest (see
     * materializeFrom). */
   def refresh(batch: DataFrame, path: String,
-      bitsPerBand: Int = 2, bands: Int = 32): Unit =
-    materializeFrom(batch, path, bitsPerBand, bands, overwrite = false)
+      bitsPerBand: Int = 2, bands: Int = 32): Unit = {
+    val done = refreshTxn(batch, path, batchId = None, bitsPerBand, bands)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with both stores — the exactly-once rung
+    * (StreamTwin; round 14 extends the twin matrix to the ANN
+    * family).  Hyperplane signatures are per-row (no corpus state),
+    * so any micro-batch split folds to the same banded index. */
+  private[graft] def refreshTxn(batch: DataFrame, path: String,
+      batchId: Option[Long], bitsPerBand: Int = 2, bands: Int = 32): Boolean = {
+    val spark = batch.sparkSession
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+      val e = batch
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
+        .localCheckpoint()
+      val idx = e.select(col("vec_id"), col("sig"),
+          posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
+        .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
+      t.append(e, vectorsPath(path))
+      t.append(idx, path, Seq("bb"))
+    }
+  }
+
+  /** The refresh's ONLINE twin at the exactly-once rung: a
+    * (vec_id, embedding) stream folds per micro-batch into primary
+    * store + banded index in ONE transaction that also commits the
+    * engine batch id (StreamTwin). */
+  def streamingRefresh(raw: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(raw, path, checkpointEvery)((s, b, id) =>
+      { refreshTxn(b.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+          path, batchId = Some(id)); () })
 
   private def tombPath(path: String): String = s"$path.tomb"
 
@@ -93,7 +126,7 @@ object LshWarehouse {
     * retention cadence. */
   def compact(spark: SparkSession, path: String): Unit =
     CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
-      Seq(vectorsPath(path) -> Nil, path -> Seq("bb")))
+      Seq(vectorsPath(path) -> Nil, path -> Seq("bb")), foldStreamIds = true)
 
   /** The SURVIVING vectors at rest (vec_id, v, nrm) — the primary
     * store minus outstanding tombstones: the population the at-rest

@@ -63,12 +63,36 @@ object PqWarehouse {
     * standing row read or rewritten; the KB-scale side tables are
     * untouched. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    val snap = CommitLog.snapshot(spark, path)
-    val lists = Knn.assignTo(batch, snap.read(centroidsPath(path)))
-      .select(col("vec_id"), col("cid"))
-    CommitLog.transaction(spark, path)(
-      _.append(Pq.encodeWith(batch, snap.read(codebookPath(path)))
-        .join(lists, Seq("vec_id")), path, Seq("cid")))
+    val done = refreshTxn(spark, batch, path, batchId = None)
+    assert(done, "unreachable: un-id'd refreshes never skip")
+  }
+
+  /** The refresh transaction body, optionally committing a STREAM
+    * BATCH ID atomically with the code rows — the exactly-once rung
+    * (StreamTwin; round 14 extends the twin matrix to the ANN
+    * family).  Both quantizers are FROZEN state, encoding is
+    * per-row, so any micro-batch split folds to the same code table. */
+  private[graft] def refreshTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+      val snap = CommitLog.snapshot(spark, path)
+      val lists = Knn.assignTo(batch, snap.read(centroidsPath(path)))
+        .select(col("vec_id"), col("cid"))
+      t.append(Pq.encodeWith(batch, snap.read(codebookPath(path)))
+        .join(lists, Seq("vec_id")), path, Seq("cid"))
+    }
+
+  /** The refresh's ONLINE twin at the exactly-once rung: a
+    * (vec_id, embedding) stream coarse-assigns and PQ-encodes each
+    * micro-batch under the FROZEN stored quantizers and appends in
+    * one transaction that also commits the engine batch id
+    * (StreamTwin). */
+  def streamingRefresh(raw: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.VectorFunctions.toDouble
+    graft.sources.StreamTwin.exactlyOnce(raw, path, checkpointEvery)((s, b, id) =>
+      { refreshTxn(s, b.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+          path, batchId = Some(id)); () })
   }
 
   private def tombPath(path: String) = s"$path.tomb"
@@ -101,7 +125,7 @@ object PqWarehouse {
     * the caller's retention verb. */
   def compact(spark: SparkSession, path: String): Unit =
     CommitLog.purgeTombstones(spark, path, tombPath(path), "vec_id",
-      Seq(path -> Seq("cid")))
+      Seq(path -> Seq("cid")), foldStreamIds = true)
 
   /** Probe: rank stored centroids for the query (K-row metadata),
     * build the ADC LUT from the stored codebook (128-row metadata,

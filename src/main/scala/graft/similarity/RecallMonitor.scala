@@ -200,6 +200,23 @@ object RecallMonitor {
     ivfRow(spark, ivfMonitorPath(spark, dir), nQueries, k)
       .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries, tau))
 
+  /** Registered `s_knn_recall_report_seeded` (round 14, ask #7 made
+    * driver-visible data): the same two maintained indexes graded on
+    * a SEEDED hash-mod sample of the standing ids instead of the id
+    * prefix — the grade a production poll rotates so index quality
+    * is measured across the whole id space, not anchored to the
+    * oldest vectors.  Deterministic (xxhash64 at a fixed seed over
+    * fixed ids); NO oracle (the monitor class); RecallMonitorSpec
+    * pins seeded determinism/off-prefix-ness and the registered
+    * default rows' bit-stability under the new parameter. */
+  def seededReport(spark: SparkSession, dir: String,
+      seed: Long = 14L, oneIn: Long = 16L, k: Int = 5,
+      tau: Double = 0.3): DataFrame =
+    ivfRow(spark, ivfMonitorPath(spark, dir), nQueries = 0, k,
+      seed = Some(seed), oneIn = oneIn)
+      .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries = 0,
+        tau, seed = Some(seed), oneIn = oneIn))
+
   /** The PQ lane's monitor rows over a standing index at `path` —
     * BOTH serving stages graded against the same brute truth
     * (VERDICT-r13 ask #2: the LSH demotion discipline applied to the

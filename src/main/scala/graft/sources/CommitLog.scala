@@ -744,7 +744,8 @@ object CommitLog {
     * exists.  Physical reclaim stays the caller's separate `vacuum`
     * at the retention cadence. */
   def purgeTombstones(spark: SparkSession, base: String, tombPart: String,
-      key: String, parts: Seq[(String, Seq[String])]): Unit = {
+      key: String, parts: Seq[(String, Seq[String])],
+      foldStreamIds: Boolean = false): Unit = {
     val snap = snapshot(spark, base)
     snap.readOpt(tombPart).foreach { t0 =>
       val tomb = t0.select(t0.col(key)).distinct().localCheckpoint()
@@ -753,6 +754,12 @@ object CommitLog {
           t.replace(snap.read(part).join(tomb, Seq(key), "left_anti"), part, pcols)
         }
         t.clear(tombPart)
+        // members with a streaming twin fold the `.stream` id part to
+        // one generation in the SAME transaction — replay protection
+        // survives compaction without the id generations accumulating
+        // (the HllWarehouse.compact convention, shared here for the
+        // tombstone-keyed members)
+        if (foldStreamIds) StreamTwin.compactIds(snap, t, base)
       }
     }
   }

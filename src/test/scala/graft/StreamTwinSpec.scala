@@ -160,6 +160,103 @@ class StreamTwinSpec extends GraftSpec {
       "compact forgot a committed batch id")
   }
 
+  // ---- round 14: the ANN family joins the twin matrix (Ivf/Lsh/Pq
+  // refresh under FROZEN quantizers is per-row, hence
+  // batching-invariant; each refreshTxn commits the engine batch id
+  // atomically with the posting/code/signature rows)
+
+  private lazy val annVecs = Tables(spark, Dir).embeddings
+    .select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    .localCheckpoint()
+  private lazy val annBase = annVecs.filter(pmod(col("vec_id"), lit(10L)) < 8)
+  private lazy val annInc = annVecs.filter(pmod(col("vec_id"), lit(10L)) >= 8)
+    .localCheckpoint()
+  private lazy val annQv = Tables(spark, Dir).embeddings
+    .filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toArray
+
+  private def builtOnce(p: String)(build: => Unit): Unit =
+    if (sources.CommitLog.snapshot(spark, p).maxGen < 0) build
+
+  test("ivf twin: redelivered committed batch folds nothing, survives compact") {
+    drill("ivf",
+      (p, id) => {
+        builtOnce(p)(similarity.IvfWarehouse.materializeFrom(annBase, p))
+        similarity.IvfWarehouse.refreshTxn(spark, annInc, p, id)
+      },
+      p => similarity.IvfWarehouse.compact(spark, p),
+      p => rows(similarity.IvfWarehouse.probe(spark, p, annQv)))
+  }
+
+  test("lsh twin: redelivered committed batch folds nothing, survives compact") {
+    drill("lsh",
+      (p, id) => {
+        builtOnce(p)(similarity.LshWarehouse.materializeFrom(annBase, p))
+        similarity.LshWarehouse.refreshTxn(annInc, p, id)
+      },
+      p => similarity.LshWarehouse.compact(spark, p),
+      p => rows(similarity.LshWarehouse.rangeProbe(spark, p)))
+  }
+
+  test("pq twin: redelivered committed batch folds nothing, survives compact") {
+    drill("pq",
+      (p, id) => {
+        builtOnce(p)(similarity.PqWarehouse.materializeFrom(spark, annBase, p))
+        similarity.PqWarehouse.refreshTxn(spark, annInc, p, id)
+      },
+      p => similarity.PqWarehouse.compact(spark, p),
+      p => rows(similarity.PqWarehouse.probe(spark, p, annQv, excludeId = 0L)))
+  }
+
+  test("ann twin: the id part folds through a REAL compact without forgetting (r14)") {
+    // the trio's compact is the shared purgeTombstones — a no-op with
+    // no tombstones — so the drill's compact leg is trivial there;
+    // this drives the foldStreamIds path: retract → compact folds the
+    // `.stream` part to ONE replace generation, the committed id
+    // still skips, a fresh id still folds
+    val p = tmp("ivf-idfold")
+    similarity.IvfWarehouse.materializeFrom(annBase, p)
+    assert(similarity.IvfWarehouse.refreshTxn(spark, annInc, p, Some(7L)))
+    similarity.IvfWarehouse.retract(
+      annVecs.filter(col("vec_id") === 3).select(col("vec_id")), p)
+    similarity.IvfWarehouse.compact(spark, p)
+    val idEntries = sources.CommitLog.history(spark, p)
+      .filter(col("part") === ".stream").collect()
+      .map(r => r.getAs[String]("kind"))
+    assert(idEntries.contains("replace"),
+      s"compact did not fold the stream-id part: ${idEntries.toSeq}")
+    assert(!similarity.IvfWarehouse.refreshTxn(spark, annInc, p, Some(7L)),
+      "compact forgot a committed batch id")
+    assert(similarity.IvfWarehouse.refreshTxn(spark, annInc, p, Some(8L)))
+  }
+
+  test("ivf warehouse: MemoryStream end-to-end equals the one-shot refresh") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val raw = Tables(spark, Dir).embeddings
+    val p = tmp("ivf-stream")
+    similarity.IvfWarehouse.materializeFrom(annBase, p)
+    // the one-shot reference: same base, same incoming rows in one fold
+    val ref = tmp("ivf-stream-ref")
+    similarity.IvfWarehouse.materializeFrom(annBase, ref)
+    similarity.IvfWarehouse.refresh(spark, annInc, ref)
+    val query = similarity.IvfWarehouse.streamingRefresh(
+      stream.toDF().toDF("vec_id", "embedding"), p)
+    try {
+      def batch(m: Int) = raw.filter(col("vec_id") % 10 === m).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      stream.addData(batch(8))
+      query.processAllAvailable()
+      stream.addData(batch(9))
+      query.processAllAvailable()
+      assert(rows(similarity.IvfWarehouse.probe(spark, p, annQv)) ==
+        rows(similarity.IvfWarehouse.probe(spark, ref, annQv)),
+        "streamed IVF index diverged from the one-shot refresh")
+    } finally query.stop()
+  }
+
   test("knn-graph warehouse: MemoryStream end-to-end equals the one-shot build") {
     val s = spark
     import s.implicits._

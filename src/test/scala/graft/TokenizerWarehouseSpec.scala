@@ -114,6 +114,55 @@ class TokenizerWarehouseSpec extends GraftSpec {
     assert(new java.io.File(s"$p/gen-1").exists())
   }
 
+  test("gated retrain: ships on holdout improvement, holds on regression (r14)") {
+    val p = tmp("gate")
+    TokenizerWarehouse.materializeFrom(
+      docs.filter(col("doc_id") < 300), p, rounds = 4)
+    val incoming = docs.filter(col("doc_id") >= 300 && col("doc_id") < 600)
+      .localCheckpoint()
+    // SHIP branch: a candidate trained on the holdout's own
+    // distribution with a larger budget — it must compress the
+    // holdout at least as well as the base-trained standing version
+    val g = TokenizerWarehouse.retrainIfBetter(spark, incoming, incoming, p,
+      rounds = 8)
+    assert(g.fertilityCandidate <= g.fertilityStanding,
+      s"premise lost — in-distribution candidate regressed: $g")
+    assert(g.shipped && g.version.contains(1L), s"gate refused the improvement: $g")
+    assert(TokenizerWarehouse.versions(spark, p).count() == 2L)
+    // the shipped head IS the candidate: re-grading the holdout under
+    // the head reproduces the candidate fertility bit-for-bit
+    val headMerges = TokenizerWarehouse.frozenMerges(spark, p)
+    assert(headMerges.nonEmpty)
+    // HOLD branch: a candidate trained on a no-repeats corpus ships
+    // ZERO merges — identity encoding (fertility 1.0) cannot beat a
+    // standing version whose merges fire on the holdout
+    val s2 = spark
+    import s2.implicits._
+    val uniq = Seq((1L, "u1 u2 u3"), (2L, "u4 u5 u6")).toDF("doc_id", "text")
+    val g2 = TokenizerWarehouse.retrainIfBetter(spark, uniq, incoming, p,
+      rounds = 4)
+    assert(g2.fertilityStanding < 1.0,
+      s"premise lost — standing merges never fire on the holdout: $g2")
+    assert(g2.fertilityCandidate == 1.0)
+    assert(!g2.shipped && g2.version.isEmpty, s"gate shipped a regression: $g2")
+    // hold means HOLD: nothing committed, the head still serves the
+    // shipped candidate
+    assert(TokenizerWarehouse.versions(spark, p).count() == 2L,
+      "a held retrain must commit nothing")
+    assert(TokenizerWarehouse.frozenMerges(spark, p) == headMerges)
+  }
+
+  test("registered gate row: verdict consistent with its own fertilities") {
+    val row = SparkEntry.queries("t_bpe_retrain_gate")(spark, Dir).collect().head
+    assert(row.getAs[String]("method") == "bpe_retrain_gate")
+    val (fs, fc) = (row.getAs[Double]("fertility_standing"),
+      row.getAs[Double]("fertility_candidate"))
+    assert(fs > 0.0 && fs <= 1.0 && fc > 0.0 && fc <= 1.0)
+    assert(row.getAs[Boolean]("shipped") == (fc <= fs),
+      s"verdict inconsistent with the graded fertilities: $row")
+    assert(row.getAs[Boolean]("shipped") == (row.getAs[Long]("version") >= 0L))
+  }
+
   test("registered probe: frozen-base tokenizer over the incoming split, zero shuffles") {
     val probe = SparkEntry.queries("t_bpe_encode_probe")(spark, Dir)
     val out = probe.collect()
