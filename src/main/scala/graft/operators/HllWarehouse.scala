@@ -168,6 +168,9 @@ object HllWarehouse {
     // — bit-identical to the unskipped read (HllWarehouseSpec pins
     // both the pruned generation set and row equality).
     val snap = CommitLog.snapshot(spark, path)
+    if (snap.maxGen < 0) // a path with NO committed log stays loud
+      throw new IllegalStateException(
+        s"windowProbe: no committed generations under '$path' — not an HLL warehouse")
     snap.readWhere(path, "date", Some(start), Some(end)) match {
       case None => // every generation provably outside: zero days
         spark.range(1).select(

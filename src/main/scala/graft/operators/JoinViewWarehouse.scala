@@ -338,18 +338,23 @@ object JoinViewWarehouse {
             col("n").as("n_lines"))
           .orderBy(col("o_orderpriority"), col("year"))
     }
-    val framed = resultAt(latestOpt)
     // VERIFY the stats anchor: the recorded max year always ≥ the max
     // NET year, with equality whenever the anchor year holds any
-    // surviving rows — so one cheap emptiness check on the group-key-
-    // scale frame ("does the anchor year survive?") detects exactly
-    // the retracted-tail states where the two anchors diverge, and
-    // the fallback re-anchors on net rows.  Every other state keeps
-    // the zero-scan path; after compact the stats re-record from
-    // survivors and the check is free again.
-    val anchorRetracted = statsAnchor.exists(latest =>
-      framed.filter(col("year") === latest).isEmpty)
-    if (anchorRetracted) resultAt(scanAnchor()) else framed
+    // surviving rows — so one check ("does the anchor year survive?")
+    // detects exactly the retracted-tail states where the two anchors
+    // diverge, and the fallback re-anchors on net rows.  The check
+    // reads ONLY the anchor year's generations (readWhere at
+    // [latest, latest] — one log-pruned sum, not the whole window)
+    // and runs BEFORE the result frame is built, so the caller's read
+    // executes once (review r14).  After compact the stats re-record
+    // from survivors and the two anchors agree again.
+    val anchorRetracted = statsAnchor.exists { latest =>
+      snap.readWhere(path, "year", Some(latest.toString), Some(latest.toString))
+        .forall(df => Option(df.filter(col("year") === latest)
+          .agg(sum(col("n")).as("n")).head().getAs[java.lang.Long]("n"))
+          .forall(_ == 0L))
+    }
+    if (anchorRetracted) resultAt(scanAnchor()) else resultAt(latestOpt)
   }
 
   /** The once-per-JVM YEAR-CADENCE build: one refreshBoth generation

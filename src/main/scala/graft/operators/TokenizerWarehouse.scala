@@ -50,21 +50,28 @@ object TokenizerWarehouse {
     * picks the latest version at its cut.  Retention of old versions
     * is the caller's rebase + vacuum, like any member. */
   def materializeFrom(docs: DataFrame, path: String, rounds: Int = 8): Unit = {
-    val spark = docs.sparkSession
+    commitVersion(docs.sparkSession, path, CorpusStats.trainMerges(docs, rounds))
+    ()
+  }
+
+  /** THE one commit shape for a version (review r14 — two write sites
+    * must not drift on the sentinel discipline): the trained rows plus
+    * a SENTINEL row (round = -1, filtered out of the merge list) so a
+    * LIVE version is never a zero-row directory — a legal zero-merge
+    * identity version holds one sentinel, while a version RETIRED by
+    * `retire`'s empty rebase holds nothing, which is what lets an
+    * as-of read behind the retention horizon fail LOUDLY instead of
+    * silently serving the identity tokenizer (VERDICT-r13 ask #6).
+    * Returns the shipped version number (= the txn generation). */
+  private def commitVersion(spark: SparkSession, path: String,
+      trained: Seq[(Long, String, String, Long)]): Long = {
     import spark.implicits._
-    // every version carries a SENTINEL row (round = -1, filtered out
-    // of the merge list) so a LIVE version is never a zero-row
-    // directory: a legal zero-merge identity version then holds one
-    // sentinel, while a version RETIRED by `retire`'s empty rebase
-    // holds nothing — which is what lets an as-of read behind the
-    // retention horizon fail LOUDLY instead of silently serving the
-    // identity tokenizer (round 14, VERDICT-r13 ask #6).
-    val merges = (CorpusStats.trainMerges(docs, rounds) :+
-        ((-1L, "", "", 0L)))
+    val merges = (trained :+ ((-1L, "", "", 0L)))
       .toDF("round", "first", "second", "n")
     val t = CommitLog.begin(spark, path)
     t.append(merges.withColumn("version", lit(t.gen)), path)
     t.commit()
+    t.gen
   }
 
   /** RETRAIN — ship the next version (a new APPEND generation; every
@@ -114,6 +121,11 @@ object TokenizerWarehouse {
           size(enc).cast("long").as("bpe"))
         .agg(sumx(col("bpe")).as("b"), sumx(col("raw")).as("r"))
         .head()
+      // a degenerate holdout (zero rows, or all-empty texts) cannot
+      // grade anything — fail with the cause, not a bare NPE off the
+      // null sum (review r14)
+      require(!r.isNullAt(1) && r.getDouble(1) > 0,
+        "retrainIfBetter: the holdout has no tokens to grade on")
       // sumx returns double (exact: DECIMAL-summed integer counts well
       // under 2^53); the ratio of two exact doubles is bit-stable
       r.getDouble(0) / r.getDouble(1)
@@ -121,19 +133,10 @@ object TokenizerWarehouse {
     val fStanding = fertility(standing)
     val fCandidate = fertility(candidate)
     val ship = fCandidate <= fStanding
+    // ship the trained rows verbatim (round/n preserved) through the
+    // ONE commit shape — byte-for-byte what materializeFrom commits
     val version: Option[Long] =
-      if (!ship) None
-      else {
-        val t = CommitLog.begin(spark, path)
-        import spark.implicits._
-        // ship the trained rows verbatim (round/n preserved) + the
-        // sentinel — byte-for-byte what materializeFrom would commit
-        val merges = (trained :+ ((-1L, "", "", 0L)))
-          .toDF("round", "first", "second", "n")
-        t.append(merges.withColumn("version", lit(t.gen)), path)
-        t.commit()
-        Some(t.gen)
-      }
+      if (!ship) None else Some(commitVersion(spark, path, trained))
     RetrainReport(fStanding, fCandidate, ship, version)
   }
 
@@ -238,11 +241,13 @@ object TokenizerWarehouse {
       val incoming = docs.filter(!isBase).localCheckpoint()
       val g = retrainIfBetter(spark, incoming,
         incoming.filter(col("doc_id") < 1000), wh)
-      def r6(v: Double): Double =
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // persist the RAW fertilities the verdict was decided on —
+      // rounding them here could make the cached row contradict its
+      // own shipped flag when the two land within rounding distance
+      // (review r14); both are exact-DECIMAL-sum ratios, bit-stable
       import spark.implicits._
-      Seq(("bpe_retrain_gate", r6(g.fertilityStanding),
-        r6(g.fertilityCandidate), g.shipped, g.version.getOrElse(-1L)))
+      Seq(("bpe_retrain_gate", g.fertilityStanding,
+        g.fertilityCandidate, g.shipped, g.version.getOrElse(-1L)))
         .toDF("method", "fertility_standing", "fertility_candidate",
           "shipped", "version")
         .write.mode("overwrite").parquet(p)

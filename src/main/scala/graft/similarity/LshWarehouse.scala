@@ -46,13 +46,7 @@ object LshWarehouse {
     * index at rest is two pure appends, the MinHashWarehouse stance. */
   def materializeFrom(e0: DataFrame, path: String,
       bitsPerBand: Int = 2, bands: Int = 32, overwrite: Boolean = true): Unit = {
-    val e = e0
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
-      .localCheckpoint() // sig once per row, not once per band slot
-    val idx = e.select(col("vec_id"), col("sig"),
-        posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
-      .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
+    val (e, idx) = encodeFrames(e0, bitsPerBand, bands)
     // primary store + index land as ONE transaction (round 11 — the
     // CommitLog retrofit): a crash between the two writes can no
     // longer leave candidates whose exact-verify rows are missing
@@ -70,26 +64,34 @@ object LshWarehouse {
     assert(done, "unreachable: un-id'd refreshes never skip")
   }
 
+  /** The ONE definition of the layout's two frames — (primary store
+    * row with nrm+sig, banded narrow index) — shared by batch ingest
+    * and the streaming refreshTxn so the two paths can never build
+    * incompatible indexes under one path (review r14). */
+  private def encodeFrames(e0: DataFrame, bitsPerBand: Int,
+      bands: Int): (DataFrame, DataFrame) = {
+    val e = e0
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
+      .localCheckpoint() // sig once per row, not once per band slot
+    val idx = e.select(col("vec_id"), col("sig"),
+        posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
+      .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
+    (e, idx)
+  }
+
   /** The refresh transaction body, optionally committing a STREAM
     * BATCH ID atomically with both stores — the exactly-once rung
     * (StreamTwin; round 14 extends the twin matrix to the ANN
     * family).  Hyperplane signatures are per-row (no corpus state),
     * so any micro-batch split folds to the same banded index. */
   private[graft] def refreshTxn(batch: DataFrame, path: String,
-      batchId: Option[Long], bitsPerBand: Int = 2, bands: Int = 32): Boolean = {
-    val spark = batch.sparkSession
-    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
-      val e = batch
-        .withColumn("nrm", norm(col("v")))
-        .withColumn("sig", hyperplaneSignatureWords(col("v"), bitsPerBand * bands))
-        .localCheckpoint()
-      val idx = e.select(col("vec_id"), col("sig"),
-          posexplode(bandKeys(col("sig"), bitsPerBand, bands)).as(Seq("band", "bkey")))
-        .withColumn("bb", col("band") * (1L << bitsPerBand) + col("bkey"))
+      batchId: Option[Long], bitsPerBand: Int = 2, bands: Int = 32): Boolean =
+    graft.sources.StreamTwin.refreshTxnWith(batch.sparkSession, path, batchId) { t =>
+      val (e, idx) = encodeFrames(batch, bitsPerBand, bands)
       t.append(e, vectorsPath(path))
       t.append(idx, path, Seq("bb"))
     }
-  }
 
   /** The refresh's ONLINE twin at the exactly-once rung: a
     * (vec_id, embedding) stream folds per micro-batch into primary

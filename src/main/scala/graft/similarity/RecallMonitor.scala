@@ -142,15 +142,16 @@ object RecallMonitor {
     * so the truth pass and the serving probe grade exactly the same
     * ids (RecallMonitorSpec pins determinism and the prefix default's
     * bit-stability). */
-  private def queriesOf(standing: DataFrame, nQueries: Int,
-      seed: Option[Long], oneIn: Long): DataFrame = {
-    val slice = seed match {
-      case None => col("vec_id") < nQueries
-      case Some(s) => pmod(xxhash64(col("vec_id"), lit(s)), lit(oneIn)) === 0
-    }
-    standing.filter(slice)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+  private def sliceOf(nQueries: Int, seed: Option[Long],
+      oneIn: Long): org.apache.spark.sql.Column = seed match {
+    case None => col("vec_id") < nQueries
+    case Some(s) => pmod(xxhash64(col("vec_id"), lit(s)), lit(oneIn)) === 0
   }
+
+  private def queriesOf(standing: DataFrame, nQueries: Int,
+      seed: Option[Long], oneIn: Long): DataFrame =
+    standing.filter(sliceOf(nQueries, seed, oneIn))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** The IVF row over a standing index at `path`. */
   private[graft] def ivfRow(spark: SparkSession, path: String,
@@ -175,10 +176,9 @@ object RecallMonitor {
       nQueries: Int, tau: Double,
       seed: Option[Long] = None, oneIn: Long = 16L): DataFrame = {
     val standing = LshWarehouse.standingVectors(spark, path).localCheckpoint()
-    val slice = seed match {
-      case None => col("vec_id") < nQueries
-      case Some(s) => pmod(xxhash64(col("vec_id"), lit(s)), lit(oneIn)) === 0
-    }
+    // ONE slice definition for both families (review r14): the ivf
+    // and lsh rows of a seeded report must grade the same id domain
+    val slice = sliceOf(nQueries, seed, oneIn)
     val queries = standing.filter(slice)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))

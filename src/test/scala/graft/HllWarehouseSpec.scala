@@ -189,6 +189,11 @@ class HllWarehouseSpec extends GraftSpec {
     assert(k2.isEmpty && p2.size == 5)
     val orow = out.collect().head
     assert(orow.getLong(2) == 0L && orow.getLong(3) == 0L)
+    // but a path that was NEVER BUILT stays loud — "zero active
+    // users" must not be servable off a typo'd or unbuilt path
+    // (review r14: the readWhere rewrite made None ambiguous there)
+    intercept[IllegalStateException](
+      HllWarehouse.windowProbe(spark, tmp("never-built")))
   }
 
   test("compaction is probe-invariant and leaves one sketch per day") {
