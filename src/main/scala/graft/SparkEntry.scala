@@ -441,6 +441,13 @@ object SparkEntry {
     // No oracle (monitor class); RecallMonitorSpec pins determinism
     "s_knn_recall_report_seeded" -> ((s: SparkSession, d: String) =>
       graft.similarity.RecallMonitor.seededReport(s, d)),
+    // the PQ lane's SERVING verb at rest (r14): the two-stage refined
+    // probe over the maintained drifted index — raw ADC generates,
+    // the exact re-rank against the primary store serves (the
+    // demotion paragraph's pointer made a first-class API).  No
+    // oracle (trained quantizers); PqSpec pins containment/exactness
+    "s_knn_pq_probe_refined" -> ((s: SparkSession, d: String) =>
+      graft.similarity.PqWarehouse.refinedProbeRegistered(s, d)),
     // batched IVF serving — knnBatch's shape on the centroid-
     // partitioned layout (lshBatch's analogue; no oracle: the
     // s_knn_ivf class; spec pins query 0's slice == single-query

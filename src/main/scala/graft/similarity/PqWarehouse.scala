@@ -95,7 +95,62 @@ object PqWarehouse {
           path, batchId = Some(id)); () })
   }
 
+  /** TWO-STAGE serving AT REST — the verb the raw-ADC demotion points
+    * to (Pq's Scaladoc: raw ADC is candidate generation; THIS is the
+    * PQ lane's serving path, Jégou §VI on the warehouse layout):
+    * stage 1 takes the (expand·k)-deep ADC shortlist from
+    * `probeBatch` — one partition-pruned scan of the 8 B/vector code
+    * table; stage 2 fetches JUST the shortlist's full vectors from
+    * `vectors` (the primary store — at rest a keyed point-read; the
+    * code table deliberately holds no floats) by broadcast
+    * id-semijoin and re-ranks with the EXACT rounded cosine,
+    * expression-for-expression Knn.bruteForce's arithmetic.  Corpus
+    * cost: nprobe/K of the codes + |Q|·expand·k float vectors —
+    * nothing else touched.  `RecallMonitor.pqRows`' refined row IS
+    * this verb (one definition), so the registered at-rest recall
+    * number grades exactly what this serves.  PqWarehouseSpec pins
+    * shortlist containment, exact stage-2 cosines, and determinism. */
+  def probeBatchRefined(spark: SparkSession, path: String,
+      queries: DataFrame, vectors: DataFrame, nprobe: Int = 4, k: Int = 10,
+      expand: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import graft.functions.Exact.roundx
+    val shortlist = probeBatch(spark, path, queries, nprobe, expand * k,
+        excludeSelf)
+      .select(col("query_id"), col("vec_id"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(vectors.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        roundx(col("cos"), 6).as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
   private def tombPath(path: String) = s"$path.tomb"
+
+  /** Registered `s_knn_pq_probe_refined`: the refined serving verb on
+    * the MAINTAINED monitor index (refresh + retract + compact — the
+    * drifted state a production query actually hits), three corpus
+    * queries, primary store = the embeddings table restricted to the
+    * surviving ids.  NO SQL oracle (two trained quantizers); PqSpec
+    * pins shortlist containment, exact stage-2 cosines, rank shape,
+    * and determinism; `s_knn_recall_report_pq`'s refined row carries
+    * this verb's at-rest recall every round. */
+  def refinedProbeRegistered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val path = RecallMonitor.pqMonitorPath(spark, dir)
+    val standing = Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(standingIds(spark, path), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = standing.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    probeBatchRefined(spark, path, queries, vectors = standing)
+  }
 
   /** The SURVIVING vec_ids at rest — the code table's id domain minus
     * outstanding tombstones (one id per vector; the code table holds M
@@ -103,7 +158,7 @@ object PqWarehouse {
     * from, which is exactly what the at-rest recall monitor must grade
     * truth over (RecallMonitor.pqRows; vectors themselves live in the
     * primary store — codes are the only corpus-scale state here). */
-  private[similarity] def standingIds(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def standingIds(spark: SparkSession, path: String): DataFrame = {
     val snap = CommitLog.snapshot(spark, path)
     Tombstones.dropDf(snap.read(path).select(col("vec_id")).distinct(),
       snap.readOpt(tombPath(path)), key = "vec_id", tombCol = "vec_id")

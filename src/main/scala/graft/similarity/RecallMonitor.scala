@@ -244,16 +244,11 @@ object RecallMonitor {
       .localCheckpoint()
     val truth = Knn.knnBatchOver(standing, queries, k)
     val adc = PqWarehouse.probeBatch(spark, path, queries, nprobe, k)
-    val shortlist = PqWarehouse.probeBatch(spark, path, queries, nprobe, 4 * k)
-      .select(col("query_id"), col("vec_id"))
-    val byQ = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val refined = shortlist
-      .join(standing, Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
-      .withColumn("rnk", row_number().over(byQ))
-      .filter(col("rnk") <= k)
+    // the refined row grades the SERVING VERB itself (one definition —
+    // PqWarehouse.probeBatchRefined; review r14): shortlist off the
+    // code table, exact re-rank against the primary store
+    val refined = PqWarehouse.probeBatchRefined(spark, path, queries,
+        vectors = standing, nprobe, k)
       .select(col("query_id"), col("vec_id"))
     rowOf("pq_warehouse_adc", truth, adc)
       .unionByName(rowOf("pq_warehouse_refined", truth, refined))

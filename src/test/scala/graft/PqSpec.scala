@@ -175,6 +175,48 @@ class PqSpec extends GraftSpec {
     assert(rows("pq_warehouse_adc").getAs[Long]("n_queries") == 9L)
   }
 
+  test("at-rest refined serving verb: containment, exact cosines, deterministic (r14)") {
+    import graft.functions.VectorFunctions.toDouble
+    val probe = SparkEntry.queries("s_knn_pq_probe_refined")(spark, Dir)
+    val rows = probe.collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L, 2L))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rs.length),
+        s"query $q rank shape broken")
+      assert(rs.length <= 10)
+      assert(rs.forall(_.getAs[Long]("vec_id") != q), "self-exclusion lost")
+    }
+    // CONTAINMENT: stage 2 can only re-rank stage 1's shortlist —
+    // every served id sits in the (expand·k)-deep ADC pull
+    val path = similarity.RecallMonitor.pqMonitorPath(spark, Dir)
+    val standing = sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(similarity.PqWarehouse.standingIds(spark, path), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = standing.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val shortIds = similarity.PqWarehouse
+      .probeBatch(spark, path, queries, nprobe = 4, k = 40)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => shortIds(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))),
+      "served id outside the ADC shortlist")
+    // EXACT stage-2 cosines: bit-equal to the brute expression over
+    // the same (query, vector) pairs
+    val brute = similarity.Knn.knnBatchOver(standing, queries, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine"))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(brute.contains(key) && brute(key) == r.getAs[Double]("cosine"),
+        s"stage-2 cosine diverges from brute for $key")
+    }
+    // determinism
+    val again = SparkEntry.queries("s_knn_pq_probe_refined")(spark, Dir).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("IVF-PQ refine: exact cosines, probed lists only, recall dominates raw IVF-PQ") {
     val brute = Knn.bruteForce(spark, Dir).collect()
     val bruteIds = brute.map(_.getLong(0)).toSet
