@@ -257,6 +257,41 @@ class StreamTwinSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("lsh + pq warehouses: MemoryStream end-to-end equals the one-shot refresh") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val raw = Tables(spark, Dir).embeddings
+    def batch(m: Int) = raw.filter(col("vec_id") % 10 === m).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def drive(start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val query = start(stream.toDF().toDF("vec_id", "embedding"))
+      try {
+        stream.addData(batch(8)); query.processAllAvailable()
+        stream.addData(batch(9)); query.processAllAvailable()
+      } finally query.stop()
+    }
+    // LSH: streamed two-batch fold == one-shot refresh, via rangeProbe
+    val lp = tmp("lsh-stream"); val lref = tmp("lsh-stream-ref")
+    similarity.LshWarehouse.materializeFrom(annBase, lp)
+    similarity.LshWarehouse.materializeFrom(annBase, lref)
+    similarity.LshWarehouse.refresh(annInc, lref)
+    drive(df => similarity.LshWarehouse.streamingRefresh(df, lp))
+    assert(rows(similarity.LshWarehouse.rangeProbe(spark, lp)) ==
+      rows(similarity.LshWarehouse.rangeProbe(spark, lref)),
+      "streamed LSH index diverged from the one-shot refresh")
+    // PQ: same drill via the code-table probe
+    val pp = tmp("pq-stream"); val pref = tmp("pq-stream-ref")
+    similarity.PqWarehouse.materializeFrom(spark, annBase, pp)
+    similarity.PqWarehouse.materializeFrom(spark, annBase, pref)
+    similarity.PqWarehouse.refresh(spark, annInc, pref)
+    drive(df => similarity.PqWarehouse.streamingRefresh(df, pp))
+    assert(rows(similarity.PqWarehouse.probe(spark, pp, annQv, excludeId = 0L)) ==
+      rows(similarity.PqWarehouse.probe(spark, pref, annQv, excludeId = 0L)),
+      "streamed PQ index diverged from the one-shot refresh")
+  }
+
   test("knn-graph warehouse: MemoryStream end-to-end equals the one-shot build") {
     val s = spark
     import s.implicits._
