@@ -277,9 +277,20 @@ object IvfWarehouse {
     * IvfWarehouseSpec drives both branches: hold-on-regression
     * (standing state bit-identical after the verb) and
     * swap-on-improvement (the staged codebook serves, recall
-    * re-grades at the staged value). */
+    * re-grades at the staged value).
+    *
+    * QUERY SLICE (VERDICT-r14 ask #4): `seed`/`oneIn` thread the
+    * monitor's seeded hash-mod sampling (RecallMonitor.sliceOf) into
+    * the SHIP DECISION itself — the default `None` keeps the
+    * deterministic `vec_id < nQueries` prefix (what the registered row
+    * uses, for bit-stability), but a production poll should grade on
+    * `Some(seed)` rotated per poll: a prefix slice is anchored to the
+    * corpus's OLDEST ids and can pass a gate on drift that only newer
+    * ingest carries (TokenizerWarehouseSpec exhibits the ship decision
+    * FLIPPING under a slice that sees the drifted traffic). */
   def reclusterIfBetter(spark: SparkSession, path: String, rounds: Int = 2,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): GateReport = {
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      seed: Option[Long] = None, oneIn: Long = 16L): GateReport = {
     val staging = stagingPath(path)
     val (fin, cents, costBefore, costAfter) = refit(spark, path, rounds)
     CommitLog.transaction(spark, staging) { t =>
@@ -287,31 +298,40 @@ object IvfWarehouse {
       t.replace(cents, centroidsPath(staging))
     }
     def grade(p: String): (Long, Double) = {
-      val r = RecallMonitor.ivfRow(spark, p, nQueries, k, nprobe).head()
+      val r = RecallMonitor.ivfRow(spark, p, nQueries, k, nprobe,
+        seed, oneIn).head()
       (r.getAs[Long]("truth_n"), r.getAs[Double]("recall"))
     }
-    val (truthOld, recallOld) = grade(path)
-    val (truthNew, recallNew) = grade(staging)
-    // the premise of comparing the two recalls at all: same standing
-    // rows ⇒ same brute truth (the drift-repair row's argument)
-    require(truthOld == truthNew,
-      s"gated recluster: truth moved across the re-fit ($truthOld -> $truthNew)" +
-        " — staged state does not hold the standing rows")
-    val swap = recallNew >= recallOld
-    if (swap) {
-      val s = CommitLog.snapshot(spark, staging)
-      CommitLog.transaction(spark, path) { t =>
-        t.replace(s.read(staging), path, Seq("cid"))
-        t.replace(s.read(centroidsPath(staging)), centroidsPath(path))
+    // grade + swap under try/finally (ADVICE r14 #4): a grade that
+    // throws — including the truth-equality require — must not leave
+    // the staged codebook committed under <path>.staged, where it
+    // would shadow nothing but never be reclaimed by the serving
+    // base's vacuum; the staging clear runs EITHER WAY
+    try {
+      val (truthOld, recallOld) = grade(path)
+      val (truthNew, recallNew) = grade(staging)
+      // the premise of comparing the two recalls at all: same standing
+      // rows ⇒ same brute truth (the drift-repair row's argument)
+      require(truthOld == truthNew,
+        s"gated recluster: truth moved across the re-fit ($truthOld -> $truthNew)" +
+          " — staged state does not hold the standing rows")
+      val swap = recallNew >= recallOld
+      if (swap) {
+        val s = CommitLog.snapshot(spark, staging)
+        CommitLog.transaction(spark, path) { t =>
+          t.replace(s.read(staging), path, Seq("cid"))
+          t.replace(s.read(centroidsPath(staging)), centroidsPath(path))
+        }
+      }
+      GateReport(costBefore, costAfter, truthOld, recallOld, recallNew, swap)
+    } finally {
+      // retire the staging state on every exit — verdict, exception or
+      // swap alike; dead staged generations are vacuum's to reclaim on
+      // the retention cadence
+      CommitLog.transaction(spark, staging) { t =>
+        t.clear(staging); t.clear(centroidsPath(staging))
       }
     }
-    // retire the staging state either way — the verdict (and on swap,
-    // the shipped codebook) is what survives; dead staged generations
-    // are vacuum's to reclaim on the retention cadence
-    CommitLog.transaction(spark, staging) { t =>
-      t.clear(staging); t.clear(centroidsPath(staging))
-    }
-    GateReport(costBefore, costAfter, truthOld, recallOld, recallNew, swap)
   }
 
   /** The retraction slice for the registered query — cross-cutting

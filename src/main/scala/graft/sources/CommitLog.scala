@@ -438,21 +438,69 @@ object CommitLog {
   private def seqOfMarker(name: String): Long =
     name.takeWhile(_ != '.').toLong
 
+  /** The WRITER FENCE (VERDICT-r14 ask #5): the protocol's contract is
+    * single-writer maintenance windows, and this commit path turns a
+    * violation from silent data loss into a LOUD abort.  On HDFS a
+    * rename onto an existing name returns false (already loud), but on
+    * a POSIX local FS rename OVERWRITES — a second writer racing the
+    * same commit sequence would silently replace the first writer's
+    * committed marker.  Three rungs close that:
+    *  (1) the canonical name is checked immediately before the rename —
+    *      a marker already there means another writer committed this
+    *      seq (loud abort, our temp file stays orphaned for vacuum);
+    *  (2) every marker carries a writer NONCE as a trailing `#` comment
+    *      line (skipped by the parser), so marker CONTENT is unique per
+    *      attempt even when two racers would commit identical entries;
+    *  (3) after the rename, the marker is READ BACK and compared to
+    *      what this writer wrote — a racer's rename landing between (1)
+    *      and our rename is detected as foreign content (loud abort;
+    *      the racer's commit stands: exactly one wins).
+    * Honesty note: the fence arbitrates the MARKER.  Two writers
+    * interleaving in the same microsecond window can still cross-write
+    * each other's UNCOMMITTED gen-N data dirs before either commits
+    * (the dirs are keyed by generation, and both raced to the same
+    * generation) — concurrent writing stays unsupported; the fence
+    * guarantees the violation is detected loudly instead of folding a
+    * lost transaction into the log.  CommitLogSpec drives the
+    * two-writer race: exactly-one-wins + loud-loser, single-writer
+    * behavior unchanged. */
   private def writeMarker(spark: SparkSession, base: String, name: String,
       lines: Seq[String]): Unit = {
     val dir = new Path(logPath(base))
     val f = fs(spark, logPath(base))
     f.mkdirs(dir)
-    val tmp = new Path(dir, s"_tmp-$name")
+    val nonce = java.util.UUID.randomUUID().toString
+    val payload = (lines :+ s"#$nonce").mkString("", "\n", "\n")
+    // nonce in the temp name too: racing writers at the same seq must
+    // not clobber each other's temp files either
+    val tmp = new Path(dir, s"_tmp-$nonce-$name")
     val out = f.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(payload.getBytes("UTF-8"))
     finally out.close()
     if (CommitLog.crashBeforeMarkerRename) throw new InjectedCrash
     val dst = new Path(dir, name)
+    if (f.exists(dst))
+      throw new java.io.IOException(
+        s"CommitLog: writer fence — marker $dst already exists: another " +
+          "writer committed this sequence (single-writer contract violated)")
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(
         s"CommitLog: marker rename $tmp -> $dst returned false")
     if (CommitLog.crashAfterMarkerRename) throw new InjectedCrash
+    // read-back verify: on POSIX rename the exists-check above is not
+    // atomic with the rename — foreign content here means a racer's
+    // marker replaced (or was replaced by) ours in that window
+    val st = f.getFileStatus(dst)
+    val in = f.open(dst)
+    val got = try {
+      val buf = new Array[Byte](st.getLen.toInt)
+      in.readFully(0, buf); new String(buf, "UTF-8")
+    } finally in.close()
+    if (got != payload)
+      throw new java.io.IOException(
+        s"CommitLog: writer fence — marker $dst holds another writer's " +
+          "content after our rename; this transaction lost the race and " +
+          "is NOT committed (single-writer contract violated)")
   }
 
   private def entryLine(e: Entry): String =
@@ -504,7 +552,10 @@ object CommitLog {
             val buf = new Array[Byte](st.getLen.toInt)
             in.readFully(0, buf); new String(buf, "UTF-8")
           } finally in.close()
-          text.split('\n').filter(_.nonEmpty).map(parseLine)
+          // `#`-prefixed lines are writer-nonce comments (the fence's
+          // content-uniqueness rung), not entries
+          text.split('\n').filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(parseLine)
         }
     Snapshot(spark, base, entries)
   }
@@ -590,6 +641,17 @@ object CommitLog {
 
     private def write(df: DataFrame, part: String, partitionCols: Seq[String],
         statsCols: Seq[String]): Map[String, ColStats] = {
+      // writer fence, PRE-WRITE rung (VERDICT-r14 ask #5): if the
+      // canonical marker for this txn's sequence already landed,
+      // another writer committed "our" generation while this txn was
+      // open — abort BEFORE overwriting its now-COMMITTED gen dirs
+      // (the commit-time fence alone would fire only after the damage)
+      val marker = new Path(logPath(base), markerName(nextSeq))
+      if (fs(spark, base).exists(marker))
+        throw new java.io.IOException(
+          s"CommitLog: writer fence — $marker landed while this " +
+            "transaction was open; another writer committed this " +
+            "generation (single-writer contract violated)")
       // stats ride INSIDE the write job (an observe node computing
       // exact min/max of the rows as they stream through) — zero extra
       // pass, no second scan; the commit entry then carries them for

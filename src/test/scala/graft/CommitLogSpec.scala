@@ -60,6 +60,47 @@ class CommitLogSpec extends GraftSpec {
     assert(rowsOf(snap.read(base + ".side")) == Set("s" -> 9L))
   }
 
+  test("writer fence: a racing second writer fails LOUDLY, exactly one wins (r15 ask #5)") {
+    // two writers violate the single-writer contract: both open a
+    // transaction off the same log state (same generation, same commit
+    // sequence).  The fence must let exactly ONE commit and fail the
+    // other with an error — on POSIX rename semantics the old code
+    // silently OVERWROTE the first writer's committed marker.
+    val base = tmp("fence")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    val w1 = CommitLog.begin(spark, base)
+    val w2 = CommitLog.begin(spark, base)
+    w1.append(kv("b" -> 2L), base)
+    w1.commit()
+    // w2's first WRITE already aborts: w1's marker landed at w2's
+    // sequence, so proceeding would overwrite a COMMITTED gen dir —
+    // the pre-write rung fires before any damage
+    val e = intercept[java.io.IOException](w2.append(kv("c" -> 3L), base))
+    assert(e.getMessage.contains("writer fence"), e.getMessage)
+    // exactly one won: the log holds w1's transaction, data intact
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base)) == Set("a" -> 1L, "b" -> 2L))
+
+    // the COMMIT-level rung: a racer that finished its data writes
+    // BEFORE the winner committed still fails loudly at its marker
+    val w3 = CommitLog.begin(spark, base)
+    val w4 = CommitLog.begin(spark, base)
+    w3.append(kv("d" -> 4L), base + ".side")
+    w4.append(kv("e" -> 5L), base + ".other")
+    w3.commit()
+    val e2 = intercept[java.io.IOException](w4.commit())
+    assert(e2.getMessage.contains("writer fence"), e2.getMessage)
+    val snap2 = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap2.read(base + ".side")) == Set("d" -> 4L))
+    // the loser's part never committed — its dir is an orphan for vacuum
+    assert(snap2.readOpt(base + ".other").isEmpty)
+    // and the single-writer path is UNCHANGED: a clean next transaction
+    // commits at the next sequence as always
+    CommitLog.transaction(spark, base)(_.append(kv("f" -> 6L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      Set("a" -> 1L, "b" -> 2L, "f" -> 6L))
+  }
+
   test("a pinned snapshot is isolated from later commits (concurrent-reader contract)") {
     val base = tmp("iso")
     CommitLog.transaction(spark, base) { t =>
@@ -180,9 +221,16 @@ class CommitLogSpec extends GraftSpec {
     intercept[IllegalArgumentException](t.append(kv("b" -> 2L), base))
   }
 
+  // canonical markers only: `_tmp-` files are never the log (the name
+  // filter in snapshotOnce), and since the r15 writer fence gave temps
+  // nonce-unique names a crashed attempt's temp can linger beside a
+  // successful retry until vacuum — counting it here would conflate
+  // orphan hygiene (the vacuum test's pin) with log correctness
   private def markerFiles(base: String): Seq[String] =
     new java.io.File(base + ".commits").listFiles()
-      .map(_.getName).filter(n => n.endsWith(".commit") || n.endsWith(".checkpoint"))
+      .map(_.getName)
+      .filter(n => (n.endsWith(".commit") || n.endsWith(".checkpoint")) &&
+        !n.startsWith("_tmp-"))
       .toSeq.sorted
 
   test("checkpoint folds the marker log to one file; snapshots unchanged (head and as-of)") {
