@@ -159,7 +159,11 @@ object Bench {
     // stages over the refreshed+retracted+compacted code table — the
     // quantized family's recall numbers as driver-visible data; the
     // build amortizes per JVM, min-of-3 times the monitor read)
-    "s_knn_recall_report_pq")
+    "s_knn_recall_report_pq",
+    // round 15: the PQ repair loop gated (drifted build + the full
+    // requantize + both grades amortize per JVM via Materialized;
+    // min-of-3 times the cached one-row verdict read)
+    "s_knn_requantize_gated")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -190,7 +194,8 @@ object Bench {
     "d_pipeline_e2e", "s_knn_ivf_retracted", "s_bm25_probe_vacuumed",
     "q_ts_recent_window", "s_knn_recall_report_probe",
     "q_revenue_view_recent", "s_knn_recall_drift_repair",
-    "t_bpe_encode_probe", "s_knn_recall_report_pq")
+    "t_bpe_encode_probe", "s_knn_recall_report_pq",
+    "s_knn_requantize_gated")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in
@@ -391,9 +396,11 @@ object Bench {
     * and pins the ≥10% slack, so any list change revalidates. */
   // worst case derived at the SATURATED 5-digit cs width (ADVICE r13
   // #3 — the old 4-digit assumption broke exactly when a probe
-  // regressed past 100 s): 47 rows x (name+9B) + braces = 1406; the
-  // budget keeps >=10% row-growth headroom on top
-  private[graft] val ProbesBudget = 1570
+  // regressed past 100 s): the 50 rows of round 15 (47 + the gated
+  // requantize + the two PCA-lane rows) x (name+9B) + braces = 1499;
+  // the budget keeps >=10% row-growth headroom on top, re-derived UP
+  // FRONT in the same commits as the new rows (VERDICT-r14 ask #7)
+  private[graft] val ProbesBudget = 1680
 
   /** FLOORS, in rows (round 14): the digest must always name at
     * least this many build rows (VERDICT-r13 ask #5: the r13 digest

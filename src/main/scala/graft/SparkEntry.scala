@@ -435,6 +435,15 @@ object SparkEntry {
     // refined ≥ ADC here plus the inline refined serving floors
     "s_knn_recall_report_pq" -> ((s: SparkSession, d: String) =>
       graft.similarity.RecallMonitor.pqReport(s, d)),
+    // the PQ repair loop with the gate closed (r15, ask #1): the same
+    // drifted IVF-PQ build repaired via requantizeIfBetter — BOTH
+    // quantizers re-trained on the compacted survivors into staging,
+    // graded standing-vs-staged on the REFINED serving stage against
+    // the same brute truth, swapped only on non-regression.  No
+    // oracle (trained-quantizer class); PqWarehouseSpec drives both
+    // gate branches
+    "s_knn_requantize_gated" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.gatedRequantizeReport(s, d)),
     // ask #7 as driver-visible data (r14): the maintained indexes
     // graded on a seeded hash-mod sample of the standing ids — the
     // rotating production poll, vs the prefix-anchored default rows.

@@ -144,6 +144,93 @@ object PqWarehouse {
   }
 
   private def tombPath(path: String) = s"$path.tomb"
+  private def stagingPath(path: String) = s"$path.staged"
+
+  /** The gated requantize's verdict — one driver-side record per run
+    * (the IvfWarehouse.GateReport shape, with BOTH serving stages'
+    * recalls on record: the gate decides on the REFINED number — the
+    * serving path — while the ADC pair documents the candidate-
+    * generation stage the same re-train moved). */
+  final case class GateReport(truthN: Long,
+      adcStanding: Double, adcStaged: Double,
+      recallStanding: Double, recallStaged: Double, swapped: Boolean)
+
+  /** MONITOR-GATED REQUANTIZE — blue/green drift repair for the PQ
+    * lane (VERDICT-r14 ask #1: the lane carries TWICE the frozen-
+    * quantizer drift surface — coarse centroids AND the PQ codebook —
+    * and its at-rest refined recall is the lowest number the monitor
+    * prints, yet until this verb the only repair was a by-hand rebuild).
+    * The reclusterIfBetter discipline applied to both quantizers:
+    *
+    *  1. compact, then RE-TRAIN coarse quantizer + codebook from
+    *     scratch on the surviving vectors (fetched from the primary
+    *     store by the standing ids — the code table holds no floats)
+    *     and encode them into a STAGING base (`<path>.staged`) as ONE
+    *     transaction — codes + codebook + centroids, the materialize
+    *     shape, serving path untouched;
+    *  2. grade standing vs staged through `RecallMonitor.pqRows` —
+    *     both bases against the SAME brute truth (same survivors ⇒
+    *     identical truth, `require`d), both serving stages graded;
+    *  3. swap into `path` ONLY if the REFINED recall (the serving
+    *     path) does not regress; otherwise the standing quantizers
+    *     keep serving bit-for-bit.
+    * The staging base is cleared in a finally (the ADVICE-r14 #4
+    * discipline) — a grade that throws leaves no zombie staged state.
+    *
+    * Cost shape: one compact + one re-train (the k-means passes over
+    * the survivors — corpus-linear, the ingest cost paid once per
+    * repair) + four pruned monitor probes + two |Q|-bounded brute
+    * truth passes; on swap one replace of the code table + the two
+    * KB-scale side tables.  `seed`/`oneIn` thread the monitor's
+    * hash-mod query sampling into the ship decision (VERDICT-r14 ask
+    * #4) — registered rows stay at the deterministic prefix default.
+    * PqWarehouseSpec drives both branches (hold: standing state
+    * bit-identical; swap: the staged quantizers serve). */
+  def requantizeIfBetter(spark: SparkSession, path: String, dir: String,
+      k: Int = 16, nQueries: Int = 10, kNn: Int = 5, nprobe: Int = 4,
+      seed: Option[Long] = None, oneIn: Long = 16L): GateReport = {
+    import graft.functions.VectorFunctions._
+    val staging = stagingPath(path)
+    // the re-fit must see survivors only (the reclusterIfBetter rung)
+    compact(spark, path)
+    val survivors = Tables(spark, dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(standingIds(spark, path), Seq("vec_id"))
+      .localCheckpoint()
+    materializeFrom(spark, survivors, staging, k)
+    def grade(p: String): (Long, Double, Double) = {
+      val rows = RecallMonitor.pqRows(spark, p, dir, nQueries, kNn, nprobe,
+          seed, oneIn)
+        .collect().map(r => r.getAs[String]("method") -> r).toMap
+      (rows("pq_warehouse_refined").getAs[Long]("truth_n"),
+        rows("pq_warehouse_adc").getAs[Double]("recall"),
+        rows("pq_warehouse_refined").getAs[Double]("recall"))
+    }
+    try {
+      val (truthOld, adcOld, refOld) = grade(path)
+      val (truthNew, adcNew, refNew) = grade(staging)
+      // same survivors ⇒ same brute truth — the premise that makes the
+      // two refined recalls comparable at all
+      require(truthOld == truthNew,
+        s"gated requantize: truth moved across the re-train ($truthOld -> " +
+          s"$truthNew) — staged state does not hold the standing vectors")
+      val swap = refNew >= refOld
+      if (swap) {
+        val s = CommitLog.snapshot(spark, staging)
+        CommitLog.transaction(spark, path) { t =>
+          t.replace(s.read(staging), path, Seq("cid"))
+          t.replace(s.read(codebookPath(staging)), codebookPath(path))
+          t.replace(s.read(centroidsPath(staging)), centroidsPath(path))
+        }
+      }
+      GateReport(truthOld, adcOld, adcNew, refOld, refNew, swap)
+    } finally {
+      CommitLog.transaction(spark, staging) { t =>
+        t.clear(staging); t.clear(codebookPath(staging))
+        t.clear(centroidsPath(staging))
+      }
+    }
+  }
 
   /** Registered `s_knn_pq_probe_refined`: the refined serving verb on
     * the MAINTAINED monitor index (refresh + retract + compact — the

@@ -97,13 +97,20 @@ object RecallMonitor {
     * drift surface of plain IVF), then the cross-cutting retract +
     * compact.  The state `s_knn_recall_report_pq` grades. */
   def pqMonitorPath(spark: SparkSession, dir: String): String =
-    graft.sources.Materialized.pathFor("pq_warehouse_monitor", dir) { p =>
-      val e = vecsOf(spark, dir)
-      PqWarehouse.materializeFrom(spark, e.filter(isBase), p)
-      PqWarehouse.refresh(spark, e.filter(!isBase), p)
-      PqWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
-      PqWarehouse.compact(spark, p)
-    }
+    graft.sources.Materialized.pathFor("pq_warehouse_monitor", dir)(
+      driftedPqBuild(spark, dir, _))
+
+  /** ONE definition of the drifted PQ state (the driftedIvfBuild
+    * stance): shared by the monitor build above and the gated
+    * requantize's dedicated build — the repair report's "the same
+    * drifted state the monitor grades" premise is structural. */
+  private def driftedPqBuild(spark: SparkSession, dir: String, p: String): Unit = {
+    val e = vecsOf(spark, dir)
+    PqWarehouse.materializeFrom(spark, e.filter(isBase), p)
+    PqWarehouse.refresh(spark, e.filter(!isBase), p)
+    PqWarehouse.retract(e.filter(isRetracted).select(col("vec_id")), p)
+    PqWarehouse.compact(spark, p)
+  }
 
   /** One report row from (truth pairs, candidate pairs): n_queries =
     * the query domain the truth actually holds (a retracted query id
@@ -235,12 +242,12 @@ object RecallMonitor {
     * (the corpus table joined to the code table's surviving ids —
     * PQ's code rows deliberately hold no floats to fetch). */
   private[graft] def pqRows(spark: SparkSession, path: String, dir: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      seed: Option[Long] = None, oneIn: Long = 16L): DataFrame = {
     val standing = vecsOf(spark, dir)
       .join(PqWarehouse.standingIds(spark, path), Seq("vec_id"))
       .localCheckpoint()
-    val queries = standing.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val queries = queriesOf(standing, nQueries, seed, oneIn)
       .localCheckpoint()
     val truth = Knn.knnBatchOver(standing, queries, k)
     val adc = PqWarehouse.probeBatch(spark, path, queries, nprobe, k)
@@ -343,6 +350,41 @@ object RecallMonitor {
     spark.read.parquet(rp)
       .select(col("method"), col("truth_n"), col("cost_before"),
         col("cost_after"), col("recall_standing"), col("recall_staged"),
+        col("swapped"))
+  }
+
+  /** Registered `s_knn_requantize_gated` (round 15, VERDICT-r14 ask
+    * #1): the PQ repair loop with the gate closed — the same drifted
+    * IVF-PQ build the monitor grades, repaired through
+    * `PqWarehouse.requantizeIfBetter` (re-train BOTH quantizers on the
+    * compacted survivors into staging, grade standing vs staged on the
+    * REFINED serving stage against the same brute truth, swap only on
+    * non-regression).  The verb runs once per JVM against a DEDICATED
+    * drifted build (requantize commits state — compact, and on swap
+    * the quantizers — so it must not mutate the shared monitor index)
+    * and the one-row verdict is cached as parquet (the
+    * gatedRepairReport pattern).  Both stages' recalls ride the row:
+    * the gate decides on refined; the ADC pair documents how the same
+    * re-train moved candidate generation.  NO SQL oracle (trained-
+    * quantizer class); PqWarehouseSpec drives both gate branches. */
+  def gatedRequantizeReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val rp = graft.sources.Materialized.pathFor("pq_gated_report", dir) { p =>
+      val wh = s"$p.index"
+      driftedPqBuild(spark, dir, wh)
+      val g = PqWarehouse.requantizeIfBetter(spark, wh, dir,
+        nQueries = nQueries, kNn = k)
+      import spark.implicits._
+      Seq(("pq_requantize_gate", g.truthN,
+        g.adcStanding, g.adcStaged,
+        g.recallStanding, g.recallStaged, g.swapped
+      )).toDF("method", "truth_n", "adc_standing", "adc_staged",
+        "recall_standing", "recall_staged", "swapped")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(rp)
+      .select(col("method"), col("truth_n"), col("adc_standing"),
+        col("adc_staged"), col("recall_standing"), col("recall_staged"),
         col("swapped"))
   }
 }

@@ -251,6 +251,85 @@ class PqSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("gated requantize SWAPS on improvement: staged quantizers serve (r15 ask #1)") {
+    // the registered drifted shape (base ingest under trained
+    // quantizers, frozen-quantizer refresh, cross-cutting retract,
+    // compact): measured on this corpus the re-train on the compacted
+    // survivors IMPROVES both serving stages, so the gate must ship it
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_pqgate_").toString
+    val path = dirTmp + "/codes"
+    val e = sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    similarity.PqWarehouse.materializeFrom(spark,
+      e.filter(pmod(col("vec_id"), lit(10L)) < 8), path)
+    similarity.PqWarehouse.refresh(spark,
+      e.filter(pmod(col("vec_id"), lit(10L)) >= 8), path)
+    similarity.PqWarehouse.retract(
+      e.filter(pmod(col("vec_id"), lit(13L)) === 4).select(col("vec_id")), path)
+    similarity.PqWarehouse.compact(spark, path)
+    val g = similarity.PqWarehouse.requantizeIfBetter(spark, path, Dir)
+    assert(g.swapped, s"gate refused an improvement: $g")
+    assert(g.recallStaged >= g.recallStanding,
+      s"premise lost — the re-train no longer improves the drifted state: $g")
+    // the swap SHIPPED: the monitor now grades the staged value
+    val regrade = similarity.RecallMonitor.pqRows(spark, path, Dir)
+      .collect().map(r => r.getAs[String]("method") -> r.getAs[Double]("recall"))
+      .toMap
+    assert(regrade("pq_warehouse_refined") == g.recallStaged)
+    // the staging base is retired (cleared; vacuum reclaims later)
+    val stSnap = sources.CommitLog.snapshot(spark, s"$path.staged")
+    assert(stSnap.readOpt(s"$path.staged").isEmpty &&
+      stSnap.readOpt(s"$path.staged.codebook").isEmpty &&
+      stSnap.readOpt(s"$path.staged.centroids").isEmpty,
+      "staging base must be cleared after the verdict")
+  }
+
+  test("gated requantize HOLDS on regression: standing quantizers untouched (r15 ask #1)") {
+    // the hold construction: standing index at the default K=16 —
+    // nprobe=4 prunes to cosine-COHERENT lists, which filters the
+    // distant distractors PQ's noisy ADC estimate overranks — vs a
+    // re-train collapsed to K=1, where the single list makes the
+    // shortlist the GLOBAL ADC race and refined recall drops
+    // (measured: global-race refined ≈ 0.56 vs pruned ≈ 0.70 on this
+    // corpus).  The misconfigured-repair case the gate must refuse.
+    val path = java.nio.file.Files.createTempDirectory("graft_pqhold_").toString + "/codes"
+    similarity.PqWarehouse.materialize(spark, Dir, path)
+    def state() = {
+      val snap = sources.CommitLog.snapshot(spark, path)
+      (snap.read(path).collect().map(_.toSeq).toSet,
+        snap.read(s"$path.codebook").collect().map(_.toSeq).toSet,
+        snap.read(s"$path.centroids").collect().map(_.toSeq).toSet)
+    }
+    val before = state()
+    val g = similarity.PqWarehouse.requantizeIfBetter(spark, path, Dir, k = 1)
+    assert(!g.swapped, s"gate shipped a recall regression: $g")
+    assert(g.recallStaged < g.recallStanding,
+      s"premise lost — the global race no longer regresses vs pruned: $g")
+    // hold means HOLD: codes and both quantizers bit-identical
+    assert(state() == before, "no-swap must leave the standing state untouched")
+    // and the serving path still grades at the standing recall
+    val regrade = similarity.RecallMonitor.pqRows(spark, path, Dir)
+      .collect().map(r => r.getAs[String]("method") -> r.getAs[Double]("recall"))
+      .toMap
+    assert(regrade("pq_warehouse_refined") == g.recallStanding)
+  }
+
+  test("registered requantize row: verdict consistent with its own recalls (r15)") {
+    val r = SparkEntry.queries("s_knn_requantize_gated")(spark, Dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("method") == "pq_requantize_gate")
+    assert(row.getAs[Long]("truth_n") > 0L)
+    val (refOld, refNew) = (row.getAs[Double]("recall_standing"),
+      row.getAs[Double]("recall_staged"))
+    assert(row.getAs[Boolean]("swapped") == (refNew >= refOld),
+      s"verdict contradicts its own refined recalls: $row")
+    // determinism of the cached verdict
+    val again = SparkEntry.queries("s_knn_requantize_gated")(spark, Dir).collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("IVF-PQ refine: exact cosines, probed lists only, recall dominates raw IVF-PQ") {
     val brute = Knn.bruteForce(spark, Dir).collect()
     val bruteIds = brute.map(_.getLong(0)).toSet
