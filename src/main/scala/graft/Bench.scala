@@ -163,7 +163,11 @@ object Bench {
     // round 15: the PQ repair loop gated (drifted build + the full
     // requantize + both grades amortize per JVM via Materialized;
     // min-of-3 times the cached one-row verdict read)
-    "s_knn_requantize_gated")
+    "s_knn_requantize_gated",
+    // round 15: the PCA lane's at-rest monitor (one brute truth pass +
+    // the R-dim shortlist serving probe over the drifted projection
+    // index) and its gated reproject verdict (cached one-row read)
+    "s_knn_recall_report_pca", "s_knn_reproject_gated")
 
   /** Measurement-boundary documentation (ADVICE r08): queries whose
     * min-of-3 times an AT-REST read after a once-per-JVM warehouse
@@ -195,7 +199,8 @@ object Bench {
     "q_ts_recent_window", "s_knn_recall_report_probe",
     "q_revenue_view_recent", "s_knn_recall_drift_repair",
     "t_bpe_encode_probe", "s_knn_recall_report_pq",
-    "s_knn_requantize_gated")
+    "s_knn_requantize_gated", "s_knn_recall_report_pca",
+    "s_knn_reproject_gated")
 
   // sf0.1 is the LARGEST driver-generated SF in this sandbox — there is
   // no bigger dataset to stress the dedup/CC family against; recorded in

@@ -589,6 +589,20 @@ object SparkEntry {
     "s_knn_pca_probe" -> ((s: SparkSession, d: String) =>
       graft.similarity.PcaWarehouse.annProbe(s, d,
         graft.similarity.PcaWarehouse.builtAnnPath(s, d))),
+    // the PCA lane joins the at-rest monitor (r15, ask #2): the
+    // maintained projection index — frozen projector, refreshed +
+    // retracted + compacted — graded on its own two-stage serving
+    // verb against brute truth.  No oracle (trained projector);
+    // PcaWarehouseSpec pins batch == single-query serving and the
+    // retraction domain shrink
+    "s_knn_recall_report_pca" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.pcaReport(s, d)),
+    // ...and the gate (r15, ask #2): the same drifted build repaired
+    // through reprojectIfBetter — candidate projector from the CURRENT
+    // exact moments, staged re-projection, swap only on serving-recall
+    // non-regression.  No oracle; PcaWarehouseSpec drives both branches
+    "s_knn_reproject_gated" -> ((s: SparkSession, d: String) =>
+      graft.similarity.RecallMonitor.gatedReprojectReport(s, d)),
     "d_semdedup" -> ((s: SparkSession, d: String) => SemDedup.semDedup(s, d)),
     // SemDeDup AT REST: the incoming batch assigns to the IVF
     // warehouse's frozen centroids and sweeps ONLY the cid partitions

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.{CommitLog, Tables}
+import graft.sources.{CommitLog, Tables, Tombstones}
 
 /** Covariance MOMENTS at rest — the PCA member of the warehouse
   * family, and the one with the strongest refresh contract in the
@@ -155,19 +155,40 @@ object PcaWarehouse {
   private def projPath(path: String) = s"$path.proj"
 
   /** Train the projector ONCE from the moments index at rest and
-    * store it beside the projections. */
+    * store it beside the projections.
+    *
+    * DEMOTED to a MECHANISM, not a maintenance verb (round 15 — the
+    * recluster precedent, VERDICT-r14 ask #2): this commits whatever
+    * projector the current moments produce, UNGATED, and the engine
+    * has now proved twice (IVF recluster r13/r14, tokenizer retrain
+    * r14) that a re-fit optimizing its TRAINING objective (here:
+    * captured variance) can regress the SERVING objective (top-k
+    * recall through the projected shortlist).  Initial ingest uses
+    * it; an operator repairing a drifted production projector must
+    * use `reprojectIfBetter`, which stages this same re-fit, grades
+    * it on the serving probe against brute truth, and refuses to ship
+    * a regression. */
   def trainProjector(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val comps = candidateProjector(spark, path)
+      .zipWithIndex
+      .flatMap { case (row, r) => row.zipWithIndex.map { case (w, d) => (r, d, w) } }
+      .toDF("r", "dim", "w")
+    CommitLog.transaction(spark, path)(_.replace(comps, compPath(path)))
+  }
+
+  /** The eigensolve itself — R rows of 64 driver-side doubles from the
+    * CURRENT moments index (the trainProjector arithmetic, factored so
+    * the gated reproject grades EXACTLY what the ungated verb would
+    * have shipped). */
+  private def candidateProjector(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val a = Array.ofDim[Double](Pca.Dims, Pca.Dims)
     cov(spark, path).collect().foreach { r =>
       val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
       a(i)(j) = c; a(j)(i) = c
     }
     val (_, evecs) = Pca.jacobiEigen(a)
-    import spark.implicits._
-    val comps = (0 until Pca.R)
-      .flatMap(r => (0 until Pca.Dims).map(d => (r, d, evecs(r)(d))))
-      .toDF("r", "dim", "w")
-    CommitLog.transaction(spark, path)(_.replace(comps, compPath(path)))
+    (0 until Pca.R).map(r => evecs(r).toSeq)
   }
 
   /** The stored projector as driver metadata (R×64 doubles). */
@@ -222,6 +243,163 @@ object PcaWarehouse {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("cos").as("cosine"))
+  }
+
+  private def annTombPath(path: String) = s"$path.proj.tomb"
+  private def stagingPath(path: String) = s"$path.staged"
+
+  /** RETRACT on the ANN leg — takedown of vectors from the projection
+    * table (round 15: the lane joins the maintained-index discipline).
+    * The Ivf/Lsh/Pq tombstone rung verbatim: a projection row depends
+    * only on its own vector — the FROZEN projector is corpus-level
+    * state a member deletion does not change — so pruning IS the
+    * rebuild-on-survivors-under-frozen-projector.  O(removed) append;
+    * probes drop tombstoned candidates on the candidate set;
+    * `compactAnn` physically purges.  The moments-side forget is the
+    * existing `retract` (exact negated moments) — a full takedown
+    * calls both, as the monitor build does. */
+  def retractAnn(removedIds: DataFrame, path: String): Unit =
+    CommitLog.transaction(removedIds.sparkSession, path)(
+      _.append(removedIds.select(col("vec_id")), annTombPath(path)))
+
+  /** COMPACT the ANN leg — purge tombstoned projection rows + clear
+    * the tombstones in one transaction (the shared
+    * CommitLog.purgeTombstones); probes bit-identical; vacuum is the
+    * caller's retention verb. */
+  def compactAnn(spark: SparkSession, path: String): Unit =
+    CommitLog.purgeTombstones(spark, path, annTombPath(path), "vec_id",
+      Seq(projPath(path) -> Nil))
+
+  /** The SURVIVING projection ids at rest — the population the ANN
+    * serving probe can answer from, which is exactly what the at-rest
+    * recall monitor must grade truth over (RecallMonitor.pcaRow). */
+  private[graft] def standingProjIds(spark: SparkSession, path: String): DataFrame = {
+    val snap = CommitLog.snapshot(spark, path)
+    Tombstones.dropDf(snap.read(projPath(path)).select(col("vec_id")).distinct(),
+      snap.readOpt(annTombPath(path)), key = "vec_id", tombCol = "vec_id")
+  }
+
+  /** BATCHED two-stage serving probe — `annProbe`'s shape under load
+    * (the IvfWarehouse.probeBatch rung): a SET of corpus queries
+    * against the projection index in ONE scan.  Stage 1 ranks the
+    * R-dim L2 distance between each standing projection and each
+    * query's STORED projection (the query's own proj row — queries
+    * and corpus ride the same frozen arithmetic) and keeps the
+    * per-query `Shortlist` via the rank window Spark rewrites to
+    * WindowGroupLimit partial heaps; stage 2 fetches JUST the
+    * shortlists' vectors from the primary store by a FORCED-broadcast
+    * id-semijoin (the r15 PQ discipline — |Q|·Shortlist rows by
+    * construction, but the planner cannot know that) and re-ranks on
+    * the exact rounded cosine with the vec_id tiebreak — the
+    * knnBatchOver ranking key, bit for bit.  Tombstoned vectors are
+    * dropped on the candidate side (O(candidates)).
+    * `RecallMonitor.pcaRow` grades THIS verb — one definition. */
+  def annProbeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      vectors: DataFrame, k: Int = 10,
+      shortlistN: Int = Pca.Shortlist): DataFrame = {
+    import graft.functions.Exact.roundx
+    import graft.functions.VectorFunctions._
+    val snap = CommitLog.snapshot(spark, path)
+    val tomb = snap.readOpt(annTombPath(path))
+      .map(_.select(col("vec_id")).distinct())
+    val proj = Tombstones.dropDf(snap.read(projPath(path)), tomb,
+      key = "vec_id", tombCol = "vec_id")
+    val qp = proj.join(broadcast(queries.select(col("query_id"))),
+        proj("vec_id") === col("query_id"))
+      .select(col("query_id"), col("p").as("qp"))
+    val byD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val short = proj
+      .crossJoin(broadcast(qp))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(zip_with(col("p"), col("qp"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("srnk", row_number().over(byD))
+      .filter(col("srnk") <= shortlistN)
+      .select(col("query_id"), col("vec_id"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(short)
+      .join(vectors.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cos",
+        roundx(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("cos").as("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The gated reproject's verdict — driver scalars. */
+  final case class GateReport(truthN: Long, recallStanding: Double,
+      recallStaged: Double, swapped: Boolean)
+
+  /** MONITOR-GATED REPROJECT — blue/green projector repair (VERDICT-
+    * r14 ask #2: the PCA lane was the one trained artifact outside
+    * the monitor/gate discipline, with an UNGATED trainProjector as
+    * its only repair — the exact training-objective ≠ serving-
+    * objective trap the engine measured twice).  The
+    * recluster/requantize rung on the projection index:
+    *
+    *  1. compact the ANN leg, then derive the CANDIDATE projector from
+    *     the CURRENT moments index (KB-scale driver eigensolve — the
+    *     moments fold exactly, so the candidate sees every refresh and
+    *     exact retraction since the standing projector was trained);
+    *  2. stage candidate components + a re-projection of the standing
+    *     vectors (fetched from the primary store by the surviving ids)
+    *     into `<path>.staged` as ONE transaction;
+    *  3. grade standing vs staged through `RecallMonitor.pcaRow` —
+    *     the serving probe against the SAME brute truth (same
+    *     survivors ⇒ identical truth, `require`d);
+    *  4. swap components + projections into `path` ONLY if serving
+    *     recall does not regress; staging is cleared in a finally.
+    *
+    * `seed`/`oneIn` thread the monitor's hash-mod query sampling into
+    * the ship decision (ask #4); registered rows stay at the
+    * deterministic prefix default.  PcaWarehouseSpec drives both
+    * branches. */
+  def reprojectIfBetter(spark: SparkSession, path: String, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      seed: Option[Long] = None, oneIn: Long = 16L,
+      shortlistN: Int = Pca.Shortlist): GateReport = {
+    val staging = stagingPath(path)
+    compactAnn(spark, path)
+    val cand = candidateProjector(spark, path)
+    import spark.implicits._
+    val comps = cand.zipWithIndex
+      .flatMap { case (row, r) => row.zipWithIndex.map { case (w, d) => (r, d, w) } }
+      .toDF("r", "dim", "w")
+    val survivors = Tables(spark, dir).embeddings
+      .join(standingProjIds(spark, path), Seq("vec_id"))
+    CommitLog.transaction(spark, staging) { t =>
+      t.replace(comps, compPath(staging))
+      t.replace(projectWith(survivors, cand), projPath(staging))
+    }
+    def grade(p: String): (Long, Double) = {
+      val r = RecallMonitor.pcaRow(spark, p, dir, nQueries, k, seed, oneIn,
+        shortlistN).head()
+      (r.getAs[Long]("truth_n"), r.getAs[Double]("recall"))
+    }
+    try {
+      val (truthOld, recallOld) = grade(path)
+      val (truthNew, recallNew) = grade(staging)
+      require(truthOld == truthNew,
+        s"gated reproject: truth moved across the re-fit ($truthOld -> " +
+          s"$truthNew) — staged state does not hold the standing ids")
+      val swap = recallNew >= recallOld
+      if (swap) {
+        val s = CommitLog.snapshot(spark, staging)
+        CommitLog.transaction(spark, path) { t =>
+          t.replace(s.read(compPath(staging)), compPath(path))
+          t.replace(s.read(projPath(staging)), projPath(path))
+        }
+      }
+      GateReport(truthOld, recallOld, recallNew, swap)
+    } finally {
+      CommitLog.transaction(spark, staging) { t =>
+        t.clear(compPath(staging)); t.clear(projPath(staging))
+      }
+    }
   }
 
   /** Once-per-JVM ANN build: base moments → frozen projector → project

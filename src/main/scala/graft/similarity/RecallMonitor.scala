@@ -271,6 +271,93 @@ object RecallMonitor {
       nQueries: Int = 10, k: Int = 5): DataFrame =
     pqRows(spark, pqMonitorPath(spark, dir), dir, nQueries, k)
 
+  /** The PCA lane's monitor row over a standing projection index at
+    * `path` (VERDICT-r14 ask #2: the last trained artifact joins the
+    * at-rest discipline): truth = brute top-k over the standing
+    * vectors (primary store restricted to the surviving projection
+    * ids), candidates = the lane's own two-stage serving verb
+    * (PcaWarehouse.annProbeBatch — R-dim shortlist off the projection
+    * table, exact re-rank) with self-exclusion.  The projector is
+    * FROZEN at training time while refresh keeps projecting new
+    * vectors through it — exactly the drift this row makes a number. */
+  private[graft] def pcaRow(spark: SparkSession, path: String, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      seed: Option[Long] = None, oneIn: Long = 16L,
+      shortlistN: Int = Pca.Shortlist): DataFrame = {
+    val standing = vecsOf(spark, dir)
+      .join(PcaWarehouse.standingProjIds(spark, path), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = queriesOf(standing, nQueries, seed, oneIn).localCheckpoint()
+    val truth = Knn.knnBatchOver(standing, queries, k)
+    val cands = PcaWarehouse.annProbeBatch(spark, path, queries,
+        vectors = standing, k, shortlistN)
+      .select(col("query_id"), col("vec_id"))
+    rowOf("pca_warehouse_topk", truth, cands)
+  }
+
+  /** ONE definition of the drifted PCA state: base moments, projector
+    * FROZEN on them, base + incoming projected through it (the
+    * incoming split is the frozen-projector drift surface), moments
+    * kept CURRENT by the exact fold (refresh + negated-moment
+    * retract — so a later re-train sees the live statistic), the
+    * cross-cutting ANN retract, compact.  Shared by the monitor build
+    * and the gated reproject's dedicated build. */
+  private def driftedPcaBuild(spark: SparkSession, dir: String, p: String): Unit = {
+    val docs = Tables(spark, dir).embeddings
+    val base = docs.filter(isBase)
+    val inc = docs.filter(!isBase)
+    val gone = docs.filter(isRetracted)
+    PcaWarehouse.materializeFrom(base, p)
+    PcaWarehouse.trainProjector(spark, p)
+    PcaWarehouse.refreshAnn(spark, base, p)
+    PcaWarehouse.refreshAnn(spark, inc, p)
+    PcaWarehouse.refresh(spark, inc, p)
+    PcaWarehouse.retractAnn(gone.select(col("vec_id")), p)
+    PcaWarehouse.retract(spark, gone, p)
+    PcaWarehouse.compactAnn(spark, p)
+  }
+
+  /** Once-per-JVM drifted PCA projection index (see driftedPcaBuild). */
+  def pcaMonitorPath(spark: SparkSession, dir: String): String =
+    graft.sources.Materialized.pathFor("pca_warehouse_monitor", dir)(
+      driftedPcaBuild(spark, dir, _))
+
+  /** Registered `s_knn_recall_report_pca` (round 15, ask #2): the
+    * maintained projection index graded at rest through
+    * refresh + retract + compact on its own serving verb.  NO SQL
+    * oracle (trained projector — the s_knn_pca stance);
+    * PcaWarehouseSpec pins batch == single-query serving, the
+    * retracted query id shrinking the domain, and the gate both ways. */
+  def pcaReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    pcaRow(spark, pcaMonitorPath(spark, dir), dir, nQueries, k)
+
+  /** Registered `s_knn_reproject_gated` (round 15, ask #2): the PCA
+    * repair loop with the gate closed — the same drifted build
+    * repaired through `PcaWarehouse.reprojectIfBetter` (candidate
+    * projector from the CURRENT exact moments, staged re-projection,
+    * graded on the serving probe vs the same brute truth, swap only
+    * on non-regression).  Dedicated build + cached one-row verdict
+    * (the gatedRepairReport pattern).  NO SQL oracle (trained
+    * projector); PcaWarehouseSpec drives both branches. */
+  def gatedReprojectReport(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val rp = graft.sources.Materialized.pathFor("pca_gated_report", dir) { p =>
+      val wh = s"$p.index"
+      driftedPcaBuild(spark, dir, wh)
+      val g = PcaWarehouse.reprojectIfBetter(spark, wh, dir, nQueries, k)
+      import spark.implicits._
+      Seq(("pca_reproject_gate", g.truthN,
+        g.recallStanding, g.recallStaged, g.swapped
+      )).toDF("method", "truth_n", "recall_standing", "recall_staged",
+        "swapped")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(rp)
+      .select(col("method"), col("truth_n"), col("recall_standing"),
+        col("recall_staged"), col("swapped"))
+  }
+
   /** The drifted build + the same build RECLUSTERED — the drift
     * repair's before/after states, materialized once per JVM each
     * (two paths: the monitor must grade the drifted index itself, not

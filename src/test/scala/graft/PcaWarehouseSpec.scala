@@ -101,6 +101,177 @@ class PcaWarehouseSpec extends GraftSpec {
       s"vec ${x.getLong(0)}: probe ${x.getDouble(1)} vs exact ${exact(x.getLong(0))}"))
   }
 
+
+  test("at-rest PCA monitor row: maintained index graded on its own serving verb (r15)") {
+    val rows = SparkEntry.queries("s_knn_recall_report_pca")(spark, Dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("method") == "pca_warehouse_topk")
+    // the cross-cutting retraction takes query id 4 with it — the
+    // monitor's domain visibly SHRINKS (the ivf/pq contract here too)
+    assert(r.getAs[Long]("n_queries") == 9L)
+    assert(r.getAs[Long]("truth_n") > 0L)
+    val rec = r.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("matched") <= r.getAs[Long]("truth_n"))
+    val again = SparkEntry.queries("s_knn_recall_report_pca")(spark, Dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("batched serving probe == single-query annProbe; stage 2 broadcasts (r15)") {
+    import graft.functions.VectorFunctions.toDouble
+    val path = PcaWarehouse.builtAnnPath(spark, Dir)
+    val e = graft.sources.Tables(spark, Dir).embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val single = PcaWarehouse.annProbe(spark, Dir, path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val slice = PcaWarehouse.annProbeBatch(spark, path, queries, vectors = e)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(slice == single, s"batch/single divergence:\n b=$slice\n s=$single")
+    // plan pin (the r15 PQ discipline): with auto-broadcast disabled,
+    // only the explicit hints can plan broadcasts — a shuffle join
+    // anywhere means the primary store would be shuffle-written to
+    // fetch a |Q|*Shortlist-row fetch list
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PcaWarehouse.annProbeBatch(spark, path, queries, vectors = e)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("gated reproject SWAPS on non-regression: the staged projector serves (r15 ask #2)") {
+    import graft.functions.VectorFunctions.toDouble
+    // the registered drifted shape: projector frozen on BASE moments,
+    // incoming projected through it, moments kept current, retract,
+    // compact — then the gate re-fits from the CURRENT moments
+    val path = tmp("gateswap")
+    val docs = graft.sources.Tables(spark, Dir).embeddings
+    val isBase = pmod(col("vec_id"), lit(10L)) < 8
+    val isGone = pmod(col("vec_id"), lit(13L)) === 4
+    PcaWarehouse.materializeFrom(docs.filter(isBase), path)
+    PcaWarehouse.trainProjector(spark, path)
+    PcaWarehouse.refreshAnn(spark, docs.filter(isBase), path)
+    PcaWarehouse.refreshAnn(spark, docs.filter(!isBase), path)
+    PcaWarehouse.refresh(spark, docs.filter(!isBase), path)
+    PcaWarehouse.retractAnn(docs.filter(isGone).select(col("vec_id")), path)
+    PcaWarehouse.retract(spark, docs.filter(isGone), path)
+    PcaWarehouse.compactAnn(spark, path)
+    val projBefore = PcaWarehouse.projector(spark, path)
+    val g = PcaWarehouse.reprojectIfBetter(spark, path, Dir)
+    assert(g.swapped, s"gate refused a non-regression: $g")
+    assert(g.recallStaged >= g.recallStanding)
+    // the swap SHIPPED: the stored projector moved to the candidate...
+    assert(PcaWarehouse.projector(spark, path) != projBefore,
+      "swap must replace the frozen projector")
+    // ...and the standing projections are its frozen re-projection of
+    // the surviving vectors, bit for bit
+    val survivors = docs.join(
+      PcaWarehouse.standingProjIds(spark, path), Seq("vec_id"))
+    val expected = PcaWarehouse.projectWith(survivors,
+        PcaWarehouse.projector(spark, path))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val got = graft.sources.CommitLog.snapshot(spark, path)
+      .read(s"$path.proj")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Double](r.fieldIndex("p")))).toSet
+    assert(got == expected, "staged projections are not the frozen re-projection")
+    // the serving path re-grades at the staged value
+    val regrade = graft.similarity.RecallMonitor.pcaRow(spark, path, Dir)
+      .head().getAs[Double]("recall")
+    assert(regrade == g.recallStaged)
+    // staging retired
+    val stSnap = graft.sources.CommitLog.snapshot(spark, s"$path.staged")
+    assert(stSnap.readOpt(s"$path.staged.components").isEmpty &&
+      stSnap.readOpt(s"$path.staged.proj").isEmpty)
+  }
+
+  test("gated reproject HOLDS on regression: standing state untouched (r15 ask #2)") {
+    import graft.functions.VectorFunctions.toDouble
+    // the hold construction: hand the STANDING index more information
+    // than any R-dim re-projection can carry — its "projections" are
+    // the full NORMALIZED vectors, so stage-1 L2 ranks exactly by
+    // cosine and shortlist misses vanish (recall 1.0 at any depth).
+    // The candidate 16-dim re-projection at a tight serving shortlist
+    // must lose some truth pairs — and the gate must refuse it.
+    val path = tmp("gatehold")
+    val docs = graft.sources.Tables(spark, Dir).embeddings
+    PcaWarehouse.materializeFrom(docs, path)
+    PcaWarehouse.trainProjector(spark, path)
+    PcaWarehouse.refreshAnn(spark, docs, path)
+    import graft.functions.VectorFunctions.norm
+    val full = docs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("p"))
+    graft.sources.CommitLog.transaction(spark, path)(
+      _.replace(full, s"$path.proj"))
+    def state() = {
+      val snap = graft.sources.CommitLog.snapshot(spark, path)
+      (snap.read(s"$path.proj").collect().map(_.toSeq).toSet,
+        snap.read(s"$path.components").collect().map(_.toSeq).toSet)
+    }
+    val before = state()
+    val g = PcaWarehouse.reprojectIfBetter(spark, path, Dir, shortlistN = 8)
+    assert(!g.swapped, s"gate shipped a recall regression: $g")
+    assert(g.recallStanding == 1.0,
+      s"premise lost — exact-cosine stage 1 no longer recalls 1.0: $g")
+    assert(g.recallStaged < g.recallStanding,
+      s"premise lost — the 16-dim shortlist no longer misses at depth 8: $g")
+    assert(state() == before, "no-swap must leave the standing state untouched")
+  }
+
+  test("registered reproject row: verdict consistent with its own recalls (r15)") {
+    val r = SparkEntry.queries("s_knn_reproject_gated")(spark, Dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("method") == "pca_reproject_gate")
+    assert(row.getAs[Long]("truth_n") > 0L)
+    assert(row.getAs[Boolean]("swapped") ==
+      (row.getAs[Double]("recall_staged") >= row.getAs[Double]("recall_standing")),
+      s"verdict contradicts its own recalls: $row")
+    val again = SparkEntry.queries("s_knn_reproject_gated")(spark, Dir).collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("projector retention drill: vacuum reclaims retired versions; as-of behind is loud (r15 ask #6)") {
+    val path = tmp("retention")
+    val docs = graft.sources.Tables(spark, Dir).embeddings
+    val isBase = pmod(col("vec_id"), lit(10L)) < 8
+    PcaWarehouse.materializeFrom(docs.filter(isBase), path)
+    PcaWarehouse.trainProjector(spark, path)   // projector v1 (replace)
+    PcaWarehouse.refreshAnn(spark, docs.filter(isBase), path)
+    val v1gen = graft.sources.CommitLog.history(spark, path).collect()
+      .filter(r => r.getAs[String]("part") == ".components")
+      .map(_.getAs[Long]("gen")).min
+    // moments move, v2 ships: a replace generation supersedes v1 for
+    // EVERY reader — projector versions ride the generation fold, so
+    // retention needs no extra verb (the rebase/retire drill is the
+    // tokenizer's; replace-committed artifacts get it for free)
+    PcaWarehouse.refresh(spark, docs.filter(!isBase), path)
+    PcaWarehouse.trainProjector(spark, path)   // projector v2 (replace)
+    val v2 = PcaWarehouse.projector(spark, path)
+    assert(v2 != Nil)
+    graft.sources.CommitLog.vacuum(spark, path)
+    // the head serves v2 bit-identically after physical reclaim
+    assert(PcaWarehouse.projector(spark, path) == v2)
+    // replace retention holds for as-of readers too: v1's generation
+    // is dead for EVERY cut (the vacuum-safe time-travel contract), so
+    // the behind-horizon read fails LOUDLY instead of serving a
+    // reclaimed or ghost projector
+    val snap = graft.sources.CommitLog.snapshot(spark, path)
+    assert(snap.readOpt(s"$path.components", asOfGen = v1gen).isEmpty)
+    intercept[IllegalStateException](
+      snap.read(s"$path.components", asOfGen = v1gen))
+    // and the v1 directory itself is physically reclaimed
+    assert(!new java.io.File(s"$path.components/gen-$v1gen").exists())
+  }
+
   test("streaming refresh: any batching folds to the one-shot index, bit for bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
