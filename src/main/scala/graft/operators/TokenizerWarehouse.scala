@@ -104,6 +104,19 @@ object TokenizerWarehouse {
     *     (encoded/raw tokens — the t_fertility statistic) does not
     *     regress; otherwise commit NOTHING and surface the verdict.
     * Exact DECIMAL sums make both fertility scalars bit-stable.
+    *
+    * HOLDOUT DISCIPLINE (ADVICE r14 #3 + VERDICT-r14 ask #4): the
+    * caller must pass a holdout DISJOINT from `docs` — grading the
+    * candidate on a slice of its own training corpus is train/eval
+    * leakage that biases the gate toward shipping (the registered
+    * gateReport splits incoming by hash-mod).  And the slice must not
+    * be anchored to the oldest ids: a prefix holdout grades only
+    * traffic the standing tokenizer already saw, so drift that only
+    * newer ingest carries can flip the decision — the
+    * TokenizerWarehouseSpec gate-blindness exhibit shows the SAME
+    * standing/candidate pair holding under a prefix slice and
+    * shipping under a hash-mod sample that sees the drifted docs.
+    * Production polls rotate the hash-mod seed per grade.
     * TokenizerWarehouseSpec drives both branches (ship-on-improvement
     * — a candidate trained on the holdout's own distribution; hold —
     * a candidate trained on a no-repeats corpus whose identity
@@ -239,8 +252,15 @@ object TokenizerWarehouse {
       val isBase = graft.dedup.MinHashWarehouse.isBase
       materializeFrom(docs.filter(isBase), wh)
       val incoming = docs.filter(!isBase).localCheckpoint()
-      val g = retrainIfBetter(spark, incoming,
-        incoming.filter(col("doc_id") < 1000), wh)
+      // DISJOINT train/holdout split (ADVICE r14 #3: the old holdout —
+      // doc_id < 1000 OF the training corpus — was train/eval leakage
+      // biasing the gate toward shipping): a deterministic hash-mod
+      // slice holds out ~1/8 of the incoming traffic, the candidate
+      // trains on the complement only, and the slice sees the whole id
+      // range rather than anchoring to the oldest docs (ask #4)
+      val inHoldout = pmod(xxhash64(col("doc_id"), lit(15L)), lit(8L)) === 0
+      val g = retrainIfBetter(spark, incoming.filter(!inHoldout),
+        incoming.filter(inHoldout), wh)
       // persist the RAW fertilities the verdict was decided on —
       // rounding them here could make the cached row contradict its
       // own shipped flag when the two land within rounding distance

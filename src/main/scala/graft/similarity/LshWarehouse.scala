@@ -96,12 +96,19 @@ object LshWarehouse {
   /** The refresh's ONLINE twin at the exactly-once rung: a
     * (vec_id, embedding) stream folds per micro-batch into primary
     * store + banded index in ONE transaction that also commits the
-    * engine batch id (StreamTwin). */
+    * engine batch id (StreamTwin).  `bitsPerBand`/`bands` MUST match
+    * the geometry the index was materialized with (ADVICE r14 #2: the
+    * twin used to hardcode the defaults, so a stream pointed at an
+    * index with non-default banding would silently append
+    * incompatible signatures and band keys under the same path) —
+    * the parameters ride through to the same encodeFrames definition
+    * batch ingest uses. */
   def streamingRefresh(raw: DataFrame, path: String,
-      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointEvery: Int = 32, bitsPerBand: Int = 2,
+      bands: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
     graft.sources.StreamTwin.exactlyOnce(raw, path, checkpointEvery)((s, b, id) =>
       { refreshTxn(b.select(col("vec_id"), toDouble(col("embedding")).as("v")),
-          path, batchId = Some(id)); () })
+          path, batchId = Some(id), bitsPerBand, bands); () })
 
   private def tombPath(path: String): String = s"$path.tomb"
 

@@ -281,6 +281,20 @@ class StreamTwinSpec extends GraftSpec {
     assert(rows(similarity.LshWarehouse.rangeProbe(spark, lp)) ==
       rows(similarity.LshWarehouse.rangeProbe(spark, lref)),
       "streamed LSH index diverged from the one-shot refresh")
+    // NON-DEFAULT band geometry rides through the twin (ADVICE r14
+    // #2: the twin used to hardcode bitsPerBand=2/bands=32, silently
+    // appending incompatible band keys to a 4/16 index)
+    val lp3 = tmp("lsh-stream-g3"); val lref3 = tmp("lsh-stream-g3-ref")
+    similarity.LshWarehouse.materializeFrom(annBase, lp3, bitsPerBand = 4, bands = 16)
+    similarity.LshWarehouse.materializeFrom(annBase, lref3, bitsPerBand = 4, bands = 16)
+    similarity.LshWarehouse.refresh(annInc, lref3, bitsPerBand = 4, bands = 16)
+    drive(df => similarity.LshWarehouse.streamingRefresh(df, lp3,
+      bitsPerBand = 4, bands = 16))
+    assert(rows(similarity.LshWarehouse.rangeProbe(spark, lp3,
+        bitsPerBand = 4, bands = 16)) ==
+      rows(similarity.LshWarehouse.rangeProbe(spark, lref3,
+        bitsPerBand = 4, bands = 16)),
+      "streamed non-default-geometry LSH index diverged from the one-shot refresh")
     // PQ: same drill via the code-table probe
     val pp = tmp("pq-stream"); val pref = tmp("pq-stream-ref")
     similarity.PqWarehouse.materializeFrom(spark, annBase, pp)

@@ -152,6 +152,49 @@ class TokenizerWarehouseSpec extends GraftSpec {
     assert(TokenizerWarehouse.frozenMerges(spark, p) == headMerges)
   }
 
+  test("gate-blindness exhibit: prefix holdout FLIPS the drifted sample's ship decision (r15 ask #4)") {
+    // the same standing/candidate pair, graded on two slices of the
+    // same incoming traffic: the incoming batch's LOW ids still carry
+    // the old distribution the standing tokenizer was trained on,
+    // while its BULK (high ids) is drifted vocabulary.  A holdout
+    // anchored to the id prefix grades the candidate on exactly the
+    // traffic it was NOT built for and HOLDS; a hash-mod sample that
+    // sees the drifted ids SHIPS.  Only the slice differs — the
+    // exhibit VERDICT-r14 ask #4 demands: a prefix-anchored gate is
+    // blind to drift that only newer ingest carries.
+    val s2 = spark
+    import s2.implicits._
+    val oldStyle = "alpha beta gamma delta"
+    val newStyle = "zeta eta zeta eta zeta eta zeta eta"
+    val trainingCorpus = (0L until 40L).map(i => (i, oldStyle)).toDF("doc_id", "text")
+    val incoming = ((0L until 20L).map(i => (i, oldStyle)) ++
+        (1000L until 1400L).map(i => (i, newStyle)))
+      .toDF("doc_id", "text").localCheckpoint()
+    def freshStanding(): String = {
+      val p = tmp("flip")
+      TokenizerWarehouse.materializeFrom(trainingCorpus, p, rounds = 4)
+      p
+    }
+    // prefix slice (the old doc_id < 1000 shape): only old-style docs
+    val prefix = incoming.filter(col("doc_id") < 1000)
+    val gPrefix = TokenizerWarehouse.retrainIfBetter(spark, incoming,
+      prefix, freshStanding(), rounds = 4)
+    assert(!gPrefix.shipped,
+      s"premise lost — the prefix slice no longer holds: $gPrefix")
+    // seeded hash-mod slice over the SAME incoming: sees drifted ids
+    val sample = incoming.filter(
+      pmod(xxhash64(col("doc_id"), lit(15L)), lit(4L)) === 0)
+    assert(sample.filter(col("doc_id") >= 1000).count() > 0,
+      "premise lost — the sample must see drifted ids")
+    val gSample = TokenizerWarehouse.retrainIfBetter(spark, incoming,
+      sample, freshStanding(), rounds = 4)
+    assert(gSample.shipped,
+      s"premise lost — the drifted sample no longer ships: $gSample")
+    // the flip itself: same standing corpus, same candidate corpus,
+    // opposite ship decisions — the slice IS the decision
+    assert(gPrefix.shipped != gSample.shipped)
+  }
+
   test("registered gate row: verdict consistent with its own fertilities") {
     val row = SparkEntry.queries("t_bpe_retrain_gate")(spark, Dir).collect().head
     assert(row.getAs[String]("method") == "bpe_retrain_gate")
