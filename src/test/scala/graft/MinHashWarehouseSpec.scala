@@ -19,6 +19,39 @@ class MinHashWarehouseSpec extends GraftSpec {
     p
   }
 
+  test("retention drill: compact + vacuum retire dedup history; as-of behind is LOUD (r15 ask #6)") {
+    // the member whose log grows with crawl history: every refresh /
+    // takedown is a generation, and "which corpus did this run dedup
+    // against" is a generation cut (d_dedup_asof).  Retention here is
+    // the shared compact (a REPLACE generation) + vacuum — no extra
+    // retire verb — and the contract to drill is the tokenizer's:
+    // the head serves bit-identically after physical reclaim, while a
+    // cut behind the horizon fails LOUDLY instead of reading reclaimed
+    // directories or silently serving a partial corpus.
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhw-ret-").toString + "/index"
+    val docs = graft.sources.Tables(spark, Dir).documents
+    MinHashWarehouse.materializeFrom(docs, p)                   // gen 0
+    MinHashWarehouse.retract(                                    // gen 1
+      docs.filter(MinHashWarehouse.isRetractedDoc).select(col("doc_id")), p)
+    val incoming = docs.filter(!MinHashWarehouse.isBase)
+    def probeRows() = MinHashWarehouse.probeAgainst(spark, incoming, p)
+      .collect().map(_.toString).toSet
+    // pre-retention: the as-of cut BEFORE the takedown still answers
+    val preTakedown = MinHashWarehouse.probeAsOf(spark, incoming, p, 0)
+      .collect().map(_.toString).toSet
+    assert(preTakedown.nonEmpty, "degenerate: no pre-takedown matches")
+    val head = probeRows()
+    MinHashWarehouse.compact(spark, p)                           // the horizon
+    graft.sources.CommitLog.vacuum(spark, p)
+    assert(probeRows() == head,
+      "head probe must be bit-identical through compact + vacuum")
+    // history at or behind the compact horizon is retired for EVERY
+    // reader — the gen-0 read now fails loudly
+    intercept[IllegalStateException](
+      MinHashWarehouse.probeAsOf(spark, incoming, p, 0))
+  }
+
   test("incremental probe equals the from-scratch verified cross pairs") {
     val inc = MinHashWarehouse.incrementalDedup(spark, Dir, path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
