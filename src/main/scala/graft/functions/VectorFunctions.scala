@@ -25,6 +25,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance of two double arrays — native codegen'd
+    * (SqDist); bit-identical to the HOF zip_with/aggregate fold. */
+  def sqdist(a: Column, b: Column): Column =
+    GraftBridge.column(SqDist(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Cosine similarity of two double arrays.  Prefer precomputing
     * norms per row before a pairwise join (norm is per-ROW math). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

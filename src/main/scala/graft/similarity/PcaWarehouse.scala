@@ -227,8 +227,7 @@ object PcaWarehouse {
     val qp = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
     val short = proj.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qp))
-      .withColumn("d2", aggregate(zip_with(col("p"), col("qp"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("d2", sqdist(col("p"), col("qp")))
       .orderBy(col("d2"), col("vec_id"))
       .limit(Pca.Shortlist)
       .select(col("vec_id"))
@@ -312,8 +311,7 @@ object PcaWarehouse {
     val short = proj
       .crossJoin(broadcast(qp))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d2", aggregate(zip_with(col("p"), col("qp"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("d2", sqdist(col("p"), col("qp")))
       .withColumn("srnk", row_number().over(byD))
       .filter(col("srnk") <= shortlistN)
       .select(col("query_id"), col("vec_id"))
@@ -411,6 +409,35 @@ object PcaWarehouse {
       refreshAnn(spark, Tables(spark, dir).embeddings.filter(isBaseVec), p)
       refreshAnn(spark, Tables(spark, dir).embeddings.filter(!isBaseVec), p)
     }
+
+  /** The ANN LANE's online twin at the exactly-once rung (round 15
+    * second arc: the last maintained index joins the twin matrix) —
+    * each arriving (vec_id, embedding) micro-batch folds its moment
+    * deltas AND its frozen-projector projections in ONE transaction
+    * that also commits the engine batch id: the global statistic and
+    * the serving index can never diverge across a crash, and a
+    * redelivered committed batch folds NOTHING into either part.
+    * The projector is read once per batch from the standing
+    * components (frozen-quantizer contract — bit-identical arithmetic
+    * to the batch refreshAnn, so any micro-batch split folds to the
+    * same index).  ONE streaming twin per base — the single-writer
+    * contract; this twin supersedes `streamingRefresh` on bases that
+    * carry the ANN leg, because it maintains both parts. */
+  def streamingRefreshAnn(vectors: DataFrame, path: String,
+      checkpointEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.StreamTwin.exactlyOnce(vectors, path, checkpointEvery)(
+      (s, b, id) => { refreshAnnTxn(s, b, path, batchId = Some(id)); () })
+
+  /** The combined refresh transaction body: moments + projections +
+    * (optionally) the stream batch id, atomically. */
+  private[graft] def refreshAnnTxn(spark: SparkSession, batch: DataFrame,
+      path: String, batchId: Option[Long]): Boolean = {
+    val comps = projector(spark, path)
+    graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
+      t.append(Pca.moments(batch), path)
+      t.append(projectWith(batch, comps), projPath(path))
+    }
+  }
 
   /** The refresh's ONLINE twin — the statistic maintained in flight:
     * each arriving micro-batch of vectors folds its moment deltas into

@@ -74,6 +74,28 @@ class ExpressionPropertySpec extends GraftSpec {
     })
   }
 
+  test("SqDist == HOF zip_with/aggregate fold, bit for bit, on random vectors (r15)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorFunctions.sqdist
+    val vecGen = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))
+    holds(forAll(vecGen, vecGen) { (a0, b0) =>
+      // common-prefix semantics: fold the shorter length, like the
+      // production use (fixed-width projections make it moot there)
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(sqdist(col("a"), col("b"))).head().getDouble(0)
+      val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .head().getDouble(0)
+      // bit-identical, not approximately equal: same ops, same order
+      java.lang.Double.doubleToRawLongBits(native) ==
+        java.lang.Double.doubleToRawLongBits(hof)
+    })
+  }
+
   test("GramHashes positional/distinct modes agree on gram identity") {
     val s = spark
     import s.implicits._

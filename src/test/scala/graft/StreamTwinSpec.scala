@@ -306,6 +306,52 @@ class StreamTwinSpec extends GraftSpec {
       "streamed PQ index diverged from the one-shot refresh")
   }
 
+  test("pca ANN twin: moments + projections fold atomically; stream == one-shot (r15)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val raw = Tables(spark, Dir).embeddings
+    val base = raw.filter(pmod(col("vec_id"), lit(10L)) < 8)
+    val inc = raw.filter(pmod(col("vec_id"), lit(10L)) >= 8)
+    def build(p: String): Unit = {
+      PcaWarehouse.materializeFrom(base, p)
+      PcaWarehouse.trainProjector(spark, p)
+      PcaWarehouse.refreshAnn(spark, base, p)
+    }
+    val ref = tmp("pca-ann-ref")
+    build(ref)
+    PcaWarehouse.refresh(spark, inc, ref)
+    PcaWarehouse.refreshAnn(spark, inc, ref)
+    val p = tmp("pca-ann-twin")
+    build(p)
+    def batch(m: Int) = raw.filter(col("vec_id") % 10 === m).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val query = PcaWarehouse.streamingRefreshAnn(
+      stream.toDF().toDF("vec_id", "embedding"), p)
+    try {
+      stream.addData(batch(8)); query.processAllAvailable()
+      stream.addData(batch(9)); query.processAllAvailable()
+    } finally query.stop()
+    // BOTH parts equal the one-shot batch build, bit for bit: the
+    // moments fold is associative, the projections ride the frozen
+    // projector's per-row arithmetic
+    assert(rows(PcaWarehouse.cov(spark, p)) == rows(PcaWarehouse.cov(spark, ref)),
+      "streamed moments diverged from the one-shot refresh")
+    def proj(b: String) = rows(
+      graft.sources.CommitLog.snapshot(spark, b).read(s"$b.proj"))
+    assert(proj(p) == proj(ref),
+      "streamed projections diverged from the one-shot refresh")
+    // the exactly-once rung: redelivering a committed engine batch id
+    // folds NOTHING into either part
+    val covBefore = rows(PcaWarehouse.cov(spark, p))
+    assert(!PcaWarehouse.refreshAnnTxn(spark,
+      raw.filter(col("vec_id") % 10 === 9), p, Some(1L)),
+      "redelivered committed batch must skip")
+    assert(rows(PcaWarehouse.cov(spark, p)) == covBefore && proj(p) == proj(ref),
+      "a replayed batch mutated the lane")
+  }
+
   test("knn-graph warehouse: MemoryStream end-to-end equals the one-shot build") {
     val s = spark
     import s.implicits._
