@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
-import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, HyperplaneSigWords, MinHashBands, MinHashSig, SimHash64}
+import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand, GramHashes, HyperplaneSigWords, MinHashBands, MinHashSig, SimHash64, SqDist}
 
 /** Library integration point: registers graft's native expressions and
   * exactness helpers as SQL functions, so `spark.sql` users get them
@@ -20,6 +20,7 @@ import graft.functions.{BpeMergePair, DotProduct, DupGramFrac, FirstMatchingBand
   *
   * Registered surface:
   *   graft_dot(a, b)                    codegen'd array<double> dot product
+  *   graft_sqdist(a, b)                 codegen'd squared L2 distance
   *   graft_cosine(a, b)                 cosine similarity (dot / norms)
   *   graft_minhash(words, n, k)         MinHash(k) signature over n-word shingles
   *   graft_minhash_bands(words, n, k, b) LSH band hashes of the signature
@@ -87,6 +88,9 @@ object GraftExtensions {
   private[graft] val functions: Seq[(String, FunctionBuilder)] = Seq(
     "graft_dot" -> { args =>
       arity("graft_dot", 2, args); DotProduct(args(0), args(1))
+    },
+    "graft_sqdist" -> { args =>
+      arity("graft_sqdist", 2, args); SqDist(args(0), args(1))
     },
     "graft_cosine" -> { args =>
       arity("graft_cosine", 2, args)

@@ -168,13 +168,19 @@ object PcaWarehouse {
     * use `reprojectIfBetter`, which stages this same re-fit, grades
     * it on the serving probe against brute truth, and refuses to ship
     * a regression. */
-  def trainProjector(spark: SparkSession, path: String): Unit = {
+  def trainProjector(spark: SparkSession, path: String): Unit =
+    CommitLog.transaction(spark, path)(_.replace(
+      compsDf(spark, candidateProjector(spark, path)), compPath(path)))
+
+  /** ONE definition of the components-table layout (review r15): the
+    * (r, dim, w) flattening the standing reader (`projector`) parses —
+    * shared by the ungated train and the gated reproject's staging so
+    * the two write sites cannot drift. */
+  private def compsDf(spark: SparkSession, cand: Seq[Seq[Double]]): DataFrame = {
     import spark.implicits._
-    val comps = candidateProjector(spark, path)
-      .zipWithIndex
+    cand.zipWithIndex
       .flatMap { case (row, r) => row.zipWithIndex.map { case (w, d) => (r, d, w) } }
       .toDF("r", "dim", "w")
-    CommitLog.transaction(spark, path)(_.replace(comps, compPath(path)))
   }
 
   /** The eigensolve itself — R rows of 64 driver-side doubles from the
@@ -223,7 +229,14 @@ object PcaWarehouse {
   def annProbe(spark: SparkSession, dir: String, path: String): DataFrame = {
     import graft.functions.Exact.roundx
     import graft.functions.VectorFunctions._
-    val proj = CommitLog.snapshot(spark, path).read(projPath(path))
+    val snap = CommitLog.snapshot(spark, path)
+    // the LIVE projection store (review r15): outstanding ANN
+    // tombstones hide a taken-down vector from the shortlist AND from
+    // the stored-query side — the rangeProbe convention, and what
+    // keeps this verb bit-invariant across compactAnn's physical prune
+    val proj = Tombstones.dropDf(snap.read(projPath(path)),
+      snap.readOpt(annTombPath(path)).map(_.select(col("vec_id")).distinct()),
+      key = "vec_id", tombCol = "vec_id")
     val qp = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
     val short = proj.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qp))
@@ -267,7 +280,7 @@ object PcaWarehouse {
     * caller's retention verb. */
   def compactAnn(spark: SparkSession, path: String): Unit =
     CommitLog.purgeTombstones(spark, path, annTombPath(path), "vec_id",
-      Seq(projPath(path) -> Nil))
+      Seq(projPath(path) -> Nil), foldStreamIds = true)
 
   /** The SURVIVING projection ids at rest — the population the ANN
     * serving probe can answer from, which is exactly what the at-rest
@@ -363,10 +376,7 @@ object PcaWarehouse {
     val staging = stagingPath(path)
     compactAnn(spark, path)
     val cand = candidateProjector(spark, path)
-    import spark.implicits._
-    val comps = cand.zipWithIndex
-      .flatMap { case (row, r) => row.zipWithIndex.map { case (w, d) => (r, d, w) } }
-      .toDF("r", "dim", "w")
+    val comps = compsDf(spark, cand)
     val survivors = Tables(spark, dir).embeddings
       .join(standingProjIds(spark, path), Seq("vec_id"))
     CommitLog.transaction(spark, staging) { t =>
@@ -431,13 +441,14 @@ object PcaWarehouse {
   /** The combined refresh transaction body: moments + projections +
     * (optionally) the stream batch id, atomically. */
   private[graft] def refreshAnnTxn(spark: SparkSession, batch: DataFrame,
-      path: String, batchId: Option[Long]): Boolean = {
-    val comps = projector(spark, path)
+      path: String, batchId: Option[Long]): Boolean =
+    // the projector read (snapshot pin + R×64 collect) lives INSIDE
+    // the body: a redelivered committed batch must skip for free
+    // (review r15), and the body only runs when the fold is real
     graft.sources.StreamTwin.refreshTxnWith(spark, path, batchId) { t =>
       t.append(Pca.moments(batch), path)
-      t.append(projectWith(batch, comps), projPath(path))
+      t.append(projectWith(batch, projector(spark, path)), projPath(path))
     }
-  }
 
   /** The refresh's ONLINE twin — the statistic maintained in flight:
     * each arriving micro-batch of vectors folds its moment deltas into

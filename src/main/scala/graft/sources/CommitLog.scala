@@ -455,15 +455,26 @@ object CommitLog {
     *      what this writer wrote — a racer's rename landing between (1)
     *      and our rename is detected as foreign content (loud abort;
     *      the racer's commit stands: exactly one wins).
-    * Honesty note: the fence arbitrates the MARKER.  Two writers
-    * interleaving in the same microsecond window can still cross-write
-    * each other's UNCOMMITTED gen-N data dirs before either commits
-    * (the dirs are keyed by generation, and both raced to the same
-    * generation) — concurrent writing stays unsupported; the fence
-    * guarantees the violation is detected loudly instead of folding a
-    * lost transaction into the log.  CommitLogSpec drives the
-    * two-writer race: exactly-one-wins + loud-loser, single-writer
-    * behavior unchanged. */
+    * Honesty notes (review r15 — the fence's limits, stated exactly):
+    *  - the fence arbitrates the MARKER.  Two writers interleaving in
+    *    the same microsecond window can still cross-write each other's
+    *    UNCOMMITTED gen-N data dirs before either commits (the dirs
+    *    are keyed by generation, and both raced to the same
+    *    generation);
+    *  - on a POSIX local FS the exists-check/rename/read-back triple
+    *    is not one atomic step: a racer paused between its own
+    *    exists-check and rename can overwrite a winner that has
+    *    ALREADY returned from read-back — in that residual window both
+    *    writers report success and the first marker is lost.  On HDFS
+    *    the window is closed (rename onto an existing name fails at
+    *    the namenode).  So on local filesystems the fence makes the
+    *    contract violation DETECTED-OR-NARROW (sequential-overlap
+    *    races — the realistic operational mistake — always abort
+    *    loudly via the pre-write rung or the exists-check; only a
+    *    sub-millisecond interleaving can slip), not impossible.
+    * Concurrent writing stays unsupported; CommitLogSpec drives the
+    * two-writer race at both rungs: exactly-one-wins + loud-loser,
+    * single-writer behavior unchanged. */
   private def writeMarker(spark: SparkSession, base: String, name: String,
       lines: Seq[String]): Unit = {
     val dir = new Path(logPath(base))

@@ -146,6 +146,42 @@ class PcaWarehouseSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("annProbe drops outstanding ANN tombstones; bit-invariant through compactAnn (r15 review)") {
+    val s2 = spark
+    import s2.implicits._
+    val path = tmp("annretract")
+    val docs = graft.sources.Tables(spark, Dir).embeddings
+    PcaWarehouse.materializeFrom(docs, path)
+    PcaWarehouse.trainProjector(spark, path)
+    PcaWarehouse.refreshAnn(spark, docs, path)
+    val before = PcaWarehouse.annProbe(spark, Dir, path).collect()
+      .map(_.getLong(0)).toSeq
+    // take down three of the current served answers — the probe must
+    // stop returning them IMMEDIATELY (between retractAnn and
+    // compactAnn), the retractAnn contract the review caught annProbe
+    // breaking while annProbeBatch honored it
+    val removed = before.take(3)
+    PcaWarehouse.retractAnn(removed.toDF("vec_id"), path)
+    val after = PcaWarehouse.annProbe(spark, Dir, path).collect()
+      .map(_.toSeq).toSeq
+    assert(removed.forall(id => !after.exists(_.head == id)),
+      s"taken-down vectors still served: $after")
+    // and the single-query probe agrees with the batched serving verb
+    // on the SAME retracted state
+    import graft.functions.VectorFunctions.toDouble
+    val e = docs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val batch = PcaWarehouse.annProbeBatch(spark, path, queries, vectors = e)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+      .map(r => Seq(r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(after.map(_.take(2)) == batch, "batch/single divergence under tombstones")
+    // physical purge changes nothing the probe serves
+    PcaWarehouse.compactAnn(spark, path)
+    assert(PcaWarehouse.annProbe(spark, Dir, path).collect()
+      .map(_.toSeq).toSeq == after, "compactAnn perturbed the probe")
+  }
+
   test("gated reproject SWAPS on non-regression: the staged projector serves (r15 ask #2)") {
     import graft.functions.VectorFunctions.toDouble
     // the registered drifted shape: projector frozen on BASE moments,
