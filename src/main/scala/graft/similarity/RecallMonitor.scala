@@ -208,14 +208,16 @@ object RecallMonitor {
       .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries, tau))
 
   /** Registered `s_knn_recall_report_seeded` (round 14, ask #7 made
-    * driver-visible data): the same two maintained indexes graded on
-    * a SEEDED hash-mod sample of the standing ids instead of the id
-    * prefix — the grade a production poll rotates so index quality
-    * is measured across the whole id space, not anchored to the
-    * oldest vectors.  Deterministic (xxhash64 at a fixed seed over
-    * fixed ids); NO oracle (the monitor class); RecallMonitorSpec
-    * pins seeded determinism/off-prefix-ness and the registered
-    * default rows' bit-stability under the new parameter. */
+    * driver-visible data; round 15 extends it to EVERY maintained
+    * family — ivf, lsh, pq both stages, pca): the maintained indexes
+    * graded on a SEEDED hash-mod sample of the standing ids instead
+    * of the id prefix — the grade a production poll rotates so index
+    * quality is measured across the whole id space, not anchored to
+    * the oldest vectors.  Deterministic (xxhash64 at a fixed seed
+    * over fixed ids); NO oracle (the monitor class);
+    * RecallMonitorSpec pins seeded determinism/off-prefix-ness, the
+    * five-row family coverage, and the registered default rows'
+    * bit-stability under the parameter. */
   def seededReport(spark: SparkSession, dir: String,
       seed: Long = 14L, oneIn: Long = 16L, k: Int = 5,
       tau: Double = 0.3): DataFrame =
@@ -223,6 +225,15 @@ object RecallMonitor {
       seed = Some(seed), oneIn = oneIn)
       .unionByName(lshRow(spark, lshMonitorPath(spark, dir), nQueries = 0,
         tau, seed = Some(seed), oneIn = oneIn))
+      // round 15: the rotating poll covers EVERY maintained family —
+      // the PQ and PCA lanes joined the monitor this round, and a
+      // production rotation that skipped them would leave exactly the
+      // two trained-artifact lanes (the highest-drift surfaces)
+      // anchored to the prefix grade
+      .unionByName(pqRows(spark, pqMonitorPath(spark, dir), dir,
+        nQueries = 0, k, seed = Some(seed), oneIn = oneIn))
+      .unionByName(pcaRow(spark, pcaMonitorPath(spark, dir), dir,
+        nQueries = 0, k, seed = Some(seed), oneIn = oneIn))
 
   /** The PQ lane's monitor rows over a standing index at `path` —
     * BOTH serving stages graded against the same brute truth

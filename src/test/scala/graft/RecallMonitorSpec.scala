@@ -182,6 +182,26 @@ class RecallMonitorSpec extends GraftSpec {
     assert(row.getAs[Long]("truth_n") > 0L)
   }
 
+  test("registered seeded report covers EVERY maintained family (r15)") {
+    val rows = SparkEntry.queries("s_knn_recall_report_seeded")(spark, Dir)
+      .collect()
+    // the rotating poll must grade all four lanes — the two trained-
+    // artifact lanes (pq, pca) carry the highest drift surface and
+    // were exactly the ones a two-family rotation left prefix-anchored
+    assert(rows.map(_.getAs[String]("method")).sorted.toSeq ==
+      Seq("ivf_warehouse_topk", "lsh_warehouse_range", "pca_warehouse_topk",
+        "pq_warehouse_adc", "pq_warehouse_refined"))
+    rows.foreach { r =>
+      val (tn, m) = (r.getAs[Long]("truth_n"), r.getAs[Long]("matched"))
+      assert(m >= 0L && m <= tn)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val again = SparkEntry.queries("s_knn_recall_report_seeded")(spark, Dir)
+      .collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("registered report: two rows, one per maintained family") {
     val rows = SparkEntry.queries("s_knn_recall_report_probe")(spark, Dir)
       .collect()
