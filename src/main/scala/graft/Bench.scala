@@ -593,14 +593,17 @@ object Bench {
         .select("vec_id").collect().map(_.getLong(0)).toSet
     val brute = ids("s_knn_brute")
     // the lsh / lsh_mp / ivf single-query recalls left this map in
-    // round 13: the registered s_knn_recall_report (+ its at-rest
-    // probe) now carries those numbers as first-class query rows the
-    // driver dumps every round — keeping them here would spend digest
-    // bytes on duplicates while the quantizer lanes below have no
-    // other driver-visible recall row
+    // round 13, and round 15 retires s_knn_pq and s_knn_pca the same
+    // way: the registered at-rest monitors (s_knn_recall_report_pq's
+    // adc row for the demoted candidate-generation stage,
+    // s_knn_recall_report_pca for the projection lane) now carry
+    // those numbers as first-class query rows the driver dumps every
+    // round — the bytes fund the 50-row probe map keeping ann on the
+    // realistic-width rung.  The refined serving stages keep their
+    // single-query recalls here (the inline two-stage paths have no
+    // registered monitor analogue at fresh-build state)
     val recalls = Seq(
-        "s_knn_pq", "s_knn_pq_refined", "s_knn_ivfpq", "s_knn_ivfpq_refined",
-        "s_knn_pca")
+        "s_knn_pq_refined", "s_knn_ivfpq", "s_knn_ivfpq_refined")
       .map { n =>
         val r = (ids(n) & brute).size.toDouble / brute.size
         "\"" + n + "\":" + r

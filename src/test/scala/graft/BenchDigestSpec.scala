@@ -23,11 +23,12 @@ class BenchDigestSpec extends AnyFunSuite {
       """"n_vecs":16000,"cosine_pairs":56000,"cosine_clique_pairs":56000,"cosine_sec":2.906778748,""" +
       """"inc_pairs":53192,"inc_clique_pairs":48184,"inc_sec":21.857642942,""" +
       """"cov_equal":2080,"cov_sec":3.123456789}"""
-  // mirrors annQualityJson's r13 shape (the lsh/lsh_mp/ivf rows moved
-  // to the registered recall-report queries)
+  // mirrors annQualityJson's r15 shape (lsh/lsh_mp/ivf left in r13,
+  // s_knn_pq/s_knn_pca in r15 — each now rides a registered at-rest
+  // monitor row instead)
   private val ann =
-    """{"s_knn_pq":0.1,"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,""" +
-      """"s_knn_ivfpq_refined":0.8,"s_knn_pca":0.3,""" +
+    """{"s_knn_pq_refined":0.8,"s_knn_ivfpq":0.2,""" +
+      """"s_knn_ivfpq_refined":0.8,""" +
       """"range_lsh_jaccard":1.0,"range_pairs":147}"""
 
   private def worstProbes = Bench.probeNames.map(n => n -> 99.99)
