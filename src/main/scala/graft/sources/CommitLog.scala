@@ -150,9 +150,16 @@ object CommitLog {
   // checkpoint's widest window: its file renamed into place, the
   // superseded markers not yet deleted (duplicate-entry state)
   @volatile private[graft] var crashAfterMarkerRename: Boolean = false
+  // test-only RACE injection (round 15): runs between the fence's
+  // exists-check and the publish step — the exact window where a
+  // racing writer's marker can land.  CommitLogSpec uses it to commit
+  // a same-sequence marker in that window and assert the loser is
+  // LOUD, not silent.
+  @volatile private[graft] var raceAfterExistsCheck: () => Unit = () => ()
   private[graft] def resetCrashInjection(): Unit = {
     crashAfterWrites = Int.MaxValue; crashBeforeCommit = false
     crashBeforeMarkerRename = false; crashAfterMarkerRename = false
+    raceAfterExistsCheck = () => ()
   }
 
   private def logPath(base: String) = s"$base.commits"
@@ -461,20 +468,18 @@ object CommitLog {
     *    UNCOMMITTED gen-N data dirs before either commits (the dirs
     *    are keyed by generation, and both raced to the same
     *    generation);
-    *  - on a POSIX local FS the exists-check/rename/read-back triple
-    *    is not one atomic step: a racer paused between its own
-    *    exists-check and rename can overwrite a winner that has
-    *    ALREADY returned from read-back — in that residual window both
-    *    writers report success and the first marker is lost.  On HDFS
-    *    the window is closed (rename onto an existing name fails at
-    *    the namenode).  So on local filesystems the fence makes the
-    *    contract violation DETECTED-OR-NARROW (sequential-overlap
-    *    races — the realistic operational mistake — always abort
-    *    loudly via the pre-write rung or the exists-check; only a
-    *    sub-millisecond interleaving can slip), not impossible.
+    *  - the PUBLISH step is a true create-if-absent on both real
+    *    targets (see publishMarker): local filesystems publish by
+    *    HARD LINK — link(2) fails atomically with EEXIST on a taken
+    *    name, closing the rename-overwrite window entirely — and HDFS
+    *    rename fails at the namenode when the name exists.  The
+    *    post-publish read-back remains as the guard for filesystems
+    *    with neither primitive (object-store rename shims).
     * Concurrent writing stays unsupported; CommitLogSpec drives the
-    * two-writer race at both rungs: exactly-one-wins + loud-loser,
-    * single-writer behavior unchanged. */
+    * two-writer race at three rungs — pre-write, commit-time
+    * exists-check, and a marker landing INSIDE the check-to-publish
+    * window (the raceAfterExistsCheck injection) — exactly-one-wins +
+    * loud-loser in all three, single-writer behavior unchanged. */
   private def writeMarker(spark: SparkSession, base: String, name: String,
       lines: Seq[String]): Unit = {
     val dir = new Path(logPath(base))
@@ -494,9 +499,8 @@ object CommitLog {
       throw new java.io.IOException(
         s"CommitLog: writer fence — marker $dst already exists: another " +
           "writer committed this sequence (single-writer contract violated)")
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"CommitLog: marker rename $tmp -> $dst returned false")
+    CommitLog.raceAfterExistsCheck()
+    publishMarker(f, tmp, dst)
     if (CommitLog.crashAfterMarkerRename) throw new InjectedCrash
     // read-back verify: on POSIX rename the exists-check above is not
     // atomic with the rename — foreign content here means a racer's
@@ -512,6 +516,44 @@ object CommitLog {
         s"CommitLog: writer fence — marker $dst holds another writer's " +
           "content after our rename; this transaction lost the race and " +
           "is NOT committed (single-writer contract violated)")
+  }
+
+  /** The publish step — move the fully-written temp marker to its
+    * canonical name WITHOUT ever replacing an existing marker:
+    *  - local filesystems: a HARD LINK to the canonical name —
+    *    link(2) fails atomically with EEXIST when the name is taken,
+    *    which is the true create-if-absent primitive POSIX offers
+    *    (rename(2) silently replaces) — so on local FS the fence's
+    *    residual race window is CLOSED, not narrowed: two racers at
+    *    one sequence get exactly one link success and one loud EEXIST
+    *    regardless of interleaving.  The canonical marker carries no
+    *    CRC sidecar after a link publish (the temp's sidecar dies
+    *    with the temp); LocalFileSystem reads uncheck-summed files
+    *    fine, and marker integrity is already covered by the nonce
+    *    read-back.
+    *  - everything else: rename — atomic on HDFS, where a rename onto
+    *    an existing name FAILS at the namenode (also airtight); on
+    *    object stores without atomic rename the post-publish
+    *    read-back remains the guard. */
+  private def publishMarker(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dst: Path): Unit = {
+    if (f.getUri.getScheme == "file") {
+      try
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(
+            s"CommitLog: writer fence — marker $dst already exists: " +
+              "another writer committed this sequence (single-writer " +
+              "contract violated; this transaction is NOT committed)")
+      }
+      f.delete(tmp, false)
+    } else if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"CommitLog: marker rename $tmp -> $dst returned false " +
+          "(another writer holds this sequence)")
   }
 
   private def entryLine(e: Entry): String =

@@ -101,6 +101,38 @@ class CommitLogSpec extends GraftSpec {
       Set("a" -> 1L, "b" -> 2L, "f" -> 6L))
   }
 
+  test("writer fence closes the check-to-publish window: a marker landing INSIDE it is loud (r15)") {
+    // the residual window the first fence cut left open on POSIX: a
+    // racer whose marker lands AFTER our exists-check but BEFORE our
+    // publish.  rename(2) would silently replace it; the hard-link
+    // publish fails atomically with EEXIST.  The injection commits a
+    // same-sequence racing transaction exactly in that window.
+    val base = tmp("fence-window")
+    CommitLog.transaction(spark, base)(_.append(kv("a" -> 1L), base))
+    val loser = CommitLog.begin(spark, base)
+    val winner = CommitLog.begin(spark, base)
+    loser.append(kv("l" -> 2L), base + ".left")
+    winner.append(kv("w" -> 3L), base + ".right")
+    CommitLog.raceAfterExistsCheck = () => {
+      CommitLog.raceAfterExistsCheck = () => () // one-shot: the racer must not recurse
+      winner.commit()
+    }
+    try {
+      val e = intercept[java.io.IOException](loser.commit())
+      assert(e.getMessage.contains("writer fence"), e.getMessage)
+    } finally CommitLog.resetCrashInjection()
+    // exactly one won, and it is the one whose marker landed first:
+    // the winner's part serves, the loser's never committed
+    val snap = CommitLog.snapshot(spark, base)
+    assert(rowsOf(snap.read(base + ".right")) == Set("w" -> 3L))
+    assert(snap.readOpt(base + ".left").isEmpty,
+      "the losing transaction must not be visible")
+    // the log keeps working for the next (single) writer
+    CommitLog.transaction(spark, base)(_.append(kv("b" -> 4L), base))
+    assert(rowsOf(CommitLog.snapshot(spark, base).read(base)) ==
+      Set("a" -> 1L, "b" -> 4L))
+  }
+
   test("a pinned snapshot is isolated from later commits (concurrent-reader contract)") {
     val base = tmp("iso")
     CommitLog.transaction(spark, base) { t =>
