@@ -290,12 +290,18 @@ object Dedup {
     * arrays shuffle at 8 B/element (collision odds across the
     * distinct-shingle universe are ~2⁻⁴⁰ — nil). */
   private def exactJaccardVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
+    // sets are SORTED once per doc so the per-CANDIDATE intersect is a
+    // native linear merge (SortedIntersectCount) instead of a hash-set
+    // build + intersection-array allocation per pair (optimization
+    // r15, guide §1.2 — the verify stage is the candidate-volume
+    // multiplier; counts are equal on distinct inputs, property-pinned)
     val sets = sh
-      .groupBy(col("doc_id")).agg(collect_list(col("hsh")).as("shs"))
+      .groupBy(col("doc_id")).agg(array_sort(collect_list(col("hsh"))).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))))
+      .withColumn("inter", graft.functions.VectorFunctions.sortedIntersectCount(
+        col("a_shs"), col("b_shs")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_shs")) + size(col("b_shs")) - col("inter")))
       .filter(col("jaccard") >= 0.8)

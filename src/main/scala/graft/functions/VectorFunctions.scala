@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
-  /** array<float> → array<double> (exact widening). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** array<float> → array<double> (exact widening).  Native codegen'd
+    * (ToDoubleArr — optimization r15): the transform-HOF form was
+    * CodegenFallback, one interpreted lambda per element on every
+    * embedding scan in the engine.  Element-for-element identical
+    * (float→double widening is exact, nulls stay null;
+    * ExpressionPropertySpec pins bit-equality). */
+  def toDouble(v: Column): Column =
+    GraftBridge.column(ToDoubleArr(GraftBridge.expression(v)))
+
+  /** x/|x| per element, |x| summed in DotProduct's sequential order —
+    * native codegen'd (NormalizeArr, optimization r15).  Replaces the
+    * checkpoint-then-transform normalize shape: the HOF divide was
+    * interpreted per element, and the checkpointed `nrm` leaf existed
+    * only to keep CollapseProject from re-inlining the norm per
+    * element.  Bit-identical to transform(v, _ / sqrt(dot(v, v)))
+    * (ExpressionPropertySpec). */
+  def normalize(v: Column): Column =
+    GraftBridge.column(NormalizeArr(GraftBridge.expression(v)))
 
   /** Native codegen'd dot product (see graft.functions.DotProduct) —
     * the only per-PAIR math in similarity joins, so it must stay inside
@@ -29,6 +45,14 @@ object VectorFunctions {
     * (SqDist); bit-identical to the HOF zip_with/aggregate fold. */
   def sqdist(a: Column, b: Column): Column =
     GraftBridge.column(SqDist(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** |A ∩ B| over two SORTED distinct array<long> columns — native
+    * linear merge (SortedIntersectCount, optimization r15); equals
+    * size(array_intersect(a, b)) on such inputs without the per-pair
+    * hash set + intersection-array allocation. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Cosine similarity of two double arrays.  Prefer precomputing

@@ -240,10 +240,12 @@ object Bm25Warehouse {
     // ONE snapshot pins every part — a refresh committing (or dying)
     // mid-probe cannot tear the view across postings/df/stats/tomb
     val snap = CommitLog.snapshot(spark, path)
-    val st = snap.read(statsPath(path)).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n
-    val buckets = queries.select(termBucket(col("term")).as("tb"))
+    // the query term sets are MATERIALIZED once per probe (optimization
+    // r15, guide §1.2): the frame feeds both the bucket-list collect
+    // below and the hits join's build side — un-pinned, the probe
+    // tokenized + distinct'd the query docs twice per run
+    val q = queries.localCheckpoint()
+    val buckets = q.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     val bucketPred = (c: org.apache.spark.sql.Column) =>
       c.isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*)
@@ -260,14 +262,24 @@ object Bm25Warehouse {
     // broadcasts; measured: df-before-queries doubled the probe by
     // dragging the full posting slice through the df join)
     val hits = graft.sources.Tombstones.dropDf(
-      snap.read(path).filter(bucketPred(col("tb"))).join(queries, Seq("term")),
+      snap.read(path).filter(bucketPred(col("tb"))).join(q, Seq("term")),
       snap.readOpt(tombPath(path)), key = "doc_id")
-    val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    // the (n, sl) stats scalars ride the plan as a broadcast 1-row
+    // relation instead of an EAGER head() per probe (optimization r15,
+    // guide §1.2 — one fewer Spark job per probe rep).  The arithmetic
+    // is value-identical: n is the same long, and len/(sl/n) divides by
+    // the same IEEE double the old precomputed-avgdl literal held.
+    val stats = broadcast(snap.read(statsPath(path))
+      .select(col("n").as("__n"), col("sl").as("__sl")))
+    val avgdl = col("__sl").cast("double") / col("__n").cast("double")
+    val idf = log(((col("__n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
-      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / avgdl))))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))
     hits.join(dfSide, Seq("term"))
+      .crossJoin(stats)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sumx(roundx(term, 9)).as("score"))
       .withColumn("bm25", roundx(col("score"), 4))

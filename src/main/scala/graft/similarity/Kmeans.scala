@@ -37,13 +37,15 @@ object Kmeans {
     * cost = Σ (1 − cos(v, centroid)) after each assignment. */
   /** Pre-normalize ONCE: |vn| = 1 turns the cosine objective into a
     * plain dot and makes the spherical refinement a per-dim mean.
-    * Two checkpointed steps so `nrm` is a materialized leaf column —
-    * if it stayed an expression, CollapseProject would substitute it
-    * into the transform lambda and re-derive the norm per ELEMENT. */
+    * ONE checkpointed step (optimization r15): NormalizeArr computes
+    * x/|x| natively in a single codegen pass, so the old two-step
+    * checkpoint dance (materialize `nrm` as a leaf so CollapseProject
+    * could not re-inline the norm per element) collapses to one
+    * materialization — bit-identical vn values
+    * (ExpressionPropertySpec).  The checkpoint itself stays: trainers
+    * re-read vn every iteration. */
   private[similarity] def normalize(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-      .localCheckpoint()
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+    e.select(col("vec_id"), graft.functions.VectorFunctions.normalize(col("v")).as("vn"))
       .localCheckpoint()
 
   /** Assignment step over normalized vectors: broadcast the K-row

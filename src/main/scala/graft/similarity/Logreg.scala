@@ -44,13 +44,12 @@ object Logreg {
   /** Normalized embeddings with their class label — the shared input
     * of the binary and one-vs-rest paths. */
   private[graft] def preparedAll(spark: SparkSession, dir: String): DataFrame =
+    // one codegen pass (optimization r15): NormalizeArr fuses the norm
+    // + divide, so the intermediate checkpoint that kept `nrm` out of
+    // the transform lambda is gone (callers still pin the result)
     Tables(spark, dir).embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
-        col("label").cast("long").as("label"))
-      .withColumn("nrm", norm(col("v")))
-      .localCheckpoint() // materialized leaf: keep nrm out of the transform lambda
-      .select(col("vec_id"), col("label"),
-        transform(col("v"), x => x / col("nrm")).as("vn"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        normalize(toDouble(col("embedding"))).as("vn"))
 
   /** Binary labels: y = 1 iff label == target (one-vs-rest on the
     * synthetic cluster labels — the "curated domain vs rest"
@@ -59,9 +58,17 @@ object Logreg {
     preparedAll(spark, dir)
       .withColumn("y", when(col("label") === target, 1.0).otherwise(0.0))
 
-  /** One scoring expression: sigmoid(w·x + b) with w, b plan literals. */
+  /** One scoring expression: sigmoid(w·x + b) with w, b plan literals.
+    * BOTH ride as ARRAY literals (optimization r15, guide §1.2 per-task
+    * work): array literals land in the codegen references table while a
+    * bare double literal is INLINED into the generated source — with
+    * the weights changing every GD round, inlining made each round's
+    * plan compile fresh generated code; as references the per-round
+    * source text is identical and the codegen cache hits.  Same
+    * arithmetic, same values, bit-identical scores. */
   private def scoreCol(w: Array[Double], b: Double) =
-    lit(1.0) / (lit(1.0) + exp(-(dot(col("vn"), lit(w)) + lit(b))))
+    lit(1.0) / (lit(1.0) +
+      exp(-(dot(col("vn"), lit(w)) + element_at(lit(Array(b)), 1))))
 
   /** Full-batch GD for `iters` rounds at rate `lr`.  Returns
     * ((weights, bias), history(iter, loss)).
@@ -69,14 +76,17 @@ object Logreg {
     * Plan shape (reworked round 10, VERDICT-r09 ask #4): the (doc,
     * dim, x) POSEXPLODE IS PINNED ONCE before the loop (localCheckpoint
     * — the k-means/BPE lineage-pin pattern), so a GD round no longer
-    * re-derives the exploded corpus from raw features.  Per round:
-    * (a) a doc-level error frame — one sigmoid dot per doc — whose
-    * scalar aggregate carries the bias gradient and loss (these were
-    * previously summed REDUNDANTLY on every exploded row and read off
-    * dim 0: ×dims wasted decimal work); (b) the per-dim gradient as a
-    * hash join of those doc errors onto the pinned explode + the one
-    * dims-group shuffle — ONE decimal sum per exploded row instead of
-    * three.  Bit-determinism is untouched: the surviving terms are the
+    * re-derives the exploded corpus from raw features.  Per round
+    * (optimization r15, guide §1.2/§2.3): ONE job — the doc-level
+    * error frame (one sigmoid dot per doc) joins onto the pinned
+    * explode and the dims-group aggregate carries the gradient sums
+    * PLUS the bias/loss sums guarded to the dim-0 rows (each doc
+    * contributes exactly one dim-0 explode row, so the dim-0 group's
+    * conditional sums are the old doc-frame aggregate's sums
+    * term-for-term, with zero decimal work on the other dims' rows).
+    * The r10 shape ran a SECOND job per round for the bias/loss
+    * scalars, recomputing the doc errors' sigmoid dots for it.
+    * Bit-determinism is untouched: the surviving terms are the
     * identical roundx(·,9) values on the identical rows, and DECIMAL
     * sums are order-free (LogregSpec's reference-parity and
     * determinism pins run unchanged).
@@ -92,7 +102,7 @@ object Logreg {
     * spill-backed (localCheckpoint stores with replication to disk-
     * capable StorageLevel), so past-memory training sets degrade to
     * disk, not OOM. */
-  private[graft] val BroadcastErrRows = 2000000L // ~32 MB of (id, err) rows
+  private[graft] val BroadcastErrRows = 2000000L // ~48 MB of (id, err, ll) rows
 
   def train(eN: DataFrame, dims: Int, iters: Int, lr: Double)
       : ((Array[Double], Double), Seq[(Long, Double)]) = {
@@ -109,19 +119,28 @@ object Logreg {
         (scoreCol(w, b) - col("y")).as("err"),
         (-when(col("y") === 1.0, log(greatest(scoreCol(w, b), lit(1e-12))))
           .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"))
-      val d0 = docErr.agg(sumx(roundx(col("err"), 9)).as("esum"),
-        sumx(roundx(col("ll"), 9)).as("lsum")).head()
-      val errSide = docErr.select(col("vec_id"), col("err"))
+      // ONE job per round (optimization r15, guide §1.2/§2.3): the
+      // bias/loss sums ride the SAME dims-group aggregate as the
+      // gradient, guarded to the dim-0 rows — every doc contributes
+      // exactly one dim-0 row to the pinned explode, so the dim-0
+      // group's conditional sums ARE the old per-doc aggregate's sums
+      // term-for-term (DECIMAL sums are order-free ⇒ bit-identical
+      // weights/loss), and the doc-error frame is computed once per
+      // round instead of twice (its K sigmoid dots were the second
+      // job's full scan)
+      val errSide = docErr
       val g = ex
         .join(if (n <= BroadcastErrRows) broadcast(errSide) else errSide,
           Seq("vec_id"))
         .groupBy(col("dim"))
-        .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"))
+        .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"),
+          sumx(when(col("dim") === 0, roundx(col("err"), 9))).as("esum"),
+          sumx(when(col("dim") === 0, roundx(col("ll"), 9))).as("lsum"))
         .collect()
-      val gd = g.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("gsum")).toMap
-      w = Array.tabulate(dims)(j => w(j) - lr * gd(j) / n)
-      b = b - lr * d0.getAs[Double]("esum") / n
-      hist += ((it.toLong, d0.getAs[Double]("lsum") / n))
+      val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
+      w = Array.tabulate(dims)(j => w(j) - lr * byDim(j).getAs[Double]("gsum") / n)
+      b = b - lr * byDim(0).getAs[Double]("esum") / n
+      hist += ((it.toLong, byDim(0).getAs[Double]("lsum") / n))
     }
     ((w, b), hist.result())
   }
@@ -175,9 +194,12 @@ object Logreg {
     * 6 dp by the DECIMAL(30,6) sumx cast) — weights, hence every
     * prediction, are bit-identical across runs and partitionings. */
   def trainOvr(eN: DataFrame, labels: Seq[Long], dims: Int, iters: Int, lr: Double,
-      broadcastErrRows: Long = BroadcastErrRows)
+      broadcastErrRows: Long = BroadcastErrRows,
+      nOpt: Option[Double] = None)
       : (Array[Array[Double]], Array[Double]) = {
-    val n = eN.count().toDouble
+    // callers that already counted the frame (logregOvrIters' fused
+    // label+count pass) hand n in — one fewer job, identical value
+    val n = nOpt.getOrElse(eN.count().toDouble)
     val k = labels.size
     // the pinned explode + doc-level-error plan of `train`, K-wide
     // (VERDICT-r09 ask #4): per round the big aggregate carries K
@@ -193,8 +215,14 @@ object Logreg {
           when(col("label") === labels(j), 1.0).otherwise(0.0)).as(s"err_$j")
       }
       val docErr = eN.select(col("vec_id") +: errCols: _*)
-      val eAggs = labels.indices.map(j => sumx(roundx(col(s"err_$j"), 9)).as(s"e_$j"))
-      val e0 = docErr.agg(eAggs.head, eAggs.tail: _*).head()
+      // the binary trainer's one-job-per-round fusion, K-wide: the K
+      // bias sums ride the dims-group aggregate guarded to dim-0 rows
+      // (one dim-0 explode row per doc ⇒ the sums are the old doc-
+      // frame aggregate's term-for-term; DECIMAL sums are order-free
+      // ⇒ bit-identical weights), halving both the per-round job
+      // count and the per-round sigmoid-dot passes over the docs
+      val eAggs = labels.indices.map(j =>
+        sumx(when(col("dim") === 0, roundx(col(s"err_$j"), 9))).as(s"e_$j"))
       val gAggs = labels.indices.map(j =>
         sumx(roundx(col(s"err_$j") * col("x"), 9)).as(s"g_$j"))
       // the binary trainer's broadcast gate, K-width-adjusted: the OVR
@@ -206,15 +234,16 @@ object Logreg {
       // VERDICT-r11 "what's wrong" #1)
       val errSide =
         if (n * k <= broadcastErrRows) broadcast(docErr) else docErr
+      val aggs = gAggs ++ eAggs
       val g = ex.join(errSide, Seq("vec_id"))
         .groupBy(col("dim"))
-        .agg(gAggs.head, gAggs.tail: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
       labels.indices.foreach { j =>
         val grad = Array.tabulate(dims)(d => byDim(d).getAs[Double](s"g_$j"))
         (0 until dims).foreach(d => ws(j)(d) -= lr * grad(d) / n)
-        bs(j) -= lr * e0.getAs[Double](s"e_$j") / n
+        bs(j) -= lr * byDim(0).getAs[Double](s"e_$j") / n
       }
     }
     (ws, bs)
@@ -244,9 +273,14 @@ object Logreg {
 
   private def logregOvrIters(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val eN = preparedAll(spark, dir).localCheckpoint()
-    val labels = eN.select(col("label")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq // K-row metadata
-    val (ws, bs) = trainOvr(eN, labels, Dims, iters, OvrLr)
+    // K-row metadata; label counts and the training-set size in ONE
+    // job (optimization r15 — the old shape paid a distinct-collect
+    // AND a count() inside trainOvr)
+    val labCounts = eN.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .collect()
+    val labels = labCounts.map(_.getLong(0)).sorted.toSeq
+    val n = labCounts.map(_.getLong(1)).sum.toDouble
+    val (ws, bs) = trainOvr(eN, labels, Dims, iters, OvrLr, nOpt = Some(n))
     val scores = array(labels.indices.map(j => scoreCol(ws(j), bs(j))): _*)
     val labArr = array(labels.map(lit): _*)
     eN.select(col("vec_id"), col("label"), scores.as("s"))

@@ -96,6 +96,50 @@ class ExpressionPropertySpec extends GraftSpec {
     })
   }
 
+  test("ToDoubleArr == transform cast, NormalizeArr == checkpoint-free divide, bit for bit (r15)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorFunctions.{dot, normalize, toDouble}
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToRawLongBits)
+    val fvecGen = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3f, 1e3f)))
+    holds(forAll(fvecGen) { v =>
+      val df = Seq(Tuple1(v)).toDF("f")
+      val native = df.select(toDouble(col("f"))).head().getSeq[Double](0)
+      val hof = df.select(transform(col("f"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      bits(native) == bits(hof)
+    })
+    val dvecGen = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)))
+    holds(forAll(dvecGen) { v =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val native = df.select(normalize(col("v"))).head().getSeq[Double](0)
+      // the pre-r15 shape: norm as a materialized leaf, HOF divide
+      val hof = df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .localCheckpoint(false)
+        .select(transform(col("v"), x => x / col("nrm")))
+        .head().getSeq[Double](0)
+      bits(native) == bits(hof)
+    })
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct longs (r15)") {
+    val s = spark
+    import s.implicits._
+    val setGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      .map(_.distinct.sorted)
+    holds(forAll(setGen, setGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(graft.functions.VectorFunctions
+        .sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+      val ref = df.select(size(array_intersect(col("a"), col("b"))))
+        .head().getInt(0)
+      native == ref
+    })
+  }
+
   test("GramHashes positional/distinct modes agree on gram identity") {
     val s = spark
     import s.implicits._
