@@ -774,6 +774,11 @@ object Dedup {
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
       // pointer jumping: group_id is itself a doc_id, so look up ITS
       // label and take the min — halves remaining chain depth per round
+      // the convergence scalar rides the SAME job as the round's
+      // materialization (observe metrics compute as rows stream into
+      // the checkpoint — optimization r15, guide §1.2): the old shape
+      // paid a second count() job per round
+      val obs = new org.apache.spark.sql.Observation()
       val next = hop.as("a")
         .join(hop.select(col("doc_id").as("gid"), col("group_id").as("glabel")),
           col("a.group_id") === col("gid"), "left")
@@ -781,8 +786,9 @@ object Dedup {
           least(col("a.group_id"), coalesce(col("glabel"), col("a.group_id"))).as("group_id"),
           (least(col("a.group_id"), coalesce(col("glabel"), col("a.group_id")))
             =!= col("a.old_gid")).as("changed"))
+        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
         .localCheckpoint()
-      val changed = next.filter(col("changed")).count()
+      val changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("doc_id"), col("group_id"))
       converged = changed == 0
       iter += 1

@@ -56,24 +56,31 @@ object BigramLm {
     perplexityBigramOf(Tables(spark, dir).documents)
 
   private[graft] def perplexityBigramOf(docs: DataFrame): DataFrame = {
-    // tokenize ONCE: the token frame feeds SIX consumers (the scored
-    // side, the shifted previous-token side, both bigram join sides,
-    // the unigram counts, the denominator scalars) — un-pinned, each
-    // re-runs the documents scan + Generate, a 6× tokenize at corpus
-    // scale.  localCheckpoint materializes the token table instead
-    // (the rangeSearchLsh corpus-frame precedent): its size is the
-    // same order as the shuffles the joins pay anyway.
-    val toks = docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    // tokenize ONCE into (doc_id, pos, w, pw) — the PREVIOUS token
+    // rides each row from the start (optimization r15, guide §2.4):
+    // pw = element_at(toks, pos) over the materialized token array
+    // (1-based element_at at 0-based pos IS the previous token; pos 0
+    // → null), so BOTH (doc_id, pos)-keyed corpus self-joins the old
+    // shape paid — one building the bigram counts, one re-attaching
+    // pw at scoring — are gone outright.  The array frame is pinned
+    // first (the minhashBandCandidates lesson: an expression carried
+    // alongside posexplode re-evaluates per generated row), then the
+    // exploded frame is pinned for its five consumers.  Rows and
+    // values are identical to the join form — same bigram pairs, same
+    // nulls at pos 0.
+    val arr = docs
+      .select(col("doc_id"), words(col("text")).as("toks")).localCheckpoint()
+    val toks = arr
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("pw"))
       .localCheckpoint()
     val isBase: Column = pmod(col("doc_id"), lit(10L)) < 8
     val base = toks.filter(isBase)
 
     val c1 = base.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val c2 = base.as("a")
-      .join(base.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .groupBy(col("a.w").as("pw"), col("b.w").as("w"))
+    val c2 = base.filter(col("pw").isNotNull)
+      .groupBy(col("pw"), col("w"))
       .agg(count(lit(1)).as("c2"))
 
     val st = toks.agg(
@@ -81,9 +88,7 @@ object BigramLm {
       count_distinct(col("w"))).head()
     val denom = (st.getLong(0) + st.getLong(1)).toDouble
 
-    val scored = toks.as("t")
-      .join(toks.select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("w").as("pw")).as("p"), Seq("doc_id", "pos"), "left")
+    val scored = toks
       .join(c1.select(col("w"), col("c1").as("cw")), Seq("w"), "left")
       .join(c1.select(col("w").as("pw"), col("c1").as("cpw")), Seq("pw"), "left")
       .join(c2, Seq("pw", "w"), "left")

@@ -56,17 +56,23 @@ object BigramLmWarehouse {
   private def bucket(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
-  /** (doc_id, pos, w) tokens of a doc frame. */
+  /** (doc_id, pos, w, pw) tokens of a doc frame — the previous token
+    * rides each row (optimization r15, the BigramLm.perplexityBigramOf
+    * shape): pw = element_at(toks, pos) over the pinned token array
+    * (1-based element_at at 0-based pos = previous; pos 0 → null), so
+    * neither the bigram counts nor the probe's scoring pays a
+    * (doc_id, pos)-keyed corpus self-join. */
   private def toks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    docs.select(col("doc_id"), words(col("text")).as("toks")).localCheckpoint()
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("pw"))
 
   /** Unigram + bigram count frames of a token frame. */
   private def counts(tk: DataFrame): (DataFrame, DataFrame) = {
     val c1 = tk.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val c2 = tk.as("a")
-      .join(tk.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .groupBy(col("a.w").as("pw"), col("b.w").as("w"))
+    val c2 = tk.filter(col("pw").isNotNull)
+      .groupBy(col("pw"), col("w"))
       .agg(count(lit(1)).as("cnt"))
     (c1, c2)
   }
@@ -209,9 +215,7 @@ object BigramLmWarehouse {
       // unigram side needs no twin filter: coalesce(0)+1 is already
       // the rebuild's Laplace UNK.  Vacuous without retraction.
       .filter(col("cnt2") =!= 0)
-    val scored = tk
-      .join(tk.select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("w").as("pw")), Seq("doc_id", "pos"), "left")
+    val scored = tk // pw rides the token rows — no self-join (r15)
       .join(c1.select(col("w"), col("cnt").as("cw")), Seq("w"), "left")
       .join(c1.select(col("w").as("pw"), col("cnt").as("cpw")), Seq("pw"), "left")
       .join(c2.select(col("pw"), col("w"), col("cnt2")), Seq("pw", "w"), "left")

@@ -658,9 +658,13 @@ object TrainPrep {
 
     // 3 — DECONTAMINATE: candidates are the train-bucket survivors;
     // any sharing an 8-gram with the held-out slice drop
+    // pinned (optimization r15): both the candidate side and the eval
+    // side read this frame — un-pinned, the corpus paid the 8-gram
+    // hash pass twice
     val bucketed = docs.select(col("doc_id"),
       pmod(contentHash(col("text")), lit(100L)).as("bucket"),
       graft.functions.GramHashes(words(col("text")), 8).as("g"))
+      .localCheckpoint()
     val cand = bucketed.join(kb, Seq("doc_id"), "left_semi")
       .filter(col("bucket") < 80).localCheckpoint()
     val evalGrams = bucketed.filter(col("bucket") >= 90)
