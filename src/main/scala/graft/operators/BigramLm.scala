@@ -83,16 +83,19 @@ object BigramLm {
       .groupBy(col("pw"), col("w"))
       .agg(count(lit(1)).as("c2"))
 
-    val st = toks.agg(
-      sum(when(isBase, 1L).otherwise(0L)),
-      count_distinct(col("w"))).head()
-    val denom = (st.getLong(0) + st.getLong(1)).toDouble
+    // the denominator rides the plan as a broadcast 1-row relation
+    // instead of an eager head() per run (optimization r15) —
+    // value-identical arithmetic
+    val stats = broadcast(toks.agg(
+      (sum(when(isBase, 1L).otherwise(0L)) +
+        count_distinct(col("w"))).cast("double").as("__denom")))
 
     val scored = toks
       .join(c1.select(col("w"), col("c1").as("cw")), Seq("w"), "left")
       .join(c1.select(col("w").as("pw"), col("c1").as("cpw")), Seq("pw"), "left")
       .join(c2, Seq("pw", "w"), "left")
-    val laplace = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / lit(denom)
+      .crossJoin(stats)
+    val laplace = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / col("__denom")
     val nllTok = roundx(-log(
       when(col("pw").isNull, laplace)                       // first token
         .when(col("c2").isNotNull,

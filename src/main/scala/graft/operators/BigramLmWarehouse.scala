@@ -198,8 +198,11 @@ object BigramLmWarehouse {
   def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     // one snapshot pins c1 + c2 + stats together (no torn denominator)
     val snap = CommitLog.snapshot(spark, path)
-    val st = snap.read(statsPath(path)).head()
-    val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
+    // stats ride the plan as a broadcast 1-row relation instead of an
+    // eager head() per probe rep (optimization r15, the
+    // Bm25Warehouse.probe shape) — denominator value-identical
+    val stats = broadcast(snap.read(statsPath(path))
+      .select((col("nb") + col("v") + lit(1L)).cast("double").as("__denom")))
     val tk = toks(docs).localCheckpoint()
     val wBuckets = tk.select(bucket(col("w")).as("b"))
       .distinct().collect().map(_.getLong(0))
@@ -219,7 +222,8 @@ object BigramLmWarehouse {
       .join(c1.select(col("w"), col("cnt").as("cw")), Seq("w"), "left")
       .join(c1.select(col("w").as("pw"), col("cnt").as("cpw")), Seq("pw"), "left")
       .join(c2.select(col("pw"), col("w"), col("cnt2")), Seq("pw", "w"), "left")
-    val laplace = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / lit(denom)
+      .crossJoin(stats)
+    val laplace = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / col("__denom")
     val nllTok = roundx(-log(
       when(col("pw").isNull, laplace)
         .when(col("cnt2").isNotNull,

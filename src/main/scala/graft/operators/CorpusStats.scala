@@ -429,16 +429,23 @@ object CorpusStats {
     * split = doc_id mod 10 < 8) — shared by the registered query and
     * the injected-frequency spec corpus. */
   def perplexityOf(docs: DataFrame): DataFrame = {
+    // tokens pinned once (they feed the LM counts, the denominator
+    // scalars and the scoring join — a 3× tokenize un-pinned), and
+    // the denominator rides the plan as a broadcast 1-row relation
+    // instead of an eager head() per run (optimization r15, the
+    // Bm25Warehouse.probe shape) — value-identical arithmetic
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))
+      .localCheckpoint()
     val lm = toks.filter(pmod(col("doc_id"), lit(10L)) < 8)
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val st = toks.agg(
-      sum(when(pmod(col("doc_id"), lit(10L)) < 8, 1L).otherwise(0L)),
-      count_distinct(col("term"))).head()
-    val denom = (st.getLong(0) + st.getLong(1)).toDouble
-    val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)
+    val stats = broadcast(toks.agg(
+      (sum(when(pmod(col("doc_id"), lit(10L)) < 8, 1L).otherwise(0L)) +
+        count_distinct(col("term"))).cast("double").as("__denom")))
+    val nll = roundx(-log(
+      (coalesce(col("cnt"), lit(0L)) + lit(1.0)) / col("__denom")), 9)
     toks.join(lm, Seq("term"), "left")
+      .crossJoin(stats)
       .groupBy(col("doc_id"), col("lang"))
       .agg(graft.functions.Exact.sumx(nll).as("nll_sum"),
         count(lit(1)).as("n_tokens"))

@@ -176,9 +176,13 @@ object LmWarehouse {
   def probe(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     // one snapshot pins model + stats together (no torn denominator)
     val snap = CommitLog.snapshot(spark, path)
-    val st = snap.read(statsPath(path)).head()
-    val denom = (st.getLong(0) + st.getLong(1) + 1L).toDouble
+    // probe tokens are pinned once (they feed the bucket collect AND
+    // the scoring join), and the stats scalars ride the plan as a
+    // broadcast 1-row relation instead of an eager head() — two fewer
+    // jobs per probe rep (optimization r15, the Bm25Warehouse.probe
+    // shape); denominator arithmetic value-identical
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .localCheckpoint()
     val buckets = toks.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     // sum delta rows per term over the pruned slice — the probe-side
@@ -186,8 +190,12 @@ object LmWarehouse {
     val lm = snap.read(path)
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
-    val nll = roundx(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(denom)), 9)
+    val stats = broadcast(snap.read(statsPath(path))
+      .select((col("nb") + col("v") + lit(1L)).cast("double").as("__denom")))
+    val nll = roundx(-log(
+      (coalesce(col("cnt"), lit(0L)) + lit(1.0)) / col("__denom")), 9)
     toks.join(lm, Seq("term"), "left")
+      .crossJoin(stats)
       .groupBy(col("doc_id"))
       .agg(sumx(nll).as("nll_sum"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),

@@ -74,7 +74,11 @@ object Bm25 {
   def bm25(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
+    // tokenize ONCE (optimization r15): the token arrays feed lens,
+    // tf, the query side and the stats scalars — un-pinned, the
+    // documents scan + words() ran once per consumer
     val toks = t.documents.select(col("doc_id"), words(col("text")).as("toks"))
+      .localCheckpoint()
     val lens = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("len"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -85,10 +89,12 @@ object Bm25 {
     // test SF; at 100 TB it sort-merges on the term key the tf
     // aggregate already shuffled on)
     val index = tf.join(df, Seq("term")).join(lens, Seq("doc_id"))
-    // two driver scalars: corpus size and total token count
-    val st = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl")).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n
+    // corpus size and total token count ride the plan as a broadcast
+    // 1-row relation (the Bm25Warehouse.probe shape, optimization r15)
+    // instead of an eager head() job per run — value-identical math
+    val stats = broadcast(lens.agg(count(lit(1)).as("__n"),
+      sum(col("len")).as("__sl")))
+    val avgdl = col("__sl").cast("double") / col("__n").cast("double")
     // query side needs ONLY (query_id, term) — built from tf, not the
     // stats-joined index, so the plan doesn't re-run the df/len joins
     // under the pushed doc_id < nQueries filter (seen in explain)
@@ -97,13 +103,15 @@ object Bm25 {
     // expression tree mirrored token-for-token in the oracle SQL; the
     // k1+1 and 1−b constants are the shared K1Plus1/OneMinusB literals
     // (see their definition for the ulp story)
-    val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val idf = log(((col("__n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
     val term = idf * ((col("tf") * lit(K1Plus1)) /
-      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / lit(avgdl)))))
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * (col("len") / avgdl))))
     val byQ = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))
     index.join(broadcast(q),
         index("term") === q("term") && col("doc_id") =!= col("query_id"))
+      .crossJoin(stats)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sumx(roundx(term, 9)).as("score"))
       .withColumn("bm25", roundx(col("score"), 4))

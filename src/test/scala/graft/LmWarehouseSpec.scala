@@ -65,13 +65,18 @@ class LmWarehouseSpec extends GraftSpec {
       s"OOV nll ${out(0).getDouble(2)} != UNK mass $want")
   }
 
-  test("probe plan tokenizes only the probe side: one documents scan") {
+  test("probe plan never re-tokenizes corpus text: zero documents scans") {
+    // optimization r15: the probe pins its token frame once
+    // (localCheckpoint) before the bucket collect and the scoring
+    // join, so the served plan carries NO documents.parquet scan at
+    // all — the old "exactly one scan, the probe side" pin weakens to
+    // the stronger zero-corpus-scan form (the Bm25WarehouseSpec twin)
     val scans = probed.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) => f
     }
-    assert(scans.length == 1,
-      s"expected exactly the probe-side documents scan, got ${scans.length}")
+    assert(scans.isEmpty,
+      s"probe plan must not scan documents.parquet, got ${scans.length}")
   }
 
   test("a small probe prunes term-bucket partitions") {
