@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (optimization r15, guide §5): local[N] runs driver +
+  // all executor tasks in ONE JVM — at 32 tasks, 8g left ~250 MB of
+  // execution memory per concurrent task and the bench JVM measured
+  // 24 s of GC per ~19 min run.  Parameterized (SPARK_DRIVER_MEM) so
+  // cluster deployments size the driver independently; the 128 GiB
+  // sandbox has 8x headroom over this default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

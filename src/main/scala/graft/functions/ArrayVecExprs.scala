@@ -107,7 +107,10 @@ case class ToDoubleArr(child: Expression) extends UnaryExpression {
   * CollapseProject would not re-inline the norm per element).  Null
   * elements read as 0.0 into the norm (UnsafeArrayData.getDouble
   * semantics, matching what DotProduct(v, v) computed on such rows)
-  * and stay null in the output (the transform-lambda semantics). */
+  * and stay null in the output (the transform-lambda semantics).
+  * Zero-norm boundary: IEEE x/0 (NaN per slot) — the old HOF divide
+  * THREW under ANSI there; no engine input carries a zero vector
+  * (ExpressionPropertySpec pins the boundary + the equivalence). */
 case class NormalizeArr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType,

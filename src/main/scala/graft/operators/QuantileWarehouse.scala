@@ -171,6 +171,9 @@ object QuantileWarehouse {
   private[graft] def quantilesOfHist(hist0: DataFrame): DataFrame = {
     val hist = hist0.groupBy(col("denom"), col("q")).agg(sum(col("c")).as("c"))
       .localCheckpoint() // feeds the cumsum AND the n-per-denom frame
+      // (r15 note: tried un-pinning for exchange reuse — no ReusedExchange
+      // in the plan and no measured win; the pin also bounds the re-scan
+      // risk at scale, so it stays)
     val byQ = Window.partitionBy(col("denom")).orderBy(col("q"))
     val cum = hist.withColumn("cum", sum(col("c")).over(byQ))
       .select(col("denom").as("h_denom"), col("q"), col("c"), col("cum"))
