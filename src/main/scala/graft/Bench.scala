@@ -361,10 +361,29 @@ object Bench {
     }
     val buildJson = buildTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":3,"agg":"min","build_sec":$buildSec,"build":$buildJson,"queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
+    // round 16 (VERDICT-r15 ask #2): the resolved core count and the
+    // context's actual parallelism ride BOTH output lines, so the
+    // driver's scaling probe can tell "honored and latency-bound" from
+    // "SPARK_GRAFT_CPUS ignored" (r15 flagged suspect_cpus_ignored
+    // against plumbing that works — the line just never said so).
+    val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
+    val par = spark.sparkContext.defaultParallelism
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":3,"agg":"min","cpus":$cpusInt,"parallelism":$par,"build_sec":$buildSec,"build":$buildJson,"queries":$qs,"failed":$failed,"sf":"$sfDir","sf_ceiling":"$SfCeiling","runs_ms":$runsMs,"jvm":$jvm,"probes":$probesJson,"warehoused":$warehousedJson,"stress":$stress,"ann":$ann}"""
     val digest = digestLine(results,
       Probes.map(n => n -> probeTimes.getOrElse(n, -1.0)), total, failed,
-      sfDir, stress, ann, buildSec, buildTimes.toSeq)
+      sfDir, stress, ann, buildSec, buildTimes.toSeq, cpusInt, par)
+    // round 16 (VERDICT-r15 ask #2): the full detail map — every
+    // headliner, probe and build time at full precision — is written to
+    // a FILE every run, so round-over-round comparison is never limited
+    // to the byte-budgeted digest's named rows (r15's comparator saw
+    // n_common=4 because the tail window truncated the detail line).
+    // Best-effort: a read-only CWD must never fail the bench.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
     spark.stop()
     println(detail)
     println(digest)
@@ -455,7 +474,8 @@ object Bench {
       probes: Seq[(String, Double)], total: Double, failed: String,
       sfDir: String, stress: String, ann: String,
       buildSec: Double = -1.0,
-      builds: Seq[(String, Double)] = Seq.empty): String = {
+      builds: Seq[(String, Double)] = Seq.empty,
+      cpus: Int = -1, par: Int = -1): String = {
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // per-query times at 2 dp: at 55+ headliners the third decimal is
     // what pushed the line past the tail window; drift grading at 1%
@@ -500,7 +520,10 @@ object Bench {
       (Seq(Some(s""""queries":{$qRows}"""), qOther,
         Some(failedPart), Some(s""""sf":"$sfShort"""")) ++
         probeParts ++ buildParts ++ opt).flatten.mkString(
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":3,"agg":"min","build_sec":${f2(buildSec)},""", ",", "}")
+        // "cpus"/"par" (resolved SPARK_GRAFT_CPUS + defaultParallelism)
+        // ride every rung since round 16 — additions only, the r15
+        // suspect_cpus_ignored contract gap
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":3,"agg":"min","cpus":$cpus,"par":$par,"build_sec":${f2(buildSec)},""", ",", "}")
     // size the queries sub-budget from what everything ELSE costs,
     // reserving the REAL worst-case q_other width — the all-rows fold
     // formatted from this run's actual results (piece width is

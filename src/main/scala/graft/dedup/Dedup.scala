@@ -692,9 +692,19 @@ object Dedup {
   /** The near-dup edge set dedupGroups runs CC over: exact-dup ∪
     * ngram-Jaccard≥0.8 ∪ edit-distance≤10 (a_id, b_id) pairs. */
   private[graft] def nearDupEdges(documents: DataFrame): DataFrame =
+    nearDupEdgesWith(documents,
+      EditDist.stages(documents, d = 10).pairs
+        .select(col("a_id"), col("b_id")))
+
+  /** Same set with the Ed channel handed in (optimization r16):
+    * EdgeWarehouse.ingest runs the staged Ed plan ONCE over a shared
+    * pinned gram frame and reuses its byproducts for the frozen index —
+    * the edge union itself is unchanged (same channels, same distinct). */
+  private[graft] def nearDupEdgesWith(documents: DataFrame,
+      edPairs: DataFrame): DataFrame =
     ngramStages(documents, maxDfRatio = 0.1).pairs
       .select(col("a_id"), col("b_id"))
-      .union(exactAndEdPairs(documents)).distinct()
+      .union(exactPairsOf(documents)).union(edPairs).distinct()
 
   /** The SCALE-PATH edge set (d_dedup_groups_lsh): the Jaccard channel
     * comes from MinHash-LSH-verified pairs instead of the AllPairs
@@ -714,14 +724,16 @@ object Dedup {
 
   /** The two edge channels shared by the exact and LSH edge sets:
     * exact-hash pairs and Ed-Join editdist≤10 pairs. */
-  private def exactAndEdPairs(documents: DataFrame): DataFrame = {
+  private def exactAndEdPairs(documents: DataFrame): DataFrame =
+    exactPairsOf(documents).union(
+      EditDist.stages(documents, d = 10).pairs
+        .select(col("a_id"), col("b_id")))
+
+  private def exactPairsOf(documents: DataFrame): DataFrame = {
     val hashed = documents.select(md5(col("text")).as("h"), col("doc_id"))
-    val exactPairs = hashed.as("x")
+    hashed.as("x")
       .join(hashed.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    val edPairs = EditDist.stages(documents, d = 10).pairs
-      .select(col("a_id"), col("b_id"))
-    exactPairs.union(edPairs)
   }
 
   private def withGroupSizes(labels: DataFrame): DataFrame = {

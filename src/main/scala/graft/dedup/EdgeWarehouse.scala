@@ -130,12 +130,14 @@ object EdgeWarehouse {
   /** Prefix rows + starved docs of `docs` under the frozen order.
     * rn is assigned over ALL grams (capped included — they sort last,
     * so surviving positions match EditDist.stages' prefix-then-cap
-    * sequencing), then the frozen df cap filters. */
+    * sequencing), then the frozen df cap filters.  `grams` hands in a
+    * precomputed (doc_id, len, hsh) frame so refresh grams its batch
+    * once (optimization r16). */
   private def edPrefixAndStarved(docs: DataFrame, freq: DataFrame,
-      capFreq: Double): (DataFrame, DataFrame) = {
+      capFreq: Double, grams: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("hsh"))
-    val pfx = charGrams(docs)
+    val pfx = grams.getOrElse(charGrams(docs))
       .join(freq, Seq("hsh"), "left")
       .withColumn("freq", coalesce(col("freq"), lit(0L)))
       .withColumn("rn", row_number().over(byRarity))
@@ -156,7 +158,22 @@ object EdgeWarehouse {
     * and every probe-side index the refreshes will equi-join. */
   def ingest(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val base = docs.localCheckpoint() // feeds edges + labels + 4 indexes
-    Dedup.nearDupEdges(base).withColumn("gen", lit(0))
+    // ONE gram pass (optimization r16, guide §1.2 — VERDICT-r15 ask
+    // #3): the inline Ed channel and the frozen .edfreq/.edpfx/
+    // .edstarved index each grammed the corpus (three gram passes, two
+    // freq aggregates, two rarity windows per ingest).  The pinned
+    // gram frame now feeds the staged Ed plan ONCE, and the frozen
+    // index rows are the staged plan's own byproducts — at ingest the
+    // frozen order IS the corpus order, so freq/prefix/starved are the
+    // identical frames (the old left join vs stages' inner join is
+    // vacuous here: ingest's freq covers every gram of base; the df
+    // cap is the same greatest(n·0.1, 20) on both paths —
+    // EdgeWarehouseSpec's refresh == one-shot pin covers the claim).
+    val shh = charGrams(base).localCheckpoint()
+    val ed = EditDist.stages(base, d = D, grams = Some(shh), pinPrefix = true)
+    Dedup.nearDupEdgesWith(base,
+        ed.pairs.select(col("a_id"), col("b_id")))
+      .withColumn("gen", lit(0))
       .write.mode("overwrite").partitionBy("gen").parquet(path)
     Dedup.connectedComponents(
         base.select(col("doc_id")),
@@ -164,17 +181,17 @@ object EdgeWarehouse {
       .write.mode("overwrite").parquet(labelsPath(path))
     MinHashWarehouse.materializeAll(base, mhPath(path))
     txtRows(base).write.mode("overwrite").parquet(txtPath(path))
-    // freeze the char-gram frequency order + df cap at ingest
-    val freq = charGrams(base).groupBy(col("hsh")).agg(count(lit(1)).as("freq"))
-    freq.write.mode("overwrite").parquet(freqPath(path))
+    // freeze the char-gram frequency order + df cap at ingest — the
+    // staged plan's own freq frame, written as-is
+    ed.freq.write.mode("overwrite").parquet(freqPath(path))
     val nDocs = base.count()
     val capFreq = math.max(nDocs * MaxDfRatio, 20.0)
     spark.range(1).select(lit(capFreq).as("cap_freq"), lit(nDocs).as("n_docs"))
       .write.mode("overwrite").parquet(metaPath(path))
-    val (pfx, starved) = edPrefixAndStarved(base,
-      spark.read.parquet(freqPath(path)), capFreq)
-    pfx.write.mode("overwrite").parquet(pfxPath(path))
-    starved.write.mode("overwrite").parquet(starvedPath(path))
+    ed.prefix.select(col("doc_id"), col("len"), col("hsh"))
+      .write.mode("overwrite").parquet(pfxPath(path))
+    ed.starved.select(col("doc_id"), col("len"))
+      .write.mode("overwrite").parquet(starvedPath(path))
   }
 
   /** REFRESH: assemble the batch's delta edges from the probe
@@ -282,8 +299,12 @@ object EdgeWarehouse {
     // full staged plan within the batch
     val meta = spark.read.parquet(metaPath(path)).head()
     val capFreq = meta.getDouble(0)
+    // one gram pass over the batch (optimization r16): the frozen-order
+    // prefix derivation and the within-batch staged Ed plan below share
+    // the pinned batch gram frame instead of each gramming the batch
+    val bShh = charGrams(batch).localCheckpoint()
     val (bPfx, bStarved) = edPrefixAndStarved(batch,
-      spark.read.parquet(freqPath(path)), capFreq)
+      spark.read.parquet(freqPath(path)), capFreq, grams = Some(bShh))
     val sPfx = spark.read.parquet(pfxPath(path))
     val pfxCross = bPfx.as("a")
       .join(sPfx.as("b"), col("a.hsh") === col("b.hsh") &&
@@ -309,7 +330,7 @@ object EdgeWarehouse {
       .join(standingTxt.select(col("doc_id").as("y"), col("text").as("y_text")), Seq("y"))
       .filter(levenshtein(col("x_text"), col("y_text"), D) >= 0)
       .select(col("x"), col("y"))
-    val edWithin = EditDist.stages(batch, d = D).pairs
+    val edWithin = EditDist.stages(batch, d = D, grams = Some(bShh)).pairs
       .select(col("a_id"), col("b_id"))
 
     // the standing side of every cross pair must be OUTSIDE the batch:

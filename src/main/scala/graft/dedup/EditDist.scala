@@ -68,17 +68,28 @@ import graft.sources.Tables
   */
 object EditDist {
 
-  /** Intermediates exposed for the spec's volume instrumentation. */
+  /** Intermediates exposed for the spec's volume instrumentation and —
+    * since round 16 — for EdgeWarehouse.ingest, whose frozen index rows
+    * (.edfreq/.edpfx/.edstarved) ARE this plan's freq/prefix/starved
+    * byproducts at ingest time (the frozen order at ingest is the
+    * corpus order), so ingest writes them instead of recomputing. */
   final case class EditDistStages(prefix: DataFrame, collisions: DataFrame,
-    pairs: DataFrame)
+    pairs: DataFrame, freq: DataFrame, starved: DataFrame)
 
   /** `d_dedup_editdist`: near-dup pairs at edit distance ≤ 10 over the
     * documents table.  Columns (a_id, b_id, ed). */
   def editDistPairs(spark: SparkSession, dir: String): DataFrame =
     stages(Tables(spark, dir).documents, d = 10).pairs
 
+  /** `grams`: an optional precomputed (doc_id, len, hsh) distinct-gram
+    * frame (optimization r16 — EdgeWarehouse.ingest pins ONE gram pass
+    * and feeds it to both this plan and the frozen index derivation);
+    * must equal the default expression's rows.  `pinPrefix`
+    * localCheckpoints the prefix before its three consumers (the
+    * collision self-join's two sides + the starved count). */
   def stages(docs: DataFrame, d: Int, q: Int = 4,
-      maxDfRatio: Double = 0.1): EditDistStages = {
+      maxDfRatio: Double = 0.1, grams: Option[DataFrame] = None,
+      pinPrefix: Boolean = false): EditDistStages = {
     val prefixLen = q * d + 1
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
@@ -86,13 +97,13 @@ object EditDist {
     // distinct char-q-gram hashes: split("") is Java code-unit chars
     // (corpus is single-byte text; gram identity only has to be
     // self-consistent — the verify is exact levenshtein either way)
-    val shh = base.select(col("doc_id"), col("len"),
-      explode(graft.functions.GramHashes(split(col("text"), ""), q)).as("hsh"))
+    val shh = grams.getOrElse(base.select(col("doc_id"), col("len"),
+      explode(graft.functions.GramHashes(split(col("text"), ""), q)).as("hsh")))
     val freq = shh.groupBy(col("hsh")).agg(count(lit(1)).as("freq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("hsh"))
-    val prefix = shh
+    val prefix0 = shh
       .join(freq, Seq("hsh"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
@@ -101,6 +112,7 @@ object EditDist {
       // 4-doc frame 0.1·n rounds to zero and would drop EVERY gram
       .filter(col("freq") <= greatest(col("n_docs") * maxDfRatio, lit(20)))
       .select(col("doc_id"), col("len"), col("hsh"))
+    val prefix = if (pinPrefix) prefix0.localCheckpoint() else prefix0
 
     val collisions = prefix.as("a")
       .join(prefix.as("b"), col("a.hsh") === col("b.hsh") &&
@@ -143,6 +155,6 @@ object EditDist {
       .withColumn("ed", levenshtein(col("a_text"), col("b_text"), d))
       .filter(col("ed") >= 0)
       .select(col("a_id"), col("b_id"), col("ed").cast("bigint").as("ed"))
-    EditDistStages(prefix, collisions, pairs)
+    EditDistStages(prefix, collisions, pairs, freq, starved)
   }
 }

@@ -59,6 +59,19 @@ object VectorFunctions {
     * norms per row before a pairwise join (norm is per-ROW math). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-row gradient term vector roundx(err·x_j, 9) (GradTermsArr —
+    * optimization r16): the logreg trainers' no-explode kernel; see
+    * GradSum.scala's bit-exactness contract. */
+  def gradTerms(vn: Column, err: Column): Column =
+    GraftBridge.column(GradTermsArr(
+      GraftBridge.expression(vn), GraftBridge.expression(err)))
+
+  /** Elementwise Exact.sumx over array<double> rows (SumxArrAgg):
+    * slot j == sumx of the rows' j-th elements, bit-for-bit. */
+  def sumxArr(c: Column): Column =
+    GraftBridge.column(SumxArrAgg(GraftBridge.expression(c))
+      .toAggregateExpression())
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1), derived
     * from md5 of "plane<p>:<dim>".  Computed once driver-side (they are
     * constants) and shipped as array literals — zero per-row hashing. */

@@ -108,8 +108,15 @@ object BigramLmWarehouse {
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val tk = toks(batch).localCheckpoint()
     val (c1, c2) = counts(tk)
-    val delta1 = c1.localCheckpoint()
-    if (delta1.isEmpty) return // empty batch: nothing to fold, stats exact
+    // stats scalars ride the delta checkpoint + the stats write plan
+    // (optimization r16, the LmWarehouse.refresh fold — VERDICT-r15
+    // ask #7): isEmpty/batchTokens off the observe, new-term count and
+    // stats head folded into the replace's own 1-row plan
+    val obs = new org.apache.spark.sql.Observation()
+    val delta1 = c1.observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("bt"),
+      count(lit(1)).as("nterms")).localCheckpoint()
+    if (obs.get("nterms").asInstanceOf[Long] == 0L) return // empty batch
+    val batchTokens = obs.get("bt").asInstanceOf[Long]
     val buckets = delta1.select(bucket(col("w")).as("wb"))
       .distinct().collect().map(_.getLong(0))
     // standing vocab by SUMMED count ≠ 0 (not row distinct): a
@@ -122,15 +129,14 @@ object BigramLmWarehouse {
       .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
       .filter(col("scnt") =!= 0)
       .select(col("w"))
-    val newTerms = delta1.join(standing, Seq("w"), "left_anti").count()
-    val batchTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
-    val st = snap.read(statsPath(path)).head()
+    val newTerms = delta1.join(standing, Seq("w"), "left_anti")
+      .agg(count(lit(1)).as("nt"))
     CommitLog.transaction(spark, path) { t =>
       t.append(delta1.withColumn("wb", bucket(col("w"))), c1Path(path), Seq("wb"))
       t.append(c2.withColumn("pwb", bucket(col("pw"))), c2Path(path), Seq("pwb"))
-      t.replace(spark.range(1)
-        .select(lit(st.getLong(0) + batchTokens).as("nb"),
-          lit(st.getLong(1) + newTerms).as("v")), statsPath(path))
+      t.replace(snap.read(statsPath(path)).crossJoin(newTerms)
+        .select((col("nb") + lit(batchTokens)).as("nb"),
+          (col("v") + col("nt")).as("v")), statsPath(path))
     }
   }
 
@@ -151,8 +157,12 @@ object BigramLmWarehouse {
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
     val tk = toks(removed).localCheckpoint()
     val (c1, c2) = counts(tk)
-    val delta1 = c1.localCheckpoint()
-    if (delta1.isEmpty) return // empty takedown list: warehouse untouched
+    // the refresh verb's stats-fold shape, mirrored (optimization r16)
+    val obs = new org.apache.spark.sql.Observation()
+    val delta1 = c1.observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("rt"),
+      count(lit(1)).as("nterms")).localCheckpoint()
+    if (obs.get("nterms").asInstanceOf[Long] == 0L) return // empty takedown
+    val removedTokens = obs.get("rt").asInstanceOf[Long]
     val buckets = delta1.select(bucket(col("w")).as("wb"))
       .distinct().collect().map(_.getLong(0))
     val snap = CommitLog.snapshot(spark, path)
@@ -160,17 +170,16 @@ object BigramLmWarehouse {
       .filter(col("wb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("w")).agg(sum(col("cnt")).as("scnt"))
     val vanished = delta1.join(standing, Seq("w"))
-      .filter(col("scnt") === col("cnt")).count()
-    val removedTokens = delta1.agg(sum(col("cnt"))).head().getLong(0)
-    val st = snap.read(statsPath(path)).head()
+      .filter(col("scnt") === col("cnt"))
+      .agg(count(lit(1)).as("vt"))
     CommitLog.transaction(spark, path) { t =>
       t.append(delta1.select(col("w"), (-col("cnt")).as("cnt"))
         .withColumn("wb", bucket(col("w"))), c1Path(path), Seq("wb"))
       t.append(c2.select(col("pw"), col("w"), (-col("cnt")).as("cnt"))
         .withColumn("pwb", bucket(col("pw"))), c2Path(path), Seq("pwb"))
-      t.replace(spark.range(1)
-        .select(lit(st.getLong(0) - removedTokens).as("nb"),
-          lit(st.getLong(1) - vanished).as("v")), statsPath(path))
+      t.replace(snap.read(statsPath(path)).crossJoin(vanished)
+        .select((col("nb") - lit(removedTokens)).as("nb"),
+          (col("v") - col("vt")).as("v")), statsPath(path))
     }
   }
 

@@ -80,10 +80,22 @@ object LmWarehouse {
     * row is rewritten.  Batch doc_ids/terms need no uniqueness — the
     * probe sums deltas per term. */
   def refresh(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    // stats scalars ride the delta's own materialization and the stats
+    // write's plan (optimization r16, guide §1.2 — VERDICT-r15 ask #7):
+    // the old verb paid an eager isEmpty probe, a batchTokens aggregate
+    // job and a 1-row stats head() per refresh; batchTokens/emptiness
+    // now come off an observe() on the delta checkpoint, and the
+    // (nb, v) replace is a 1-row PLAN over the pinned stats snapshot
+    // crossJoined with the new-term count — the anti-join count job
+    // folds into the transaction's own write.  Same integers.
+    val obs = new org.apache.spark.sql.Observation()
     val delta = batch.select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("bt"),
+        count(lit(1)).as("nterms"))
       .localCheckpoint()
-    if (delta.isEmpty) return // empty batch: nothing to fold, stats exact
+    if (obs.get("nterms").asInstanceOf[Long] == 0L) return // empty batch
+    val batchTokens = obs.get("bt").asInstanceOf[Long]
     val buckets = delta.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     // standing vocab = terms whose SUMMED count is nonzero — a
@@ -97,16 +109,15 @@ object LmWarehouse {
       .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
       .filter(col("scnt") =!= 0)
       .select(col("term"))
-    val newTerms = delta.join(standing, Seq("term"), "left_anti").count()
-    val batchTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
-    val st = snap.read(statsPath(path)).head()
+    val newTerms = delta.join(standing, Seq("term"), "left_anti")
+      .agg(count(lit(1)).as("nt"))
     // model append + stats replace land as ONE transaction — a reader
     // can never see the deltas without the matching denominator
     CommitLog.transaction(spark, path) { t =>
       t.append(delta.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
-      t.replace(spark.range(1)
-        .select(lit(st.getLong(0) + batchTokens).as("nb"),
-          lit(st.getLong(1) + newTerms).as("v")), statsPath(path))
+      t.replace(snap.read(statsPath(path)).crossJoin(newTerms)
+        .select((col("nb") + lit(batchTokens)).as("nb"),
+          (col("v") + col("nt")).as("v")), statsPath(path))
     }
   }
 
@@ -127,10 +138,18 @@ object LmWarehouse {
     * contract mirrored): removed docs were ingested with this exact
     * text. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
+    // the refresh verb's stats-fold shape, mirrored (optimization r16):
+    // removedTokens/emptiness off the delta observe, the (nb, v)
+    // decrement as a 1-row plan over the pinned snapshot + the
+    // vanished-term count — two aggregate jobs and a head() gone
+    val obs = new org.apache.spark.sql.Observation()
     val delta = removed.select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("rt"),
+        count(lit(1)).as("nterms"))
       .localCheckpoint()
-    if (delta.isEmpty) return // empty takedown list: warehouse untouched
+    if (obs.get("nterms").asInstanceOf[Long] == 0L) return // empty takedown
+    val removedTokens = obs.get("rt").asInstanceOf[Long]
     val buckets = delta.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getLong(0))
     val snap = CommitLog.snapshot(spark, path)
@@ -138,15 +157,14 @@ object LmWarehouse {
       .filter(col("tb").isin(buckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .groupBy(col("term")).agg(sum(col("cnt")).as("scnt"))
     val vanished = delta.join(standing, Seq("term"))
-      .filter(col("scnt") === col("cnt")).count()
-    val removedTokens = delta.agg(sum(col("cnt"))).head().getLong(0)
-    val st = snap.read(statsPath(path)).head()
+      .filter(col("scnt") === col("cnt"))
+      .agg(count(lit(1)).as("vt"))
     CommitLog.transaction(spark, path) { t =>
       t.append(delta.select(col("term"), (-col("cnt")).as("cnt"))
         .withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
-      t.replace(spark.range(1)
-        .select(lit(st.getLong(0) - removedTokens).as("nb"),
-          lit(st.getLong(1) - vanished).as("v")), statsPath(path))
+      t.replace(snap.read(statsPath(path)).crossJoin(vanished)
+        .select((col("nb") - lit(removedTokens)).as("nb"),
+          (col("v") - col("vt")).as("v")), statsPath(path))
     }
   }
 

@@ -639,22 +639,35 @@ object TrainPrep {
   def pipelineE2e(spark: SparkSession, dir: String,
       budget: Long = 10000L): DataFrame = {
     import graft.dedup.Dedup
+    // STAGE COUNTS RIDE THE STAGE MATERIALIZATIONS via observe()
+    // (optimization r16, guide §1.2 — VERDICT-r15 ask #4; the Dedup CC
+    // convergence-scalar precedent): each funnel count used to be its
+    // own count() job against the stage's fresh localCheckpoint — the
+    // metric now computes as the rows stream into the checkpoint, so
+    // six count jobs per run become zero.  Same counts, same frames.
     val docs = Tables(spark, dir).documents
-    val nDocs = docs.count()
 
-    // 1 — GATE: the funnel's keep flag
-    val gated = corpusFunnel(spark, dir).filter(col("keep") === 1)
+    // 1 — GATE: the funnel's keep flag.  corpusFunnel is one row per
+    // doc, so n_docs rides the same observation as the gate count.
+    val gateObs = new org.apache.spark.sql.Observation()
+    val gated = corpusFunnel(spark, dir)
+      .observe(gateObs, count(lit(1)).as("n_docs"),
+        sum((col("keep") === 1).cast("long")).as("n_gated"))
+      .filter(col("keep") === 1)
       .select(col("doc_id")).localCheckpoint()
-    val nGated = gated.count()
+    val nDocs = gateObs.get("n_docs").asInstanceOf[Long]
+    val nGated = gateObs.get("n_gated").asInstanceOf[Long]
 
     // 2 — GROUP + KEEP-BEST among the gated docs
     val quality = docs.select(col("doc_id"),
       TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    val kbObs = new org.apache.spark.sql.Observation()
     val kb = Dedup.keepBestFrom(
         Dedup.dedupGroups(spark, dir).join(gated, Seq("doc_id"), "left_semi"),
         quality)
-      .select(col("kept_doc_id").as("doc_id")).localCheckpoint()
-    val nKb = kb.count()
+      .select(col("kept_doc_id").as("doc_id"))
+      .observe(kbObs, count(lit(1)).as("n")).localCheckpoint()
+    val nKb = kbObs.get("n").asInstanceOf[Long]
 
     // 3 — DECONTAMINATE: candidates are the train-bucket survivors;
     // any sharing an 8-gram with the held-out slice drop
@@ -672,9 +685,11 @@ object TrainPrep {
     val contaminated = cand.select(col("doc_id"), explode(col("g")).as("hsh"))
       .join(PlanHints.broadcastIfSmall(evalGrams), Seq("hsh"))
       .select(col("doc_id")).distinct()
+    val cleanObs = new org.apache.spark.sql.Observation()
     val clean = cand.select(col("doc_id"))
-      .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
-    val nClean = clean.count()
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .observe(cleanObs, count(lit(1)).as("n")).localCheckpoint()
+    val nClean = cleanObs.get("n").asInstanceOf[Long]
 
     // 4 — BUDGET-SELECT over the clean survivors (threshold fold)
     val scored = docs.join(clean, Seq("doc_id"), "left_semi").select(
@@ -682,16 +697,20 @@ object TrainPrep {
       TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
       graft.functions.TextFunctions.regexTokenCount(col("text"))
         .cast("long").as("re_tokens"))
+    val selObs = new org.apache.spark.sql.Observation()
     val selected = budgetSelectFrom(scored, budget)
-      .filter(col("kept") === 1L).select(col("doc_id")).localCheckpoint()
-    val nSel = selected.count()
+      .filter(col("kept") === 1L).select(col("doc_id"))
+      .observe(selObs, count(lit(1)).as("n")).localCheckpoint()
+    val nSel = selObs.get("n").asInstanceOf[Long]
 
     // 5 — PACK: chunk the selected docs (one scan, narrow explode)
     val selDocs = docs.join(selected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text")).localCheckpoint()
+    val chunkObs = new org.apache.spark.sql.Observation()
     val chunks = chunkDocsOf(selDocs)
-      .select(col("doc_id"), col("chunk_id"), col("n_tokens")).localCheckpoint()
-    val nChunks = chunks.count()
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+      .observe(chunkObs, count(lit(1)).as("n")).localCheckpoint()
+    val nChunks = chunkObs.get("n").asInstanceOf[Long]
 
     // 6 — SHARD: layout + 256-token sequence packing of the chunks
     val layout = shardLayoutOf(selDocs, shards = 8)

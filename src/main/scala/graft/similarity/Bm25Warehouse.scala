@@ -81,14 +81,22 @@ object Bm25Warehouse {
   private def contribution(docs: DataFrame):
       (DataFrame, DataFrame, Long, Long) = {
     val toks = docs.select(col("doc_id"), words(col("text")).as("toks"))
+    // (n, sl) ride the lens checkpoint via observe() (optimization
+    // r16, guide §1.2 — VERDICT-r15 ask #7): the old shape paid a
+    // separate aggregate job per ingest/refresh/retract for two
+    // scalars the materialization already streams past
+    val obs = new org.apache.spark.sql.Observation()
     val lens = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("len")).localCheckpoint()
+        size(col("toks")).cast("long").as("len"))
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("len")), lit(0L)).as("sl"))
+      .localCheckpoint()
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfd = tf.groupBy(col("term")).agg(count(lit(1)).as("dfd"))
-    val st = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sl")).head()
-    (tf.join(lens, Seq("doc_id")), dfd, st.getLong(0), st.getLong(1))
+    (tf.join(lens, Seq("doc_id")), dfd,
+      obs.get("n").asInstanceOf[Long], obs.get("sl").asInstanceOf[Long])
   }
 
   private def statsFrame(spark: SparkSession, n: Long, sl: Long): DataFrame =
@@ -143,11 +151,13 @@ object Bm25Warehouse {
       graft.sources.StreamTwin.seenBatch(snap, path, id))
     if (seen) return false
     val (postings, dfd, n, sl) = contribution(batch)
-    val st = snap.read(statsPath(path)).head()
+    // the (n, sl) bump as a 1-row plan over the pinned stats snapshot
+    // — the eager head() per refresh is gone (optimization r16)
     CommitLog.transaction(spark, path) { t =>
       t.append(postings.withColumn("tb", termBucket(col("term"))), path, Seq("tb"))
       t.append(dfd.withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
-      t.replace(statsFrame(spark, st.getLong(0) + n, st.getLong(1) + sl),
+      t.replace(snap.read(statsPath(path))
+        .select((col("n") + lit(n)).as("n"), (col("sl") + lit(sl)).as("sl")),
         statsPath(path))
       batchId.foreach(id => graft.sources.StreamTwin.commitBatchId(t, path, id))
     }
@@ -176,12 +186,15 @@ object Bm25Warehouse {
     * rows out.  O(removed) + a 1-row read; no standing row touched. */
   def retract(spark: SparkSession, removed: DataFrame, path: String): Unit = {
     val (_, dfd, n, sl) = contribution(removed)
-    val st = CommitLog.snapshot(spark, path).read(statsPath(path)).head()
+    // the (n, sl) decrement as a 1-row plan over the pinned snapshot —
+    // the eager head() per retract is gone (optimization r16)
+    val snap = CommitLog.snapshot(spark, path)
     CommitLog.transaction(spark, path) { t =>
       t.append(dfd.select(col("term"), (-col("dfd")).as("dfd"))
         .withColumn("tb", termBucket(col("term"))), dfPath(path), Seq("tb"))
       t.append(removed.select(col("doc_id")), tombPath(path))
-      t.replace(statsFrame(spark, st.getLong(0) - n, st.getLong(1) - sl),
+      t.replace(snap.read(statsPath(path))
+        .select((col("n") - lit(n)).as("n"), (col("sl") - lit(sl)).as("sl")),
         statsPath(path))
     }
   }

@@ -17,11 +17,11 @@ import graft.sources.Tables
   * convex log-loss):
   *  - the weight vector is a PLAN LITERAL (dims+1 doubles) — scoring
   *    costs one codegen'd dot per row, no join, no broadcast table;
-  *  - the gradient is Σ (p−y)·x per dim: the (doc, dim, x) explode is
-  *    PINNED once per training run (localCheckpoint before the loop),
-  *    each round computes one error per DOC and broadcasts that tiny
-  *    frame onto the pinned explode (BHJ — no shuffle), then ONE
-  *    partial-aggregated shuffle bounded by dims groups;
+  *  - the gradient is Σ (p−y)·x per dim, computed with NO explode and
+  *    NO join (round 16): each round is ONE global aggregate over the
+  *    doc frame — a native per-row term vector (GradTermsArr) folded
+  *    elementwise through the exact DECIMAL route (SumxArrAgg), with
+  *    partial aggregation shrinking each partition to dims+2 sums;
   *  - the driver holds dims+1 doubles and the loss scalar per round —
   *    K-row metadata, the Kmeans-history pattern, never data.
   *
@@ -73,74 +73,48 @@ object Logreg {
   /** Full-batch GD for `iters` rounds at rate `lr`.  Returns
     * ((weights, bias), history(iter, loss)).
     *
-    * Plan shape (reworked round 10, VERDICT-r09 ask #4): the (doc,
-    * dim, x) POSEXPLODE IS PINNED ONCE before the loop (localCheckpoint
-    * — the k-means/BPE lineage-pin pattern), so a GD round no longer
-    * re-derives the exploded corpus from raw features.  Per round
-    * (optimization r15, guide §1.2/§2.3): ONE job — the doc-level
-    * error frame (one sigmoid dot per doc) joins onto the pinned
-    * explode and the dims-group aggregate carries the gradient sums
-    * PLUS the bias/loss sums guarded to the dim-0 rows (each doc
-    * contributes exactly one dim-0 explode row, so the dim-0 group's
-    * conditional sums are the old doc-frame aggregate's sums
-    * term-for-term, with zero decimal work on the other dims' rows).
-    * The r10 shape ran a SECOND job per round for the bias/loss
-    * scalars, recomputing the doc errors' sigmoid dots for it.
-    * Bit-determinism is untouched: the surviving terms are the
-    * identical roundx(·,9) values on the identical rows, and DECIMAL
-    * sums are order-free (LogregSpec's reference-parity and
-    * determinism pins run unchanged).
+    * Plan shape (reworked round 16, VERDICT-r15 ask #5 / guide §2.3 —
+    * shuffle fewer bytes): NO EXPLODE.  The r10–r15 shape pinned a
+    * (doc, dim, x) posexplode — docs × dims rows in executor storage —
+    * and per round joined the doc errors onto it and shuffled
+    * dims-group DECIMAL partials.  The gradient never needed that:
+    * per round, ONE global aggregate over the doc frame computes each
+    * doc's dims-wide term vector natively (GradTermsArr = roundx(err·x,
+    * 9) per slot) and folds the vectors elementwise through the exact
+    * sumx DECIMAL route (SumxArrAgg), with the bias/loss scalar sums
+    * riding the same aggregate.  The per-round aggregate input is
+    * dims-fold smaller, the per-training-run explode materialization
+    * is gone, and so is the err-side join (hence the old broadcast-
+    * vs-shuffle gate: there is no join to gate).
     *
-    * SCALE CONTRACT, stated honestly (ADVICE-r10): the error frame is
-    * one row per TRAINING doc and the pinned explode is docs × dims
-    * rows in executor storage — both O(training set), not O(1).  The
-    * error-side broadcast is therefore gated on a row-count threshold:
-    * curated training sets (the production shape for quality
-    * classifiers — labeled data is the scarce side) broadcast; above
-    * the threshold the join falls back to shuffle on vec_id, same
-    * bit-exact sums, one extra exchange per round.  The explode pin is
-    * spill-backed (localCheckpoint stores with replication to disk-
-    * capable StorageLevel), so past-memory training sets degrade to
-    * disk, not OOM. */
-  private[graft] val BroadcastErrRows = 2000000L // ~48 MB of (id, err, ll) rows
-
+    * Bit-determinism is untouched: the term multiset per dim is
+    * identical to the exploded dims-group sums (GradSum.scala's
+    * contract — quantization replicated op-for-op), and DECIMAL sums
+    * are order-free.  LogregSpec pins the fused aggregate against the
+    * exploded dims-group reference bit-for-bit, plus the unchanged
+    * single-machine-gradient and determinism tests. */
   def train(eN: DataFrame, dims: Int, iters: Int, lr: Double)
       : ((Array[Double], Double), Seq[(Long, Double)]) = {
     val n = eN.count().toDouble
-    val ex = eN.select(col("vec_id"), posexplode(col("vn")).as(Seq("dim", "x")))
-      .localCheckpoint()
     var w = Array.fill(dims)(0.0)
     var b = 0.0
     val hist = Seq.newBuilder[(Long, Double)]
     for (it <- 1 to iters) {
-      // one sigmoid dot per DOC (never per exploded row — the ×dims
-      // re-evaluation trap, now avoided by construction)
-      val docErr = eN.select(col("vec_id"),
-        (scoreCol(w, b) - col("y")).as("err"),
-        (-when(col("y") === 1.0, log(greatest(scoreCol(w, b), lit(1e-12))))
-          .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"))
-      // ONE job per round (optimization r15, guide §1.2/§2.3): the
-      // bias/loss sums ride the SAME dims-group aggregate as the
-      // gradient, guarded to the dim-0 rows — every doc contributes
-      // exactly one dim-0 row to the pinned explode, so the dim-0
-      // group's conditional sums ARE the old per-doc aggregate's sums
-      // term-for-term (DECIMAL sums are order-free ⇒ bit-identical
-      // weights/loss), and the doc-error frame is computed once per
-      // round instead of twice (its K sigmoid dots were the second
-      // job's full scan)
-      val errSide = docErr
-      val g = ex
-        .join(if (n <= BroadcastErrRows) broadcast(errSide) else errSide,
-          Seq("vec_id"))
-        .groupBy(col("dim"))
-        .agg(sumx(roundx(col("err") * col("x"), 9)).as("gsum"),
-          sumx(when(col("dim") === 0, roundx(col("err"), 9))).as("esum"),
-          sumx(when(col("dim") === 0, roundx(col("ll"), 9))).as("lsum"))
-        .collect()
-      val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
-      w = Array.tabulate(dims)(j => w(j) - lr * byDim(j).getAs[Double]("gsum") / n)
-      b = b - lr * byDim(0).getAs[Double]("esum") / n
-      hist += ((it.toLong, byDim(0).getAs[Double]("lsum") / n))
+      // one sigmoid dot per DOC; gradient, bias and loss sums in ONE
+      // job with no join and no dims-group shuffle
+      val row = eN.select(
+          (scoreCol(w, b) - col("y")).as("err"),
+          (-when(col("y") === 1.0, log(greatest(scoreCol(w, b), lit(1e-12))))
+            .otherwise(log(greatest(lit(1.0) - scoreCol(w, b), lit(1e-12))))).as("ll"),
+          col("vn"))
+        .agg(sumxArr(gradTerms(col("vn"), col("err"))).as("gsum"),
+          sumx(roundx(col("err"), 9)).as("esum"),
+          sumx(roundx(col("ll"), 9)).as("lsum"))
+        .head()
+      val gs = row.getSeq[Double](row.fieldIndex("gsum"))
+      w = Array.tabulate(dims)(j => w(j) - lr * gs(j) / n)
+      b = b - lr * row.getAs[Double]("esum") / n
+      hist += ((it.toLong, row.getAs[Double]("lsum") / n))
     }
     ((w, b), hist.result())
   }
@@ -181,32 +155,26 @@ object Logreg {
   }
 
   /** One-vs-rest trained JOINTLY: all K binary classifiers advance in
-    * the same GD iteration, and the per-iteration cost is ONE
-    * dims-group shuffle — independent of K.  Each row computes its K
-    * error terms in the Project below the posexplode (attribute
-    * references over the explode, the usual trap avoidance), and the
-    * dim aggregation carries 2K sum columns (per-class gradient +
-    * bias/error sums, the bias read off the dim-0 row) instead of
-    * running K separate passes.  Driver state: K·(dims+1) doubles —
-    * classifier metadata, the Kmeans-history pattern.
+    * the same GD iteration, and the per-iteration cost is ONE global
+    * aggregate over the doc frame — independent of K in shuffle count
+    * and, since round 16, free of the posexplode entirely (the binary
+    * trainer's no-explode shape, K-wide: K GradTermsArr/SumxArrAgg
+    * array aggregates + K scalar bias sums ride one job; see `train`).
+    * Driver state: K·(dims+1) doubles — classifier metadata, the
+    * Kmeans-history pattern.
     *
     * Same determinism route as the binary trainer (terms quantized at
-    * 6 dp by the DECIMAL(30,6) sumx cast) — weights, hence every
-    * prediction, are bit-identical across runs and partitionings. */
+    * 6 dp by the DECIMAL(30,6) route, order-free sums) — weights,
+    * hence every prediction, are bit-identical across runs and
+    * partitionings; LogregSpec pins the fused aggregate against the
+    * exploded dims-group reference bit-for-bit. */
   def trainOvr(eN: DataFrame, labels: Seq[Long], dims: Int, iters: Int, lr: Double,
-      broadcastErrRows: Long = BroadcastErrRows,
       nOpt: Option[Double] = None)
       : (Array[Array[Double]], Array[Double]) = {
     // callers that already counted the frame (logregOvrIters' fused
     // label+count pass) hand n in — one fewer job, identical value
     val n = nOpt.getOrElse(eN.count().toDouble)
     val k = labels.size
-    // the pinned explode + doc-level-error plan of `train`, K-wide
-    // (VERDICT-r09 ask #4): per round the big aggregate carries K
-    // gradient sums instead of 2K, the K bias sums fold on the doc
-    // frame, and the corpus explode is never re-derived
-    val ex = eN.select(col("vec_id"), posexplode(col("vn")).as(Seq("dim", "x")))
-      .localCheckpoint()
     val ws = Array.fill(k)(Array.fill(dims)(0.0))
     val bs = Array.fill(k)(0.0)
     for (_ <- 1 to iters) {
@@ -214,36 +182,17 @@ object Logreg {
         (scoreCol(ws(j), bs(j)) -
           when(col("label") === labels(j), 1.0).otherwise(0.0)).as(s"err_$j")
       }
-      val docErr = eN.select(col("vec_id") +: errCols: _*)
-      // the binary trainer's one-job-per-round fusion, K-wide: the K
-      // bias sums ride the dims-group aggregate guarded to dim-0 rows
-      // (one dim-0 explode row per doc ⇒ the sums are the old doc-
-      // frame aggregate's term-for-term; DECIMAL sums are order-free
-      // ⇒ bit-identical weights), halving both the per-round job
-      // count and the per-round sigmoid-dot passes over the docs
-      val eAggs = labels.indices.map(j =>
-        sumx(when(col("dim") === 0, roundx(col(s"err_$j"), 9))).as(s"e_$j"))
+      val docErr = eN.select(col("vn") +: errCols: _*)
       val gAggs = labels.indices.map(j =>
-        sumx(roundx(col(s"err_$j") * col("x"), 9)).as(s"g_$j"))
-      // the binary trainer's broadcast gate, K-width-adjusted: the OVR
-      // error frame carries K error columns per doc, so the ~32 MB
-      // row budget divides by K — above it the join falls back to a
-      // vec_id shuffle with the identical roundx/sumx terms, so
-      // weights are bit-equal through both strategies (spec-pinned;
-      // the ungated broadcast was a 100x-scale executor OOM,
-      // VERDICT-r11 "what's wrong" #1)
-      val errSide =
-        if (n * k <= broadcastErrRows) broadcast(docErr) else docErr
+        sumxArr(gradTerms(col("vn"), col(s"err_$j"))).as(s"g_$j"))
+      val eAggs = labels.indices.map(j =>
+        sumx(roundx(col(s"err_$j"), 9)).as(s"e_$j"))
       val aggs = gAggs ++ eAggs
-      val g = ex.join(errSide, Seq("vec_id"))
-        .groupBy(col("dim"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
+      val row = docErr.agg(aggs.head, aggs.tail: _*).head()
       labels.indices.foreach { j =>
-        val grad = Array.tabulate(dims)(d => byDim(d).getAs[Double](s"g_$j"))
+        val grad = row.getSeq[Double](row.fieldIndex(s"g_$j"))
         (0 until dims).foreach(d => ws(j)(d) -= lr * grad(d) / n)
-        bs(j) -= lr * byDim(0).getAs[Double](s"e_$j") / n
+        bs(j) -= lr * row.getAs[Double](s"e_$j") / n
       }
     }
     (ws, bs)

@@ -123,13 +123,22 @@ object RecallMonitor {
     * (ADVICE r13 #2; RecallMonitorSpec pins the vacuous case). */
   private def rowOf(method: String, truth: DataFrame,
       cands: DataFrame): DataFrame = {
-    val t = truth.select(col("query_id"), col("vec_id")).localCheckpoint()
-    val stats = t.agg(count(lit(1)).as("truth_n"),
-      countDistinct(col("query_id")).as("n_queries"))
-    val matched = t.join(cands.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"))
-      .agg(count(lit(1)).as("matched"))
-    stats.crossJoin(matched)
+    // ONE aggregate (optimization r16, guide §1.2 — VERDICT-r15 ask
+    // #6): the old shape checkpointed the truth pairs (one extra job
+    // per monitor row) and served stats + matched as two aggregate
+    // subtrees crossJoined back together.  Candidates pre-aggregate to
+    // per-pair counts — dup-safe: summing the per-pair count over the
+    // left join is term-identical to the old inner-join row count even
+    // if a candidate pair ever repeated — then one left join + one
+    // aggregate serves the row, and the brute truth pass runs exactly
+    // once inside the serving plan (the checkpoint job is gone).
+    val t = truth.select(col("query_id"), col("vec_id"))
+    val c = cands.select(col("query_id"), col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id")).agg(count(lit(1)).as("__c"))
+    t.join(c, Seq("query_id", "vec_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("truth_n"),
+        coalesce(sum(col("__c")), lit(0L)).as("matched"))
       .select(lit(method).as("method"), col("n_queries"), col("truth_n"),
         col("matched"),
         when(col("truth_n") === 0, lit(1.0))

@@ -64,7 +64,8 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(line.endsWith("}"))
     // the r11 audit header (VERDICT-r10 ask #2): reps + aggregation
     // marker + the one-time build bucket ride at worst-case widths
-    assert(line.contains(""""reps":3,"agg":"min","build_sec":999.99"""),
+    // r16: the cpus/par echo rides between agg and build_sec
+    assert(line.contains(""""reps":3,"agg":"min","cpus":-1,"par":-1,"build_sec":999.99"""),
       "audit header missing from the digest")
     // THE ask-#2 pin: every current probe row is driver-visible data
     // (centisecond integers since round 13 — 99.99 s rides as 9999)
@@ -197,7 +198,7 @@ class BenchDigestSpec extends AnyFunSuite {
       "failure count missing from the degenerate digest")
     assert(line2.endsWith("}"))
     // the audit header survives every ladder rung, the floor included
-    assert(line2.contains(""""reps":3,"agg":"min","build_sec":"""),
+    assert(line2.contains(""""reps":3,"agg":"min","cpus":-1,"par":-1,"build_sec":"""),
       "audit header fell off the degenerate rung")
   }
 
@@ -211,6 +212,23 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(line.length <= Bench.DigestBudget, s"wide-rollup digest ${line.length}B over budget")
     assert(line.contains("\"q_other\":{\"n\":"), "wide rollup did not fold")
     assert(line.endsWith("}"))
+  }
+
+  test("resolved cpus + parallelism ride the audit header on every rung (VERDICT-r15 ask #2)") {
+    // realistic rung
+    val line = Bench.digestLine(Bench.headlinerNames.map(_ -> 0.41),
+      Bench.probeNames.map(_ -> 0.42), 75.145, "[]", "/root/testdata/sf0.1",
+      stress, ann, buildSec = 170.0,
+      builds = Bench.probeNames.map(_ -> 3.61), cpus = 32, par = 32)
+    assert(line.contains(""""cpus":32,"par":32"""), "cpus echo missing")
+    assert(line.length <= Bench.DigestBudget)
+    // degenerate rung (mass failure) keeps the header too
+    val huge = (1 to 60).map(i => f"imaginary_catastrophic_failure_with_a_long_name_$i%02d" -> -1.0)
+    val hugeJson = huge.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val line2 = Bench.digestLine(huge, Bench.probeNames.map(_ -> -1.0),
+      -1.0, hugeJson, "/root/testdata/sf0.1", stress, ann, cpus = 8, par = 8)
+    assert(line2.contains(""""cpus":8,"par":8"""), "cpus echo fell off the degenerate rung")
+    assert(line2.length <= Bench.DigestBudget)
   }
 
   test("null stress/ann produce a clean digest; failed rows surface") {

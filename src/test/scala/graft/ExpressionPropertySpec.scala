@@ -152,6 +152,42 @@ class ExpressionPropertySpec extends GraftSpec {
     })
   }
 
+  test("GradTermsArr/SumxArrAgg == roundx transform + exploded dims-group sumx, bit for bit (r16)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorFunctions.{gradTerms, sumxArr}
+    import graft.functions.Exact.{roundx, sumx}
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToRawLongBits)
+    val dims = 6
+    val rowGen = for {
+      v <- Gen.listOfN(dims, Gen.chooseNum(-1e3, 1e3))
+      e <- Gen.chooseNum(-10.0, 10.0)
+    } yield (v, e)
+    val rowsGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, rowGen))
+    holds(forAll(rowsGen) { rows =>
+      val df = rows.toDF("vn", "err")
+      // per-row terms: native == the HOF roundx transform
+      val natRows = df.select(gradTerms(col("vn"), col("err")))
+        .collect().map(_.getSeq[Double](0))
+      val hofRows = df.select(transform(col("vn"),
+          x => roundx(col("err") * x, 9)))
+        .collect().map(_.getSeq[Double](0))
+      val rowsEq = natRows.zip(hofRows).forall { case (a, b) => bits(a) == bits(b) }
+      // the elementwise fold: native == posexplode + dims-group sumx
+      val nat = df.agg(sumxArr(gradTerms(col("vn"), col("err"))))
+        .head().getSeq[Double](0)
+      val ref = df.select(col("err"), posexplode(col("vn")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sumx(roundx(col("err") * col("x"), 9)).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val aggEq = nat.zipWithIndex.forall { case (g, j) =>
+        java.lang.Double.doubleToRawLongBits(g) ==
+          java.lang.Double.doubleToRawLongBits(ref(j))
+      }
+      rowsEq && aggEq
+    })
+  }
+
   test("GramHashes positional/distinct modes agree on gram identity") {
     val s = spark
     import s.implicits._

@@ -72,23 +72,55 @@ class LogregSpec extends GraftSpec {
     assert(a.count() == graft.sources.Tables(spark, Dir).embeddings.count())
   }
 
-  test("OVR error-frame broadcast gate: bit-identical weights through both join strategies (VERDICT r11 #3)") {
-    // the gate exists because the OVR docErr frame is K columns wide
-    // per training doc — past the row budget it must shuffle on vec_id
-    // instead of broadcasting; the roundx/sumx DECIMAL route makes the
-    // two plans produce the SAME sums, so the trained model may not
-    // drift by a single bit between strategies
+  test("no-explode fused aggregate == the exploded dims-group reference, bit-for-bit (optimization r16)") {
+    // the r16 trainer computes the per-round gradient with ONE global
+    // aggregate over the doc frame (GradTermsArr + SumxArrAgg) — this
+    // pins it against the r15 shape it replaced: posexplode pinned,
+    // error join, dims-group sumx with bias sums guarded to dim-0
+    // rows.  The DECIMAL route makes both orders produce the SAME
+    // sums, so the trained model may not drift by a single bit.
+    import graft.functions.Exact.{roundx, sumx}
+    def scoreRef(w: Array[Double], b: Double) =
+      lit(1.0) / (lit(1.0) +
+        exp(-(dot(col("vn"), lit(w)) + element_at(lit(Array(b)), 1))))
     val eN = Logreg.preparedAll(spark, Dir).localCheckpoint()
     val labels = eN.select(col("label")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val (wB, bB) = Logreg.trainOvr(eN, labels, dims = 64, iters = 2, lr = 10.0,
-      broadcastErrRows = Long.MaxValue) // force the broadcast path
-    val (wS, bS) = Logreg.trainOvr(eN, labels, dims = 64, iters = 2, lr = 10.0,
-      broadcastErrRows = 0L) // force the shuffle path
+    val dims = 64
+    val iters = 2
+    val lr = 10.0
+    val (wN, bN) = Logreg.trainOvr(eN, labels, dims, iters, lr)
+
+    // the r15 reference shape, verbatim
+    val n = eN.count().toDouble
+    val ex = eN.select(col("vec_id"), posexplode(col("vn")).as(Seq("dim", "x")))
+      .localCheckpoint()
+    val ws = Array.fill(labels.size)(Array.fill(dims)(0.0))
+    val bs = Array.fill(labels.size)(0.0)
+    for (_ <- 1 to iters) {
+      val errCols = labels.indices.map { j =>
+        (scoreRef(ws(j), bs(j)) -
+          when(col("label") === labels(j), 1.0).otherwise(0.0)).as(s"err_$j")
+      }
+      val docErr = eN.select(col("vec_id") +: errCols: _*)
+      val gAggs = labels.indices.map(j =>
+        sumx(roundx(col(s"err_$j") * col("x"), 9)).as(s"g_$j"))
+      val eAggs = labels.indices.map(j =>
+        sumx(when(col("dim") === 0, roundx(col(s"err_$j"), 9))).as(s"e_$j"))
+      val aggs = gAggs ++ eAggs
+      val g = ex.join(broadcast(docErr), Seq("vec_id"))
+        .groupBy(col("dim")).agg(aggs.head, aggs.tail: _*).collect()
+      val byDim = g.map(r => r.getAs[Int]("dim") -> r).toMap
+      labels.indices.foreach { j =>
+        (0 until dims).foreach(d =>
+          ws(j)(d) -= lr * byDim(d).getAs[Double](s"g_$j") / n)
+        bs(j) -= lr * byDim(0).getAs[Double](s"e_$j") / n
+      }
+    }
     labels.indices.foreach { j =>
-      assert(java.util.Arrays.equals(wB(j), wS(j)),
-        s"class $j weights differ between broadcast and shuffle strategies")
-      assert(bB(j) == bS(j), s"class $j bias differs: ${bB(j)} vs ${bS(j)}")
+      assert(java.util.Arrays.equals(wN(j), ws(j)),
+        s"class $j weights differ between fused and exploded aggregates")
+      assert(bN(j) == bs(j), s"class $j bias differs: ${bN(j)} vs ${bs(j)}")
     }
   }
 }
